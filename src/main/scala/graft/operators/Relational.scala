@@ -1,0 +1,313 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+import Num._
+
+/** Relational / analytic core — the bench backbone.
+  *
+  * TPC-H-style declarative plans: filters and projections stay
+  * pushdown-able, dimension sides are broadcast, aggregations use
+  * map-side partial agg (all algebraic), money math is decimal-exact
+  * (order-independent → cross-engine deterministic).
+  */
+object Relational extends Suite {
+
+  private def rev(price: String = "l_extendedprice", disc: String = "l_discount") =
+    (col(price) * (lit(1.0) - col(disc))).cast(DecimalType(18, 4))
+
+  // ---- q1: pricing summary (TPC-H Q1 shape) -------------------------
+  private def q1(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(rev()).cast("double").as("sum_disc_price"),
+        sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) *
+          (lit(1.0) + col("l_tax"))).cast(DecimalType(18, 4)))
+          .cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q3: shipping priority (3-way join + top-k) -------------------
+  private def q3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust),
+        col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(rev()).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---- q5: local supplier volume (6-table join) ---------------------
+  private def q5(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(rev()).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---- q6: revenue change (selective filter + agg) ------------------
+  private def q6(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val q6Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---- q_top_suppliers: revenue rank (TPC-H Q15 shape) --------------
+  private def qTopSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(rev()).cast("double").as("total_rev"))
+    r.join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("total_rev"), col("s_suppkey"))).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("s_suppkey", "s_name", "total_rev", "rk")
+      .orderBy("rk")
+  }
+
+  private val qTopSuppliersSql =
+    """WITH r AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_rev, rk FROM (
+      |  SELECT s_suppkey, s_name, total_rev,
+      |    ROW_NUMBER() OVER (ORDER BY total_rev DESC, s_suppkey) AS rk
+      |  FROM r JOIN supplier ON l_suppkey = s_suppkey) t
+      |WHERE rk <= 10 ORDER BY rk""".stripMargin
+
+  // ---- q_semi_anti: EXISTS / NOT EXISTS per segment -----------------
+  private def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val active = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    val withO = cust.join(active, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with"))
+    val without = cust.join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
+    withO.join(without, Seq("c_mktsegment"), "full_outer")
+      .na.fill(0L, Seq("n_with", "n_without"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val qSemiAntiSql =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+      |SELECT c_mktsegment,
+      |  COUNT(a.o_custkey) AS n_with,
+      |  COUNT(*) - COUNT(a.o_custkey) AS n_without
+      |FROM customer LEFT JOIN a ON c_custkey = a.o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- q_rollup: hierarchical aggregation ---------------------------
+  private def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_mktsegment", "o_totalprice")
+      .rollup("n_name", "c_mktsegment")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+        .as("total_sales"), count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  private val qRollupSql =
+    """SELECT n_name, c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(n_name, c_mktsegment)
+      |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
+
+  // ---- q_pivot: status × priority matrix ----------------------------
+  private def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .withColumnRenamed("F", "n_f")
+      .withColumnRenamed("O", "n_o")
+      .withColumnRenamed("P", "n_p")
+      .orderBy("o_orderpriority")
+  }
+
+  private val qPivotSql =
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q_window_topn: top-3 parts per brand -------------------------
+  private def qWindowTopn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "l_partkey")
+      .agg(sum(rev()).cast("double").as("revenue"))
+      .withColumn("rk", row_number().over(Window.partitionBy("p_brand")
+        .orderBy(desc("revenue"), col("l_partkey"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("p_brand", "rk")
+  }
+
+  private val qWindowTopnSql =
+    """SELECT p_brand, l_partkey, revenue, rk FROM (
+      |  SELECT p_brand, l_partkey, revenue,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue DESC, l_partkey) AS rk
+      |  FROM (
+      |    SELECT p_brand, l_partkey,
+      |      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |    FROM lineitem JOIN part ON l_partkey = p_partkey
+      |    GROUP BY p_brand, l_partkey) agg) ranked
+      |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin
+
+  // ---- q_running_sum: per-customer running order total ---------------
+  private def qRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "running_total")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private val qRunningSumSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // ---- q_approx_distinct: HLL vs exact (no oracle: HLL impl-specific)
+  private def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_partkey").as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  override val ops: Seq[Op] = Seq(
+    Op("q1_pricing_summary", q1, Some(q1Sql)),
+    Op("q3_shipping_priority", q3, Some(q3Sql)),
+    Op("q5_local_supplier", q5, Some(q5Sql)),
+    Op("q6_revenue_change", q6, Some(q6Sql)),
+    Op("q_top_suppliers", qTopSuppliers, Some(qTopSuppliersSql)),
+    Op("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
+    Op("q_rollup", qRollup, Some(qRollupSql)),
+    Op("q_pivot", qPivot, Some(qPivotSql)),
+    Op("q_window_topn", qWindowTopn, Some(qWindowTopnSql)),
+    Op("q_running_sum", qRunningSum, Some(qRunningSumSql)),
+    Op("q_approx_distinct", qApproxDistinct, None),
+  )
+}
