@@ -20,7 +20,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return f"{v:.17g}"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory — single place for scale-relevant config.
+  *
+  * AQE is on so fact-fact shuffle joins get runtime coalesce + skew
+  * splitting (the 100 TB story in SURVEY §5); shuffle partitions
+  * default to the local core count (on a real cluster this would be
+  * ~2-3× total executor cores, or left to AQE's coalesce).
+  */
+object Engine {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def session(appName: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

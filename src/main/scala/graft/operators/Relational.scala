@@ -17,8 +17,17 @@ import Num._
   */
 object Relational extends Suite {
 
+  /** Exact revenue term: decimal-first arithmetic. Casting the INPUTS
+    * to decimal and multiplying in decimal space is exact (no
+    * per-engine double-rounding), so the aggregated sums are
+    * bit-identical across Spark and the DuckDB oracle. The SQL twins
+    * use the identical CAST structure. */
   private def rev(price: String = "l_extendedprice", disc: String = "l_discount") =
-    (col(price) * (lit(1.0) - col(disc))).cast(DecimalType(18, 4))
+    col(price).cast(DecimalType(12, 2)) *
+      (lit(1.0) - col(disc)).cast(DecimalType(4, 2))
+
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))"
 
   // ---- q1: pricing summary (TPC-H Q1 shape) -------------------------
   private def q1(spark: SparkSession, dir: String): DataFrame = {
@@ -29,8 +38,7 @@ object Relational extends Suite {
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
         sum(rev()).cast("double").as("sum_disc_price"),
-        sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) *
-          (lit(1.0) + col("l_tax"))).cast(DecimalType(18, 4)))
+        sum(rev() * (lit(1.0) + col("l_tax")).cast(DecimalType(4, 2)))
           .cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
@@ -39,11 +47,11 @@ object Relational extends Suite {
   }
 
   private val q1Sql =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM($revSql) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM($revSql * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
       |  COUNT(*) AS count_order,
       |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
       |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price
@@ -62,8 +70,10 @@ object Relational extends Suite {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust),
-        col("o_custkey") === col("c_custkey"))),
+    // customer (filtered, dim-sized) broadcasts; lineitem⋈orders is a
+    // fact-fact shuffle join — AQE coalesces/skew-splits at runtime.
+    li.join(ord.join(broadcast(cust),
+        col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum(rev()).cast("double").as("revenue"))
@@ -73,8 +83,8 @@ object Relational extends Suite {
   }
 
   private val q3Sql =
-    """SELECT l_orderkey,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    s"""SELECT l_orderkey,
+      |  CAST(SUM($revSql) AS DOUBLE) AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -98,8 +108,10 @@ object Relational extends Suite {
     val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    // orders and customer are fact-sized: shuffle joins (AQE handles
+    // coalesce/skew). Only true dims (supplier/nation/region) broadcast.
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -110,8 +122,8 @@ object Relational extends Suite {
   }
 
   private val q5Sql =
-    """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    s"""SELECT n_name,
+      |  CAST(SUM($revSql) AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders ON o_custkey = c_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -130,14 +142,14 @@ object Relational extends Suite {
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-      .agg(sum((col("l_extendedprice") * col("l_discount"))
-        .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        col("l_discount").cast(DecimalType(4, 2))).cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 
   private val q6Sql =
     """SELECT
-      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -152,19 +164,28 @@ object Relational extends Suite {
         col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
       .groupBy("l_suppkey")
       .agg(sum(rev()).cast("double").as("total_rev"))
-    r.join(broadcast(Tables.supplier(spark, dir)),
+    // Global top-10 via orderBy+limit = TakeOrderedAndProject (per-
+    // partition partial top-k, no single-partition window shuffle);
+    // row_number then runs over just the 10 surviving rows.
+    val top10 = r.join(broadcast(Tables.supplier(spark, dir)),
         col("l_suppkey") === col("s_suppkey"))
+      .orderBy(desc("total_rev"), col("s_suppkey"))
+      .limit(10)
+    top10
+      // single-partition window over exactly 10 rows — correct at any
+      // scale. s_suppkey % 1 (always 0) is non-foldable, so the
+      // optimizer keeps the partition spec and WindowExec doesn't warn.
       .withColumn("rk", row_number().over(
-        Window.orderBy(desc("total_rev"), col("s_suppkey"))).cast("long"))
-      .filter(col("rk") <= 10)
+        Window.partitionBy(col("s_suppkey") % 1)
+          .orderBy(desc("total_rev"), col("s_suppkey"))).cast("long"))
       .select("s_suppkey", "s_name", "total_rev", "rk")
       .orderBy("rk")
   }
 
   private val qTopSuppliersSql =
-    """WITH r AS (
+    s"""WITH r AS (
       |  SELECT l_suppkey,
-      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+      |    CAST(SUM($revSql) AS DOUBLE) AS total_rev
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
       |  GROUP BY l_suppkey)
@@ -199,19 +220,23 @@ object Relational extends Suite {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---- q_rollup: hierarchical aggregation ---------------------------
+  // Expressed via spark.sql on temp views: the Dataset-API .rollup over
+  // join-derived columns trips DetectAmbiguousSelfJoin inside the
+  // Expand node ROLLUP generates, even after re-aliasing. The SQL path
+  // produces the identical Expand+Aggregate plan without the check.
   private def qRollup(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
-      .join(broadcast(Tables.customer(spark, dir)
-        .select("c_custkey", "c_nationkey", "c_mktsegment")),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(spark, dir)
-        .select("n_nationkey", "n_name")),
-        col("c_nationkey") === col("n_nationkey"))
-      .select("n_name", "c_mktsegment", "o_totalprice")
-      .rollup("n_name", "c_mktsegment")
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
-        .as("total_sales"), count(lit(1)).as("n_orders"))
-      .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_rollup_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_rollup_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_rollup_nation")
+    spark.sql(
+      """SELECT /*+ BROADCAST(c), BROADCAST(n) */ n_name, c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+        |  COUNT(*) AS n_orders
+        |FROM graft_rollup_orders o
+        |JOIN graft_rollup_customer c ON o_custkey = c_custkey
+        |JOIN graft_rollup_nation n ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)
   }
 
   private val qRollupSql =
@@ -258,12 +283,12 @@ object Relational extends Suite {
   }
 
   private val qWindowTopnSql =
-    """SELECT p_brand, l_partkey, revenue, rk FROM (
+    s"""SELECT p_brand, l_partkey, revenue, rk FROM (
       |  SELECT p_brand, l_partkey, revenue,
       |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue DESC, l_partkey) AS rk
       |  FROM (
       |    SELECT p_brand, l_partkey,
-      |      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |      CAST(SUM($revSql) AS DOUBLE) AS revenue
       |    FROM lineitem JOIN part ON l_partkey = p_partkey
       |    GROUP BY p_brand, l_partkey) agg) ranked
       |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin
