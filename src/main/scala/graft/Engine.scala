@@ -23,6 +23,9 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+      // events.parquet stores TIMESTAMP(NANOS) which the Spark parquet
+      // reader rejects; read as long and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

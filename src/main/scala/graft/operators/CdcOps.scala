@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** CDC / ETL core — the reference's defining semantics, re-expressed
+  * as batch Spark operators over the `events` CDC-log model.
+  *
+  * Reference semantics (studied, not copied):
+  *  - landing-table dedupe to latest-row-per-PK by sequence, then a
+  *    MERGE whose arms are delete / update / insert
+  *    (/root/reference/etl-snowflake-py/etl_snowflake/task.py:154-190)
+  *  - schema self-heal: destination adds missing columns then retries
+  *    (/root/reference/src/schema_cache.rs:185, docs/data_flow.md §7)
+  *  - throughput/op-mix metrics (/root/reference/src/metrics.rs:65)
+  *
+  * CDC log model (SURVEY §2A): PK = user_id, sequence = (ts,
+  * event_id), op = DELETE when event_type='error' else UPSERT.
+  *
+  * Scale notes: every op here is a single hash-shuffle by PK (the
+  * window/groupBy key); no collects, no cross joins. At 100 TB the
+  * landing scan is filter-pruned parquet and the shuffle is the one
+  * unavoidable exchange — identical shape to the reference's
+  * partitioned MERGE.
+  */
+object CdcOps extends Suite {
+
+  /** Latest row per PK ordered by the CDC sequence — one shuffle. */
+  private def latestPerKey(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("ts"), desc("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  private val opCol =
+    when(col("event_type") === "error", "DELETE").otherwise("UPSERT").as("op")
+
+  // ---- cdc_dedupe_latest: landing-table dedupe ----------------------
+  private def cdcDedupeLatest(spark: SparkSession, dir: String): DataFrame =
+    latestPerKey(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+
+  private val cdcDedupeLatestSql =
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---- cdc_apply_snapshot: full CDC apply → final table state -------
+  // MERGE semantics: the latest op per key wins; a latest DELETE means
+  // the key is absent from the final state.
+  private def cdcApplySnapshot(spark: SparkSession, dir: String): DataFrame =
+    latestPerKey(Tables.events(spark, dir))
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .orderBy("user_id")
+
+  private val cdcApplySnapshotSql =
+    """SELECT user_id, event_id, ts, value FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin
+
+  // ---- cdc_merge_batch: incremental MERGE into a prior snapshot -----
+  // Phase 1 builds the snapshot from the log before the split date;
+  // phase 2 dedupes the incremental batch and MERGEs it in:
+  //   matched + DELETE  → delete
+  //   matched + UPSERT  → update
+  //   unmatched + UPSERT → insert
+  // Expressed as: batch-upserts ∪ (snapshot ⟕-anti batch-keys) — a
+  // full outer join by PK in MERGE terms, here two co-partitioned
+  // hash-shuffles on user_id.
+  private val mergeSplit = "2024-01-16"
+
+  private def cdcMergeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val split = lit(mergeSplit).cast("timestamp")
+    val snapshot = latestPerKey(ev.filter(col("ts") < split))
+      .filter(col("event_type") =!= "error")
+      .select("user_id", "event_id", "ts", "value")
+    val batch = latestPerKey(ev.filter(col("ts") >= split))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val upserts = batch.filter(col("event_type") =!= "error")
+      .select("user_id", "event_id", "ts", "value")
+    val untouched = snapshot.join(batch.select("user_id"),
+      Seq("user_id"), "left_anti")
+    upserts.unionByName(untouched).orderBy("user_id")
+  }
+
+  private val cdcMergeBatchSql =
+    s"""WITH snapshot AS (
+      |  SELECT user_id, event_id, ts, value FROM (
+      |    SELECT user_id, event_id, ts, event_type, value,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts < TIMESTAMP '$mergeSplit') t
+      |  WHERE rn = 1 AND event_type <> 'error'),
+      |batch AS (
+      |  SELECT user_id, event_id, ts, event_type, value FROM (
+      |    SELECT user_id, event_id, ts, event_type, value,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts >= TIMESTAMP '$mergeSplit') t
+      |  WHERE rn = 1)
+      |SELECT user_id, event_id, ts, value FROM batch WHERE event_type <> 'error'
+      |UNION ALL
+      |SELECT s.user_id, s.event_id, s.ts, s.value FROM snapshot s
+      |WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.user_id = s.user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // ---- cdc_scd2: slowly-changing-dimension type 2 history -----------
+  // Every upsert opens a version at its ts; the next event for the
+  // same PK (upsert or delete) closes it. A version is current iff
+  // nothing follows it. Deletes close history but are not versions.
+  // Open-ended versions use the standard SCD2 high-date sentinel
+  // (2200-01-01, within pandas ns-datetime range) rather than NULL — idiomatic, and keeps the oracle
+  // hash free of engine-specific NULL-timestamp renderings.
+  private val scd2OpenEnd = "2200-01-01 00:00:00"
+
+  private def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").as("valid_from"),
+        coalesce(col("valid_to"), lit(scd2OpenEnd).cast("timestamp"))
+          .as("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  private val cdcScd2Sql =
+    s"""SELECT user_id, event_id, value, ts AS valid_from,
+      |  COALESCE(valid_to, TIMESTAMP '$scd2OpenEnd') AS valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM (
+      |  SELECT user_id, event_id, event_type, value, ts,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM events) t
+      |WHERE event_type <> 'error'
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  // ---- cdc_changelog_stats: per-hour op mix + throughput ------------
+  private def cdcChangelogStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("hour"), opCol,
+        col("user_id"), col("value"))
+      .groupBy("hour", "op")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_keys"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy("hour", "op")
+
+  private val cdcChangelogStatsSql =
+    """SELECT date_trunc('hour', ts) AS hour,
+      |  CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_keys,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, op""".stripMargin
+
+  // ---- cdc_schema_reconcile: schema-evolution self-heal -------------
+  // Batch v1 has the old schema (no value/props); batch v2 dropped
+  // event_type and added value/props. Reconcile = union by name with
+  // missing columns as NULL — the destination "adds missing columns
+  // and retries" semantic as one relational op.
+  private def cdcSchemaReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v1 = ev.filter(col("event_id") % 2 === 0)
+      .select("event_id", "ts", "user_id", "event_type")
+    val v2 = ev.filter(col("event_id") % 2 === 1)
+      .select("event_id", "ts", "user_id", "value", "props")
+    v1.unionByName(v2, allowMissingColumns = true)
+      // string NULLs hash consistently across engines; double NULLs
+      // don't (NaN vs None in the compare) — use a -1 sentinel.
+      .withColumn("value", coalesce(col("value"), lit(-1.0)))
+      .orderBy("event_id")
+  }
+
+  private val cdcSchemaReconcileSql =
+    """SELECT event_id, ts, user_id, event_type,
+      |  -1.0 AS value, CAST(NULL AS VARCHAR) AS props
+      |FROM events WHERE event_id % 2 = 0
+      |UNION ALL
+      |SELECT event_id, ts, user_id, CAST(NULL AS VARCHAR) AS event_type,
+      |  value, props
+      |FROM events WHERE event_id % 2 = 1
+      |ORDER BY event_id""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("cdc_dedupe_latest", cdcDedupeLatest, Some(cdcDedupeLatestSql)),
+    Op("cdc_apply_snapshot", cdcApplySnapshot, Some(cdcApplySnapshotSql)),
+    Op("cdc_merge_batch", cdcMergeBatch, Some(cdcMergeBatchSql)),
+    Op("cdc_scd2", cdcScd2, Some(cdcScd2Sql)),
+    Op("cdc_changelog_stats", cdcChangelogStats, Some(cdcChangelogStatsSql)),
+    Op("cdc_schema_reconcile", cdcSchemaReconcile, Some(cdcSchemaReconcileSql)),
+  )
+}

@@ -25,7 +25,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS): read as long (see
+    * Engine's nanosAsLong) and convert ns→µs with integer division
+    * (`div` — a double division would lose precision at 1.7e18).
+    * The generator emits µs-precision values, so this is exact and
+    * matches DuckDB's µs TIMESTAMP view of the same file. */
+  def events(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
