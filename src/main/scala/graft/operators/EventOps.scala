@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Event-stream analytics (SURVEY §C) — batch-verifiable analogs of
+  * the reference's continuous-pipeline metrics and windows
+  * (/root/reference/src/metrics.rs:65 `etl_events_processed_total`,
+  * docs/data_flow.md §3 buffer/seal). The streaming twins live in
+  * graft.streaming and are spec-tested with memory sinks.
+  *
+  * Scale notes: tumbling/sliding windows are plain hash aggregations
+  * (map-side partial agg, one shuffle on the window key);
+  * sessionization and the as-of join shuffle once by user_id; nothing
+  * collects or cross-joins.
+  */
+object EventOps extends Suite {
+
+  private val sentinelTs = "1970-01-01 00:00:00"
+
+  // ---- ev_tumbling_1h: tumbling window agg by event_type ------------
+  private def evTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("n_users"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  private val evTumblingSql =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ---- ev_sliding_2h: sliding 2h window every 1h --------------------
+  // Each event lands in exactly two hourly-aligned 2h windows:
+  // [trunc(ts)-1h, +2h) and [trunc(ts), +2h).
+  private def evSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"),
+        col("sum_value"))
+      .orderBy("window_start")
+
+  private val evSlidingSql =
+    """SELECT ws AS window_start, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+      |                 date_trunc('hour', ts)]) AS ws, value
+      |  FROM events) t
+      |GROUP BY ws ORDER BY window_start""".stripMargin
+
+  // ---- ev_sessionize: 30-min-gap sessions per user ------------------
+  // Spark-native session_window: a session absorbs an event iff its ts
+  // is strictly inside [session_start, last_ts + gap); session_end =
+  // last event ts + gap. The oracle emulates with the classic
+  // lag-gap-flag + running-sum construction.
+  private def evSessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  private val evSessionizeSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) < 1800000000
+      |      THEN 0 ELSE 1 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---- ev_asof_join: purchase → latest click at-or-before ts --------
+  // Spark lacks a native as-of join; the scalable composition is the
+  // union-and-carry-forward trick: union both sides, one shuffle by
+  // user_id, carry the last click (ts,value) forward with
+  // last(ignoreNulls) over an ordered running frame, keep purchases.
+  // Clicks sort before purchases on ts ties (src 0 < 1) so the join
+  // is at-or-before inclusive. DuckDB's native ASOF JOIN is the twin.
+  private def evAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("src"),
+        col("ts").as("c_ts"), col("value").as("c_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("src"),
+        lit(null).cast("timestamp").as("c_ts"),
+        lit(null).cast("double").as("c_value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "src", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_ts", last(col("c_ts"), ignoreNulls = true).over(w))
+      .withColumn("last_click_value",
+        last(col("c_value"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("last_click_ts"), lit(sentinelTs).cast("timestamp"))
+          .as("click_ts"),
+        coalesce(col("last_click_value"), lit(-1.0)).as("click_value"))
+      .orderBy("event_id")
+  }
+
+  private val evAsofJoinSql =
+    s"""SELECT p.event_id, p.user_id, p.ts,
+      |  COALESCE(c.ts, TIMESTAMP '$sentinelTs') AS click_ts,
+      |  COALESCE(c.value, -1.0) AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // ---- ev_funnel: signup → view → purchase ordered funnel -----------
+  // Stage k requires an event strictly after the stage-(k-1) ts.
+  // Three co-partitioned aggregations/joins on user_id.
+  private def evFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "view").as("e")
+      .join(s1.as("s"), col("e.user_id") === col("s.user_id") &&
+        col("e.ts") > col("s.t1"))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").as("e")
+      .join(s2.as("v"), col("e.user_id") === col("v.user_id") &&
+        col("e.ts") > col("v.t2"))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.ts")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left_outer")
+      .join(s3, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        col("t1").as("signup_ts"),
+        coalesce(col("t2"), lit(sentinelTs).cast("timestamp")).as("view_ts"),
+        coalesce(col("t3"), lit(sentinelTs).cast("timestamp")).as("purchase_ts"),
+        (lit(1) + col("t2").isNotNull.cast("int") +
+          col("t3").isNotNull.cast("int")).as("stage"))
+      .orderBy("user_id")
+  }
+
+  private val evFunnelSql =
+    s"""WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      |  WHERE e.event_type = 'view' GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT s1.user_id, s1.t1 AS signup_ts,
+      |  COALESCE(s2.t2, TIMESTAMP '$sentinelTs') AS view_ts,
+      |  COALESCE(s3.t3, TIMESTAMP '$sentinelTs') AS purchase_ts,
+      |  1 + CAST(s2.t2 IS NOT NULL AS INT) + CAST(s3.t3 IS NOT NULL AS INT) AS stage
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
+    Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
+    Op("ev_sessionize", evSessionize, Some(evSessionizeSql)),
+    Op("ev_asof_join", evAsofJoin, Some(evAsofJoinSql)),
+    Op("ev_funnel", evFunnel, Some(evFunnelSql)),
+  )
+}
