@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text analysis over `documents` (SURVEY §D) — the per-document
+  * scoring stages of an LLM training-data pipeline: token stats,
+  * quality scoring, language ID, canonical fingerprinting.
+  *
+  * Everything is per-row `functions._` expressions (whole-stage
+  * codegen, no UDFs, no shuffle except the final presentation sort),
+  * so the ops scale linearly with document count: at 100 TB this is
+  * a map-only pass over the parquet scan with column pruning down to
+  * (doc_id, text[, lang]).
+  */
+object TextOps extends Suite {
+
+  /** Whitespace tokens, empties dropped — mirrored in the oracle via
+    * list_filter(string_split(...)). */
+  private def toks: Column =
+    filter(split(col("text"), " "), x => x =!= lit(""))
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  // ---- txt_stats: token/char counts, distinct-token ratio -----------
+  private def txtStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"), toks.as("t"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        aggregate(col("t"), lit(0), (acc, x) => acc + length(x))
+          .cast("long").as("sum_token_len"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .withColumn("avg_token_len",
+        round(col("sum_token_len").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+
+  private val txtStatsSql =
+    s"""SELECT doc_id, n_chars, n_tokens, n_distinct, sum_token_len,
+      |  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+      |  ROUND(CAST(sum_token_len AS DOUBLE) / n_tokens, 6) AS avg_token_len
+      |FROM (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    CAST(len(t) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+      |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_token_len
+      |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) x) y
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- txt_quality: composite quality score -------------------------
+  // Components (all per-row, identical op tree on both engines):
+  //   len_score  = min(1, n_chars/500)     — longer docs score higher
+  //   uniq_ratio = n_distinct/n_tokens     — repetition penalty
+  //   stop_ratio = |stopword tokens|/n_tokens — fluency proxy
+  //   quality    = 0.5*len_score + 0.3*uniq_ratio + 0.2*stop_ratio
+  private val stopwords = Seq("the", "a", "and", "of", "to")
+
+  private def txtQuality(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"), toks.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        least(lit(1.0), col("n_chars").cast("double") / 500.0).as("len_score"),
+        (size(array_distinct(col("t"))).cast("double") / size(col("t")))
+          .as("uniq_ratio"),
+        (size(filter(col("t"), x => x.isInCollection(stopwords)))
+          .cast("double") / size(col("t"))).as("stop_ratio"))
+      .withColumn("quality", round(lit(0.5) * col("len_score") +
+        lit(0.3) * col("uniq_ratio") + lit(0.2) * col("stop_ratio"), 6))
+      .withColumn("len_score", round(col("len_score"), 6))
+      .withColumn("uniq_ratio", round(col("uniq_ratio"), 6))
+      .withColumn("stop_ratio", round(col("stop_ratio"), 6))
+      .orderBy("doc_id")
+  }
+
+  private val txtQualitySql = {
+    val inList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, n_tokens,
+      |  ROUND(len_score, 6) AS len_score,
+      |  ROUND(uniq_ratio, 6) AS uniq_ratio,
+      |  ROUND(stop_ratio, 6) AS stop_ratio,
+      |  ROUND(0.5 * len_score + 0.3 * uniq_ratio + 0.2 * stop_ratio, 6) AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(t) AS BIGINT) AS n_tokens,
+      |    LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0) AS len_score,
+      |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
+      |    CAST(len(list_filter(t, x -> x IN ($inList))) AS DOUBLE) / len(t) AS stop_ratio
+      |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) x) y
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- txt_langid: stopword-overlap language ID ---------------------
+  // Fixed per-language marker lists; predicted language = argmax of
+  // marker hits with lexicographically-smallest tie-break (the
+  // CASE chain is ordered by language code). On real corpora the
+  // marker lists discriminate; the synthetic corpus shares one
+  // vocabulary, so accuracy is incidental — the contract is that both
+  // engines compute the identical deterministic heuristic.
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "los", "que", "por", "una"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和"),
+  )
+
+  private def txtLangid(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("lang")) ++ langMarkers.map {
+        case (code, words) =>
+          size(filter(toks, x => x.isInCollection(words)))
+            .cast("long").as(s"s_$code")
+      }: _*)
+    val m = greatest(langMarkers.map { case (c, _) => col(s"s_$c") }: _*)
+    val pred = langMarkers.foldLeft(lit(null).cast("string")) {
+      case (acc, (c, _)) => when(acc.isNotNull, acc)
+        .otherwise(when(col(s"s_$c") === m, lit(c)))
+    }
+    scored.withColumn("pred_lang", pred)
+      .withColumn("is_match", col("lang") === col("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  private val txtLangidSql = {
+    val scoreCols = langMarkers.map { case (c, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(t, x -> x IN ($inList))) AS BIGINT) AS s_$c"
+    }.mkString(",\n      |    ")
+    val m = langMarkers.map { case (c, _) => s"s_$c" }.mkString("GREATEST(", ", ", ")")
+    val caseChain = langMarkers.map { case (c, _) =>
+      s"WHEN s_$c = m THEN '$c'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+      |  CASE $caseChain END AS pred_lang,
+      |  lang = (CASE $caseChain END) AS is_match
+      |FROM (
+      |  SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, $m AS m
+      |  FROM (
+      |  SELECT doc_id, lang,
+      |    $scoreCols
+      |  FROM (SELECT doc_id, lang, $toksSql AS t FROM documents) x) y) z
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- txt_fingerprint: canonical content fingerprint ---------------
+  // md5 over the sorted distinct token set — whitespace/ordering/
+  // duplication-insensitive content identity (the canonical key for
+  // exact-ish dedup at scale).
+  private def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(toks)), " ")).as("fp"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .orderBy("doc_id")
+
+  private val txtFingerprintSql =
+    s"""SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp,
+      |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+      |FROM (SELECT doc_id, $toksSql AS t FROM documents) x
+      |ORDER BY doc_id""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("txt_stats", txtStats, Some(txtStatsSql)),
+    Op("txt_quality", txtQuality, Some(txtQualitySql)),
+    Op("txt_langid", txtLangid, Some(txtLangidSql)),
+    Op("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
+  )
+}
