@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Deduplication (SURVEY §E) — exact and near-dup detection over
+  * `documents` / `embeddings`, the core curation stage of an LLM
+  * training-data pipeline.
+  *
+  * Scale design (SURVEY §5): NOTHING here is a global cross join.
+  *  - exact: one hash aggregation on the content fingerprint.
+  *  - ngram-jaccard: pairwise comparison only WITHIN (lang,
+  *    length-band) blocks — the self-join shuffles on the block key.
+  *  - minhash: MinHash(128) signatures, 32-band LSH; candidate pairs
+  *    come from equi-joins on (band, band_hash) buckets, then exact
+  *    jaccard runs only on candidates. This is the 100 TB path.
+  *  - simhash: 64-bit signature, 4×16-bit chunk pigeonhole buckets
+  *    (hamming ≤3 ⟹ some chunk equal), exact hamming on candidates.
+  *  - embedding: cosine pairs only within label blocks; decimal-exact
+  *    dot products so the DuckDB oracle hashes identically.
+  */
+object DedupOps extends Suite {
+
+  private def toks: Column =
+    filter(split(col("text"), " "), x => x =!= lit(""))
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** Distinct word 3-gram shingles (empty when fewer than 3 tokens —
+    * sequence(0, negative) would count down). */
+  private val shinglesExpr =
+    """array_distinct(if(size(t) >= 3,
+      |  transform(sequence(0, size(t) - 3), i ->
+      |    concat(element_at(t, i + 1), ' ', element_at(t, i + 2), ' ',
+      |           element_at(t, i + 3))),
+      |  array()))""".stripMargin.replaceAll("\n\\s*", " ")
+
+  private val shinglesSqlExpr =
+    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])"
+
+  // ---- dedup_exact: md5 fingerprint groups --------------------------
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy("fp")
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  // ---- dedup_ngram_jaccard: blocked pairwise shingle jaccard --------
+  // Block key = (lang, n_tokens div 50): pairwise comparison is
+  // per-block, the join shuffles on the block key, and block sizes
+  // bound the quadratic term. τ = 0.5.
+  private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toks.as("t"))
+      .select(col("doc_id"), col("lang"),
+        (size(col("t")).cast("long") / 50).cast("long").as("band"),
+        expr(shinglesExpr).as("s"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("band"),
+      col("s").as("sa"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("band"),
+      col("s").as("sb"))
+    a.join(b, Seq("lang", "band"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val dedupNgramJaccardSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, CAST(len(t) // 50 AS BIGINT) AS band,
+      |    $shinglesSqlExpr AS s
+      |  FROM (SELECT doc_id, lang, $toksSql AS t FROM documents) x)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      |FROM d a JOIN d b
+      |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- dedup_minhash: MinHash(128) + 32-band LSH --------------------
+  // sig[k] = min over shingles of xxhash64(k, shingle); band j =
+  // xxhash64(j, sig[4j..4j+3]). Computed relationally — explode
+  // shingles, one codegen'd hash aggregate with 128 min buffers —
+  // rather than via nested higher-order functions, which don't
+  // participate in whole-stage codegen and run interpreted (~30×
+  // slower). Candidates = pairs sharing any (band, band_hash) bucket;
+  // exact jaccard verifies candidates only. No oracle (hash-function
+  // specific) — rows-only check; deterministic output.
+  private def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), expr(shinglesExpr).as("s"))
+      .filter(size(col("s")) > 0)
+    val sigCols = (0 until 128).map(k =>
+      min(xxhash64(lit(k), col("shingle"))).as(s"m$k"))
+    val sigs = d.select(col("doc_id"), explode(col("s")).as("shingle"))
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until 32).map(j =>
+      xxhash64(lit(j), col(s"m${4 * j}"), col(s"m${4 * j + 1}"),
+        col(s"m${4 * j + 2}"), col(s"m${4 * j + 3}")))
+    val buckets = sigs
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sh = d.select(col("doc_id"), col("s"))
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb")), Seq("b_id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---- dedup_simhash: 64-bit simhash + hamming ≤ 3 ------------------
+  // bit j of the signature = sign of Σ_tokens (±1 by bit j of
+  // xxhash64(token)) — computed relationally (explode tokens, one
+  // codegen'd aggregate with 64 sum buffers; see minhash note).
+  // Candidates via the 4×16-bit chunk pigeonhole: hamming(a,b) ≤ 3
+  // forces at least one equal chunk.
+  private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val bitSums = (0 until 64).map(j =>
+      sum(shiftright(xxhash64(col("tok")), j).bitwiseAND(1) * 2 - 1).as(s"b$j"))
+    val sig = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_ + _)
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("sh"))
+    val chunks = d.select(col("doc_id"), col("sh"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> shiftright(sh, c * 16) & 65535L)"))
+          .as(Seq("c", "chunk")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---- dedup_embedding: label-blocked cosine near-dup pairs ---------
+  // Per-element decimal products summed exactly (order-independent ⇒
+  // cross-engine identical), double only for the final sqrt/divide —
+  // single IEEE ops, deterministic. Norms precomputed per vector
+  // before the pairwise join. τ = 0.4.
+  // Elements quantized to DECIMAL(12,8): products are exact at scale
+  // 16, the DECIMAL(30,16) accumulator stays under the 38-precision
+  // cap (at the cap Spark's + would silently drop a scale digit), and
+  // the merge cast is precision-only (same scale ⇒ no rounding).
+  private def dec(c: Column): Column = c.cast("double").cast(DecimalType(12, 8))
+
+  private def dotDec(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => dec(x) * dec(y)),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, 16)),
+      (acc, v) => (acc + v).cast(DecimalType(30, 16))).cast("double")
+
+  private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("norm", dotDec(col("v"), col("v")))
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"),
+      col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        dotDec(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val dedupEmbeddingSql =
+    """WITH terms AS (
+      |  SELECT vec_id, label, i,
+      |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS d
+      |  FROM embeddings, range(1, 65) r(i)),
+      |norms AS (
+      |  SELECT vec_id, label, CAST(SUM(d * d) AS DOUBLE) AS norm
+      |  FROM terms GROUP BY vec_id, label),
+      |dots AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    CAST(SUM(a.d * b.d) AS DOUBLE) AS dot
+      |  FROM terms a JOIN terms b
+      |    ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id)
+      |SELECT a_id, b_id, ROUND(cosine, 6) AS cosine FROM (
+      |  SELECT d.a_id, d.b_id,
+      |    d.dot / (sqrt(na.norm) * sqrt(nb.norm)) AS cosine
+      |  FROM dots d
+      |  JOIN norms na ON d.a_id = na.vec_id
+      |  JOIN norms nb ON d.b_id = nb.vec_id) t
+      |WHERE cosine >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
+    Op("dedup_minhash", dedupMinhash, None),
+    Op("dedup_simhash", dedupSimhash, None),
+    Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
+  )
+}
