@@ -9,7 +9,7 @@ object SparkEntry {
   /** Suites registered with the driver; each pairs Spark queries with
     * DuckDB oracle SQL (SURVEY.md §2 A–G). */
   private val suites: Seq[Suite] =
-    Seq(Relational, CdcOps, EventOps, TextOps, DedupOps)
+    Seq(Relational, CdcOps, EventOps, TextOps, DedupOps, SimilarityOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

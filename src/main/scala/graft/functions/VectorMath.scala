@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine-deterministic vector arithmetic over array<float>
+  * embedding columns.
+  *
+  * Elements are quantized once to DECIMAL(12,8); pairwise products
+  * are then exact at scale 16 and their sum is order-independent, so
+  * Spark and the DuckDB oracle produce bit-identical dot products.
+  * Only the final sqrt/divide happen in double — single IEEE ops,
+  * identical everywhere. The DECIMAL(30,16) accumulator stays under
+  * Spark's 38-precision cap (at the cap, decimal + silently drops a
+  * scale digit) and the merge cast is precision-only (no rounding).
+  */
+object VectorMath {
+  def dec(c: Column): Column = c.cast("double").cast(DecimalType(12, 8))
+
+  /** Exact decimal dot product, returned as double. */
+  def dotDec(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => dec(x) * dec(y)),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, 16)),
+      (acc, v) => (acc + v).cast(DecimalType(30, 16))).cast("double")
+
+  /** cosine(a, b) given precomputed squared norms (as doubles). */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dotDec(a, b) / (sqrt(normA) * sqrt(normB))
+
+  /** Plain double dot product against a constant hyperplane — used
+    * for LSH bucketing where no oracle parity is needed. */
+  def dotLit(v: Column, plane: Seq[Double]): Column =
+    aggregate(zip_with(v, lit(plane.toArray), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, t) => acc + t)
+}

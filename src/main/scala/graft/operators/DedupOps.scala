@@ -167,16 +167,7 @@ object DedupOps extends Suite {
   // cross-engine identical), double only for the final sqrt/divide —
   // single IEEE ops, deterministic. Norms precomputed per vector
   // before the pairwise join. τ = 0.4.
-  // Elements quantized to DECIMAL(12,8): products are exact at scale
-  // 16, the DECIMAL(30,16) accumulator stays under the 38-precision
-  // cap (at the cap Spark's + would silently drop a scale digit), and
-  // the merge cast is precision-only (same scale ⇒ no rounding).
-  private def dec(c: Column): Column = c.cast("double").cast(DecimalType(12, 8))
-
-  private def dotDec(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => dec(x) * dec(y)),
-      lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, 16)),
-      (acc, v) => (acc + v).cast(DecimalType(30, 16))).cast("double")
+  import graft.functions.VectorMath.dotDec
 
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)

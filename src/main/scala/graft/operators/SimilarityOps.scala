@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+import graft.functions.VectorMath.{cosine, dotDec, dotLit}
+
+/** Similarity search over `embeddings` (SURVEY §F).
+  *
+  * Scale design: the query set is small and broadcasts; the candidate
+  * side streams. Brute-force top-k is the correctness baseline
+  * (per-query partial top-k via a window over the broadcast join —
+  * never a driver-side sort); the LSH variant buckets candidates by
+  * random-hyperplane sign so each query compares only within its
+  * bucket — the 100 TB path, where buckets shuffle-partition
+  * independently. Centroids are the IVF building block: one
+  * shuffle to (label, dim), exact decimal sums.
+  */
+object SimilarityOps extends Suite {
+
+  /** Queries = vec_id < 10 (deterministic, tiny ⇒ broadcast). */
+  private val nQueries = 10
+  private val topK = 5
+
+  // ---- sim_topk_exact: brute-force cosine top-5 ---------------------
+  private def simTopkExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm", dotDec(col("v"), col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("cosine"), col("cand_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("norm")))
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val simTopkExactSql =
+    s"""WITH terms AS (
+      |  SELECT vec_id, i,
+      |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS d
+      |  FROM embeddings, range(1, 65) r(i)),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(d * d) AS DOUBLE) AS norm
+      |  FROM terms GROUP BY vec_id),
+      |dots AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+      |    CAST(SUM(q.d * c.d) AS DOUBLE) AS dot
+      |  FROM terms q JOIN terms c ON q.i = c.i
+      |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.q_id, d.cand_id,
+      |    d.dot / (sqrt(nq.norm) * sqrt(nc.norm)) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY d.q_id
+      |      ORDER BY d.dot / (sqrt(nq.norm) * sqrt(nc.norm)) DESC, d.cand_id
+      |    ) AS rank
+      |  FROM dots d
+      |  JOIN norms nq ON d.q_id = nq.vec_id
+      |  JOIN norms nc ON d.cand_id = nc.vec_id)
+      |SELECT q_id, rank, cand_id, ROUND(cosine, 6) AS cosine
+      |FROM scored WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
+
+  // ---- sim_ann_lsh: random-hyperplane LSH bucketed ANN --------------
+  // 8 seeded hyperplanes → 8-bit sign bucket; candidates join queries
+  // on the bucket key only, exact cosine ranks within the bucket.
+  // Rows-only check (bucketing is hash-function specific); recall vs
+  // sim_topk_exact is what a user would tune bands/planes against.
+  private val nPlanes = 8
+  private val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+  }
+
+  private def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(dotLit(col("v"), p) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ + _)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm", dotDec(col("v"), col("v")))
+      .withColumn("bucket", bucket)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("bucket"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("cosine"), col("cand_id"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("norm")))
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  // ---- sim_centroids: per-label centroid + distance stats -----------
+  // The IVF building block. All cross-row arithmetic is exact decimal
+  // (order-independent); dist = sqrt(Σ_i ((n·x_i − s_i)/n)²) computed
+  // as sqrt(S)/n with the inner squares quantized to DECIMAL(24,6)
+  // (int magnitude stays ≪ 2^53 so DuckDB's hugeint→double cast is
+  // exactly the correctly-rounded conversion Spark does).
+  private def simCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"),
+        col("x").cast("double").cast(DecimalType(12, 8)).as("d"))
+    val sums = exploded.groupBy("label", "i")
+      .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))
+    val dists = exploded.join(broadcast(sums), Seq("label", "i"))
+      .withColumn("sq",
+        ((col("n") * col("d") - col("s")).cast("double") *
+          (col("n") * col("d") - col("s")).cast("double"))
+          .cast(DecimalType(24, 6)))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("sq")).as("ssq"), max(col("n")).as("n"))
+      .withColumn("dist",
+        sqrt(col("ssq").cast("double")) / col("n").cast("double"))
+    dists.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("dist").cast(DecimalType(18, 8))).cast("double") /
+          count(lit(1)), 6).as("avg_dist"),
+        round(min(col("dist")), 6).as("min_dist"),
+        round(max(col("dist")), 6).as("max_dist"))
+      .orderBy("label")
+  }
+
+  private val simCentroidsSql =
+    """WITH terms AS (
+      |  SELECT vec_id, label, i,
+      |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS d
+      |  FROM embeddings, range(1, 65) r(i)),
+      |sums AS (
+      |  SELECT label, i, SUM(d) AS s, COUNT(*) AS n
+      |  FROM terms GROUP BY label, i),
+      |dists AS (
+      |  SELECT t.vec_id, t.label,
+      |    sqrt(CAST(SUM(CAST(
+      |      CAST(s.n * t.d - s.s AS DOUBLE) * CAST(s.n * t.d - s.s AS DOUBLE)
+      |      AS DECIMAL(24,6))) AS DOUBLE)) / CAST(MAX(s.n) AS DOUBLE) AS dist
+      |  FROM terms t JOIN sums s ON t.label = s.label AND t.i = s.i
+      |  GROUP BY t.vec_id, t.label)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(dist AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS avg_dist,
+      |  ROUND(MIN(dist), 6) AS min_dist,
+      |  ROUND(MAX(dist), 6) AS max_dist
+      |FROM dists GROUP BY label ORDER BY label""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
+    Op("sim_ann_lsh", simAnnLsh, None),
+    Op("sim_centroids", simCentroids, Some(simCentroidsSql)),
+  )
+}
