@@ -9,7 +9,8 @@ object SparkEntry {
   /** Suites registered with the driver; each pairs Spark queries with
     * DuckDB oracle SQL (SURVEY.md §2 A–G). */
   private val suites: Seq[Suite] =
-    Seq(Relational, CdcOps, EventOps, TextOps, DedupOps, SimilarityOps)
+    Seq(Relational, CdcOps, EventOps, TextOps, DedupOps, SimilarityOps,
+      MultimodalOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
