@@ -30,7 +30,7 @@ object MultimodalOps extends Suite {
   /** STUB DECODER — deterministic fake. Derives "image" dimensions
     * and a "brightness" purely from the byte count so the DuckDB
     * oracle can mirror it. No real media bytes are interpreted. */
-  private def decodeStub(m: MediaBlob): MediaFeatures = {
+  private[graft] def decodeStub(m: MediaBlob): MediaFeatures = {
     val n = m.blob.length.toLong
     MediaFeatures(
       doc_id = m.doc_id,

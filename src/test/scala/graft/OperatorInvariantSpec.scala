@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-operator invariants at sf0.001 — semantic checks the DuckDB
+  * oracle can't express (it only hashes single-query outputs). */
+class OperatorInvariantSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("every registered query returns rows and a stable schema on sf0.001") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val df = run(name)
+      assert(df.columns.nonEmpty, s"$name: no columns")
+      assert(df.count() > 0, s"$name: empty result")
+    }
+  }
+
+  test("every oracle key has a matching query and vice-versa names align") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
+  }
+
+  test("cdc_apply_snapshot = cdc_dedupe_latest minus deletes") {
+    val dedupe = run("cdc_dedupe_latest")
+    val apply = run("cdc_apply_snapshot")
+    assert(apply.count() ==
+      dedupe.filter(col("event_type") =!= "error").count())
+    assert(apply.count() < dedupe.count()) // some keys end deleted
+  }
+
+  test("cdc_merge_batch over a split log equals the full apply") {
+    val merged = run("cdc_merge_batch").select("user_id", "event_id", "ts", "value")
+    val full = run("cdc_apply_snapshot").select("user_id", "event_id", "ts", "value")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "two-phase merge diverged from single-pass apply")
+  }
+
+  test("cdc_scd2 has exactly one current version per surviving key") {
+    val scd2 = run("cdc_scd2")
+    val current = scd2.filter(col("is_current")).groupBy("user_id").count()
+    assert(current.filter(col("count") =!= 1).isEmpty)
+    val applied = run("cdc_apply_snapshot").select("user_id")
+    assert(current.select("user_id").exceptAll(applied).isEmpty,
+      "current SCD2 keys must be exactly the non-deleted keys")
+  }
+
+  test("ev_sessionize partitions all events into sessions") {
+    val total = sources.Tables.events(spark, sf).count()
+    val inSessions = run("ev_sessionize").agg(sum("n_events")).head.getLong(0)
+    assert(inSessions == total)
+  }
+
+  test("ev_funnel stages are monotonically ordered in time") {
+    val bad = run("ev_funnel")
+      .filter(col("stage") === 3)
+      .filter(!(col("signup_ts") < col("view_ts") &&
+        col("view_ts") < col("purchase_ts")))
+    assert(bad.isEmpty)
+  }
+
+  test("dedup_minhash candidates include every high-jaccard exact pair") {
+    // LSH with 32 bands of 4 rows catches j>=0.5 pairs w.h.p.; the
+    // planted near-dups (j=1.0) must all be present.
+    val exact = run("dedup_ngram_jaccard").filter(col("jaccard") === 1.0)
+      .select("a_id", "b_id")
+    val lsh = run("dedup_minhash").select("a_id", "b_id")
+    assert(exact.exceptAll(lsh).isEmpty,
+      "minhash LSH missed an identical-shingle pair")
+  }
+
+  test("sim_topk_exact ranks are dense 1..k and cosine non-increasing") {
+    val rows = run("sim_topk_exact")
+      .select("q_id", "rank", "cosine").collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.size),
+        s"q$q ranks not dense")
+      val cos = sorted.map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+        s"q$q cosine not non-increasing")
+    }
+  }
+
+  test("sim_ann_lsh results are a subset of brute-force candidates' scores") {
+    // every ANN hit must carry the same cosine the exact path computes
+    val ann = run("sim_ann_lsh").select("q_id", "cand_id", "cosine")
+    val exact = run("sim_topk_exact").select("q_id", "cand_id", "cosine")
+    val joined = ann.as("a").join(exact.as("e"),
+      Seq("q_id", "cand_id"))
+    assert(joined.filter(col("a.cosine") =!= col("e.cosine")).isEmpty)
+  }
+
+  test("mm_features n_bytes equals n_chars for ascii documents") {
+    val mm = run("mm_features").select("doc_id", "n_bytes")
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val bad = mm.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= col("n_chars"))
+    assert(bad.isEmpty)
+  }
+
+  test("cdc_schema_reconcile preserves all rows and nulls the missing columns") {
+    val rec = run("cdc_schema_reconcile")
+    val total = sources.Tables.events(spark, sf).count()
+    assert(rec.count() == total)
+    assert(rec.filter(col("event_id") % 2 === 0)
+      .filter(col("props").isNotNull).isEmpty)
+    assert(rec.filter(col("event_id") % 2 === 1)
+      .filter(col("event_type").isNotNull).isEmpty)
+  }
+}
