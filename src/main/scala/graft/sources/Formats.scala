@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+
+/** Multi-format source/sink surface — the analog of the reference's
+  * destination writers (/root/reference/etl-destination/src/
+  * {snowflake,bigquery,iceberg}): one engine, pluggable egress.
+  *
+  * Columnar parquet is the primary format (pushdown + pruning);
+  * csv/json cover interchange; jdbc covers warehouse egress. Writers
+  * take an optional partition column — at 100 TB every table write
+  * should be partitioned by its natural pruning key (date/tenant) so
+  * downstream scans prune directories, and sized via
+  * `maxRecordsPerFile` rather than repartition(1)-style funnels.
+  */
+object Formats {
+
+  sealed trait Format { def name: String }
+  case object Parquet extends Format { val name = "parquet" }
+  case object Csv extends Format { val name = "csv" }
+  case object Json extends Format { val name = "json" }
+  case object Orc extends Format { val name = "orc" }
+
+  def read(spark: SparkSession, fmt: Format, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val r: DataFrameReader = spark.read.options(options)
+    fmt match {
+      // csv needs schema/header options to round-trip faithfully
+      case Csv => r.option("header", "true").option("inferSchema", "true")
+        .csv(path)
+      case Json => r.json(path)
+      case Orc => r.orc(path)
+      case Parquet => r.parquet(path)
+    }
+  }
+
+  def write(df: DataFrame, fmt: Format, path: String,
+      partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w0 = df.write.mode(mode)
+    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    fmt match {
+      case Csv => w.option("header", "true").csv(path)
+      case Json => w.json(path)
+      case Orc => w.orc(path)
+      case Parquet => w.parquet(path)
+    }
+  }
+
+  /** JDBC egress (warehouse destination analog). Partitioned reads
+    * need (partitionColumn, lowerBound, upperBound, numPartitions)
+    * in `options` or the whole table funnels through one task. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.options(options).format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      options: Map[String, String] = Map.empty,
+      mode: SaveMode = SaveMode.Append): Unit =
+    df.write.options(options).format("jdbc")
+      .option("url", url).option("dbtable", table).mode(mode).save()
+}
