@@ -52,25 +52,45 @@ object DedupOps extends Suite {
     """SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
-  // ---- dedup_ngram_jaccard: blocked pairwise shingle jaccard --------
-  // Block key = (lang, n_tokens div 50): pairwise comparison is
-  // per-block, the join shuffles on the block key, and block sizes
-  // bound the quadratic term. τ = 0.5.
-  private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  /** Shingle sets hashed once to longs: set jaccard is preserved
+    * (xxhash64 collisions are ~2^-64 per pair), long-array intersects
+    * are far cheaper than string-array intersects, and every
+    * downstream consumer (minhash signatures, verification) hashes a
+    * fixed-size long instead of re-hashing the string. */
+  private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), toks.as("t"))
       .select(col("doc_id"), col("lang"),
         (size(col("t")).cast("long") / 50).cast("long").as("band"),
-        expr(shinglesExpr).as("s"))
-    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("band"),
-      col("s").as("sa"))
-    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("band"),
-      col("s").as("sb"))
-    a.join(b, Seq("lang", "band"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))), 6))
+        expr(shinglesExpr).as("ss"))
+      .select(col("doc_id"), col("lang"), col("band"),
+        expr("transform(ss, x -> xxhash64(x))").as("s"))
+
+  // ---- dedup_ngram_jaccard: blocked pairwise shingle jaccard --------
+  // Co-occurrence form: explode shingle hashes and equi-join on the
+  // hash (+ block key), so |A∩B| is a count per pair and the shuffle
+  // carries narrow (hash, doc, n) rows — never the full shingle
+  // arrays (the array-carrying pair join ships ~4 KB per pair and is
+  // an order of magnitude slower). Pairs sharing zero shingles never
+  // materialize. Block key = (lang, n_tokens div 50); the size-ratio
+  // join predicate (j ≥ 0.5 ⇒ |big| ≤ 2|small|) prunes pairs without
+  // changing results. τ = 0.5. Hot-shingle skew is AQE-split here; at
+  // 100 TB the minhash op below is the intended path.
+  private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = hashedShingles(spark, dir)
+      .select(col("doc_id"), col("lang"), col("band"),
+        size(col("s")).as("n"), explode(col("s")).as("h"))
+    val a = ex.select(col("h"), col("lang"), col("band"),
+      col("doc_id").as("a_id"), col("n").as("na"))
+    val b = ex.select(col("h"), col("lang"), col("band"),
+      col("doc_id").as("b_id"), col("n").as("nb"))
+    a.join(b, Seq("h", "lang", "band"))
+      .filter(col("a_id") < col("b_id") &&
+        col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
+      .groupBy("a_id", "b_id", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
@@ -100,9 +120,8 @@ object DedupOps extends Suite {
   // exact jaccard verifies candidates only. No oracle (hash-function
   // specific) — rows-only check; deterministic output.
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"), expr(shinglesExpr).as("s"))
+    val d = hashedShingles(spark, dir)
+      .select(col("doc_id"), col("s"))
       .filter(size(col("s")) > 0)
     val sigCols = (0 until 128).map(k =>
       min(xxhash64(lit(k), col("shingle"))).as(s"m$k"))
@@ -119,13 +138,15 @@ object DedupOps extends Suite {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val sh = d.select(col("doc_id"), col("s"))
+    val sh = d.select(col("doc_id"), col("s"), size(col("s")).as("n"))
     cand
-      .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb")), Seq("b_id"))
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))), 6))
+      .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa"),
+        col("n").as("na")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb"),
+        col("n").as("nb")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
@@ -169,18 +190,27 @@ object DedupOps extends Suite {
   // before the pairwise join. τ = 0.4.
   import graft.functions.VectorMath.dotDec
 
+  // Two-phase: a codegen'd columnar double dot product (64 flat
+  // columns, whole-stage fused multiply-adds) prefilters the
+  // quadratic pair set at τ−1e-6 (double vs decimal cosine differ by
+  // ≪1e-9, so no survivor is lost); the exact decimal cosine then
+  // runs only on the few candidates, giving oracle-identical output
+  // without paying interpreted-decimal cost on every pair.
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 0 until 64
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("norm", dotDec(col("v"), col("v")))
-    val a = e.select(col("vec_id").as("a_id"), col("label"),
-      col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("vec_id").as("b_id"), col("label"),
-      col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, Seq("label"))
+    def side(p: String) = e.select(
+      Seq(col("vec_id").as(s"${p}_id"), col("label"), col("v").as(s"${p}v"),
+        col("norm").as(s"${p}n")) ++
+        dims.map(i => element_at(col("v"), i + 1).cast("double").as(s"$p$i")): _*)
+    val approxDot = dims.map(i => col(s"a$i") * col(s"b$i")).reduce(_ + _)
+    side("a").join(side("b"), Seq("label"))
       .filter(col("a_id") < col("b_id"))
+      .filter(approxDot / (sqrt(col("an")) * sqrt(col("bn"))) >= 0.4 - 1e-6)
       .withColumn("cosine",
-        dotDec(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+        dotDec(col("av"), col("bv")) / (sqrt(col("an")) * sqrt(col("bn"))))
       .filter(col("cosine") >= 0.4)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
       .orderBy("a_id", "b_id")
