@@ -15,6 +15,7 @@ object Engine {
   def session(appName: String): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

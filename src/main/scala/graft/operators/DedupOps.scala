@@ -153,22 +153,16 @@ object DedupOps extends Suite {
   }
 
   // ---- dedup_simhash: 64-bit simhash + hamming ≤ 3 ------------------
-  // bit j of the signature = sign of Σ_tokens (±1 by bit j of
-  // xxhash64(token)) — computed relationally (explode tokens, one
-  // codegen'd aggregate with 64 sum buffers; see minhash note).
+  // Signature via the native codegen'd simhash64 Expression
+  // (graft.functions.SimHash64, registered by GraftExtensions): one
+  // map-only pass per document — no explode, no aggregation shuffle.
   // Candidates via the 4×16-bit chunk pigeonhole: hamming(a,b) ≤ 3
   // forces at least one equal chunk.
   private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val bitSums = (0 until 64).map(j =>
-      sum(shiftright(xxhash64(col("tok")), j).bitwiseAND(1) * 2 - 1).as(s"b$j"))
-    val sig = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-      .reduce(_ + _)
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("sh"))
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), expr("simhash64(t)").as("sh"))
     val chunks = d.select(col("doc_id"), col("sh"),
         posexplode(expr(
           "transform(sequence(0, 3), c -> shiftright(sh, c * 16) & 65535L)"))
