@@ -77,9 +77,13 @@ object DedupOps extends Suite {
   // changing results. τ = 0.5. Hot-shingle skew is AQE-split here; at
   // 100 TB the minhash op below is the intended path.
   private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // both join sides read this; persist so the interpreted shingle
+    // construction (tokenize→3-gram→hash, the expensive part) runs
+    // once (CacheManager dedupes identical plans across calls).
     val ex = hashedShingles(spark, dir)
       .select(col("doc_id"), col("lang"), col("band"),
         size(col("s")).as("n"), explode(col("s")).as("h"))
+      .persist()
     val a = ex.select(col("h"), col("lang"), col("band"),
       col("doc_id").as("a_id"), col("n").as("na"))
     val b = ex.select(col("h"), col("lang"), col("band"),
@@ -120,9 +124,14 @@ object DedupOps extends Suite {
   // exact jaccard verifies candidates only. No oracle (hash-function
   // specific) — rows-only check; deterministic output.
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    // The shingle stage feeds both bucket-join sides AND the verify
+    // joins; persist it once (Spark's CacheManager dedupes identical
+    // plans, so repeated calls share one entry). ~2 KB/doc — at
+    // 100 TB this stage would be an explicit checkpoint table.
     val d = hashedShingles(spark, dir)
       .select(col("doc_id"), col("s"))
       .filter(size(col("s")) > 0)
+      .persist()
     val sigCols = (0 until 128).map(k =>
       min(xxhash64(lit(k), col("shingle"))).as(s"m$k"))
     val sigs = d.select(col("doc_id"), explode(col("s")).as("shingle"))
@@ -195,14 +204,24 @@ object DedupOps extends Suite {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("norm", dotDec(col("v"), col("v")))
+    // pair-join sides carry only the flat doubles (the float array
+    // would double the shuffled bytes); survivors re-join the arrays
+    // below — a few hundred rows against a broadcastable side.
     def side(p: String) = e.select(
-      Seq(col("vec_id").as(s"${p}_id"), col("label"), col("v").as(s"${p}v"),
+      Seq(col("vec_id").as(s"${p}_id"), col("label"),
         col("norm").as(s"${p}n")) ++
         dims.map(i => element_at(col("v"), i + 1).cast("double").as(s"$p$i")): _*)
     val approxDot = dims.map(i => col(s"a$i") * col(s"b$i")).reduce(_ + _)
-    side("a").join(side("b"), Seq("label"))
+    val cand = side("a").join(side("b"), Seq("label"))
       .filter(col("a_id") < col("b_id"))
       .filter(approxDot / (sqrt(col("an")) * sqrt(col("bn"))) >= 0.4 - 1e-6)
+      .select("a_id", "b_id", "an", "bn")
+    val vecs = e.select(col("vec_id"), col("v"))
+    cand
+      .join(broadcast(vecs.select(col("vec_id").as("a_id"), col("v").as("av"))),
+        Seq("a_id"))
+      .join(broadcast(vecs.select(col("vec_id").as("b_id"), col("v").as("bv"))),
+        Seq("b_id"))
       .withColumn("cosine",
         dotDec(col("av"), col("bv")) / (sqrt(col("an")) * sqrt(col("bn"))))
       .filter(col("cosine") >= 0.4)
