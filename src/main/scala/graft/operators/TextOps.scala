@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -69,28 +70,43 @@ object TextOps extends Suite {
           .as("uniq_ratio"),
         (size(filter(col("t"), x => x.isInCollection(stopwords)))
           .cast("double") / size(col("t"))).as("stop_ratio"))
-      .withColumn("quality", round(lit(0.5) * col("len_score") +
-        lit(0.3) * col("uniq_ratio") + lit(0.2) * col("stop_ratio"), 6))
       .withColumn("len_score", round(col("len_score"), 6))
       .withColumn("uniq_ratio", round(col("uniq_ratio"), 6))
       .withColumn("stop_ratio", round(col("stop_ratio"), 6))
+      // score from the already-rounded components in exact decimal —
+      // a double round(x,6) here can land on a .5e-7 tie that Spark
+      // and DuckDB break differently (seen at sf0.1); the decimal
+      // weighted sum has scale 7 exactly, so no rounding happens at
+      // all and the double cast is the correctly-rounded conversion
+      // on both engines.
+      .withColumn("quality",
+        (col("len_score").cast(DecimalType(8, 6)) * lit(0.5).cast(DecimalType(2, 1)) +
+          col("uniq_ratio").cast(DecimalType(8, 6)) * lit(0.3).cast(DecimalType(2, 1)) +
+          col("stop_ratio").cast(DecimalType(8, 6)) * lit(0.2).cast(DecimalType(2, 1)))
+          .cast("double"))
       .orderBy("doc_id")
   }
 
   private val txtQualitySql = {
     val inList = stopwords.map(s => s"'$s'").mkString(", ")
-    s"""SELECT doc_id, n_tokens,
+    s"""SELECT doc_id, n_tokens, len_score, uniq_ratio, stop_ratio,
+      |  CAST(
+      |    CAST(len_score AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(2,1)) +
+      |    CAST(uniq_ratio AS DECIMAL(8,6)) * CAST(0.3 AS DECIMAL(2,1)) +
+      |    CAST(stop_ratio AS DECIMAL(8,6)) * CAST(0.2 AS DECIMAL(2,1))
+      |  AS DOUBLE) AS quality
+      |FROM (
+      |SELECT doc_id, n_tokens,
       |  ROUND(len_score, 6) AS len_score,
       |  ROUND(uniq_ratio, 6) AS uniq_ratio,
-      |  ROUND(stop_ratio, 6) AS stop_ratio,
-      |  ROUND(0.5 * len_score + 0.3 * uniq_ratio + 0.2 * stop_ratio, 6) AS quality
+      |  ROUND(stop_ratio, 6) AS stop_ratio
       |FROM (
       |  SELECT doc_id,
       |    CAST(len(t) AS BIGINT) AS n_tokens,
       |    LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0) AS len_score,
       |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
       |    CAST(len(list_filter(t, x -> x IN ($inList))) AS DOUBLE) / len(t) AS stop_ratio
-      |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) x) y
+      |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) x) y) z
       |ORDER BY doc_id""".stripMargin
   }
 
