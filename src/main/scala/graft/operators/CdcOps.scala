@@ -29,13 +29,19 @@ import graft.sources.Tables
   */
 object CdcOps extends Suite {
 
-  /** Latest row per PK ordered by the CDC sequence — one shuffle. */
+  /** Latest row per PK by the CDC sequence — as a max_by aggregation,
+    * not a row_number window: the aggregate partial-combines on the
+    * map side, so the one shuffle by PK carries at most one row per
+    * (partition, key) instead of the whole landing table, and no
+    * per-key sort happens. Same rows as the ROW_NUMBER form (the
+    * oracle SQL keeps that form; results are identical since
+    * (ts, event_id) is unique per key). */
   private def latestPerKey(ev: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(desc("ts"), desc("event_id"))
-    ev.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    val cols = ev.columns
+    ev.groupBy("user_id")
+      .agg(max_by(struct(cols.map(col).toSeq: _*),
+        struct(col("ts"), col("event_id"))).as("r"))
+      .select(cols.map(c => col(s"r.$c").as(c)).toSeq: _*)
   }
 
   private val opCol =
