@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.SimHash64
+import graft.functions.{MinHash128, SimHash64}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions with the session's function registry, so they're
@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash128"),
+      new ExpressionInfo(classOf[MinHash128].getName, "minhash128"),
+      (children: Seq[Expression]) => MinHash128(children.head)))
   }
 }

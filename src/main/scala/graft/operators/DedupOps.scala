@@ -116,13 +116,13 @@ object DedupOps extends Suite {
 
   // ---- dedup_minhash: MinHash(128) + 32-band LSH --------------------
   // sig[k] = min over shingles of xxhash64(k, shingle); band j =
-  // xxhash64(j, sig[4j..4j+3]). Computed relationally — explode
-  // shingles, one codegen'd hash aggregate with 128 min buffers —
-  // rather than via nested higher-order functions, which don't
-  // participate in whole-stage codegen and run interpreted (~30×
-  // slower). Candidates = pairs sharing any (band, band_hash) bucket;
-  // exact jaccard verifies candidates only. No oracle (hash-function
-  // specific) — rows-only check; deterministic output.
+  // xxhash64(j, sig[4j..4j+3]). The signature comes from the native
+  // minhash128 Expression (graft.functions.MinHash128, registered by
+  // GraftExtensions): all 128 rows in one codegen'd pass per doc —
+  // no explode, no 128-buffer aggregation, no shuffle. Candidates =
+  // pairs sharing any (band, band_hash) bucket; exact jaccard
+  // verifies candidates only. No oracle (hash-function specific) —
+  // rows-only check; deterministic output.
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     // The shingle stage feeds both bucket-join sides AND the verify
     // joins; persist it once (Spark's CacheManager dedupes identical
@@ -132,14 +132,11 @@ object DedupOps extends Suite {
       .select(col("doc_id"), col("s"))
       .filter(size(col("s")) > 0)
       .persist()
-    val sigCols = (0 until 128).map(k =>
-      min(xxhash64(lit(k), col("shingle"))).as(s"m$k"))
-    val sigs = d.select(col("doc_id"), explode(col("s")).as("shingle"))
-      .groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
+    val sigs = d.select(col("doc_id"), expr("minhash128(s)").as("sig"))
     val bandCols = (0 until 32).map(j =>
-      xxhash64(lit(j), col(s"m${4 * j}"), col(s"m${4 * j + 1}"),
-        col(s"m${4 * j + 2}"), col(s"m${4 * j + 3}")))
+      xxhash64(lit(j), element_at(col("sig"), 4 * j + 1),
+        element_at(col("sig"), 4 * j + 2), element_at(col("sig"), 4 * j + 3),
+        element_at(col("sig"), 4 * j + 4)))
     val buckets = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     val cand = buckets.as("x").join(buckets.as("y"),
