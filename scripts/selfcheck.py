@@ -37,6 +37,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # a _FAILED marker means Verify caught an exception for that query;
+    # count it as a failure even if stale output from a prior run exists
+    for marker in sorted(os.listdir(OUT)):
+        if marker.endswith("._FAILED"):
+            print(f"FAIL {marker[:-8]}: query threw in Verify (see marker)")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         try:
             want = con.sql(sql)

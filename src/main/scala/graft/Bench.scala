@@ -8,18 +8,25 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-bench")
     def runOne(name: String): Double = {
+      // timed runs must not read persisted staging warmed by a prior
+      // run of the same query — clear so every run pays full cost
+      spark.catalog.clearCache()
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // locale-pinned formatting: the f interpolator uses the default
+    // locale, which can emit comma decimals (invalid JSON)
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOne) // warmup: JVM JIT + codegen cache + FS cache
     val results = names.map(n => n -> runOne(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

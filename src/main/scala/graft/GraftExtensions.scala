@@ -13,14 +13,21 @@ import graft.functions.{MinHash128, SimHash64}
   * does) or `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def unary(name: String)(mk: Expression => Expression)
+      : Seq[Expression] => Expression = { children =>
+    if (children.size != 1) throw new IllegalArgumentException(
+      s"$name expects exactly 1 argument, got ${children.size}")
+    mk(children.head)
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      unary("simhash64")(SimHash64)))
     ext.injectFunction((
       FunctionIdentifier("minhash128"),
       new ExpressionInfo(classOf[MinHash128].getName, "minhash128"),
-      (children: Seq[Expression]) => MinHash128(children.head)))
+      unary("minhash128")(MinHash128)))
   }
 }

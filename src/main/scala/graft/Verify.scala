@@ -13,14 +13,24 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        Files.deleteIfExists(Paths.get(s"$outDir/$name._FAILED"))
+      } catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[verify] FAILED $name: ${e.getMessage}")
+        // remove any stale output from a prior run so the compare can't
+        // silently PASS a regressed query against old data
+        val staleDir = new java.io.File(s"$outDir/$name")
+        if (staleDir.exists()) {
+          staleDir.listFiles().foreach(_.delete()); staleDir.delete()
+        }
         Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
           Option(e.getMessage).getOrElse(e.getClass.getName))
       }
+      // bound cache growth across queries (some ops persist() staging)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -163,7 +163,7 @@ object CdcOps extends Suite {
       .groupBy("hour", "op")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_keys"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        Num.dsum(col("value"), 2).as("sum_value"))
       .orderBy("hour", "op")
 
   private val cdcChangelogStatsSql =

@@ -24,10 +24,7 @@ import graft.sources.Tables
   */
 object DedupOps extends Suite {
 
-  private def toks: Column =
-    filter(split(col("text"), " "), x => x =!= lit(""))
-
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  import Tok.{toks, toksSql}
 
   /** Distinct word 3-gram shingles (empty when fewer than 3 tokens —
     * sequence(0, negative) would count down). */
@@ -213,11 +210,14 @@ object DedupOps extends Suite {
       .filter(col("a_id") < col("b_id"))
       .filter(approxDot / (sqrt(col("an")) * sqrt(col("bn"))) >= 0.4 - 1e-6)
       .select("a_id", "b_id", "an", "bn")
+    // no broadcast hint: cand is the tiny side, and AQE's size
+    // estimates pick the right build side at any scale (hinting the
+    // full embeddings table would be a driver OOM at 100 TB)
     val vecs = e.select(col("vec_id"), col("v"))
     cand
-      .join(broadcast(vecs.select(col("vec_id").as("a_id"), col("v").as("av"))),
+      .join(vecs.select(col("vec_id").as("a_id"), col("v").as("av")),
         Seq("a_id"))
-      .join(broadcast(vecs.select(col("vec_id").as("b_id"), col("v").as("bv"))),
+      .join(vecs.select(col("vec_id").as("b_id"), col("v").as("bv")),
         Seq("b_id"))
       .withColumn("cosine",
         dotDec(col("av"), col("bv")) / (sqrt(col("an")) * sqrt(col("bn"))))

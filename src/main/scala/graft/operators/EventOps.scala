@@ -28,7 +28,7 @@ object EventOps extends Suite {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        Num.dsum(col("value"), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("n_users"), col("sum_value"))
       .orderBy("window_start", "event_type")
@@ -47,7 +47,7 @@ object EventOps extends Suite {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        Num.dsum(col("value"), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("n_events"),
         col("sum_value"))
       .orderBy("window_start")
@@ -70,7 +70,7 @@ object EventOps extends Suite {
     Tables.events(spark, dir)
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        Num.dsum(col("value"), 2).as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")

@@ -18,12 +18,7 @@ import graft.sources.Tables
   */
 object TextOps extends Suite {
 
-  /** Whitespace tokens, empties dropped — mirrored in the oracle via
-    * list_filter(string_split(...)). */
-  private def toks: Column =
-    filter(split(col("text"), " "), x => x =!= lit(""))
-
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  import Tok.{toks, toksSql}
 
   // ---- txt_stats: token/char counts, distinct-token ratio -----------
   private def txtStats(spark: SparkSession, dir: String): DataFrame =

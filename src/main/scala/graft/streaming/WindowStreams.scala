@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Num
 
 /** Streaming window aggregations (SURVEY §C streaming rows). The
   * builders take any DataFrame with (ts, event_type, user_id, value)
@@ -18,7 +19,7 @@ object WindowStreams {
     events.withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        Num.dsum(col("value"), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
