@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHash128, SimHash64}
+import graft.functions.{MinHash128, ShingleHash3, SimHash64}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions with the session's function registry, so they're
@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash128"),
       new ExpressionInfo(classOf[MinHash128].getName, "minhash128"),
       unary("minhash128")(MinHash128)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hash3"),
+      new ExpressionInfo(classOf[ShingleHash3].getName, "shingle_hash3"),
+      unary("shingle_hash3")(ShingleHash3)))
   }
 }

@@ -26,15 +26,9 @@ object DedupOps extends Suite {
 
   import Tok.{toks, toksSql}
 
-  /** Distinct word 3-gram shingles (empty when fewer than 3 tokens —
-    * sequence(0, negative) would count down). */
-  private val shinglesExpr =
-    """array_distinct(if(size(t) >= 3,
-      |  transform(sequence(0, size(t) - 3), i ->
-      |    concat(element_at(t, i + 1), ' ', element_at(t, i + 2), ' ',
-      |           element_at(t, i + 3))),
-      |  array()))""".stripMargin.replaceAll("\n\\s*", " ")
-
+  /** DuckDB twin of the 3-gram shingle set (the oracle works on the
+    * shingle strings; Spark works on their hashes — jaccard counts
+    * are identical since hashing preserves set identity). */
   private val shinglesSqlExpr =
     "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])"
 
@@ -49,19 +43,17 @@ object DedupOps extends Suite {
     """SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
-  /** Shingle sets hashed once to longs: set jaccard is preserved
-    * (xxhash64 collisions are ~2^-64 per pair), long-array intersects
-    * are far cheaper than string-array intersects, and every
-    * downstream consumer (minhash signatures, verification) hashes a
-    * fixed-size long instead of re-hashing the string. */
+  /** Shingle sets as long hashes via the native shingle_hash3
+    * Expression (one codegen'd pass, no intermediate shingle strings;
+    * see graft.functions.ShingleHash3). Set jaccard is preserved
+    * (collisions ~2^-64 per pair) and every downstream consumer
+    * (jaccard counts, MinHash) works on fixed-size longs. */
   private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), toks.as("t"))
       .select(col("doc_id"), col("lang"),
         (size(col("t")).cast("long") / 50).cast("long").as("band"),
-        expr(shinglesExpr).as("ss"))
-      .select(col("doc_id"), col("lang"), col("band"),
-        expr("transform(ss, x -> xxhash64(x))").as("s"))
+        expr("shingle_hash3(t)").as("s"))
 
   // ---- dedup_ngram_jaccard: blocked pairwise shingle jaccard --------
   // Co-occurrence form: explode shingle hashes and equi-join on the
