@@ -10,6 +10,15 @@ import graft.sources.Tables
   * `documents` / `embeddings`, the core curation stage of an LLM
   * training-data pipeline.
   *
+  * Algorithms are the published classics: MinHash resemblance
+  * sketches (Broder, "On the resemblance and containment of
+  * documents", 1997) with banded LSH (Indyk–Motwani 1998; banding
+  * analysis as in Mining of Massive Datasets ch. 3), and SimHash
+  * (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", 2002) with the Hamming-pigeonhole candidate trick
+  * (Manku–Jain–Sarma, "Detecting near-duplicates for web crawling",
+  * 2007).
+  *
   * Scale design (SURVEY §5): NOTHING here is a global cross join.
   *  - exact: one hash aggregation on the content fingerprint.
   *  - ngram-jaccard: pairwise comparison only WITHIN (lang,

@@ -159,9 +159,104 @@ object SimilarityOps extends Suite {
       |  ROUND(MAX(dist), 6) AS max_dist
       |FROM dists GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- sim_ivf_topk: IVF-probe ANN (coarse quantize → search list) --
+  // The IVF search pattern (Jégou et al., "Product quantization for
+  // nearest neighbor search", 2011 — coarse quantizer + inverted
+  // lists): the 10 label centroids stand in for a trained k-means
+  // codebook, each label's vectors are its inverted list. A query
+  // probes its single nearest centroid (nprobe=1, squared-distance
+  // argmin with label tie-break) and ranks exact cosine only within
+  // that list — at 100 TB the scan touches 1/nlists of the corpus per
+  // query instead of all of it. All cross-row arithmetic is exact
+  // decimal, so the probe choice and ranking are oracle-identical.
+  private def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"),
+        col("x").cast("double").cast(DecimalType(12, 8)).as("d"))
+    val sums = exploded.groupBy(col("label").as("c_label"), col("i"))
+      .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))
+    // squared distance from each query to each centroid: Σ((n·d−s)/n)²
+    // — scaled by n² per centroid, so compare dist_sq/n² (double).
+    val probe = exploded.filter(col("vec_id") < nQueries)
+      .join(broadcast(sums), Seq("i"))
+      .withColumn("sq",
+        ((col("n") * col("d") - col("s")).cast("double") *
+          (col("n") * col("d") - col("s")).cast("double"))
+          .cast(DecimalType(24, 6)))
+      .groupBy(col("vec_id").as("q_id"), col("c_label"))
+      .agg((sum(col("sq")).cast("double") /
+        (max(col("n")) * max(col("n"))).cast("double")).as("dist_sq"))
+      .groupBy("q_id")
+      .agg(min_by(col("c_label"), struct(col("dist_sq"), col("c_label")))
+        .as("probe_label"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("norm", dotDec(col("v"), col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+      .join(probe, Seq("q_id"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("cand_id"))
+    e.join(broadcast(q), col("label") === col("probe_label") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("norm")))
+      .select(col("q_id"), col("probe_label"), col("vec_id").as("cand_id"),
+        col("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("probe_label"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val simIvfTopkSql =
+    s"""WITH terms AS (
+      |  SELECT vec_id, label, i,
+      |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS d
+      |  FROM embeddings, range(1, 65) r(i)),
+      |sums AS (
+      |  SELECT label AS c_label, i, SUM(d) AS s, COUNT(*) AS n
+      |  FROM terms GROUP BY label, i),
+      |probe AS (
+      |  SELECT q_id, c_label AS probe_label FROM (
+      |    SELECT t.vec_id AS q_id, s.c_label,
+      |      CAST(SUM(CAST(
+      |        CAST(s.n * t.d - s.s AS DOUBLE) * CAST(s.n * t.d - s.s AS DOUBLE)
+      |        AS DECIMAL(24,6))) AS DOUBLE) /
+      |        CAST(MAX(s.n) * MAX(s.n) AS DOUBLE) AS dist_sq
+      |    FROM terms t JOIN sums s ON t.i = s.i
+      |    WHERE t.vec_id < $nQueries
+      |    GROUP BY t.vec_id, s.c_label) x
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY dist_sq, c_label) = 1),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(d * d) AS DOUBLE) AS norm
+      |  FROM terms GROUP BY vec_id),
+      |dots AS (
+      |  SELECT p.q_id, p.probe_label, c.vec_id AS cand_id,
+      |    CAST(SUM(qt.d * c.d) AS DOUBLE) AS dot
+      |  FROM probe p
+      |  JOIN terms qt ON qt.vec_id = p.q_id
+      |  JOIN terms c ON c.label = p.probe_label AND c.i = qt.i
+      |    AND c.vec_id <> p.q_id
+      |  GROUP BY 1, 2, 3)
+      |SELECT q_id, rank, probe_label, cand_id, ROUND(cosine, 6) AS cosine
+      |FROM (
+      |  SELECT d.q_id, d.probe_label, d.cand_id,
+      |    d.dot / (sqrt(nq.norm) * sqrt(nc.norm)) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY d.q_id
+      |      ORDER BY d.dot / (sqrt(nq.norm) * sqrt(nc.norm)) DESC, d.cand_id
+      |    ) AS rank
+      |  FROM dots d
+      |  JOIN norms nq ON d.q_id = nq.vec_id
+      |  JOIN norms nc ON d.cand_id = nc.vec_id) t
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
     Op("sim_ann_lsh", simAnnLsh, None),
     Op("sim_centroids", simCentroids, Some(simCentroidsSql)),
+    Op("sim_ivf_topk", simIvfTopk, Some(simIvfTopkSql)),
   )
 }
