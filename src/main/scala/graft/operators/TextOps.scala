@@ -21,11 +21,19 @@ object TextOps extends Suite {
   import Tok.{toks, toksSql}
 
   // ---- txt_stats: token/char counts, distinct-token ratio -----------
+  // n_subtokens is a BPE-ish count: maximal letter runs, digit runs,
+  // and single other non-space characters each count as one subword
+  // (the shape of GPT-2's pretokenizer, simplified to a regex both
+  // engines' regex dialects treat identically).
+  private val subtokRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
   private def txtStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), length(col("text")).as("n_chars"), toks.as("t"))
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        col("text"), toks.as("t"))
       .select(col("doc_id"), col("n_chars"),
         size(col("t")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit(subtokRe)).cast("long").as("n_subtokens"),
         size(array_distinct(col("t"))).cast("long").as("n_distinct"),
         aggregate(col("t"), lit(0), (acc, x) => acc + length(x))
           .cast("long").as("sum_token_len"))
@@ -36,12 +44,13 @@ object TextOps extends Suite {
       .orderBy("doc_id")
 
   private val txtStatsSql =
-    s"""SELECT doc_id, n_chars, n_tokens, n_distinct, sum_token_len,
+    s"""SELECT doc_id, n_chars, n_tokens, n_subtokens, n_distinct, sum_token_len,
       |  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
       |  ROUND(CAST(sum_token_len AS DOUBLE) / n_tokens, 6) AS avg_token_len
       |FROM (
       |  SELECT doc_id, length(text) AS n_chars,
       |    CAST(len(t) AS BIGINT) AS n_tokens,
+      |    CAST(len(regexp_extract_all(text, '$subtokRe')) AS BIGINT) AS n_subtokens,
       |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
       |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_token_len
       |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) x) y
@@ -162,16 +171,28 @@ object TextOps extends Suite {
   // md5 over the sorted distinct token set — whitespace/ordering/
   // duplication-insensitive content identity (the canonical key for
   // exact-ish dedup at scale).
+  // The order-sensitive companion is a classic modular polynomial
+  // rolling hash (Karp–Rabin) over per-token codes — same fold
+  // structure on both engines, modulus keeps every intermediate
+  // below bigint overflow (DuckDB errors on overflow; Java wraps).
   private def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         md5(array_join(array_sort(array_distinct(toks)), " ")).as("fp"),
+        aggregate(
+          transform(toks, x => (ascii(x) * length(x)).cast("long")),
+          lit(0L),
+          (acc, v) => (acc * 31 + v) % 1000000007L).as("rolling_fp"),
         size(array_distinct(toks)).cast("long").as("n_distinct"))
       .orderBy("doc_id")
 
   private val txtFingerprintSql =
     s"""SELECT doc_id,
       |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(t, x -> CAST(ascii(x) * length(x) AS BIGINT))),
+      |    (acc, v) -> (acc * 31 + v) % 1000000007) AS rolling_fp,
       |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
       |FROM (SELECT doc_id, $toksSql AS t FROM documents) x
       |ORDER BY doc_id""".stripMargin
