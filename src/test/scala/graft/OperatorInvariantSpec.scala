@@ -93,6 +93,19 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(joined.filter(col("a.cosine") =!= col("e.cosine")).isEmpty)
   }
 
+  test("sim_ivf_topk candidates come from the probed list with exact-path cosines") {
+    val ivf = run("sim_ivf_topk")
+    val labels = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("cand_id"), col("label"))
+    // every candidate belongs to the probed inverted list
+    assert(ivf.join(labels, "cand_id")
+      .filter(col("label") =!= col("probe_label")).isEmpty)
+    // where a pair also appears in the brute-force op, cosines agree
+    val exact = run("sim_topk_exact").select("q_id", "cand_id", "cosine")
+    val joined = ivf.as("i").join(exact.as("e"), Seq("q_id", "cand_id"))
+    assert(joined.filter(col("i.cosine") =!= col("e.cosine")).isEmpty)
+  }
+
   test("mm_features n_bytes equals n_chars for ascii documents") {
     val mm = run("mm_features").select("doc_id", "n_bytes")
     val docs = sources.Tables.documents(spark, sf)
