@@ -106,6 +106,15 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(joined.filter(col("i.cosine") =!= col("e.cosine")).isEmpty)
   }
 
+  test("q_approx_distinct HLL estimate is within 5% of the exact count") {
+    run("q_approx_distinct").collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"HLL error ${math.abs(approx - exact) / exact} over 5% for $r")
+    }
+  }
+
   test("mm_features n_bytes equals n_chars for ascii documents") {
     val mm = run("mm_features").select("doc_id", "n_bytes")
     val docs = sources.Tables.documents(spark, sf)

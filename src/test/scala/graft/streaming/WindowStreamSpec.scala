@@ -61,6 +61,36 @@ class WindowStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops events later than the 2h bound in append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[RawEvent]
+    val q = WindowStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("wm_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1 establishes watermark = max(ts) - 2h = 8:00
+      input.addData(RawEvent(at(600), "click", 1, 1.0)) // 10:00
+      q.processAllAvailable()
+      // batch 2: one event inside the watermark, one far behind it
+      input.addData(
+        RawEvent(at(550), "click", 2, 1.0),  // 9:10 — within bound, kept
+        RawEvent(at(100), "click", 3, 1.0))  // 1:40 — beyond bound, dropped
+      q.processAllAvailable()
+      // advance watermark far enough to close and emit all open windows
+      input.addData(RawEvent(at(2000), "click", 1, 1.0))
+      q.processAllAvailable()
+      val starts = s.table("wm_stream").selectExpr("window_start")
+        .collect().map(_.getTimestamp(0).getTime / 60000).toSet
+      assert(starts.contains(600L) && starts.contains(540L),
+        s"in-bound windows missing: $starts")
+      assert(!starts.contains(60L),
+        s"late event beyond the watermark must be dropped: $starts")
+    } finally q.stop()
+  }
+
   test("lag listener observes batch progress and row throughput") {
     val s = spark
     import s.implicits._
