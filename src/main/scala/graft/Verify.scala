@@ -21,11 +21,14 @@ object Verify {
         failed ::= name
         System.err.println(s"[verify] FAILED $name: ${e.getMessage}")
         // remove any stale output from a prior run so the compare can't
-        // silently PASS a regressed query against old data
-        val staleDir = new java.io.File(s"$outDir/$name")
-        if (staleDir.exists()) {
-          staleDir.listFiles().foreach(_.delete()); staleDir.delete()
+        // silently PASS a regressed query against old data; recursive —
+        // a mid-write death leaves a _temporary subtree a flat delete
+        // would silently skip
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+          f.delete()
         }
+        rmTree(new java.io.File(s"$outDir/$name"))
         Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
           Option(e.getMessage).getOrElse(e.getClass.getName))
       }

@@ -91,10 +91,13 @@ object DedupOps extends Suite {
         col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
       .groupBy("a_id", "b_id", "na", "nb")
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 6))
+      // filter on the UNROUNDED ratio, round only in the projection —
+      // the oracle's WHERE runs before its ROUND, so filtering the
+      // rounded value would admit pairs in [τ-5e-7, τ) it rejects
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
-      .select("a_id", "b_id", "jaccard")
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
@@ -149,10 +152,10 @@ object DedupOps extends Suite {
       .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb"),
         col("n").as("nb")), Seq("b_id"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 6))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
-      .select("a_id", "b_id", "jaccard")
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 

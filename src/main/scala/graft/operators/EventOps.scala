@@ -101,11 +101,17 @@ object EventOps extends Suite {
   // last(ignoreNulls) over an ordered running frame, keep purchases.
   // Clicks sort before purchases on ts ties (src 0 < 1) so the join
   // is at-or-before inclusive. DuckDB's native ASOF JOIN is the twin.
+  // The click side is pre-deduped to one row per (user_id, ts) —
+  // max_by(value, event_id) in BOTH engines — because DuckDB's ASOF
+  // returns an arbitrary row among exact-ts ties while the window
+  // order here would pick a deterministic one.
   private def evAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("src"),
-        col("ts").as("c_ts"), col("value").as("c_value"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+      .select(col("user_id"), col("ts"), lit(0L).as("event_id"),
+        lit(0).as("src"), col("ts").as("c_ts"), col("value").as("c_value"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("src"),
         lit(null).cast("timestamp").as("c_ts"),
@@ -129,29 +135,38 @@ object EventOps extends Suite {
       |  COALESCE(c.ts, TIMESTAMP '$sentinelTs') AS click_ts,
       |  COALESCE(c.value, -1.0) AS click_value
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, ts, max_by(value, event_id) AS value
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
       |  ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin
 
   // ---- ev_funnel: signup → view → purchase ordered funnel -----------
   // Stage k requires an event strictly after the stage-(k-1) ts.
-  // Three co-partitioned aggregations/joins on user_id.
+  // Single pass: one pruned scan (event_type IN the 3 stages), ONE
+  // shuffle by user_id, then three stacked whole-partition window
+  // minimums — t2's predicate references t1 (constant within the
+  // user partition), t3's references t2 — and a co-partitioned final
+  // aggregation (no extra exchange). Round 2 computed each stage as
+  // its own join+agg and recomputed s1/s2 in the final assembly,
+  // scanning events 5× and shuffling 6×.
   private def evFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val s1 = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min(col("ts")).as("t1"))
-    val s2 = ev.filter(col("event_type") === "view").as("e")
-      .join(s1.as("s"), col("e.user_id") === col("s.user_id") &&
-        col("e.ts") > col("s.t1"))
-      .groupBy(col("e.user_id").as("user_id"))
-      .agg(min(col("e.ts")).as("t2"))
-    val s3 = ev.filter(col("event_type") === "purchase").as("e")
-      .join(s2.as("v"), col("e.user_id") === col("v.user_id") &&
-        col("e.ts") > col("v.t2"))
-      .groupBy(col("e.user_id").as("user_id"))
-      .agg(min(col("e.ts")).as("t3"))
-    s1.join(s2, Seq("user_id"), "left_outer")
-      .join(s3, Seq("user_id"), "left_outer")
+    val w = Window.partitionBy("user_id")
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "view" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy("user_id")
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+        min(col("t3")).as("t3"))
       .select(col("user_id"),
         col("t1").as("signup_ts"),
         coalesce(col("t2"), lit(sentinelTs).cast("timestamp")).as("view_ts"),

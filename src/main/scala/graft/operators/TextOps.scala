@@ -10,11 +10,15 @@ import graft.sources.Tables
   * scoring stages of an LLM training-data pipeline: token stats,
   * quality scoring, language ID, canonical fingerprinting.
   *
-  * Everything is per-row `functions._` expressions (whole-stage
-  * codegen, no UDFs, no shuffle except the final presentation sort),
-  * so the ops scale linearly with document count: at 100 TB this is
-  * a map-only pass over the parquet scan with column pruning down to
-  * (doc_id, text[, lang]).
+  * Everything is per-row `functions._` expressions (no UDFs, no
+  * shuffle except the final presentation sort), so the ops scale
+  * linearly with document count: at 100 TB this is a map-only pass
+  * over the parquet scan with column pruning down to
+  * (doc_id, text[, lang]). Caveat: the higher-order pieces
+  * (`aggregate`/`transform`/`filter` lambdas) run interpreted, not
+  * whole-stage-codegen'd — measured cheap here (every txt query
+  * ≤0.7 s at sf0.1); promote to native Expressions only if they
+  * become hot (the SimHash64/MinHash128 pattern).
   */
 object TextOps extends Suite {
 
@@ -31,6 +35,9 @@ object TextOps extends Suite {
     Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text")).as("n_chars"),
         col("text"), toks.as("t"))
+      // empty/whitespace-only docs divide by zero below: Spark yields
+      // NULL, DuckDB yields inf/NaN — exclude them in BOTH engines
+      .filter(size(col("t")) > 0)
       .select(col("doc_id"), col("n_chars"),
         size(col("t")).cast("long").as("n_tokens"),
         regexp_count(col("text"), lit(subtokRe)).cast("long").as("n_subtokens"),
@@ -53,7 +60,8 @@ object TextOps extends Suite {
       |    CAST(len(regexp_extract_all(text, '$subtokRe')) AS BIGINT) AS n_subtokens,
       |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
       |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_token_len
-      |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) x) y
+      |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) x
+      |  WHERE len(t) > 0) y
       |ORDER BY doc_id""".stripMargin
 
   // ---- txt_quality: composite quality score -------------------------
@@ -67,6 +75,7 @@ object TextOps extends Suite {
   private def txtQuality(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text")).as("n_chars"), toks.as("t"))
+      .filter(size(col("t")) > 0) // see txt_stats: zero-token guard
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
         least(lit(1.0), col("n_chars").cast("double") / 500.0).as("len_score"),
@@ -110,7 +119,8 @@ object TextOps extends Suite {
       |    LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0) AS len_score,
       |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
       |    CAST(len(list_filter(t, x -> x IN ($inList))) AS DOUBLE) / len(t) AS stop_ratio
-      |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) x) y) z
+      |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) x
+      |  WHERE len(t) > 0) y) z
       |ORDER BY doc_id""".stripMargin
   }
 
