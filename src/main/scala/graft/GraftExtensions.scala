@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHash128, ShingleHash3, SimHash64}
+import graft.functions.{HyperplaneBuckets, MinHash128, ShingleHash3, SimHash64}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions with the session's function registry, so they're
@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hash3"),
       new ExpressionInfo(classOf[ShingleHash3].getName, "shingle_hash3"),
       unary("shingle_hash3")(ShingleHash3)))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+      unary("hyperplane_buckets")(HyperplaneBuckets)))
   }
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Multi-table random-hyperplane LSH bucket keys for an embedding
+  * (Charikar 2002 sign-random-projection, multi-table amplification
+  * as in Indyk–Motwani 1998): TABLES keys, key t = the PLANES sign
+  * bits of the vector against that table's hyperplanes, MSB-first.
+  *
+  * One codegen'd map pass per row — the signature stage stays inside
+  * whole-stage codegen next to the surrounding projections.
+  *
+  * Cross-engine determinism: plane weights are dyadic rationals
+  * k/1024 with k ∈ [−1024, 1024] drawn from `java.util.Random(SEED)`
+  * (a specified, platform-stable LCG), so both the weights and every
+  * product are exactly representable doubles, and the dot product
+  * accumulates left-to-right from 0.0 — the same fold a SQL engine's
+  * `list_reduce` performs — making the sign decisions bit-identical
+  * in any IEEE-754 engine that replays the same literals and order
+  * (DedupOps generates exactly that SQL for the DuckDB oracle).
+  */
+case class HyperplaneBuckets(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_buckets requires array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneBuckets.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cls = HyperplaneBuckets.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.compute($arr);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
+object HyperplaneBuckets {
+  val TABLES = 24
+  val PLANES = 6
+  val DIMS = 64
+  val SEED = 8L
+
+  /** Integer plane weights, row (t·PLANES + p), scaled by 1/1024 at
+    * use. Drawn once from the seeded LCG; the oracle SQL embeds the
+    * same integers as literals. */
+  val weights: Array[Array[Int]] = {
+    val rnd = new java.util.Random(SEED)
+    Array.fill(TABLES * PLANES)(Array.fill(DIMS)(rnd.nextInt(2049) - 1024))
+  }
+
+  /** Called from both the interpreted eval and the generated code. */
+  def compute(arr: ArrayData): GenericArrayData = {
+    val n = math.min(arr.numElements(), DIMS)
+    val keys = new Array[Long](TABLES)
+    var t = 0
+    while (t < TABLES) {
+      var key = 0L
+      var p = 0
+      while (p < PLANES) {
+        val w = weights(t * PLANES + p)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i)) acc += arr.getFloat(i).toDouble * (w(i) / 1024.0)
+          i += 1
+        }
+        key = (key << 1) | (if (acc >= 0) 1L else 0L)
+        p += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+}

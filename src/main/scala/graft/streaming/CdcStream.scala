@@ -12,7 +12,9 @@ case class CdcEvent(
     event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
-/** Latest known state of one PK, as emitted downstream. */
+/** Latest known state of one PK, as emitted downstream. (ts, event_id)
+  * is the event's total-order sequence — the LSN analog — carried so
+  * targets can guard merges (see [[CdcTarget]]). */
 case class CdcApplied(
     user_id: Long, event_id: Long, ts: Timestamp, value: Double,
     is_deleted: Boolean)
@@ -53,40 +55,85 @@ object CdcStream {
   /** Micro-batched CDC merge into an arbitrary target (the
     * foreachBatch sink = the reference's scheduled landing→target
     * MERGE task). The batch is deduped to latest-per-key before the
-    * target merge, exactly like the landing-table dedupe. */
+    * target merge, exactly like the landing-table dedupe; the deduped
+    * rows stay a distributed Dataset — the target decides how to
+    * consume them (a warehouse target issues a distributed MERGE
+    * write; nothing funnels through the driver here).
+    *
+    * With a breaker, a failing target opens the circuit and the query
+    * fails fast instead of hammering it; the checkpoint + the target's
+    * sequence guard make the post-recovery redelivery lossless and
+    * idempotent (see [[CircuitBreaker]]).
+    */
   def mergeInto(
       events: Dataset[CdcEvent],
       target: CdcTarget,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
-    import events.sparkSession.implicits._
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      breaker: Option[CircuitBreaker] = None): StreamingQuery = {
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[CdcEvent], batchId: Long) =>
+        import batch.sparkSession.implicits._
         val deduped = batch.groupByKey(_.user_id)
           .reduceGroups(newer _).map(_._2).map(applied)
-          .collect() // micro-batch is already size-bounded by the trigger
-        target.merge(batchId, deduped.toSeq)
+        def run(): Unit = target.merge(batchId, deduped)
+        breaker.fold(run())(_.protect(run()))
       }
       .start()
   }
 }
 
 /** Merge destination abstraction (Snowflake/BigQuery/Iceberg writer
-  * analog). Implementations must upsert non-deleted rows and drop
-  * deleted keys. */
+  * analog). `rows` is the micro-batch deduped to latest-per-key, as a
+  * distributed Dataset — implementations consume it with distributed
+  * writes (e.g. a temp-table load + MERGE), never by funnelling
+  * through the driver.
+  *
+  * Ordering contract: batches within one stream arrive with
+  * increasing `batchId`, and within a batch each key appears once,
+  * but a key's events may still arrive out of order ACROSS batches
+  * (late data) and a restarted query redelivers its last batch
+  * (at-least-once). Implementations MUST therefore guard on the
+  * sequence — apply a row only when `(ts, event_id)` exceeds the
+  * target's stored pair for that key, the `WHEN MATCHED AND
+  * source.seq > target.seq` MERGE predicate. That guard makes the
+  * merge both out-of-order-safe and redelivery-idempotent. */
 trait CdcTarget extends Serializable {
-  def merge(batchId: Long, rows: Seq[CdcApplied]): Unit
+  def merge(batchId: Long, rows: Dataset[CdcApplied]): Unit
 }
 
-/** In-memory reference target used by the specs. */
+/** In-memory reference target used by the specs. The collect() here
+  * is the test-only materialization of a tiny batch into a local map
+  * — a real target consumes the Dataset distributively. */
 class InMemoryCdcTarget extends CdcTarget {
   private val state = scala.collection.concurrent.TrieMap.empty[Long, CdcApplied]
-  override def merge(batchId: Long, rows: Seq[CdcApplied]): Unit =
-    rows.foreach { r =>
-      if (r.is_deleted) state.remove(r.user_id) else state.put(r.user_id, r)
+  private val mergedBatches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+  private def seq(r: CdcApplied): (Long, Long) = (r.ts.getTime, r.event_id)
+
+  override def merge(batchId: Long, rows: Dataset[CdcApplied]): Unit = {
+    mergedBatches.add(batchId)
+    rows.collect().foreach { r =>
+      import scala.math.Ordering.Implicits._
+      // the sequence guard from the CdcTarget contract: stale rows
+      // (out-of-order or redelivered) must not regress newer state
+      // deletes are kept as tombstones (not removed) so the guard can
+      // still reject a stale pre-delete row that arrives later
+      val fresh = state.get(r.user_id).forall(cur => seq(r) > seq(cur))
+      if (fresh) state.put(r.user_id, r)
     }
-  def snapshot: Map[Long, CdcApplied] = state.toMap
+  }
+
+  def snapshot: Map[Long, CdcApplied] =
+    state.toMap.filter { case (_, r) => !r.is_deleted }
+
+  /** batchIds merged, in arrival order — lets specs assert resume
+    * behavior (no re-merge of committed batches after a restart). */
+  def batchesMerged: Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    mergedBatches.asScala.toSeq
+  }
 }

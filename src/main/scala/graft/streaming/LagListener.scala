@@ -8,14 +8,30 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
 /** Lag/throughput monitor — the WAL-size monitor + Prometheus
   * throughput metrics analog (/root/reference/src/wal_monitor.rs,
   * metrics.rs `etl_throughput_rows`): watches every micro-batch's
-  * progress, accumulates row throughput, and flags batches whose
-  * processing time exceeds a threshold (the "replication lag growing"
-  * warning condition).
+  * progress, accumulates row throughput, and classifies each batch's
+  * processing time into Ok / Warning / Danger tiers — the
+  * warning_wal_mb / danger_wal_mb two-threshold scheme of
+  * wal_monitor.rs:157-166, with `health` as the current-status
+  * surface that the reference's alert manager + health endpoint
+  * expose (alert_manager.rs update_status, health.rs).
   */
-class LagListener(warnBatchMillis: Long = 10000, maxEntries: Int = 10000)
+class LagListener(
+    warnBatchMillis: Long = 10000,
+    dangerBatchMillis: Long = 30000,
+    maxEntries: Int = 10000)
     extends StreamingQueryListener {
 
-  case class BatchProgress(batchId: Long, numInputRows: Long, durationMs: Long)
+  require(dangerBatchMillis >= warnBatchMillis,
+    "danger threshold must be at or above the warning threshold")
+
+  import LagListener._
+
+  case class BatchProgress(batchId: Long, numInputRows: Long, durationMs: Long) {
+    def tier: Tier =
+      if (durationMs >= dangerBatchMillis) Danger
+      else if (durationMs >= warnBatchMillis) Warning
+      else Ok
+  }
 
   // per-batch detail is a bounded ring (a 1s-trigger monitor would
   // otherwise grow ~86k entries/day); totals are running counters so
@@ -23,6 +39,8 @@ class LagListener(warnBatchMillis: Long = 10000, maxEntries: Int = 10000)
   private val progress = new ConcurrentLinkedQueue[BatchProgress]()
   private val rowTotal = new java.util.concurrent.atomic.AtomicLong(0)
   private val warnTotal = new java.util.concurrent.atomic.AtomicLong(0)
+  private val dangerTotal = new java.util.concurrent.atomic.AtomicLong(0)
+  @volatile private var lastTier: Tier = Ok
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
@@ -33,7 +51,12 @@ class LagListener(warnBatchMillis: Long = 10000, maxEntries: Int = 10000)
       Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
     progress.add(bp)
     rowTotal.addAndGet(bp.numInputRows)
-    if (bp.durationMs > warnBatchMillis) warnTotal.incrementAndGet()
+    bp.tier match {
+      case Danger => dangerTotal.incrementAndGet()
+      case Warning => warnTotal.incrementAndGet()
+      case Ok => ()
+    }
+    lastTier = bp.tier
     while (progress.size > maxEntries) progress.poll()
   }
 
@@ -47,7 +70,20 @@ class LagListener(warnBatchMillis: Long = 10000, maxEntries: Int = 10000)
 
   def totalWarnings: Long = warnTotal.get
 
-  /** Retained batches slower than the threshold — lag warnings. */
-  def warnings: Seq[BatchProgress] =
-    batches.filter(_.durationMs > warnBatchMillis)
+  def totalDangers: Long = dangerTotal.get
+
+  /** Retained batches at or above the warning threshold. */
+  def warnings: Seq[BatchProgress] = batches.filter(_.tier != Ok)
+
+  /** Current health = the most recent batch's tier (the reference's
+    * per-source status: latest observation wins, recovery is
+    * immediate once a batch lands under threshold again). */
+  def health: Tier = lastTier
+}
+
+object LagListener {
+  sealed trait Tier
+  case object Ok extends Tier
+  case object Warning extends Tier
+  case object Danger extends Tier
 }

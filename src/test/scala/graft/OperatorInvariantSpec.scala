@@ -70,6 +70,64 @@ class OperatorInvariantSpec extends SparkSpec {
       "minhash LSH missed an identical-shingle pair")
   }
 
+  test("dedup_simhash bucket keys satisfy the hamming<=3 pigeonhole") {
+    // Manku 2007 block construction: any two 64-bit signatures within
+    // hamming 3 MUST share at least one of the 20 3-block keys — the
+    // recall-1.0 guarantee the candidate join relies on.
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val a = rnd.nextLong()
+      val nFlips = rnd.nextInt(4) // 0..3 bit flips
+      val b = (1 to nFlips).foldLeft(a)((v, _) => v ^ (1L << rnd.nextInt(64)))
+      val shared = operators.DedupOps.simhashKeys(a).zip(
+        operators.DedupOps.simhashKeys(b)).exists { case (x, y) => x == y }
+      assert(shared, f"pigeonhole violated for $a%x vs $b%x")
+    }
+    // and a >3-bit pair is NOT guaranteed (sanity: keys CAN all differ)
+    val far = operators.DedupOps.simhashKeys(0L).zip(
+      operators.DedupOps.simhashKeys(-1L)).forall { case (x, y) => x != y }
+    assert(far, "all-ones vs all-zeros must share no key")
+  }
+
+  test("dedup_simhash column keys equal the pure simhashKeys twin") {
+    val s = spark
+    import s.implicits._
+    val samples = Seq(0L, -1L, 0x123456789abcdefL, Long.MinValue, 42L)
+    val df = samples.toDF("sh")
+      .select(col("sh"), array(operators.DedupOps.simhashKeyCols: _*).as("k"))
+    df.collect().foreach { r =>
+      val sh = r.getLong(0)
+      val got = r.getSeq[Long](1)
+      assert(got == operators.DedupOps.simhashKeys(sh), s"key mismatch for $sh")
+    }
+  }
+
+  test("dedup_embedding is precise vs exact pairs and recall is bounded") {
+    // exact all-pairs within label at sf0.001 (tiny) — the LSH op's
+    // output must be a SUBSET with identical cosines (precision 1.0),
+    // and candidate recall must hold the documented floor.
+    import graft.functions.VectorMath.dotDec
+    val e = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("norm", dotDec(col("v"), col("v")))
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("v").as("av"), col("norm").as("an"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"),
+      col("v").as("bv"), col("norm").as("bn"))
+    val exact = a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        dotDec(col("av"), col("bv")) / (sqrt(col("an")) * sqrt(col("bn"))))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+    val got = run("dedup_embedding")
+    assert(got.exceptAll(exact).isEmpty,
+      "LSH output contained a pair the exact computation rejects")
+    val nExact = exact.count()
+    val nGot = got.count()
+    assert(nExact > 0 && nGot.toDouble / nExact >= 0.8,
+      s"recall $nGot/$nExact under the 0.8 floor")
+  }
+
   test("sim_topk_exact ranks are dense 1..k and cosine non-increasing") {
     val rows = run("sim_topk_exact")
       .select("q_id", "rank", "cosine").collect()

@@ -23,6 +23,25 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("jdbc egress round-trips through an embedded Derby warehouse") {
+    // Derby ships on Spark's classpath (metastore dependency) — an
+    // in-JVM stand-in for the warehouse destination. Spark's
+    // DerbyDialect handles the type mapping both ways.
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val nation = Tables.nation(spark, sf)
+    writeJdbc(nation, url, "nation_egress", opts,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    val back = readJdbc(spark, url, "nation_egress", opts)
+      .select(nation.columns.map(col).toSeq: _*)
+    assert(back.count() == nation.count(), "jdbc: row count")
+    assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty,
+      "jdbc: content drift")
+    // appends accumulate — the default egress mode for incremental loads
+    writeJdbc(nation, url, "nation_egress", opts)
+    assert(readJdbc(spark, url, "nation_egress", opts).count() == 2 * nation.count())
+  }
+
   test("partitioned parquet write prunes by partition directory") {
     val tmp = Files.createTempDirectory("graft_part").toString
     write(Tables.orders(spark, sf).withColumn("status", col("o_orderstatus")),

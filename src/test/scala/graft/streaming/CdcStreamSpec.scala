@@ -64,6 +64,110 @@ class CdcStreamSpec extends SparkSpec {
     assert(!snap.contains(3L), "latest DELETE must remove the key")
   }
 
+  test("mergeInto resumes from the checkpoint without re-merging committed batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[CdcEvent]
+    val target = new InMemoryCdcTarget
+    val checkpoint = Files.createTempDirectory("graft_resume_ckpt").toString
+
+    // run 1: two keys land, query terminates (AvailableNow drains)
+    input.addData(ev(1, 1000, 1, "click", 1.0), ev(2, 2000, 2, "view", 2.0))
+    val q1 = CdcStream.mergeInto(input.toDS(), target, checkpoint,
+      Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    val afterRun1 = target.batchesMerged.size
+    assert(target.snapshot.keySet == Set(1L, 2L))
+
+    // run 2: same checkpoint, same source — only the NEW data flows.
+    // An out-of-order stale row for key 2 rides along and must lose
+    // to the sequence guard.
+    input.addData(ev(3, 3000, 1, "view", 9.0), ev(0, 500, 2, "click", 8.8))
+    val q2 = CdcStream.mergeInto(input.toDS(), target, checkpoint,
+      Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+
+    assert(target.snapshot(1L).event_id == 3, "new event not applied on resume")
+    assert(target.snapshot(2L).event_id == 2,
+      "stale cross-batch event regressed the key despite the sequence guard")
+    val ids = target.batchesMerged
+    assert(ids.size > afterRun1, "resumed query merged nothing")
+    assert(ids == ids.sorted && ids.distinct == ids,
+      s"batch was re-merged after restart: $ids")
+  }
+
+  test("file-source CDC stream end-to-end: restart picks up only new files") {
+    val s = spark
+    import s.implicits._
+
+    val srcDir = Files.createTempDirectory("graft_cdc_files")
+    val checkpoint = Files.createTempDirectory("graft_files_ckpt").toString
+    val schema = implicitly[org.apache.spark.sql.Encoder[CdcEvent]].schema
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.writeString(srcDir.resolve(name), lines.mkString("\n"))
+    def source = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(srcDir.toString).as[CdcEvent]
+    def j(id: Long, t: String, uid: Long, tpe: String, v: Double) =
+      s"""{"event_id":$id,"ts":"$t","user_id":$uid,"event_type":"$tpe","value":$v}"""
+
+    val target = new InMemoryCdcTarget
+    writeFile("a.json", Seq(
+      j(1, "2026-01-01 00:00:01", 1, "click", 1.0),
+      j(2, "2026-01-01 00:00:02", 2, "view", 2.0)))
+    val q1 = CdcStream.mergeInto(source, target, checkpoint, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    assert(target.snapshot.keySet == Set(1L, 2L))
+    val rows1 = target.batchesMerged.size
+
+    // new file after the first drain: a newer row for key 1, a new
+    // key 3, and a stale row for key 2 (older ts — guard must hold)
+    writeFile("b.json", Seq(
+      j(3, "2026-01-01 00:00:05", 1, "view", 5.0),
+      j(4, "2026-01-01 00:00:06", 3, "signup", 6.0),
+      j(0, "2026-01-01 00:00:00", 2, "click", 9.9)))
+    val q2 = CdcStream.mergeInto(source, target, checkpoint, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+
+    assert(target.snapshot(1L).event_id == 3)
+    assert(target.snapshot(2L).event_id == 2, "stale file row regressed key 2")
+    assert(target.snapshot(3L).event_id == 4)
+    val ids = target.batchesMerged
+    assert(ids.size > rows1 && ids == ids.sorted && ids.distinct == ids,
+      s"file already committed in run 1 was re-processed: $ids")
+  }
+
+  test("a failing target trips the breaker and fails the query fast") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[CdcEvent]
+    val flaky = new CdcTarget {
+      override def merge(batchId: Long,
+          rows: org.apache.spark.sql.Dataset[CdcApplied]): Unit =
+        sys.error("destination unavailable")
+    }
+    val cb = new CircuitBreaker(failureThreshold = 1,
+      recoveryTimeoutMillis = 60000)
+    val checkpoint = Files.createTempDirectory("graft_breaker_ckpt").toString
+    input.addData(ev(1, 1000, 1, "click", 1.0))
+    val q = CdcStream.mergeInto(input.toDS(), flaky, checkpoint,
+      Trigger.AvailableNow(), breaker = Some(cb))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(cb.state == CircuitBreaker.Open,
+      "merge failure must open the breaker")
+    assert(!cb.allowRequest(), "open breaker rejects until recovery timeout")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).exists(c => Option(c.getMessage).exists(
+        _.contains("destination unavailable"))))
+  }
+
   test("streaming latest-per-key matches the batch cdc_dedupe_latest on sf0.001") {
     val s = spark
     import s.implicits._

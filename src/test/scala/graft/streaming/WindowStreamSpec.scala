@@ -117,6 +117,35 @@ class WindowStreamSpec extends SparkSpec {
     }
   }
 
+  test("lag listener classifies batches into warning/danger tiers") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // thresholds at 0 ⇒ every batch trips that tier; MaxValue ⇒ none.
+    val danger = new LagListener(warnBatchMillis = 0, dangerBatchMillis = 0)
+    val warning = new LagListener(warnBatchMillis = 0, dangerBatchMillis = Long.MaxValue)
+    val ok = new LagListener(warnBatchMillis = Long.MaxValue, dangerBatchMillis = Long.MaxValue)
+    Seq(danger, warning, ok).foreach(s.streams.addListener)
+    val input = MemoryStream[RawEvent]
+    val q = input.toDF().writeStream.format("memory")
+      .queryName("tier_probe").outputMode("append").start()
+    try {
+      input.addData(sample: _*)
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      while (ok.totalRows < sample.size &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(danger.health == LagListener.Danger && danger.totalDangers > 0)
+      assert(warning.health == LagListener.Warning && warning.totalWarnings > 0
+        && warning.totalDangers == 0)
+      assert(ok.health == LagListener.Ok && ok.totalWarnings == 0)
+    } finally {
+      q.stop()
+      Seq(danger, warning, ok).foreach(s.streams.removeListener)
+    }
+  }
+
   test("streaming mm decode equals the batch mm decode on the same blobs") {
     val s = spark
     import s.implicits._
