@@ -74,7 +74,10 @@ object DedupOps extends Suite {
   // join predicate (j ≥ 0.5 ⇒ |big| ≤ 2|small|) prunes pairs without
   // changing results. τ = 0.5. Hot-shingle skew is AQE-split here; at
   // 100 TB the minhash op below is the intended path.
-  private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Near-dup pairs (a_id < b_id, unrounded jaccard ≥ 0.5) — the
+    * shared core of dedup_ngram_jaccard and PipelineOps' curation
+    * drop-list. */
+  private[operators] def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     // both join sides read this; persist so the interpreted shingle
     // construction (tokenize→3-gram→hash, the expensive part) runs
     // once (CacheManager dedupes identical plans across calls).
@@ -97,9 +100,12 @@ object DedupOps extends Suite {
       .withColumn("jaccard", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
+  }
+
+  private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("a_id", "b_id")
-  }
 
   private val dedupNgramJaccardSql =
     s"""WITH d AS (
@@ -114,6 +120,20 @@ object DedupOps extends Suite {
       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
       |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
+
+  /** DuckDB twin of [[jaccardPairs]] (SELECT fragment yielding
+    * a_id, b_id) — shared with PipelineOps' curation oracle. */
+  private[operators] val jaccardPairsSql: String =
+    s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |FROM (SELECT doc_id, lang, CAST(len(t) // 50 AS BIGINT) AS band,
+      |        $shinglesSqlExpr AS s
+      |      FROM (SELECT doc_id, lang, $toksSql AS t FROM documents) x) a
+      |JOIN (SELECT doc_id, lang, CAST(len(t) // 50 AS BIGINT) AS band,
+      |        $shinglesSqlExpr AS s
+      |      FROM (SELECT doc_id, lang, $toksSql AS t FROM documents) x) b
+      |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin
 
   // ---- dedup_minhash: MinHash(128) + 32-band LSH --------------------
   // sig[k] = min over shingles of xxhash64(k, shingle); band j =

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-curation composites (SURVEY §H) — the end-to-end shapes an
+  * LLM training-data pipeline actually runs over `documents`,
+  * composed from the §D/§E primitives so the single-op semantics and
+  * the pipeline semantics can never drift.
+  *
+  * Scale design: every stage is the already-audited distributed op —
+  * quality is a map-only pass, exact-dup keep is one hash
+  * aggregation, the near-dup drop-list is the blocked co-occurrence
+  * join, sampling is a per-row hash, budgeting is one window per
+  * group. The composition adds only semi/anti equi-joins on doc_id
+  * (shuffle-partitioned, no new quadratic stage).
+  */
+object PipelineOps extends Suite {
+
+  // ---- pipe_curate: quality gate → exact-dup keep → near-dup drop ---
+  // The canonical curation funnel:
+  //  1. keep docs with quality ≥ 0.45 (txt_quality's exact score);
+  //  2. exact dups: keep only the min doc_id of each md5(text) group;
+  //  3. near-dups: drop the b-side (larger doc_id) of every
+  //     jaccard ≥ 0.5 pair — the smallest member of a dup cluster
+  //     survives through the a_id < b_id orientation.
+  // Steps 2 and 3 run on the FULL corpus (dup identity is a property
+  // of content, not of the quality-gated subset) — the gates then
+  // intersect, so the result is order-independent and deterministic.
+  private val qualityFloor = 0.45
+
+  private def pipeCurate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.qualityScored(spark, dir)
+      .select("doc_id", "lang", "n_tokens", "quality")
+    val exactKeep = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val nearDrop = DedupOps.jaccardPairs(spark, dir)
+      .select(col("b_id").as("doc_id")).distinct()
+    scored.filter(col("quality") >= qualityFloor)
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  private val pipeCurateSql =
+    s"""WITH scored AS (${TextOps.qualityScoredSql}),
+      |exact_keep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |near_drop AS (
+      |  SELECT DISTINCT b_id AS doc_id FROM (${DedupOps.jaccardPairsSql}) p)
+      |SELECT doc_id, lang, n_tokens, quality FROM scored
+      |WHERE quality >= $qualityFloor
+      |  AND doc_id IN (SELECT doc_id FROM exact_keep)
+      |  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- pipe_sample: deterministic stratified hash sampling ----------
+  // Reproducible training subsets: keep a doc iff its multiplicative
+  // hash bucket (Knuth 1998 §6.4, golden-ratio constant) falls under
+  // the per-language rate — integer arithmetic only, so any engine
+  // reproduces the same subset with no RNG state. en is downsampled
+  // to 20%, everything else kept at 60% (the usual "rebalance the
+  // dominant language" mixture move). doc_id < 2^33 keeps the product
+  // inside int64 (document the bound, don't silently wrap).
+  private val hashBucket = (col("doc_id") * lit(2654435761L)) % 1000
+
+  private def pipeSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), hashBucket.as("bucket"))
+      .filter(col("bucket") <
+        when(col("lang") === "en", lit(200)).otherwise(lit(600)))
+      .orderBy("doc_id")
+
+  private val pipeSampleSql =
+    """SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS bucket
+      |FROM documents
+      |WHERE (doc_id * 2654435761) % 1000 <
+      |  CASE WHEN lang = 'en' THEN 200 ELSE 600 END
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- pipe_token_budget: per-language token budget -----------------
+  // Mixture construction: within each language, admit documents in
+  // (quality DESC, doc_id) order while the running token total stays
+  // within the budget — one window per group, no driver loop. Docs
+  // are ranked on the exact decimal-derived quality (bit-identical
+  // cross-engine, so the order and therefore the cut is too).
+  private val tokenBudget = 2000L
+
+  private def pipeTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(desc("quality"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    TextOps.qualityScored(spark, dir)
+      .select("doc_id", "lang", "n_tokens", "quality")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .orderBy("lang", "cum_tokens")
+  }
+
+  private val pipeTokenBudgetSql =
+    s"""WITH scored AS (${TextOps.qualityScoredSql})
+      |SELECT doc_id, lang, n_tokens, quality, cum_tokens FROM (
+      |  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang
+      |    ORDER BY quality DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM scored) x
+      |WHERE cum_tokens <= $tokenBudget
+      |ORDER BY lang, cum_tokens""".stripMargin
+
+  override val ops: Seq[Op] = Seq(
+    Op("pipe_curate", pipeCurate, Some(pipeCurateSql)),
+    Op("pipe_sample", pipeSample, Some(pipeSampleSql)),
+    Op("pipe_token_budget", pipeTokenBudget, Some(pipeTokenBudgetSql)),
+  )
+}

@@ -72,11 +72,16 @@ object TextOps extends Suite {
   //   quality    = 0.5*len_score + 0.3*uniq_ratio + 0.2*stop_ratio
   private val stopwords = Seq("the", "a", "and", "of", "to")
 
-  private def txtQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared quality pipeline (also feeds PipelineOps): per-doc
+    * (doc_id, lang, n_tokens, components, quality), zero-token docs
+    * excluded. Kept in ONE place so the curate/budget ops and
+    * txt_quality can never drift. */
+  private[operators] def qualityScored(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .select(col("doc_id"), length(col("text")).as("n_chars"), toks.as("t"))
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars"), toks.as("t"))
       .filter(size(col("t")) > 0) // see txt_stats: zero-token guard
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"),
         size(col("t")).cast("long").as("n_tokens"),
         least(lit(1.0), col("n_chars").cast("double") / 500.0).as("len_score"),
         (size(array_distinct(col("t"))).cast("double") / size(col("t")))
@@ -97,8 +102,10 @@ object TextOps extends Suite {
           col("uniq_ratio").cast(DecimalType(8, 6)) * lit(0.3).cast(DecimalType(2, 1)) +
           col("stop_ratio").cast(DecimalType(8, 6)) * lit(0.2).cast(DecimalType(2, 1)))
           .cast("double"))
-      .orderBy("doc_id")
   }
+
+  private def txtQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(spark, dir).drop("lang").orderBy("doc_id")
 
   private val txtQualitySql = {
     val inList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -122,6 +129,26 @@ object TextOps extends Suite {
       |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) x
       |  WHERE len(t) > 0) y) z
       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[qualityScored]] (SELECT fragment, no ORDER BY)
+    * — shared with PipelineOps' oracles. */
+  private[operators] val qualityScoredSql: String = {
+    val inList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, lang, n_tokens,
+      |  CAST(
+      |    CAST(ROUND(len_score, 6) AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(2,1)) +
+      |    CAST(ROUND(uniq_ratio, 6) AS DECIMAL(8,6)) * CAST(0.3 AS DECIMAL(2,1)) +
+      |    CAST(ROUND(stop_ratio, 6) AS DECIMAL(8,6)) * CAST(0.2 AS DECIMAL(2,1))
+      |  AS DOUBLE) AS quality
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(len(t) AS BIGINT) AS n_tokens,
+      |    LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0) AS len_score,
+      |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
+      |    CAST(len(list_filter(t, x -> x IN ($inList))) AS DOUBLE) / len(t) AS stop_ratio
+      |  FROM (SELECT doc_id, lang, text, $toksSql AS t FROM documents) x
+      |  WHERE len(t) > 0) y""".stripMargin
   }
 
   // ---- txt_langid: stopword-overlap language ID ---------------------
