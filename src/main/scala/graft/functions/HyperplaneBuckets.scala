@@ -22,6 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * `list_reduce` performs — making the sign decisions bit-identical
   * in any IEEE-754 engine that replays the same literals and order
   * (DedupOps generates exactly that SQL for the DuckDB oracle).
+  *
+  * Null elements and missing dims contribute nothing: compute()
+  * skips them, and the oracle COALESCEs the term to 0.0 — the only
+  * double these paths can disagree on is the sign of zero, which
+  * `>= 0` treats identically, so the emitted bit still matches.
+  * NaN elements are NOT supported: `NaN >= 0` is false on the JVM
+  * but NaN sorts above all doubles in SQL comparison semantics, so
+  * the bits would diverge — keep NaNs out of embedding columns.
   */
 case class HyperplaneBuckets(child: Expression) extends UnaryExpression {
 

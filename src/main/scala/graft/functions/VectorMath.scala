@@ -27,10 +27,4 @@ object VectorMath {
   /** cosine(a, b) given precomputed squared norms (as doubles). */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dotDec(a, b) / (sqrt(normA) * sqrt(normB))
-
-  /** Plain double dot product against a constant hyperplane — used
-    * for LSH bucketing where no oracle parity is needed. */
-  def dotLit(v: Column, plane: Seq[Double]): Column =
-    aggregate(zip_with(v, lit(plane.toArray), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, t) => acc + t)
 }

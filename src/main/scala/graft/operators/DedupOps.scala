@@ -107,24 +107,15 @@ object DedupOps extends Suite {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("a_id", "b_id")
 
-  private val dedupNgramJaccardSql =
-    s"""WITH d AS (
-      |  SELECT doc_id, lang, CAST(len(t) // 50 AS BIGINT) AS band,
-      |    $shinglesSqlExpr AS s
-      |  FROM (SELECT doc_id, lang, $toksSql AS t FROM documents) x)
-      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-      |    len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-      |FROM d a JOIN d b
-      |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-      |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-      |ORDER BY a_id, b_id""".stripMargin
-
   /** DuckDB twin of [[jaccardPairs]] (SELECT fragment yielding
-    * a_id, b_id) — shared with PipelineOps' curation oracle. */
+    * a_id, b_id and the unrounded jaccard) — the ONE place the pair
+    * SQL lives; dedup_ngram_jaccard's oracle and PipelineOps'
+    * curation oracle both derive from it. The WHERE filters the
+    * UNROUNDED ratio, matching the Spark side. */
   private[operators] val jaccardPairsSql: String =
-    s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
       |FROM (SELECT doc_id, lang, CAST(len(t) // 50 AS BIGINT) AS band,
       |        $shinglesSqlExpr AS s
       |      FROM (SELECT doc_id, lang, $toksSql AS t FROM documents) x) a
@@ -134,6 +125,14 @@ object DedupOps extends Suite {
       |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
       |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin
+
+  // NOTE: must be defined AFTER jaccardPairsSql — object vals
+  // initialize top-to-bottom, and interpolating a not-yet-initialized
+  // val silently embeds "null" in the SQL.
+  private val dedupNgramJaccardSql =
+    s"""SELECT a_id, b_id, ROUND(jaccard, 6) AS jaccard
+      |FROM ($jaccardPairsSql) p
+      |ORDER BY a_id, b_id""".stripMargin
 
   // ---- dedup_minhash: MinHash(128) + 32-band LSH --------------------
   // sig[k] = min over shingles of xxhash64(k, shingle); band j =
@@ -315,7 +314,8 @@ object DedupOps extends Suite {
       |sgn AS (
       |  SELECT e.vec_id, pl.t, pl.p,
       |    CASE WHEN list_reduce(list_transform(range(1, 65),
-      |      i -> CAST(e.embedding[i] AS DOUBLE) * (CAST(pl.w[i] AS DOUBLE)/1024.0)),
+      |      i -> COALESCE(CAST(e.embedding[i] AS DOUBLE), 0.0)
+      |        * (CAST(pl.w[i] AS DOUBLE)/1024.0)),
       |      (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
       |  FROM embeddings e, planes pl),
       |keys AS (

@@ -65,9 +65,12 @@ object PipelineOps extends Suite {
   // the per-language rate — integer arithmetic only, so any engine
   // reproduces the same subset with no RNG state. en is downsampled
   // to 20%, everything else kept at 60% (the usual "rebalance the
-  // dominant language" mixture move). doc_id < 2^33 keeps the product
-  // inside int64 (document the bound, don't silently wrap).
-  private val hashBucket = (col("doc_id") * lit(2654435761L)) % 1000
+  // dominant language" mixture move). doc_id is reduced mod a prime
+  // FIRST so the product stays ≪ int64 for every possible doc_id
+  // (Spark with ANSI off would wrap silently; DuckDB would error —
+  // the reduction keeps both engines in exact territory).
+  private val hashBucket =
+    ((col("doc_id") % 1000003L) * lit(2654435761L)) % 1000
 
   private def pipeSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -77,9 +80,9 @@ object PipelineOps extends Suite {
       .orderBy("doc_id")
 
   private val pipeSampleSql =
-    """SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS bucket
+    """SELECT doc_id, lang, ((doc_id % 1000003) * 2654435761) % 1000 AS bucket
       |FROM documents
-      |WHERE (doc_id * 2654435761) % 1000 <
+      |WHERE ((doc_id % 1000003) * 2654435761) % 1000 <
       |  CASE WHEN lang = 'en' THEN 200 ELSE 600 END
       |ORDER BY doc_id""".stripMargin
 

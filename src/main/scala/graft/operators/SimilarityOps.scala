@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
-import graft.functions.VectorMath.{cosine, dotDec, dotLit}
+import graft.functions.VectorMath.{cosine, dotDec}
 
 /** Similarity search over `embeddings` (SURVEY §F).
   *
@@ -71,34 +71,36 @@ object SimilarityOps extends Suite {
       |SELECT q_id, rank, cand_id, ROUND(cosine, 6) AS cosine
       |FROM scored WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
 
-  // ---- sim_ann_lsh: random-hyperplane LSH bucketed ANN --------------
-  // 8 seeded hyperplanes → 8-bit sign bucket; candidates join queries
-  // on the bucket key only, exact cosine ranks within the bucket.
-  // Rows-only check (bucketing is hash-function specific); recall vs
-  // sim_topk_exact is what a user would tune bands/planes against.
-  private val nPlanes = 8
-  private val planes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(nPlanes)(Seq.fill(64)(rnd.nextDouble() * 2 - 1))
-  }
-
+  // ---- sim_ann_lsh: multi-table random-hyperplane LSH ANN -----------
+  // Candidates = any vector sharing one of the 24 hyperplane_buckets
+  // keys with the query (the SAME codegen'd expression dedup_embedding
+  // uses — one LSH construction in the codebase); exact cosine then
+  // ranks the candidate union. Rows-only check (bucketing is
+  // hash-function specific); recall vs sim_topk_exact is what a user
+  // tunes tables/planes against, and the invariant spec pins every
+  // emitted cosine to the exact path's value.
   private def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      when(dotLit(col("v"), p) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_ + _)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", dotDec(col("v"), col("v")))
-      .withColumn("bucket", bucket)
+    val keyed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(expr("hyperplane_buckets(embedding)")).as(Seq("tbl", "key")))
+    val qk = keyed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("key"))
+    val cand = keyed.join(broadcast(qk), Seq("tbl", "key"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id")).distinct()
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
     val w = Window.partitionBy("q_id")
       .orderBy(desc("cosine"), col("cand_id"))
-    e.join(broadcast(q), Seq("bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
+    cand
+      .join(e.select(col("vec_id").as("cand_id"), col("v"), col("norm")),
+        Seq("cand_id"))
+      .join(broadcast(q), Seq("q_id"))
       .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("norm")))
-      .select(col("q_id"), col("vec_id").as("cand_id"), col("cosine"))
+      .select(col("q_id"), col("cand_id"), col("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("cand_id"),

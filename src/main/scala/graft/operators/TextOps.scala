@@ -107,35 +107,15 @@ object TextOps extends Suite {
   private def txtQuality(spark: SparkSession, dir: String): DataFrame =
     qualityScored(spark, dir).drop("lang").orderBy("doc_id")
 
-  private val txtQualitySql = {
-    val inList = stopwords.map(s => s"'$s'").mkString(", ")
-    s"""SELECT doc_id, n_tokens, len_score, uniq_ratio, stop_ratio,
-      |  CAST(
-      |    CAST(len_score AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(2,1)) +
-      |    CAST(uniq_ratio AS DECIMAL(8,6)) * CAST(0.3 AS DECIMAL(2,1)) +
-      |    CAST(stop_ratio AS DECIMAL(8,6)) * CAST(0.2 AS DECIMAL(2,1))
-      |  AS DOUBLE) AS quality
-      |FROM (
-      |SELECT doc_id, n_tokens,
-      |  ROUND(len_score, 6) AS len_score,
-      |  ROUND(uniq_ratio, 6) AS uniq_ratio,
-      |  ROUND(stop_ratio, 6) AS stop_ratio
-      |FROM (
-      |  SELECT doc_id,
-      |    CAST(len(t) AS BIGINT) AS n_tokens,
-      |    LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0) AS len_score,
-      |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
-      |    CAST(len(list_filter(t, x -> x IN ($inList))) AS DOUBLE) / len(t) AS stop_ratio
-      |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents) x
-      |  WHERE len(t) > 0) y) z
-      |ORDER BY doc_id""".stripMargin
-  }
-
   /** DuckDB twin of [[qualityScored]] (SELECT fragment, no ORDER BY)
-    * — shared with PipelineOps' oracles. */
+    * — the ONE place the quality SQL lives; txt_quality's oracle and
+    * PipelineOps' oracles both derive from it. */
   private[operators] val qualityScoredSql: String = {
     val inList = stopwords.map(s => s"'$s'").mkString(", ")
     s"""SELECT doc_id, lang, n_tokens,
+      |  ROUND(len_score, 6) AS len_score,
+      |  ROUND(uniq_ratio, 6) AS uniq_ratio,
+      |  ROUND(stop_ratio, 6) AS stop_ratio,
       |  CAST(
       |    CAST(ROUND(len_score, 6) AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(2,1)) +
       |    CAST(ROUND(uniq_ratio, 6) AS DECIMAL(8,6)) * CAST(0.3 AS DECIMAL(2,1)) +
@@ -150,6 +130,11 @@ object TextOps extends Suite {
       |  FROM (SELECT doc_id, lang, text, $toksSql AS t FROM documents) x
       |  WHERE len(t) > 0) y""".stripMargin
   }
+
+  private val txtQualitySql =
+    s"""SELECT doc_id, n_tokens, len_score, uniq_ratio, stop_ratio, quality
+      |FROM ($qualityScoredSql) q
+      |ORDER BY doc_id""".stripMargin
 
   // ---- txt_langid: stopword-overlap language ID ---------------------
   // Fixed per-language marker lists; predicted language = argmax of

@@ -95,13 +95,16 @@ class CircuitBreaker(
   }
 
   /** Run `f` under breaker protection: rejected-while-open throws
-    * [[CircuitOpenException]]; failures are recorded and rethrown. */
+    * [[CircuitOpenException]]; failures are recorded and rethrown.
+    * Fatal JVM errors (OOM, interrupt during query shutdown) pass
+    * through UNRECORDED — they say nothing about the target's health
+    * and must not latch the breaker open. */
   def protect[T](f: => T): T = {
     if (!allowRequest())
       throw new CircuitOpenException(
         s"circuit open (failures=$failureCount); retry after ${recoveryTimeoutMillis}ms")
     try { val r = f; recordSuccess(); r }
-    catch { case e: Throwable => recordFailure(); throw e }
+    catch { case scala.util.control.NonFatal(e) => recordFailure(); throw e }
   }
 }
 

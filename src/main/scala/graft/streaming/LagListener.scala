@@ -51,8 +51,11 @@ class LagListener(
       Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
     progress.add(bp)
     rowTotal.addAndGet(bp.numInputRows)
+    // danger ⊂ warnings: a Danger batch is also past the warning
+    // threshold, so both counters move (totalWarnings must agree with
+    // `warnings`, which returns every non-Ok batch)
     bp.tier match {
-      case Danger => dangerTotal.incrementAndGet()
+      case Danger => dangerTotal.incrementAndGet(); warnTotal.incrementAndGet()
       case Warning => warnTotal.incrementAndGet()
       case Ok => ()
     }

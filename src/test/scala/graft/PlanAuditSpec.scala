@@ -54,11 +54,20 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dedup pair joins key on block/bucket columns, not bare label/lang") {
-    // the candidate joins must include the LSH/pigeonhole key — join
-    // keys appear in the physical join node's condition/keys string
-    val emb = physical("dedup_embedding").toString
-    assert(emb.contains("key"), "dedup_embedding join lost the bucket key")
-    val sim = physical("dedup_simhash").toString
-    assert(sim.contains("key"), "dedup_simhash join lost the bucket key")
+    // the candidate join's EQUI-JOIN KEYS themselves must include the
+    // LSH/pigeonhole bucket — checking the whole plan string would
+    // also match the distinct()'s HashAggregate(keys=...) and pass
+    // even after a revert to a bare label join
+    def joinKeyNames(name: String): Seq[Set[String]] =
+      collectAll(physical(name)).collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.nonEmpty =>
+          j.leftKeys.flatMap(_.references.map(_.name)).toSet
+      }
+    Seq("dedup_embedding", "dedup_simhash").foreach { name =>
+      val keys = joinKeyNames(name)
+      assert(keys.exists(k => k.contains("key") && k.contains("tbl")),
+        s"$name: no join keyed on (tbl, key) buckets — join keys were $keys")
+    }
   }
 }
