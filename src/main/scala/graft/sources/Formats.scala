@@ -47,6 +47,20 @@ object Formats {
     }
   }
 
+  /** Bucketed parquet table write — the co-located-join primitive.
+    * Two fact tables bucketed AND sorted on their join key with the
+    * same bucket count join with ZERO exchanges (each bucket pair
+    * joins locally): at 100 TB this turns the recurring fact-fact
+    * shuffle into a one-time layout cost paid at ingest.
+    * Requires a table catalog (`saveAsTable`); readers use
+    * `spark.table(name)`. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, nBuckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .option("path", path).saveAsTable(table)
+
   /** JDBC egress (warehouse destination analog). Partitioned reads
     * need (partitionColumn, lowerBound, upperBound, numPartitions)
     * in `options` or the whole table funnels through one task. */
