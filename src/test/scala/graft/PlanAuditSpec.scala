@@ -53,6 +53,45 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("per-query shuffle counts stay within the audited budget") {
+    // Every shuffle is a cluster-wide barrier at 100 TB; these counts
+    // were audited by hand (plans read, shapes approved) — a query
+    // exceeding its pin means a new exchange snuck into the plan and
+    // must be re-audited, not silently absorbed. Counts are stable
+    // because the sf0.001 testdata (and so broadcast decisions) is
+    // fixed.
+    val budget = Map(
+      "cdc_apply_snapshot" -> 2, "cdc_changelog_stats" -> 3,
+      "cdc_dedupe_latest" -> 2, "cdc_merge_batch" -> 4, "cdc_scd2" -> 2,
+      "cdc_schema_reconcile" -> 1, "dedup_embedding" -> 2,
+      "dedup_exact" -> 2, "dedup_minhash" -> 2, "dedup_ngram_jaccard" -> 2,
+      "dedup_simhash" -> 2, "ev_asof_join" -> 3, "ev_funnel" -> 2,
+      "ev_sessionize" -> 2, "ev_sliding_2h" -> 2, "ev_tumbling_1h" -> 3,
+      "mm_features" -> 1, "pipe_curate" -> 5, "pipe_sample" -> 1,
+      "pipe_token_budget" -> 2, "q1_pricing_summary" -> 2,
+      "q3_shipping_priority" -> 1, "q5_local_supplier" -> 2,
+      "q6_revenue_change" -> 1, "q_approx_distinct" -> 3, "q_pivot" -> 3,
+      "q_rollup" -> 2, "q_running_sum" -> 2, "q_semi_anti" -> 5,
+      "q_top_suppliers" -> 1, "q_window_topn" -> 3, "sim_ann_lsh" -> 3,
+      "sim_centroids" -> 4, "sim_ivf_topk" -> 5, "sim_topk_exact" -> 2,
+      "txt_fingerprint" -> 1, "txt_langid" -> 1, "txt_quality" -> 1,
+      "txt_stats" -> 1)
+    val shuffleRe =
+      "Exchange (hash|range)partitioning|Exchange SinglePartition".r
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val txt = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val n = shuffleRe.findAllIn(txt).size
+      budget.get(name) match {
+        case Some(cap) => assert(n <= cap,
+          s"$name plans $n shuffles, audited budget is $cap — " +
+            "re-audit the plan before raising the pin")
+        case None => assert(n <= 5,
+          s"new query $name plans $n shuffles — audit it and add a pin")
+      }
+    }
+  }
+
   test("dedup pair joins key on block/bucket columns, not bare label/lang") {
     // the candidate join's EQUI-JOIN KEYS themselves must include the
     // LSH/pigeonhole bucket — checking the whole plan string would
