@@ -21,6 +21,16 @@ class LagListener(
     maxEntries: Int = 10000)
     extends StreamingQueryListener {
 
+  // Optionally scope to one query: listeners are session-global in
+  // Spark, so a multi-pipeline session (PipelineManager) binds one
+  // listener per stream to keep metrics attributable.
+  @volatile private var onlyQuery: Option[java.util.UUID] = None
+
+  /** Restrict this listener to `queryId`'s progress events. */
+  def bindTo(queryId: java.util.UUID): this.type = {
+    onlyQuery = Some(queryId); this
+  }
+
   require(dangerBatchMillis >= warnBatchMillis,
     "danger threshold must be at or above the warning threshold")
 
@@ -47,6 +57,7 @@ class LagListener(
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
+    if (onlyQuery.exists(_ != p.id)) return
     val bp = BatchProgress(p.batchId, p.numInputRows,
       Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
     progress.add(bp)

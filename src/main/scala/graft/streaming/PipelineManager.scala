@@ -1,0 +1,70 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Multi-pipeline orchestration — the pipeline-manager analog
+  * (/root/reference/src/pipeline_manager.rs runs one decode→buffer→
+  * merge pipeline per registered source database and the monitors
+  * watch all of them): each named pipeline is a streaming CDC merge
+  * with its OWN scoped lag listener and circuit breaker, and
+  * `health` reports per-pipeline status the way the reference's
+  * health endpoint aggregates per-source state.
+  *
+  * Spark-first shape: pipelines are independent StreamingQuery
+  * instances sharing one session (one scheduler, shared executors);
+  * per-pipeline listeners are bound to their query id because Spark
+  * listeners are session-global.
+  */
+class PipelineManager(spark: SparkSession) {
+
+  final case class Pipeline(
+      name: String,
+      query: StreamingQuery,
+      listener: LagListener,
+      breaker: CircuitBreaker)
+
+  private val pipelines = TrieMap.empty[String, Pipeline]
+
+  /** Start a named CDC merge pipeline. Fails if the name is live. */
+  def startCdc(
+      name: String,
+      events: Dataset[CdcEvent],
+      target: CdcTarget,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      breaker: CircuitBreaker = new CircuitBreaker(),
+      warnBatchMillis: Long = 10000,
+      dangerBatchMillis: Long = 30000): Pipeline = {
+    require(!pipelines.get(name).exists(_.query.isActive),
+      s"pipeline '$name' is already running")
+    val listener = new LagListener(warnBatchMillis, dangerBatchMillis)
+    spark.streams.addListener(listener)
+    val query = CdcStream.mergeInto(events, target, checkpoint, trigger,
+      breaker = Some(breaker))
+    // the id exists only after start(); progress events are delivered
+    // async after a batch completes, so binding here precedes the
+    // first event in practice — an unscoped listener would merely
+    // over-count a batch from a sibling pipeline in that window
+    listener.bindTo(query.id)
+    val p = Pipeline(name, query, listener, breaker)
+    pipelines.put(name, p)
+    p
+  }
+
+  def get(name: String): Option[Pipeline] = pipelines.get(name)
+
+  /** Per-pipeline health, every registered pipeline included. */
+  def health: Map[String, Health.Report] =
+    pipelines.view.mapValues(p => Health.check(p.listener, p.breaker)).toMap
+
+  /** Stop one pipeline and release its listener. */
+  def stop(name: String): Unit = pipelines.remove(name).foreach { p =>
+    p.query.stop()
+    spark.streams.removeListener(p.listener)
+  }
+
+  def stopAll(): Unit = pipelines.keys.foreach(stop)
+}
