@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{HyperplaneBuckets, MinHash128, ShingleHash3, SimHash64}
+import graft.functions.{DecDotProduct, DecQuant, HyperplaneBuckets, MinHash128, ShingleHash3, SimHash64}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions with the session's function registry, so they're
@@ -37,5 +37,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       unary("hyperplane_buckets")(HyperplaneBuckets)))
+    ext.injectFunction((
+      FunctionIdentifier("dec_quant"),
+      new ExpressionInfo(classOf[DecQuant].getName, "dec_quant"),
+      unary("dec_quant")(DecQuant)))
+    ext.injectFunction((
+      FunctionIdentifier("dec_dot"),
+      new ExpressionInfo(classOf[DecDotProduct].getName, "dec_dot"),
+      { children =>
+        if (children.size != 2) throw new IllegalArgumentException(
+          s"dec_dot expects exactly 2 arguments, got ${children.size}")
+        DecDotProduct(children.head, children(1))
+      }))
   }
 }

@@ -18,8 +18,17 @@ import org.apache.spark.sql.types.DecimalType
 object VectorMath {
   def dec(c: Column): Column = c.cast("double").cast(DecimalType(12, 8))
 
-  /** Exact decimal dot product, returned as double. */
+  /** Exact decimal dot product, returned as double — the codegen'd
+    * dec_quant/dec_dot expressions (see graft.functions.DecDot);
+    * bit-identical to [[dotDecHof]], which is kept as the reference
+    * implementation the parity spec checks against. */
   def dotDec(a: Column, b: Column): Column =
+    call_function("dec_dot",
+      call_function("dec_quant", a), call_function("dec_quant", b))
+
+  /** The original interpreted higher-order-function formulation —
+    * the semantic definition dec_dot must match bit-for-bit. */
+  def dotDecHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => dec(x) * dec(y)),
       lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, 16)),
       (acc, v) => (acc + v).cast(DecimalType(30, 16))).cast("double")
