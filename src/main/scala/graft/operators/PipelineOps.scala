@@ -115,9 +115,78 @@ object PipelineOps extends Suite {
       |WHERE cum_tokens <= $tokenBudget
       |ORDER BY lang, cum_tokens""".stripMargin
 
+  // ---- pipe_dup_clusters: connected components over dup pairs -------
+  // The canonical form of "drop the b-side of each pair" done right:
+  // exact-dup and near-dup pairs form an undirected graph; a dup
+  // CLUSTER is a connected component, and the keeper is the minimum
+  // doc_id in the component (a→b→c chains collapse to one keeper even
+  // when (a,c) was never compared). Implemented as iterative min-label
+  // propagation — each round is one join + aggregate, labels converge
+  // in O(component diameter) rounds (components here are near-cliques,
+  // 2-3 rounds; at 100 TB you'd switch to pointer-jumping/large-star
+  // for O(log n) rounds, same join shape). The driver loop only
+  // checks a convergence COUNT per round — no row data ever collects.
+  private def pipeDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val exactPairs = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("a_id"), collect_set(col("doc_id")).as("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+    val nearPairs = DedupOps.jaccardPairs(spark, dir).select("a_id", "b_id")
+    val edges = exactPairs.union(nearPairs)
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    val undirected = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    // each round truncates lineage with an eager localCheckpoint —
+    // without it the final plan unrolls every iteration's joins
+    // (~100 exchanges after 3 rounds; the budget spec would catch
+    // it). On a cluster this would be a directory-backed checkpoint.
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val neighborMin = undirected
+        .join(labels.select(col("doc_id").as("v"), col("lbl").as("nlbl")), Seq("v"))
+        .groupBy(col("u").as("doc_id")).agg(min(col("nlbl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("doc_id"))
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+    }
+    labels
+      .select(col("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  private val pipeDupClustersSql =
+    s"""WITH RECURSIVE near AS (SELECT a_id, b_id FROM (${DedupOps.jaccardPairsSql}) j),
+      |exact AS (
+      |  SELECT MIN(doc_id) OVER w AS a_id, doc_id AS b_id
+      |  FROM documents
+      |  WINDOW w AS (PARTITION BY md5(text))),
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM exact WHERE a_id < b_id
+      |  UNION SELECT b_id, a_id FROM exact WHERE a_id < b_id
+      |  UNION SELECT a_id, b_id FROM near
+      |  UNION SELECT b_id, a_id FROM near),
+      |reach(doc_id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.doc_id)
+      |SELECT doc_id, MIN(lbl) AS cluster_id,
+      |  doc_id = MIN(lbl) AS is_keeper
+      |FROM reach GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("pipe_curate", pipeCurate, Some(pipeCurateSql)),
     Op("pipe_sample", pipeSample, Some(pipeSampleSql)),
     Op("pipe_token_budget", pipeTokenBudget, Some(pipeTokenBudgetSql)),
+    Op("pipe_dup_clusters", pipeDupClusters, Some(pipeDupClustersSql)),
   )
 }

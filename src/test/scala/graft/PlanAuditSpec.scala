@@ -68,7 +68,9 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_simhash" -> 2, "ev_asof_join" -> 3, "ev_funnel" -> 2,
       "ev_sessionize" -> 2, "ev_sliding_2h" -> 2, "ev_tumbling_1h" -> 3,
       "mm_features" -> 1, "pipe_curate" -> 5, "pipe_sample" -> 1,
-      "pipe_token_budget" -> 2, "q1_pricing_summary" -> 2,
+      "pipe_token_budget" -> 2,
+      // final plan reads the loop's checkpointed labels: sort only
+      "pipe_dup_clusters" -> 2, "q1_pricing_summary" -> 2,
       "q3_shipping_priority" -> 1, "q5_local_supplier" -> 2,
       "q6_revenue_change" -> 1, "q_approx_distinct" -> 3, "q_pivot" -> 3,
       "q_rollup" -> 2, "q_running_sum" -> 2, "q_semi_anti" -> 5,
