@@ -38,7 +38,7 @@ object DedupOps extends Suite {
   /** DuckDB twin of the 3-gram shingle set (the oracle works on the
     * shingle strings; Spark works on their hashes — jaccard counts
     * are identical since hashing preserves set identity). */
-  private val shinglesSqlExpr =
+  private[operators] val shinglesSqlExpr =
     "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])"
 
   // ---- dedup_exact: md5 fingerprint groups --------------------------

@@ -183,10 +183,50 @@ object PipelineOps extends Suite {
       |FROM reach GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- pipe_decontaminate: benchmark-overlap flagging ---------------
+  // Test-set decontamination: a corpus document is contaminated if it
+  // shares ≥ 8 distinct 3-gram shingles with any benchmark document
+  // (docs with doc_id < 10 stand in for the held-out set). The shape
+  // differs from the dedup self-joins: the benchmark side is TINY and
+  // broadcasts, so the corpus streams through one map-side hash join
+  // on the shingle hash — no shuffle of corpus shingles at any scale,
+  // the canonical "scan 100 TB against a fixed contamination list"
+  // plan.
+  private val contamMinShared = 8
+  private val benchDocs = 10
+
+  private def pipeDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = Tables.documents(spark, dir)
+      .select(col("doc_id"), Tok.toks.as("t"))
+      .select(col("doc_id"), expr("shingle_hash3(t)").as("s"))
+    val corpus = shingled.filter(col("doc_id") >= benchDocs)
+      .select(col("doc_id"), explode(col("s")).as("h"))
+    val bench = shingled.filter(col("doc_id") < benchDocs)
+      .select(col("doc_id").as("bench_id"), explode(col("s")).as("h"))
+    corpus.join(broadcast(bench), Seq("h"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= contamMinShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  private val pipeDecontaminateSql = {
+    import DedupOps.shinglesSqlExpr
+    s"""WITH sh AS (
+      |  SELECT doc_id, $shinglesSqlExpr AS s
+      |  FROM (SELECT doc_id, ${Tok.toksSql} AS t FROM documents) x)
+      |SELECT c.doc_id, b.doc_id AS bench_id,
+      |  CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS n_shared
+      |FROM sh c JOIN sh b ON b.doc_id < $benchDocs AND c.doc_id >= $benchDocs
+      |WHERE len(list_intersect(c.s, b.s)) >= $contamMinShared
+      |ORDER BY c.doc_id, bench_id""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("pipe_curate", pipeCurate, Some(pipeCurateSql)),
     Op("pipe_sample", pipeSample, Some(pipeSampleSql)),
     Op("pipe_token_budget", pipeTokenBudget, Some(pipeTokenBudgetSql)),
     Op("pipe_dup_clusters", pipeDupClusters, Some(pipeDupClustersSql)),
+    Op("pipe_decontaminate", pipeDecontaminate, Some(pipeDecontaminateSql)),
   )
 }
