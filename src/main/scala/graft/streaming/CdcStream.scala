@@ -70,7 +70,8 @@ object CdcStream {
       target: CdcTarget,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
-      breaker: Option[CircuitBreaker] = None): StreamingQuery = {
+      breaker: Option[CircuitBreaker] = None,
+      mergeAttempts: Int = 1): StreamingQuery = {
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -79,7 +80,12 @@ object CdcStream {
         import batch.sparkSession.implicits._
         val deduped = batch.groupByKey(_.user_id)
           .reduceGroups(newer _).map(_._2).map(applied)
-        def run(): Unit = target.merge(batchId, deduped)
+        // retry INSIDE the breaker: transient write errors burn
+        // attempts, only an exhausted retry counts as one breaker
+        // failure (the reference's per-write retry → breaker order)
+        def run(): Unit = Retry.withBackoff(mergeAttempts) {
+          target.merge(batchId, deduped)
+        }
         breaker.fold(run())(_.protect(run()))
       }
       .start()
