@@ -322,11 +322,90 @@ object Relational extends Suite {
       .orderBy("l_returnflag")
   }
 
+  // ---- q7: volume shipping between nation pairs (TPC-H Q7 shape) ----
+  // Cross-nation trade flows: revenue shipped from a supplier nation
+  // to a DIFFERENT customer nation, per ship year. Two independent
+  // dimension paths hang off lineitem (supplier→nation and
+  // orders→customer→nation) — the shape that exercises multi-path
+  // broadcast resolution; facts shuffle once on their join keys.
+  private def q7(spark: SparkSession, dir: String): DataFrame = {
+    val nationS = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val nationC = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nationS), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(nationC), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(rev()).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q7Sql =
+    s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+      |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM($revSql) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |WHERE ns.n_name <> nc.n_name
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- q10: returned-item top customers (TPC-H Q10 shape) -----------
+  // Who returned the most revenue: returned lineitems joined back to
+  // customer + nation, top 20 by exact decimal revenue with key
+  // tie-break (double revenue ties would otherwise make the cut
+  // nondeterministic across engines).
+  private def q10(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(rev()).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(SUM($revSql) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
     Op("q3_shipping_priority", q3, Some(q3Sql)),
     Op("q5_local_supplier", q5, Some(q5Sql)),
     Op("q6_revenue_change", q6, Some(q6Sql)),
+    Op("q7_volume_shipping", q7, Some(q7Sql)),
+    Op("q10_returned_items", q10, Some(q10Sql)),
     Op("q_top_suppliers", qTopSuppliers, Some(qTopSuppliersSql)),
     Op("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     Op("q_rollup", qRollup, Some(qRollupSql)),
