@@ -18,9 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * INTERPRETED — higher-order functions don't whole-stage-codegen —
   * and re-quantizes both sides for every pair):
   *  - quantization replays Spark's Cast(double→DecimalType(12,8)):
-  *    `BigDecimal.valueOf(d).setScale(8, HALF_UP)`, null on overflow
-  *    (precision > 12), so each element's unscaled long is the exact
-  *    Decimal the cast produces;
+  *    `BigDecimal.valueOf(d).setScale(8, HALF_UP)` — NaN/Infinity
+  *    null the dot and precision overflow THROWS, matching the
+  *    session's ANSI cast and the oracle's erroring CAST (see
+  *    quant());
   *  - scale-16 products and their sum are computed exactly in 128
   *    bits (64 terms of ≤2^80 fit comfortably in 2^127);
   *  - the result is `new BigDecimal(sum, 16).doubleValue()` — the
@@ -92,9 +93,14 @@ object DecDot {
   private val PRECISION = 12
   private val MAX_UNSCALED = 999999999999L // 12 nines
 
-  /** Spark's Cast(double → DECIMAL(12,8)) per element; null if any
-    * element is null or overflows the precision (the HOF form nulls
-    * the whole dot in those cases, so whole-array null is exact). */
+  /** Spark's Cast(double → DECIMAL(12,8)) per element, replayed with
+    * the session's ANSI semantics (Engine never disables ANSI, and
+    * Spark 4 defaults it ON — verified empirically against the HOF):
+    *  - null or NaN/Infinity element → null array (the HOF's cast
+    *    yields a null element, whose product nulls the whole dot);
+    *  - precision overflow (|x| ≥ 1e4) → ArithmeticException, as the
+    *    ANSI cast throws and the DuckDB oracle's CAST errors — a
+    *    silent null here would DIVERGE from both. */
   def quant(arr: ArrayData): GenericArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
@@ -102,11 +108,14 @@ object DecDot {
     while (i < n) {
       if (arr.isNullAt(i)) return null
       val d = arr.getFloat(i).toDouble
+      if (d.isNaN || d.isInfinite) return null
       val bd = java.math.BigDecimal.valueOf(d)
         .setScale(SCALE, java.math.RoundingMode.HALF_UP)
-      if (bd.precision > PRECISION) return null
       val u = bd.unscaledValue.longValueExact()
-      if (u > MAX_UNSCALED || u < -MAX_UNSCALED) return null
+      if (u > MAX_UNSCALED || u < -MAX_UNSCALED)
+        throw new ArithmeticException(
+          s"dec_quant: $d out of range for DECIMAL($PRECISION,$SCALE) " +
+            "(ANSI cast overflow)")
       out(i) = u
       i += 1
     }
@@ -124,6 +133,10 @@ object DecDot {
     var lo = 0L
     var i = 0
     while (i < n) {
+      // dec_dot is a session-registered SQL function: a caller can
+      // hand it arrays with null slots directly (dec_quant never
+      // does) — reading one as 0 would fabricate a value
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getLong(i)
       val y = b.getLong(i)
       val pHi = Math.multiplyHigh(x, y)

@@ -157,6 +157,9 @@ object PipelineOps extends Suite {
         .filter(col("lbl") =!= col("old")).isEmpty
       labels = next
     }
+    // the edge cache served only the loop — don't pin it for the
+    // session (the converged labels are checkpointed, not cached)
+    undirected.unpersist()
     labels
       .select(col("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))

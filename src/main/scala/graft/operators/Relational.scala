@@ -367,9 +367,11 @@ object Relational extends Suite {
 
   // ---- q10: returned-item top customers (TPC-H Q10 shape) -----------
   // Who returned the most revenue: returned lineitems joined back to
-  // customer + nation, top 20 by exact decimal revenue with key
-  // tie-break (double revenue ties would otherwise make the cut
-  // nondeterministic across engines).
+  // customer + nation, top 20. The sort key is the DOUBLE-cast
+  // revenue (identical on both engines because the sum is decimal),
+  // so the c_custkey tie-break is LOAD-BEARING: distinct decimal
+  // revenues can collapse to equal doubles, and without the tie-break
+  // the top-20 cut would be nondeterministic. Don't remove it.
   private def q10(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")

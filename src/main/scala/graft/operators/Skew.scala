@@ -22,13 +22,19 @@ object Skew {
     *
     * The output multiset is identical to `fact.join(dim, key)` for
     * ANY salt assignment — the salt only spreads rows, it never
-    * changes which fact row meets which dim row. The assignment used
-    * here (hash of the whole fact row) is content-deterministic, so
-    * repeated runs shuffle identically. */
+    * changes which fact row meets which dim row. The assignment
+    * hashes the row content PLUS a per-partition row counter:
+    * content alone would send byte-identical duplicate rows (common
+    * in event logs — same key, same payload) to one salt and leave
+    * the hot key pinned to one task. The counter component makes the
+    * salt deterministic for a fixed input partitioning rather than
+    * content-stable; correctness never depends on it. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltCol = pmod(xxhash64(struct(fact.columns.map(col).toSeq: _*)),
+    val saltCol = pmod(
+      xxhash64(struct(fact.columns.map(col).toSeq: _*),
+        monotonically_increasing_id()),
       lit(salts.toLong))
     val saltedFact = fact.withColumn("__salt", saltCol)
     val repDim = dim.withColumn("__salt",

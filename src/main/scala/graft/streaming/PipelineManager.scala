@@ -28,7 +28,12 @@ class PipelineManager(spark: SparkSession) {
 
   private val pipelines = TrieMap.empty[String, Pipeline]
 
-  /** Start a named CDC merge pipeline. Fails if the name is live. */
+  /** Start a named CDC merge pipeline. Fails if the name is live;
+    * restarting a DEAD name first releases its listener (listeners
+    * are session-global — a replaced pipeline's listener would
+    * otherwise stay registered forever). Synchronized so concurrent
+    * same-name starts cannot both pass the liveness check and orphan
+    * a running query. */
   def startCdc(
       name: String,
       events: Dataset[CdcEvent],
@@ -37,13 +42,19 @@ class PipelineManager(spark: SparkSession) {
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       breaker: CircuitBreaker = new CircuitBreaker(),
       warnBatchMillis: Long = 10000,
-      dangerBatchMillis: Long = 30000): Pipeline = {
+      dangerBatchMillis: Long = 30000): Pipeline = synchronized {
     require(!pipelines.get(name).exists(_.query.isActive),
       s"pipeline '$name' is already running")
+    pipelines.remove(name).foreach(old =>
+      spark.streams.removeListener(old.listener))
     val listener = new LagListener(warnBatchMillis, dangerBatchMillis)
     spark.streams.addListener(listener)
-    val query = CdcStream.mergeInto(events, target, checkpoint, trigger,
-      breaker = Some(breaker))
+    val query =
+      try CdcStream.mergeInto(events, target, checkpoint, trigger,
+        breaker = Some(breaker))
+      catch { case e: Throwable =>
+        spark.streams.removeListener(listener); throw e
+      }
     // the id exists only after start(); progress events are delivered
     // async after a batch completes, so binding here precedes the
     // first event in practice — an unscoped listener would merely

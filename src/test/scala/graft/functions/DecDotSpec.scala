@@ -48,6 +48,28 @@ class DecDotSpec extends SparkSpec {
     assert(withNull.head.isNullAt(0))
   }
 
+  test("overflow and NaN edge semantics match the HOF under ANSI") {
+    val s = spark
+    import s.implicits._
+    // |x| >= 1e4 overflows DECIMAL(12,8): the ANSI cast throws in the
+    // HOF path and dec_quant must throw too (a silent null would
+    // silently diverge from the erroring DuckDB oracle)
+    val over = Seq((Array(99999.9f, 1.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    intercept[Exception] {
+      over.select(VectorMath.dotDecHof(col("a"), col("b"))).collect()
+    }
+    intercept[Exception] {
+      over.select(VectorMath.dotDec(col("a"), col("b"))).collect()
+    }
+    // NaN: the ANSI cast yields a null element → null dot in the HOF;
+    // dec_quant nulls the same way
+    val nan = Seq((Array(Float.NaN, 1.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val hofRow = nan.select(VectorMath.dotDecHof(col("a"), col("b"))).head
+    val fastRow = nan.select(VectorMath.dotDec(col("a"), col("b"))).head
+    assert(hofRow.isNullAt(0) && fastRow.isNullAt(0),
+      "NaN must null the dot on both paths")
+  }
+
   test("dec_dot survives codegen and the interpreted path agrees") {
     val s = spark
     import s.implicits._
