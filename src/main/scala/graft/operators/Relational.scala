@@ -401,6 +401,40 @@ object Relational extends Suite {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  // ---- q14: promo revenue share per month (TPC-H Q14 shape) ---------
+  // Conditional aggregation over a fact⋈dim join: the share of
+  // monthly revenue from promo parts. Both sums are decimal-exact;
+  // the ratio is one double division of bit-identical operands, and
+  // months with zero revenue cannot occur (every lineitem has a
+  // part), so the divide never hits 0/0.
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"),
+        date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("ship_month")
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), rev())
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(12, 2))))
+          .cast("double").as("promo_revenue"),
+        sum(rev()).cast("double").as("total_revenue"))
+      .withColumn("promo_pct",
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
+      .orderBy("ship_month")
+  }
+
+  private val q14Sql =
+    s"""SELECT date_trunc('month', l_shipdate) AS ship_month,
+      |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $revSql
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(SUM($revSql) AS DOUBLE) AS total_revenue,
+      |  ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $revSql
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+      |    CAST(SUM($revSql) AS DOUBLE), 6) AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
     Op("q3_shipping_priority", q3, Some(q3Sql)),
@@ -408,6 +442,7 @@ object Relational extends Suite {
     Op("q6_revenue_change", q6, Some(q6Sql)),
     Op("q7_volume_shipping", q7, Some(q7Sql)),
     Op("q10_returned_items", q10, Some(q10Sql)),
+    Op("q14_promo_revenue", q14, Some(q14Sql)),
     Op("q_top_suppliers", qTopSuppliers, Some(qTopSuppliersSql)),
     Op("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     Op("q_rollup", qRollup, Some(qRollupSql)),

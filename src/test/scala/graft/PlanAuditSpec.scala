@@ -73,7 +73,7 @@ class PlanAuditSpec extends SparkSpec {
       "pipe_dup_clusters" -> 2, "q1_pricing_summary" -> 2,
       "q3_shipping_priority" -> 1, "q5_local_supplier" -> 2,
       "q6_revenue_change" -> 1, "q7_volume_shipping" -> 2,
-      "q10_returned_items" -> 1, "pipe_decontaminate" -> 2,
+      "q10_returned_items" -> 1, "q14_promo_revenue" -> 2, "pipe_decontaminate" -> 2,
       "q_approx_distinct" -> 3, "q_pivot" -> 3,
       "q_rollup" -> 2, "q_running_sum" -> 2, "q_semi_anti" -> 5,
       "q_top_suppliers" -> 1, "q_window_topn" -> 3, "sim_ann_lsh" -> 3,
