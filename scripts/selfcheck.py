@@ -17,13 +17,57 @@ import pyarrow.dataset as ds
 
 
 def norm(v):
+    # repr(), not "%.17g": %g drops trailing zeros, so an oracle column
+    # that pandas materialized as float64 (e.g. DuckDB HUGEINT from a
+    # windowed SUM) normalizes to the same string as Spark's int64 and
+    # the type drift hides until the driver's hasher catches it.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.17g}"
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def kind(t):
+    """Coarse type class for the cross-engine schema audit."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{kind(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct"
+    return str(t)
+
+
+def type_drift(name, want_arrow, got_schema):
+    """Flag columns whose coarse type class differs between the DuckDB
+    oracle and the Spark parquet output — the class of bug the value
+    hash only catches when a value happens to format differently."""
+    drifted = []
+    got = {f.name: f.type for f in got_schema}
+    for f in want_arrow.schema:
+        if f.name in got and kind(f.type) != kind(got[f.name]):
+            drifted.append(
+                f"{f.name}: oracle={f.type}({kind(f.type)}) "
+                f"spark={got[f.name]}({kind(got[f.name])})")
+    return drifted
 
 
 def table_hash(rows):
@@ -47,6 +91,7 @@ def main():
         try:
             want = con.sql(sql)
             want_cols = sorted(want.columns)
+            want_arrow = con.sql(sql).arrow()
             want_rows = [tuple(r[c] for c in want_cols)
                          for r in want.df().to_dict("records")]
         except Exception as e:
@@ -54,11 +99,17 @@ def main():
             n_fail += 1
             continue
         try:
-            got = ds.dataset(f"{OUT}/{name}").to_table().to_pylist()
+            got_ds = ds.dataset(f"{OUT}/{name}")
+            got = got_ds.to_table().to_pylist()
             got_cols = sorted(got[0].keys()) if got else want_cols
             got_rows = [tuple(r[c] for c in got_cols) for r in got]
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        drifted = type_drift(name, want_arrow, got_ds.schema)
+        if drifted:
+            print(f"FAIL {name}: type drift: {'; '.join(drifted)}")
             n_fail += 1
             continue
         if got_cols != want_cols:

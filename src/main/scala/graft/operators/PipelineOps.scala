@@ -108,9 +108,10 @@ object PipelineOps extends Suite {
   private val pipeTokenBudgetSql =
     s"""WITH scored AS (${TextOps.qualityScoredSql})
       |SELECT doc_id, lang, n_tokens, quality, cum_tokens FROM (
-      |  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang
+      |  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang
       |    ORDER BY quality DESC, doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_tokens
       |  FROM scored) x
       |WHERE cum_tokens <= $tokenBudget
       |ORDER BY lang, cum_tokens""".stripMargin

@@ -425,7 +425,7 @@ object Relational extends Suite {
   }
 
   private val q14Sql =
-    s"""SELECT date_trunc('month', l_shipdate) AS ship_month,
+    s"""SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
       |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $revSql
       |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
       |  CAST(SUM($revSql) AS DOUBLE) AS total_revenue,
