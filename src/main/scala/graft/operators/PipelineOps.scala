@@ -139,30 +139,48 @@ object PipelineOps extends Suite {
       .select(col("a_id").as("u"), col("b_id").as("v"))
     val undirected = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .persist()
-    // each round truncates lineage with an eager localCheckpoint —
-    // without it the final plan unrolls every iteration's joins
-    // (~100 exchanges after 3 rounds; the budget spec would catch
-    // it). On a cluster this would be a directory-backed checkpoint.
-    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
-      .localCheckpoint()
+    // Only edge-touched doc_ids can ever change label: iterate over
+    // that (tiny) frame and union the untouched docs back as
+    // singleton clusters once at the end. At 100 TB the dup-pair
+    // graph is orders of magnitude smaller than the corpus, so the
+    // loop never carries corpus-sized rows.
+    // each round truncates lineage with an eager RELIABLE checkpoint
+    // (directory-backed, survives executor loss — localCheckpoint's
+    // memory-only lineage would be unrecoverable on a real cluster).
+    // Without truncation the final plan unrolls every iteration's
+    // joins (~100 exchanges after 3 rounds; the budget spec catches
+    // it). On a cluster, point setCheckpointDir at durable storage.
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    // checkpointed (not just derived): the final singleton anti-join
+    // reads `touched` AFTER the edge cache is unpersisted — without
+    // materialization it would replay the whole edge derivation
+    val touched = undirected.select(col("u").as("doc_id")).distinct()
+      .checkpoint()
+    var labels = touched.select(col("doc_id"), col("doc_id").as("lbl"))
     var converged = false
     while (!converged) {
       val neighborMin = undirected
         .join(labels.select(col("doc_id").as("v"), col("lbl").as("nlbl")), Seq("v"))
         .groupBy(col("u").as("doc_id")).agg(min(col("nlbl")).as("nmin"))
+      // convergence rides the same materialization: `changed` is
+      // computed in the checkpointed frame, so the check below is a
+      // scan of already-materialized data, not a second plan execution
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("doc_id"))
-        .filter(col("lbl") =!= col("old")).isEmpty
-      labels = next
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          (col("nmin") < col("lbl")).as("changed"))
+        .checkpoint()
+      converged = next.filter(col("changed")).limit(1).isEmpty
+      labels = next.drop("changed")
     }
     // the edge cache served only the loop — don't pin it for the
     // session (the converged labels are checkpointed, not cached)
     undirected.unpersist()
-    labels
-      .select(col("doc_id"), col("lbl").as("cluster_id"))
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+      .union(docs.join(touched, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
   }
