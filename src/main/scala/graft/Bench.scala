@@ -2,8 +2,17 @@ package graft
 /** Per-round benchmark: times every registered query at
   * SPARK_GRAFT_SF_DIR with a noop-format write (materializes every
   * column — `.count()` would let Catalyst prune the aggregates) after
-  * one untimed warmup pass (JVM/codegen). Failures are fatal. */
+  * one untimed warmup pass (JVM/codegen). Failures are fatal.
+  *
+  * Each query is timed k=3 times (round-robin, so a transient
+  * contention spike on a shared host lands on different queries each
+  * round) and the reported number is the per-query MIN — contention
+  * only ever adds time, so the min is the closest observable to the
+  * machine's true cost. All raw samples ship in the JSON so a noisy
+  * round is diagnosable from the artifact alone. */
 object Bench {
+  private val rounds = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-bench")
@@ -22,11 +31,17 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOne) // warmup: JVM JIT + codegen cache + FS cache
-    val results = names.map(n => n -> runOne(n))
+    val samples: Map[String, Seq[Double]] =
+      (1 to rounds).flatMap(_ => names.map(n => n -> runOne(n)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val results = names.map(n => n -> samples(n).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    val raw = names.map { n =>
+      "\"" + n + "\":[" + samples(n).map(num).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
