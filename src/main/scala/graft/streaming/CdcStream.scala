@@ -111,7 +111,9 @@ trait CdcTarget extends Serializable {
   def merge(batchId: Long, rows: Dataset[CdcApplied]): Unit
 }
 
-/** In-memory reference target used by the specs. The collect() here
+/** In-memory convenience target for specs and local debugging — the
+  * production-shaped implementation is [[JdbcCdcTarget]], which
+  * enforces the same contract in warehouse-side SQL. The collect() here
   * is the test-only materialization of a tiny batch into a local map
   * — a real target consumes the Dataset distributively. */
 class InMemoryCdcTarget extends CdcTarget {
