@@ -205,6 +205,34 @@ object PipelineOps extends Suite {
       |FROM reach GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- pipe_curate_cc: curation with cluster-keeper drop-list -------
+  // pipe_curate's near-drop removes the b-side of every PAIR, which is
+  // only correct when dup relations are complete; on a—b—c chains the
+  // pair list may over- or under-drop relative to the intended "one
+  // survivor per dup cluster". The connected-component keeper set IS
+  // that semantic (and subsumes the exact-dup keep: exact groups are
+  // edges, so only each cluster's min doc_id survives) — so the
+  // correct funnel is quality gate ∩ cluster keepers, composed from
+  // the two audited ops. Costs the same label-propagation loop plus
+  // one semi join on doc_id.
+  private def pipeCurateCc(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.qualityScored(spark, dir)
+      .select("doc_id", "lang", "n_tokens", "quality")
+    val keepers = pipeDupClusters(spark, dir)
+      .filter(col("is_keeper")).select("doc_id")
+    scored.filter(col("quality") >= qualityFloor)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .orderBy("doc_id")
+  }
+
+  private val pipeCurateCcSql =
+    s"""WITH scored AS (${TextOps.qualityScoredSql}),
+      |clusters AS ($pipeDupClustersSql)
+      |SELECT doc_id, lang, n_tokens, quality FROM scored
+      |WHERE quality >= $qualityFloor
+      |  AND doc_id IN (SELECT doc_id FROM clusters WHERE is_keeper)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- pipe_decontaminate: benchmark-overlap flagging ---------------
   // Test-set decontamination: a corpus document is contaminated if it
   // shares ≥ 8 distinct 3-gram shingles with any benchmark document
@@ -249,6 +277,7 @@ object PipelineOps extends Suite {
     Op("pipe_sample", pipeSample, Some(pipeSampleSql)),
     Op("pipe_token_budget", pipeTokenBudget, Some(pipeTokenBudgetSql)),
     Op("pipe_dup_clusters", pipeDupClusters, Some(pipeDupClustersSql)),
+    Op("pipe_curate_cc", pipeCurateCc, Some(pipeCurateCcSql)),
     Op("pipe_decontaminate", pipeDecontaminate, Some(pipeDecontaminateSql)),
   )
 }

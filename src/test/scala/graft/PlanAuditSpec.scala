@@ -70,7 +70,10 @@ class PlanAuditSpec extends SparkSpec {
       "mm_features" -> 1, "pipe_curate" -> 5, "pipe_sample" -> 1,
       "pipe_token_budget" -> 2,
       // final plan reads the loop's checkpointed labels: sort only
-      "pipe_dup_clusters" -> 2, "q1_pricing_summary" -> 2,
+      "pipe_dup_clusters" -> 2,
+      // keeper semi-join broadcasts; the one exchange is the final sort
+      "pipe_curate_cc" -> 1,
+      "q1_pricing_summary" -> 2,
       "q3_shipping_priority" -> 1, "q5_local_supplier" -> 2,
       "q6_revenue_change" -> 1, "q7_volume_shipping" -> 2,
       "q10_returned_items" -> 1, "q14_promo_revenue" -> 2, "pipe_decontaminate" -> 2,
