@@ -22,11 +22,12 @@ object Relational extends Suite {
     * per-engine double-rounding), so the aggregated sums are
     * bit-identical across Spark and the DuckDB oracle. The SQL twins
     * use the identical CAST structure. */
-  private def rev(price: String = "l_extendedprice", disc: String = "l_discount") =
+  private[operators] def rev(
+      price: String = "l_extendedprice", disc: String = "l_discount") =
     col(price).cast(DecimalType(12, 2)) *
       (lit(1.0) - col(disc)).cast(DecimalType(4, 2))
 
-  private val revSql =
+  private[operators] val revSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))"
 
   // ---- q1: pricing summary (TPC-H Q1 shape) -------------------------

@@ -79,6 +79,10 @@ class PlanAuditSpec extends SparkSpec {
       "q10_returned_items" -> 1, "q14_promo_revenue" -> 2, "pipe_decontaminate" -> 2,
       "q_approx_distinct" -> 3, "q_pivot" -> 3,
       "q_rollup" -> 2, "q_running_sum" -> 2, "q_semi_anti" -> 5,
+      // join itself is exchange-free (bucketed SMJ); agg + sort remain
+      "q_bucketed_join" -> 2,
+      // dim broadcasts at test SF (salted keys still in the join); agg + sort
+      "q_salted_join" -> 2,
       "q_top_suppliers" -> 1, "q_window_topn" -> 3, "sim_ann_lsh" -> 3,
       "sim_centroids" -> 4, "sim_ivf_topk" -> 5, "sim_topk_exact" -> 2,
       "txt_fingerprint" -> 1, "txt_langid" -> 1, "txt_quality" -> 1,
@@ -97,6 +101,30 @@ class PlanAuditSpec extends SparkSpec {
           s"new query $name plans $n shuffles — audit it and add a pin")
       }
     }
+  }
+
+  test("q_bucketed_join is an exchange-free sort-merge join; q_salted_join keys on the salt") {
+    // the bucketed layout must remove the fact-fact shuffle: the
+    // sort-merge join subtree reads the bucketed tables directly,
+    // with no Exchange between scan and join
+    val smj = collectAll(physical("q_bucketed_join")).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, "bucketed join must take the sort-merge path")
+    val shufflesBelow = smj.flatMap(j => collectAll(j).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    })
+    assert(shufflesBelow.isEmpty, "bucketed join still shuffles its inputs")
+
+    // the salted join must actually join on (key, salt) — losing the
+    // salt column would silently revert to the hot-key plan
+    val keys = collectAll(physical("q_salted_join")).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.nonEmpty =>
+        j.leftKeys.flatMap(_.references.map(_.name)).toSet
+    }
+    assert(keys.exists(k => k.exists(_.contains("salt"))),
+      s"salted join lost its salt key — join keys were $keys")
   }
 
   test("dedup pair joins key on block/bucket columns, not bare label/lang") {
