@@ -71,6 +71,13 @@ class PipelineManager(spark: SparkSession) {
   def health: Map[String, Health.Report] =
     pipelines.view.mapValues(p => Health.check(p.listener, p.breaker)).toMap
 
+  /** Observe every registered pipeline's current lag tier into the
+    * alert manager — the reference's periodic update_status sweep
+    * (alert_manager.rs:113). Call on a monitor cadence; sustained-state
+    * windows, escalation, and recovery live in [[AlertManager]]. */
+  def sweep(alerts: AlertManager): Unit =
+    pipelines.foreach { case (name, p) => alerts.update(name, p.listener.health) }
+
   /** Stop one pipeline and release its listener. */
   def stop(name: String): Unit = pipelines.remove(name).foreach { p =>
     p.query.stop()

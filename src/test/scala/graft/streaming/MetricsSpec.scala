@@ -58,4 +58,39 @@ class MetricsSpec extends SparkSpec {
       assert(text.contains("""graft_health_status{pipeline="scrape_me"} 0"""))
     } finally mgr.stopAll()
   }
+
+  test("manager sweep drives sustained alerts from live pipeline health") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    def ev(id: Long, t: Long, uid: Long) =
+      CdcEvent(id, new Timestamp(t), uid, "click", 1.0)
+
+    val mgr = new PipelineManager(s)
+    val in = MemoryStream[CdcEvent]
+    // warnBatchMillis = 0: every completed batch classifies Warning, so
+    // the sweep observes a genuinely unhealthy live pipeline
+    val p = mgr.startCdc("laggy", in.toDS(), new InMemoryCdcTarget,
+      Files.createTempDirectory("graft_sweep").toString,
+      Trigger.ProcessingTime("50 milliseconds"), warnBatchMillis = 0)
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[AlertManager.Alert]
+    var now = 0L
+    val alerts = new AlertManager(delivered += _, sustainMillis = 1000,
+      clock = () => now, sleep = _ => ())
+    try {
+      in.addData(ev(1, 1000, 1))
+      p.query.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      while (p.listener.health == LagListener.Ok &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(p.listener.health == LagListener.Warning)
+
+      mgr.sweep(alerts)              // t=0: episode opens, not sustained
+      assert(delivered.isEmpty)
+      now = 1000; mgr.sweep(alerts)  // sustained → one alert
+      assert(delivered.map(a => (a.pipeline, a.kind)) ==
+        Seq(("laggy", AlertManager.Triggered)))
+    } finally mgr.stopAll()
+  }
 }
