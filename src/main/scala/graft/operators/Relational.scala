@@ -436,6 +436,149 @@ object Relational extends Suite {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q4: priority count over EXISTS (TPC-H Q4 shape) --------------
+  // The decorrelated-EXISTS shape: count orders per priority having at
+  // least one returned lineitem (this schema has no commit/receipt
+  // dates, so the return flag stands in for the lateness predicate).
+  // Spark plans the semi join; no count-distinct or dedup needed.
+  private def q4(spark: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    Tables.orders(spark, dir)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q12: two-class conditional counts (TPC-H Q12 shape) ----------
+  // Conditional aggregation over the fact⋈fact join: urgent/high vs
+  // other order priorities per return flag (no l_shipmode in this
+  // schema — the flag is the grouping stand-in). Counts are BIGINT on
+  // both engines (DuckDB's SUM-of-int would be HUGEINT — the audited
+  // type-drift trap — so the oracle counts with COUNT + FILTER).
+  private def q12(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    val highPrio = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_returnflag")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(when(highPrio, 1)).as("high_line_count"),
+        count(when(!highPrio, 1)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q12Sql =
+    """SELECT l_returnflag,
+      |  COUNT(*) FILTER (o_orderpriority IN ('1-URGENT','2-HIGH'))
+      |    AS high_line_count,
+      |  COUNT(*) FILTER (o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+      |    AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q13: customer order-count distribution (TPC-H Q13 shape) -----
+  // The left-outer + two-level aggregation: customers keep a row even
+  // with zero qualifying orders (COUNT of the null-extended side is
+  // 0), then the distribution of counts. The outer join preserves the
+  // 0-bucket that an inner join would silently drop.
+  private def q13(spark: SparkSession, dir: String): DataFrame = {
+    val openOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") =!= "F").select("o_orderkey", "o_custkey")
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(openOrders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  private val q13Sql =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      |  GROUP BY c_custkey) x
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---- q18: large-volume orders (TPC-H Q18 shape) -------------------
+  // Aggregate-then-join-back: orders whose total quantity clears a
+  // threshold, rejoined to order/customer detail. The HAVING runs on
+  // the exact decimal sum (bit-identical cross-engine, so the cut is
+  // too); o_orderkey breaks the price tie deterministically.
+  private val bigOrderQty = 250
+
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > bigOrderQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice", "total_qty")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val q18Sql =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  total_qty
+      |FROM (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |    > $bigOrderQty) big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  // ---- q19: disjunctive predicate revenue (TPC-H Q19 shape) ---------
+  // OR-of-ANDs across both join sides — the planner-stress shape: no
+  // single conjunct pushes below the join, so the filter must run on
+  // the joined rows without degrading the equi-join to a cross
+  // product (PlanAuditSpec's no-cartesian gate covers every query).
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val pt = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)
+          && col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50)
+          && col("l_quantity").between(20, 40)))
+      .agg(sum(rev()).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q19Sql =
+    s"""SELECT CAST(SUM($revSql) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+      |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
     Op("q3_shipping_priority", q3, Some(q3Sql)),
@@ -444,6 +587,11 @@ object Relational extends Suite {
     Op("q7_volume_shipping", q7, Some(q7Sql)),
     Op("q10_returned_items", q10, Some(q10Sql)),
     Op("q14_promo_revenue", q14, Some(q14Sql)),
+    Op("q4_priority_exists", q4, Some(q4Sql)),
+    Op("q12_priority_class", q12, Some(q12Sql)),
+    Op("q13_custdist", q13, Some(q13Sql)),
+    Op("q18_big_orders", q18, Some(q18Sql)),
+    Op("q19_disjunctive", q19, Some(q19Sql)),
     Op("q_top_suppliers", qTopSuppliers, Some(qTopSuppliersSql)),
     Op("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     Op("q_rollup", qRollup, Some(qRollupSql)),

@@ -76,7 +76,10 @@ class PlanAuditSpec extends SparkSpec {
       "q1_pricing_summary" -> 2,
       "q3_shipping_priority" -> 1, "q5_local_supplier" -> 2,
       "q6_revenue_change" -> 1, "q7_volume_shipping" -> 2,
-      "q10_returned_items" -> 1, "q14_promo_revenue" -> 2, "pipe_decontaminate" -> 2,
+      "q10_returned_items" -> 1, "q14_promo_revenue" -> 2,
+      "q4_priority_exists" -> 2, "q12_priority_class" -> 2,
+      "q13_custdist" -> 3, "q18_big_orders" -> 1, "q19_disjunctive" -> 1,
+      "pipe_decontaminate" -> 2,
       "q_approx_distinct" -> 3, "q_pivot" -> 3,
       "q_rollup" -> 2, "q_running_sum" -> 2, "q_semi_anti" -> 5,
       // join itself is exchange-free (bucketed SMJ); agg + sort remain
