@@ -185,13 +185,19 @@ object PipelineOps extends Suite {
       .orderBy("doc_id")
   }
 
+  // MATERIALIZED is load-bearing: DuckDB re-executes a plain CTE per
+  // REFERENCE (and per recursive iteration for CTEs used in the
+  // recursive term) — `near` wraps the expensive jaccard pair query
+  // and `edges` is referenced every iteration of `reach`, so without
+  // materialization this oracle multiplies a ~2-minute subquery by
+  // 2× references × O(diameter) iterations at sf0.1.
   private val pipeDupClustersSql =
-    s"""WITH RECURSIVE near AS (SELECT a_id, b_id FROM (${DedupOps.jaccardPairsSql}) j),
-      |exact AS (
+    s"""WITH RECURSIVE near AS MATERIALIZED (SELECT a_id, b_id FROM (${DedupOps.jaccardPairsSql}) j),
+      |exact AS MATERIALIZED (
       |  SELECT MIN(doc_id) OVER w AS a_id, doc_id AS b_id
       |  FROM documents
       |  WINDOW w AS (PARTITION BY md5(text))),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT a_id AS u, b_id AS v FROM exact WHERE a_id < b_id
       |  UNION SELECT b_id, a_id FROM exact WHERE a_id < b_id
       |  UNION SELECT a_id, b_id FROM near

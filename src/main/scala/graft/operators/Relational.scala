@@ -579,6 +579,163 @@ object Relational extends Suite {
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
       |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
 
+  // ---- q8: market share per year (TPC-H Q8 shape) -------------------
+  // Share-of-total conditional aggregation over the full dimension
+  // path (lineitem⋈orders⋈customer⋈nation⋈region): one nation's slice
+  // of a region's yearly revenue. Both sums are decimal-exact; the
+  // share is one double division of bit-identical operands, rounded
+  // after.
+  private val q8Region = "ASIA"
+  private val q8Nation = "NATION_2"
+
+  private def q8(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === q8Region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("n_name") === q8Nation, rev())
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(12, 2))))
+          .cast("double").as("nation_revenue"),
+        sum(rev()).cast("double").as("total_revenue"))
+      .withColumn("mkt_share",
+        round(col("nation_revenue") / col("total_revenue"), 6))
+      .orderBy("o_year")
+  }
+
+  private val q8Sql =
+    s"""SELECT year(o_orderdate) AS o_year,
+      |  CAST(SUM(CASE WHEN n_name = '$q8Nation' THEN $revSql
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS nation_revenue,
+      |  CAST(SUM($revSql) AS DOUBLE) AS total_revenue,
+      |  ROUND(CAST(SUM(CASE WHEN n_name = '$q8Nation' THEN $revSql
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+      |    CAST(SUM($revSql) AS DOUBLE), 6) AS mkt_share
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = '$q8Region'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q9: profit by supplier nation × year (TPC-H Q9 shape) --------
+  // Derived-measure aggregation across four dimension paths: profit =
+  // revenue − 10% of retail value of the shipped quantity (this
+  // schema has no ps_supplycost; p_retailprice stands in). The whole
+  // amount stays in decimal until the final cast, so the per-group
+  // sums are order-independent and cross-engine exact.
+  private def q9(spark: SparkSession, dir: String): DataFrame = {
+    val amount = rev() -
+      col("l_quantity").cast(DecimalType(12, 2)) *
+      col("p_retailprice").cast(DecimalType(12, 2)) *
+      lit(new java.math.BigDecimal("0.1")).cast(DecimalType(1, 1))
+    val supNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name", "o_year")
+      .agg(sum(amount).cast("double").as("profit"))
+      .orderBy("n_name", "o_year")
+  }
+
+  private val q9Sql =
+    s"""SELECT n_name, year(o_orderdate) AS o_year,
+      |  CAST(SUM($revSql -
+      |    CAST(l_quantity AS DECIMAL(12,2)) *
+      |    CAST(p_retailprice AS DECIMAL(12,2)) *
+      |    CAST(0.1 AS DECIMAL(1,1))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q17: small-quantity revenue (TPC-H Q17 shape) ----------------
+  // The correlated-scalar-per-group shape, decorrelated as an
+  // aggregate self-join: lineitems shipping less than half their
+  // part's average quantity. The average is exact-decimal-sum over
+  // count — bit-identical cross-engine — and 0.5× is a power-of-two
+  // scale, so the cut is deterministic.
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    val pavg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(pavg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(sum(rev()).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q17Sql =
+    s"""SELECT CAST(SUM($revSql) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l JOIN (
+      |  SELECT l_partkey AS pk,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      |      AS avg_qty
+      |  FROM lineitem GROUP BY 1) a ON l.l_partkey = a.pk
+      |WHERE l.l_quantity < 0.5 * a.avg_qty""".stripMargin
+
+  // ---- q22: rich idle customers (TPC-H Q22 shape) -------------------
+  // Global-scalar subquery + anti join: customers above the positive
+  // average balance with NO open order, bucketed by segment. The
+  // scalar average broadcasts as a 1-row frame (BroadcastNestedLoop,
+  // not a CartesianProduct — the plan gate distinguishes); the anti
+  // join is the NOT EXISTS.
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    val avgBal = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    val openCust = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O").select("o_custkey")
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(openCust, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q22Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      |FROM customer c
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+      |      / COUNT(*)
+      |    FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
     Op("q3_shipping_priority", q3, Some(q3Sql)),
@@ -592,6 +749,10 @@ object Relational extends Suite {
     Op("q13_custdist", q13, Some(q13Sql)),
     Op("q18_big_orders", q18, Some(q18Sql)),
     Op("q19_disjunctive", q19, Some(q19Sql)),
+    Op("q8_market_share", q8, Some(q8Sql)),
+    Op("q9_profit_nation", q9, Some(q9Sql)),
+    Op("q17_small_qty", q17, Some(q17Sql)),
+    Op("q22_rich_idle", q22, Some(q22Sql)),
     Op("q_top_suppliers", qTopSuppliers, Some(qTopSuppliersSql)),
     Op("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     Op("q_rollup", qRollup, Some(qRollupSql)),

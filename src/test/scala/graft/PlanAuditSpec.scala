@@ -79,6 +79,8 @@ class PlanAuditSpec extends SparkSpec {
       "q10_returned_items" -> 1, "q14_promo_revenue" -> 2,
       "q4_priority_exists" -> 2, "q12_priority_class" -> 2,
       "q13_custdist" -> 3, "q18_big_orders" -> 1, "q19_disjunctive" -> 1,
+      "q8_market_share" -> 2, "q9_profit_nation" -> 2,
+      "q17_small_qty" -> 2, "q22_rich_idle" -> 3,
       "pipe_decontaminate" -> 2,
       "q_approx_distinct" -> 3, "q_pivot" -> 3,
       "q_rollup" -> 2, "q_running_sum" -> 2, "q_semi_anti" -> 5,
