@@ -34,6 +34,13 @@ import graft.sources.Formats
   * the `WHEN MATCHED AND s.seq > t.seq` guard (stale rows) — the
   * [[CdcTarget]] contract's idempotence, enforced by the database
   * rather than documented at the call site.
+  *
+  * Writer contract: ONE writer per target table (the reference's
+  * scheduled merge task is likewise singular per table). A streaming
+  * query calls merge sequentially per micro-batch, which satisfies
+  * this; pointing two concurrent pipelines at the same target table
+  * requires external serialization — the shared staging table is not
+  * safe under concurrent merges.
   */
 class JdbcCdcTarget(
     url: String, table: String,

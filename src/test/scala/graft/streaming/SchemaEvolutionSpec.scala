@@ -61,4 +61,47 @@ class SchemaEvolutionSpec extends SparkSpec {
         Seq(Set("event_id", "user_id", "v"), Set("props")))
     } finally q.stop()
   }
+
+  test("drifted JSON stream self-heals into Derby via real ALTER TABLE") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val target = new JdbcEvolvingCdcTarget(
+      "jdbc:derby:memory:evotgt1;create=true", "evo_tgt",
+      connOptions = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    val input = MemoryStream[String]
+    val checkpoint = Files.createTempDirectory("graft_evo_jdbc").toString
+    val q = SchemaEvolution.mergeEvolvingJson(input.toDS(), target, checkpoint,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      // v1 payloads create the base tables from the inferred schema
+      input.addData(
+        """{"user_id":1,"event_id":1,"ts":1000,"v":1.5}""",
+        """{"user_id":2,"event_id":2,"ts":1500,"v":2.5}""")
+      q.processAllAvailable()
+      assert(target.snapshot(1L)("v") == 1.5)
+
+      // v2 gains props and drops v: ALTER TABLE fires on all three
+      // tables; the full-row image replaces v with the healed NULL
+      input.addData(
+        """{"user_id":1,"event_id":3,"ts":3000,"props":"a=1"}""")
+      q.processAllAvailable()
+      val afterEvolve = target.snapshot
+      assert(afterEvolve(1L)("props") == "a=1")
+      assert(afterEvolve(1L)("v") == null,
+        "full-row image must replace dropped columns with NULL")
+      assert(afterEvolve(2L)("props") == null,
+        "pre-evolution rows must read the new column as NULL")
+
+      // a stale image (older seq) must not regress the evolved row,
+      // and the guard must survive schema widening
+      input.addData(
+        """{"user_id":1,"event_id":0,"ts":500,"v":9.9}""")
+      q.processAllAvailable()
+      val afterStale = target.snapshot
+      assert(afterStale(1L)("event_id") == 3L && afterStale(1L)("v") == null,
+        "stale image regressed evolved state")
+    } finally q.stop()
+  }
 }
