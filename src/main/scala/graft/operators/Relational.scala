@@ -736,6 +736,34 @@ object Relational extends Suite {
       |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q16: supplier breadth per part attribute (TPC-H Q16 shape) ---
+  // Distinct-count aggregation with an exclusion filter: how many
+  // distinct suppliers ship each surviving (brand, type) combination
+  // (lineitem stands in for partsupp — this schema has no partsupp).
+  // COUNT(DISTINCT) plans expand+two-phase aggregate in Spark; the
+  // full (brand, type) group key makes the DESC-count ordering
+  // deterministic.
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 9, 19, 29, 39, 49))
+      .select("p_partkey", "p_brand", "p_type")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"))
+      .limit(20)
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 9, 19, 29, 39, 49)
+      |GROUP BY 1, 2
+      |ORDER BY supplier_cnt DESC, p_brand, p_type
+      |LIMIT 20""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
     Op("q3_shipping_priority", q3, Some(q3Sql)),
@@ -753,6 +781,7 @@ object Relational extends Suite {
     Op("q9_profit_nation", q9, Some(q9Sql)),
     Op("q17_small_qty", q17, Some(q17Sql)),
     Op("q22_rich_idle", q22, Some(q22Sql)),
+    Op("q16_supplier_breadth", q16, Some(q16Sql)),
     Op("q_top_suppliers", qTopSuppliers, Some(qTopSuppliersSql)),
     Op("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     Op("q_rollup", qRollup, Some(qRollupSql)),

@@ -81,6 +81,7 @@ class PlanAuditSpec extends SparkSpec {
       "q13_custdist" -> 3, "q18_big_orders" -> 1, "q19_disjunctive" -> 1,
       "q8_market_share" -> 2, "q9_profit_nation" -> 2,
       "q17_small_qty" -> 2, "q22_rich_idle" -> 3,
+      "q16_supplier_breadth" -> 2,
       "pipe_decontaminate" -> 2,
       "q_approx_distinct" -> 3, "q_pivot" -> 3,
       "q_rollup" -> 2, "q_running_sum" -> 2, "q_semi_anti" -> 5,
