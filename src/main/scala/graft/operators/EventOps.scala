@@ -196,11 +196,39 @@ object EventOps extends Suite {
       |LEFT JOIN s3 ON s1.user_id = s3.user_id
       |ORDER BY s1.user_id""".stripMargin
 
+  // ---- ev_retention_cohort: daily cohort retention ------------------
+  // The canonical product-analytics shape the reference's event
+  // pipeline feeds: users bucketed by first-seen day, activity counted
+  // per (cohort, day-offset). Cohort assignment is an aggregate
+  // self-join on user_id (one shuffle, reused by the activity join);
+  // day_offset arithmetic is exact integer day math on identically
+  // truncated timestamps, so the grid is cross-engine deterministic.
+  private def evRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(first, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val evRetentionSql =
+    """WITH e AS (SELECT user_id,
+      |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+      |SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_active
+      |FROM e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
     Op("ev_sessionize", evSessionize, Some(evSessionizeSql)),
     Op("ev_asof_join", evAsofJoin, Some(evAsofJoinSql)),
     Op("ev_funnel", evFunnel, Some(evFunnelSql)),
+    Op("ev_retention_cohort", evRetention, Some(evRetentionSql)),
   )
 }
