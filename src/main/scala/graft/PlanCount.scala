@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the planned exchange count for every registered
+  * query (or the ones named on the command line) at sf0.001 — the
+  * numbers PlanAuditSpec pins. Usage:
+  *   runMain graft.PlanCount [queryName...]
+  */
+object PlanCount {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .appName("graft-plancount")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val re = "Exchange (hash|range)partitioning|Exchange SinglePartition".r
+    val names =
+      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      val txt = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      println(s"$n shuffles=${re.findAllIn(txt).size}")
+    }
+    spark.stop()
+  }
+}

@@ -764,6 +764,218 @@ object Relational extends Suite {
       |ORDER BY supplier_cnt DESC, p_brand, p_type
       |LIMIT 20""".stripMargin
 
+  // ---- q2: minimum-cost supplier per part (TPC-H Q2 shape) ----------
+  // Min-per-group + join-back across a dimension path: for each
+  // size-15 part, the EUROPE supplier(s) offering it at the lowest
+  // observed price (no partsupp in this schema — min l_extendedprice
+  // from lineitem stands in for ps_supplycost). MIN over doubles is
+  // order-independent (no summation), and the join-back compares a
+  // value against the min of the set it came from, so the equality is
+  // exact within and across engines.
+  private def q2(spark: SparkSession, dir: String): DataFrame = {
+    val eu = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_size") === 15).select("p_partkey", "p_type")
+    // part + supplier filters land BEFORE the (partkey, suppkey) agg —
+    // at 100 TB the grouped frame holds only qualifying pairs.
+    val ps = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(pt.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(eu.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice")).as("supply_cost"))
+    val m = ps.groupBy(col("l_partkey").as("mpk"))
+      .agg(min(col("supply_cost")).as("min_cost"))
+    ps.join(m, col("l_partkey") === col("mpk") &&
+        col("supply_cost") === col("min_cost"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"), col("supply_cost"))
+      .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  private val q2Sql =
+    """WITH eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |ps AS (
+      |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)
+      |    AND l_suppkey IN (SELECT s_suppkey FROM eu)
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l_partkey AS mpk, MIN(supply_cost) AS min_cost
+      |  FROM ps GROUP BY 1)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+      |FROM ps
+      |JOIN m ON l_partkey = mpk AND supply_cost = min_cost
+      |JOIN eu ON l_suppkey = s_suppkey
+      |JOIN part ON l_partkey = p_partkey
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // ---- q11: important part values (TPC-H Q11 shape) -----------------
+  // Group-share-of-global-scalar: per-part shipped value from one
+  // nation's suppliers, keeping parts above a fraction of the nation
+  // total. Both the group sums and the total are exact decimal; the
+  // threshold compare runs on double casts of bit-identical operands,
+  // so the cut is cross-engine deterministic. The 1-row total
+  // broadcasts (BroadcastNestedLoop, not a cartesian product).
+  private val q11Nation = "NATION_2"
+  private val q11Fraction = 0.002
+
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === q11Nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        col("l_quantity").cast(DecimalType(8, 2))).as("value_dec"))
+    val tot = v.agg(sum(col("value_dec")).cast("double").as("total"))
+    v.withColumn("part_value", col("value_dec").cast("double"))
+      .crossJoin(broadcast(tot))
+      .filter(col("part_value") > lit(q11Fraction) * col("total"))
+      .select("l_partkey", "part_value")
+      .orderBy(desc("part_value"), col("l_partkey"))
+  }
+
+  private val q11Sql =
+    s"""WITH v AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |        CAST(l_quantity AS DECIMAL(8,2))) AS value_dec
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (
+      |    SELECT s_suppkey FROM supplier
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |    WHERE n_name = '$q11Nation')
+      |  GROUP BY 1)
+      |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+      |FROM v
+      |WHERE CAST(value_dec AS DOUBLE) >
+      |  CAST($q11Fraction AS DOUBLE) *
+      |  (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM v)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  // ---- q20: promotion-candidate suppliers (TPC-H Q20 shape) ---------
+  // Nested semi-join chain: suppliers in EUROPE who shipped more than
+  // a threshold quantity of any 'small…' part in 1997. The quantity
+  // cut runs on an exact decimal sum; the supplier list is bounded by
+  // the supplier table, so it broadcasts into the final semi join at
+  // any corpus scale.
+  private val q20Qty = 50
+
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val hot = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(dsum(col("l_quantity")).as("ship_qty"))
+      .filter(col("ship_qty") > q20Qty)
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(hot), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      .orderBy("s_name")
+  }
+
+  private val q20Sql =
+    s"""SELECT s_suppkey, s_name, s_acctbal, n_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN
+      |      (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY l_partkey, l_suppkey
+      |    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |      > $q20Qty)
+      |ORDER BY s_name""".stripMargin
+
+  // ---- q21: suppliers who kept orders waiting (TPC-H Q21 shape) -----
+  // The double-correlated EXISTS + NOT-EXISTS shape (no commit/receipt
+  // dates here — l_returnflag='R' stands in for the late delivery):
+  // count, per supplier, returned lineitems in finished multi-supplier
+  // orders where that supplier was the ONLY one with a return. Instead
+  // of two decorrelated self-joins, both existence tests collapse into
+  // one per-order aggregate: ≥2 distinct suppliers ⟺ min≠max suppkey,
+  // and exactly-one distinct returning supplier ⟺ min=max over the
+  // R-filtered suppkey — one pass, no expand, no count-distinct.
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+    val r = when(col("l_returnflag") === "R", col("l_suppkey"))
+    val ordStats = li.groupBy("l_orderkey")
+      .agg(min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"),
+        min(r).as("r_min"), max(r).as("r_max"))
+      .filter(col("s_min") =!= col("s_max") && col("r_min") === col("r_max"))
+      .select(col("l_orderkey").as("ok"))
+    li.filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(ordStats, col("l_orderkey") === col("ok"), "left_semi")
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+  }
+
+  private val q21Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+      |GROUP BY 1
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
     Op("q3_shipping_priority", q3, Some(q3Sql)),
@@ -782,6 +994,10 @@ object Relational extends Suite {
     Op("q17_small_qty", q17, Some(q17Sql)),
     Op("q22_rich_idle", q22, Some(q22Sql)),
     Op("q16_supplier_breadth", q16, Some(q16Sql)),
+    Op("q2_min_cost_supp", q2, Some(q2Sql)),
+    Op("q11_important_parts", q11, Some(q11Sql)),
+    Op("q20_promo_suppliers", q20, Some(q20Sql)),
+    Op("q21_waiting_supplier", q21, Some(q21Sql)),
     Op("q_top_suppliers", qTopSuppliers, Some(qTopSuppliersSql)),
     Op("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     Op("q_rollup", qRollup, Some(qRollupSql)),

@@ -84,6 +84,15 @@ class PlanAuditSpec extends SparkSpec {
       "q8_market_share" -> 2, "q9_profit_nation" -> 2,
       "q17_small_qty" -> 2, "q22_rich_idle" -> 3,
       "q16_supplier_breadth" -> 2,
+      // (part,supp) agg + per-part min agg + join-back exchange
+      "q2_min_cost_supp" -> 3,
+      // per-part agg appears under both the total and the main branch
+      // (ReuseExchange collapses them at runtime) + scalar + sort
+      "q11_important_parts" -> 4,
+      // pair agg + distinct + final sort; semi joins all broadcast
+      "q20_promo_suppliers" -> 3,
+      // order-stats agg shares the orderkey partitioning; name agg
+      "q21_waiting_supplier" -> 2,
       "pipe_decontaminate" -> 2,
       "q_approx_distinct" -> 3, "q_pivot" -> 3,
       "q_rollup" -> 2, "q_running_sum" -> 2, "q_semi_anti" -> 5,
