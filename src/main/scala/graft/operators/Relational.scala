@@ -976,6 +976,56 @@ object Relational extends Suite {
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
 
+  // ---- q_percentiles: exact discrete quantiles per group ------------
+  // p50/p90/p99 of order value per (segment, priority) via integer
+  // rank indexing (value at row ceil(p·n) of the sorted group).
+  // Deliberately discrete, not interpolated: linear interpolation is
+  // two FP ops whose rounding differs between engines, while an
+  // integer index into the sorted set is exact — ties permute rows
+  // but never change the value at a rank. Exact per-group sort is
+  // the correctness baseline; at 100 TB the production path is
+  // approx_percentile's mergeable t-digest (same pattern as
+  // q_approx_distinct's HLL).
+  private def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_orderpriority", "o_totalprice")
+    val w = Window.partitionBy("c_mktsegment", "o_orderpriority")
+    val ranked = joined
+      .withColumn("rn", row_number().over(w.orderBy("o_totalprice")))
+      .withColumn("n", count(lit(1)).over(w))
+    def at(p: Double) =
+      max(when(col("rn") === greatest(lit(1L), ceil(lit(p) * col("n"))),
+        col("o_totalprice")))
+    ranked.groupBy("c_mktsegment", "o_orderpriority")
+      .agg(at(0.5).as("p50"), at(0.9).as("p90"), at(0.99).as("p99"),
+        max(col("n")).as("n_orders"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  }
+
+  private val qPercentilesSql = {
+    // CAST(p AS DOUBLE): a bare 0.9 literal is DECIMAL in DuckDB and
+    // 0.9*n is then exact, while Spark's double 0.9*n can land just
+    // above the integer (0.9*10 = 9.000000000000002) — both engines
+    // must ceil the same double product.
+    def at(p: String) =
+      s"""MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(CAST($p AS DOUBLE) * n) AS BIGINT))
+        |    THEN o_totalprice END)""".stripMargin
+    s"""SELECT c_mktsegment, o_orderpriority,
+      |  ${at("0.5")} AS p50,
+      |  ${at("0.9")} AS p90,
+      |  ${at("0.99")} AS p99,
+      |  MAX(n) AS n_orders
+      |FROM (
+      |  SELECT c_mktsegment, o_orderpriority, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment, o_orderpriority
+      |      ORDER BY o_totalprice) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment, o_orderpriority) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
     Op("q3_shipping_priority", q3, Some(q3Sql)),
@@ -1005,5 +1055,6 @@ object Relational extends Suite {
     Op("q_window_topn", qWindowTopn, Some(qWindowTopnSql)),
     Op("q_running_sum", qRunningSum, Some(qRunningSumSql)),
     Op("q_approx_distinct", qApproxDistinct, None),
+    Op("q_percentiles", qPercentiles, Some(qPercentilesSql)),
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -219,10 +220,59 @@ object TextOps extends Suite {
       |FROM (SELECT doc_id, $toksSql AS t FROM documents) x
       |ORDER BY doc_id""".stripMargin
 
+  // ---- txt_ngram_topk: top-k word bigrams per language --------------
+  // Corpus-vocabulary analysis: the k most frequent word bigrams per
+  // language. The ranking is two-phase so it survives 100 TB: bigram
+  // counts partition by (lang, hash(bigram) % 32) for a bucket-local
+  // top-k (any global top-k row is top-k in its bucket), then the
+  // final window ranks only langs × 32 × k candidate rows — no
+  // single task ever sorts a language's full bigram vocabulary. The
+  // oracle is the plain one-window formulation, so the hash gate
+  // proves the two-phase plan is semantics-preserving.
+  private val ngramK = 10
+  private val ngramBuckets = 32
+
+  private def txtNgramTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), toks.as("t")).filter(size(col("t")) > 1)
+    val bigrams = docs.select(col("lang"),
+      explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val counts = bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val bucketed = Window
+      .partitionBy(col("lang"), pmod(hash(col("bigram")), lit(ngramBuckets)))
+      .orderBy(desc("n"), col("bigram"))
+    val candidates = counts
+      .withColumn("rk0", row_number().over(bucketed))
+      .filter(col("rk0") <= ngramK).drop("rk0")
+    candidates
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("n"), col("bigram")))
+        .cast("long"))
+      .filter(col("rk") <= ngramK)
+      .orderBy("lang", "rk")
+  }
+
+  private val txtNgramTopkSql =
+    s"""WITH t AS (SELECT lang, $toksSql AS t FROM documents),
+      |b AS (SELECT lang,
+      |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+      |  FROM t WHERE len(t) > 1)
+      |SELECT lang, bigram, n, rk FROM (
+      |  SELECT lang, bigram, COUNT(*) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY COUNT(*) DESC, bigram) AS rk
+      |  FROM b GROUP BY 1, 2) x
+      |WHERE rk <= $ngramK
+      |ORDER BY lang, rk""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
     Op("txt_langid", txtLangid, Some(txtLangidSql)),
     Op("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
+    Op("txt_ngram_topk", txtNgramTopk, Some(txtNgramTopkSql)),
   )
 }

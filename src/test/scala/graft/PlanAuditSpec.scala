@@ -93,6 +93,10 @@ class PlanAuditSpec extends SparkSpec {
       "q20_promo_suppliers" -> 3,
       // order-stats agg shares the orderkey partitioning; name agg
       "q21_waiting_supplier" -> 2,
+      // join + group-window exchange; final agg reuses the partitioning
+      "q_percentiles" -> 2,
+      // bigram count agg + bucketed-window + final-window + sort
+      "txt_ngram_topk" -> 4,
       "pipe_decontaminate" -> 2,
       "q_approx_distinct" -> 3, "q_pivot" -> 3,
       "q_rollup" -> 2, "q_running_sum" -> 2, "q_semi_anti" -> 5,
