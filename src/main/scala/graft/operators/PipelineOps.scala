@@ -278,8 +278,60 @@ object PipelineOps extends Suite {
       |ORDER BY c.doc_id, bench_id""".stripMargin
   }
 
+  // ---- pipe_mix_report: corpus composition by source×lang×band ------
+  // The data-mixture report every training run starts from: per
+  // (source, language, quality band) document and token counts with
+  // their share of the corpus. One hash aggregation over the scored
+  // frame plus a broadcast 1-row total — the report stays a two-agg
+  // plan at any corpus size. Shares divide exact BIGINT sums (DuckDB
+  // sums BIGINT into HUGEINT, so the oracle re-casts — the audited
+  // type-drift trap), and band edges compare the exact decimal-derived
+  // quality against double literals, so the banding is deterministic.
+  private val bandHigh = 0.6
+
+  private def pipeMixReport(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.qualityScored(spark, dir)
+      .select("doc_id", "lang", "n_tokens", "quality")
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    val band = when(col("quality") >= bandHigh, "high")
+      .when(col("quality") >= qualityFloor, "mid")
+      .otherwise("low")
+    val g = scored.join(src, Seq("doc_id"))
+      .groupBy(col("source"), col("lang"), band.as("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+    val tot = g.agg(sum(col("tokens")).as("total_tokens"),
+      sum(col("n_docs")).as("total_docs"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        round(col("tokens").cast("double") / col("total_tokens"), 6))
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") / col("total_docs"), 6))
+      .select("source", "lang", "band", "n_docs", "tokens",
+        "token_share", "doc_share")
+      .orderBy("source", "lang", "band")
+  }
+
+  private val pipeMixReportSql =
+    s"""WITH scored AS (${TextOps.qualityScoredSql}),
+      |g AS (
+      |  SELECT d.source, s.lang,
+      |    CASE WHEN s.quality >= CAST($bandHigh AS DOUBLE) THEN 'high'
+      |         WHEN s.quality >= CAST($qualityFloor AS DOUBLE) THEN 'mid'
+      |         ELSE 'low' END AS band,
+      |    COUNT(*) AS n_docs,
+      |    CAST(SUM(s.n_tokens) AS BIGINT) AS tokens
+      |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+      |  GROUP BY 1, 2, 3)
+      |SELECT source, lang, band, n_docs, tokens,
+      |  ROUND(CAST(tokens AS DOUBLE) /
+      |    (SELECT CAST(SUM(tokens) AS BIGINT) FROM g), 6) AS token_share,
+      |  ROUND(CAST(n_docs AS DOUBLE) /
+      |    (SELECT CAST(SUM(n_docs) AS BIGINT) FROM g), 6) AS doc_share
+      |FROM g ORDER BY source, lang, band""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("pipe_curate", pipeCurate, Some(pipeCurateSql)),
+    Op("pipe_mix_report", pipeMixReport, Some(pipeMixReportSql)),
     Op("pipe_sample", pipeSample, Some(pipeSampleSql)),
     Op("pipe_token_budget", pipeTokenBudget, Some(pipeTokenBudgetSql)),
     Op("pipe_dup_clusters", pipeDupClusters, Some(pipeDupClustersSql)),

@@ -831,31 +831,38 @@ object Relational extends Suite {
 
   // ---- q11: important part values (TPC-H Q11 shape) -----------------
   // Group-share-of-global-scalar: per-part shipped value from one
-  // nation's suppliers, keeping parts above a fraction of the nation
-  // total. Both the group sums and the total are exact decimal; the
-  // threshold compare runs on double casts of bit-identical operands,
-  // so the cut is cross-engine deterministic. The 1-row total
-  // broadcasts (BroadcastNestedLoop, not a cartesian product).
-  private val q11Nation = "NATION_2"
-  private val q11Fraction = 0.002
+  // region's suppliers, keeping parts above a multiple of the MEAN
+  // part value. The classic fixed fraction must shrink 1/SF to stay
+  // meaningful; the mean-relative cut is scale-invariant, so the same
+  // query is non-degenerate at every corpus size. Group sums and the
+  // total are exact decimal; the threshold compare runs on double
+  // casts of bit-identical operands with the same op-association
+  // ((k·total)/count) on both engines. The 1-row total broadcasts
+  // (BroadcastNestedLoop, not a cartesian product).
+  private val q11Region = "MIDDLE EAST"
+  private val q11MeanMultiple = 2.0
 
   private def q11(spark: SparkSession, dir: String): DataFrame = {
-    val natSupp = Tables.supplier(spark, dir)
-      .join(broadcast(Tables.nation(spark, dir)
-        .filter(col("n_name") === q11Nation)),
+    val regSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === q11Region)),
+        col("n_regionkey") === col("r_regionkey"))
       .select("s_suppkey")
     val v = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+      .join(broadcast(regSupp), col("l_suppkey") === col("s_suppkey"),
         "left_semi")
       .groupBy("l_partkey")
       .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
         col("l_quantity").cast(DecimalType(8, 2))).as("value_dec"))
-    val tot = v.agg(sum(col("value_dec")).cast("double").as("total"))
+    val tot = v.agg(sum(col("value_dec")).cast("double").as("total"),
+      count(lit(1)).as("cnt"))
     v.withColumn("part_value", col("value_dec").cast("double"))
       .crossJoin(broadcast(tot))
-      .filter(col("part_value") > lit(q11Fraction) * col("total"))
+      .filter(col("part_value") >
+        lit(q11MeanMultiple) * col("total") / col("cnt"))
       .select("l_partkey", "part_value")
       .orderBy(desc("part_value"), col("l_partkey"))
   }
@@ -869,13 +876,15 @@ object Relational extends Suite {
       |  WHERE l_suppkey IN (
       |    SELECT s_suppkey FROM supplier
       |    JOIN nation ON s_nationkey = n_nationkey
-      |    WHERE n_name = '$q11Nation')
-      |  GROUP BY 1)
+      |    JOIN region ON n_regionkey = r_regionkey
+      |    WHERE r_name = '$q11Region')
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(SUM(value_dec) AS DOUBLE) AS total,
+      |  COUNT(*) AS cnt FROM v)
       |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
-      |FROM v
+      |FROM v, t
       |WHERE CAST(value_dec AS DOUBLE) >
-      |  CAST($q11Fraction AS DOUBLE) *
-      |  (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM v)
+      |  CAST($q11MeanMultiple AS DOUBLE) * t.total / t.cnt
       |ORDER BY part_value DESC, l_partkey""".stripMargin
 
   // ---- q20: promotion-candidate suppliers (TPC-H Q20 shape) ---------

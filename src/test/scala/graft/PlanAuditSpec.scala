@@ -70,6 +70,9 @@ class PlanAuditSpec extends SparkSpec {
       // cohort self-join shares the user_id shuffle; distinct-agg + sort
       "ev_retention_cohort" -> 4,
       "mm_features" -> 1, "pipe_curate" -> 5, "pipe_sample" -> 1,
+      // doc_id join + group agg (appears under total and main; reused
+      // at runtime) + sort
+      "pipe_mix_report" -> 4,
       "pipe_token_budget" -> 2,
       // final plan reads the loop's checkpointed labels: sort only
       "pipe_dup_clusters" -> 2,
