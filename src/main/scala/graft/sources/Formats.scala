@@ -61,6 +61,21 @@ object Formats {
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .option("path", path).saveAsTable(table)
 
+  /** Raw media ingest: Spark's `binaryFile` source reads each file as
+    * one row (path, modificationTime, length, content) — the entry
+    * point that feeds image/audio payloads into the §G multimodal
+    * ops. `pathGlobFilter` pushes the extension filter into file
+    * listing (files are never opened, let alone read), and
+    * `maxBytesPerTrigger`-style batching is unnecessary: each file is
+    * already its own row, so partitioning follows the file listing.
+    * Cap per-file size upstream — a single row must fit in executor
+    * memory. */
+  def readBinaryFiles(spark: SparkSession, path: String,
+      glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   /** JDBC egress (warehouse destination analog). Partitioned reads
     * need (partitionColumn, lowerBound, upperBound, numPartitions)
     * in `options` or the whole table funnels through one task. */

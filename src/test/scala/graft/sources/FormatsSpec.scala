@@ -42,6 +42,33 @@ class FormatsSpec extends SparkSpec {
     assert(readJdbc(spark, url, "nation_egress", opts).count() == 2 * nation.count())
   }
 
+  test("binaryFile ingest reads raw files and feeds the multimodal decode") {
+    val tmp = Files.createTempDirectory("graft_bin")
+    Files.write(tmp.resolve("a.img"), "hello media".getBytes("UTF-8"))
+    Files.write(tmp.resolve("b.img"), Array.fill[Byte](1300)(7))
+    Files.write(tmp.resolve("skip.txt"), "not media".getBytes("UTF-8"))
+
+    val files = readBinaryFiles(spark, tmp.toString, Some("*.img"))
+    assert(files.count() == 2, "glob must prune non-matching files")
+    assert(Seq("path", "modificationTime", "length", "content")
+      .forall(files.columns.contains))
+
+    // compose with the §G decode: id derived from the file name
+    val s = spark
+    import s.implicits._
+    val feats = files
+      .select(regexp_extract(input_file_name(), "([ab])\\.img$", 1).as("name"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (name, bytes) =>
+        graft.operators.MultimodalOps.decodeStub(
+          graft.operators.MediaBlob(if (name == "a") 1L else 2L, bytes))
+      }
+      .collect().sortBy(_.doc_id)
+    assert(feats.map(_.n_bytes).toSeq == Seq(11L, 1300L))
+    assert(feats(1).height == 3) // 1300 bytes / 640 + 1
+  }
+
   test("partitioned parquet write prunes by partition directory") {
     val tmp = Files.createTempDirectory("graft_part").toString
     write(Tables.orders(spark, sf).withColumn("status", col("o_orderstatus")),
