@@ -182,6 +182,40 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("approx_percentile stays within rank-error bounds of exact q_percentiles") {
+    // q_percentiles' header names the t-digest as the 100 TB path —
+    // prove the substitution is sound: for each group, the sketch's
+    // p50/p90/p99 must land within ±5% RANK of the exact discrete
+    // answer (value-space distance is meaningless for quantiles).
+    val exact = run("q_percentiles")
+      .select("c_mktsegment", "o_orderpriority", "p50", "p90", "p99")
+    val base = sources.Tables.orders(spark, sf)
+      .join(sources.Tables.customer(spark, sf)
+        .select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+    val approx = base.groupBy("c_mktsegment", "o_orderpriority")
+      .agg(percentile_approx(col("o_totalprice"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"))
+    val joined = exact.join(approx, Seq("c_mktsegment", "o_orderpriority"))
+      .collect()
+    assert(joined.nonEmpty)
+    val rows = base.select("c_mktsegment", "o_orderpriority", "o_totalprice")
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.map(_.getDouble(2)).sorted).toMap
+    joined.foreach { r =>
+      val vals = rows((r.getString(0), r.getString(1)))
+      val ap = r.getSeq[Double](5)
+      Seq(0.5, 0.9, 0.99).zipWithIndex.foreach { case (p, i) =>
+        // rank of the sketch's answer within the sorted group
+        val rank = vals.count(_ <= ap(i)).toDouble / vals.length
+        assert(math.abs(rank - p) <= 0.05,
+          s"group ${r.getString(0)}/${r.getString(1)} p$p: " +
+            s"sketch value ${ap(i)} has rank $rank")
+      }
+    }
+  }
+
   test("cdc_schema_reconcile preserves all rows and nulls the missing columns") {
     val rec = run("cdc_schema_reconcile")
     val total = sources.Tables.events(spark, sf).count()
