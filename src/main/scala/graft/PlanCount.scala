@@ -22,7 +22,8 @@ object PlanCount {
     names.foreach { n =>
       val txt = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
-      println(s"$n shuffles=${re.findAllIn(txt).size}")
+      val reused = "ReusedExchange".r.findAllIn(txt).size
+      println(s"$n shuffles=${re.findAllIn(txt).size} reused=$reused")
     }
     spark.stop()
   }

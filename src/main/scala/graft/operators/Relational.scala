@@ -1035,6 +1035,50 @@ object Relational extends Suite {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- q_order_gaps: inter-order gap stats per segment (LAG) --------
+  // The lag/lead window shape: days between a customer's consecutive
+  // orders, aggregated per market segment. The lag ordering key
+  // (o_orderdate, o_orderkey) is unique per customer, so consecutive
+  // pairing — and therefore every gap — is deterministic; gaps are
+  // exact integer day arithmetic and the mean divides bit-identical
+  // BIGINT/COUNT operands.
+  private def qOrderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_days",
+        datediff(col("o_orderdate").cast("date"), col("prev").cast("date"))
+          .cast("long"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_days")).as("total_gap_days"),
+        max(col("gap_days")).as("max_gap_days"))
+      .withColumn("avg_gap_days",
+        round(col("total_gap_days").cast("double") / col("n_gaps"), 6))
+      .orderBy("c_mktsegment")
+  }
+
+  private val qOrderGapsSql =
+    """SELECT c_mktsegment, COUNT(*) AS n_gaps,
+      |  CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+      |  MAX(gap_days) AS max_gap_days,
+      |  ROUND(CAST(CAST(SUM(gap_days) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_gap_days
+      |FROM (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day',
+      |      CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+      |  FROM orders) g
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE gap_days IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
     Op("q3_shipping_priority", q3, Some(q3Sql)),
@@ -1065,5 +1109,6 @@ object Relational extends Suite {
     Op("q_running_sum", qRunningSum, Some(qRunningSumSql)),
     Op("q_approx_distinct", qApproxDistinct, None),
     Op("q_percentiles", qPercentiles, Some(qPercentilesSql)),
+    Op("q_order_gaps", qOrderGaps, Some(qOrderGapsSql)),
   )
 }

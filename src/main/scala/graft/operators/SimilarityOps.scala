@@ -255,10 +255,128 @@ object SimilarityOps extends Suite {
       |  JOIN norms nc ON d.cand_id = nc.vec_id) t
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  // ---- sim_pq_topk: product-quantization ADC top-k ------------------
+  // PQ (Jégou et al. 2011 §II): the 64-dim space splits into 8
+  // subspaces of 8 dims; per subspace the 10 label sub-centroids
+  // stand in for a trained codebook (the same surrogate sim_ivf_topk
+  // uses for its coarse quantizer). Each corpus vector ENCODES as its
+  // nearest sub-centroid per subspace (8 codes ≈ 8 bytes instead of
+  // 256 — the 32× memory compression that lets 100 TB of vectors fit
+  // an ANN serving tier), and queries rank candidates by ADC:
+  // approx_dist = Σ_sub d²(query_sub, centroid[code]) — table lookups,
+  // no per-candidate float math.
+  //
+  // Determinism: sub-distances are exact decimal sums with ONE double
+  // division (bit-identical cross-engine, the sim_ivf pattern);
+  // code assignment breaks ties by label. The ADC total would be an
+  // order-dependent double sum under groupBy, so the 8 partials pivot
+  // to fixed columns and add in a FIXED association — identical FP
+  // rounding on both engines, which is what lets this op keep a hash
+  // oracle at all. Cost shape: encode is O(N·D·K) map-side
+  // multiply-adds behind one (vec, sub, label) aggregation; the ADC
+  // lookup table is queries×subspaces×labels — broadcast-sized at any
+  // corpus scale.
+  //
+  // What the oracle proves vs what it doesn't: the hash gate verifies
+  // the PQ MACHINERY end-to-end (encode argmin, code table, ADC
+  // lookup, fixed-association total, ranking). Retrieval quality is
+  // bounded by the surrogate codebook: 10 codes per subspace means
+  // same-label vectors share all 8 codes and tie under ADC (measured
+  // top-5 overlap vs exact ≈ 0.16 at sf0.01). Production swaps in a
+  // k-means-trained 256-code codebook per subspace — the frame shapes
+  // and the determinism strategy are unchanged by that swap.
+  private val pqSubspaces = 8
+
+  private def simPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("i") / lit(pqSubspaces)).cast("int").as("sub"), col("i"),
+        col("x").cast("double").cast(DecimalType(12, 8)).as("d"))
+    val sums = terms.groupBy(col("label").as("c_label"), col("i"))
+      .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))
+    // distance from every (vector, subspace) to every label's
+    // sub-centroid, scaled by n²: Σ((n·d−s)/n)² = Σ(n·d−s)²/n²
+    val subDist = terms
+      .join(broadcast(sums), Seq("i"))
+      .withColumn("sq",
+        ((col("n") * col("d") - col("s")).cast("double") *
+          (col("n") * col("d") - col("s")).cast("double"))
+          .cast(DecimalType(24, 6)))
+      .groupBy(col("vec_id"), col("sub"), col("c_label"))
+      .agg((sum(col("sq")).cast("double") /
+        (max(col("n")) * max(col("n"))).cast("double")).as("dist_sq"))
+    val codes = subDist
+      .groupBy(col("vec_id").as("cand_id"), col("sub"))
+      .agg(min_by(col("c_label"), struct(col("dist_sq"), col("c_label")))
+        .as("code"))
+    val dq = subDist.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("sub").as("q_sub"),
+        col("c_label").as("q_code"), col("dist_sq"))
+    val partialCols = (0 until pqSubspaces).map(s =>
+      max(when(col("sub") === s, col("dist_sq"))).as(s"p$s"))
+    val partials = codes
+      .join(broadcast(dq),
+        col("sub") === col("q_sub") && col("code") === col("q_code"))
+      .filter(col("cand_id") =!= col("q_id"))
+      .groupBy("q_id", "cand_id")
+      .agg(partialCols.head, partialCols.tail: _*)
+    val adc = (1 until pqSubspaces)
+      .foldLeft(col("p0")) { (acc, s) => acc + col(s"p$s") }
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("approx_dist"), col("cand_id"))
+    partials.withColumn("approx_dist", adc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("cand_id"),
+        round(col("approx_dist"), 6).as("approx_dist"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val simPqTopkSql = {
+    val pCols = (0 until pqSubspaces).map(s =>
+      s"MAX(CASE WHEN c.sub = $s THEN q.dist_sq END) AS p$s").mkString(",\n      |    ")
+    val adc = (1 until pqSubspaces).foldLeft("p0") { (acc, s) => s"($acc + p$s)" }
+    s"""WITH terms AS (
+      |  SELECT vec_id, label, ((i - 1) // 8) AS sub, i,
+      |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS d
+      |  FROM embeddings, range(1, 65) r(i)),
+      |sums AS (
+      |  SELECT label AS c_label, i, SUM(d) AS s, COUNT(*) AS n
+      |  FROM terms GROUP BY 1, 2),
+      |subdist AS (
+      |  SELECT t.vec_id, t.sub, s.c_label,
+      |    CAST(SUM(CAST(
+      |      CAST(s.n * t.d - s.s AS DOUBLE) * CAST(s.n * t.d - s.s AS DOUBLE)
+      |      AS DECIMAL(24,6))) AS DOUBLE) /
+      |      CAST(MAX(s.n) * MAX(s.n) AS DOUBLE) AS dist_sq
+      |  FROM terms t JOIN sums s ON t.i = s.i
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id AS cand_id, sub, c_label AS code FROM subdist
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |    ORDER BY dist_sq, c_label) = 1),
+      |partials AS (
+      |  SELECT q.vec_id AS q_id, c.cand_id,
+      |    $pCols
+      |  FROM codes c JOIN subdist q ON q.sub = c.sub AND q.c_label = c.code
+      |  WHERE q.vec_id < $nQueries AND c.cand_id <> q.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT q_id, rank, cand_id, ROUND(approx_dist, 6) AS approx_dist
+      |FROM (
+      |  SELECT q_id, cand_id, $adc AS approx_dist,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY $adc, cand_id) AS rank
+      |  FROM partials) x
+      |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
     Op("sim_ann_lsh", simAnnLsh, None),
     Op("sim_centroids", simCentroids, Some(simCentroidsSql)),
     Op("sim_ivf_topk", simIvfTopk, Some(simIvfTopkSql)),
+    Op("sim_pq_topk", simPqTopk, Some(simPqTopkSql)),
   )
 }

@@ -98,6 +98,13 @@ class PlanAuditSpec extends SparkSpec {
       "q21_waiting_supplier" -> 2,
       // join + group-window exchange; final agg reuses the partitioning
       "q_percentiles" -> 2,
+      // lag window + segment join/agg + sort
+      "q_order_gaps" -> 3,
+      // the (vec,sub,label) sub-distance subtree plans under BOTH the
+      // encode branch and the ADC branch (4 of the 8; the ADC copy's
+      // query filter pushes to the scan so it aggregates queries
+      // only), + codes agg + partials agg + window + sort
+      "sim_pq_topk" -> 8,
       // bigram count agg + bucketed-window + final-window + sort
       "txt_ngram_topk" -> 4,
       "pipe_decontaminate" -> 2,
