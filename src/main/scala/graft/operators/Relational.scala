@@ -250,6 +250,42 @@ object Relational extends Suite {
       |GROUP BY ROLLUP(n_name, c_mktsegment)
       |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
 
+  // ---- q_cube: full cube with grouping indicators -------------------
+  // CUBE = every subset of (status, priority) including the grand
+  // total, with GROUPING() flags distinguishing "NULL because
+  // aggregated away" from a NULL data value — the half of the Expand
+  // shape q_rollup doesn't cover. SQL path for the same reason as
+  // q_rollup (the Dataset .cube over join-derived columns trips
+  // DetectAmbiguousSelfJoin); counts and decimal sums keep the cells
+  // cross-engine exact.
+  private def qCube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_cube_orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM graft_cube_orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  private val qCubeSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority,
+      |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   // ---- q_pivot: status × priority matrix ----------------------------
   private def qPivot(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir)
@@ -1104,6 +1140,7 @@ object Relational extends Suite {
     Op("q_top_suppliers", qTopSuppliers, Some(qTopSuppliersSql)),
     Op("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     Op("q_rollup", qRollup, Some(qRollupSql)),
+    Op("q_cube", qCube, Some(qCubeSql)),
     Op("q_pivot", qPivot, Some(qPivotSql)),
     Op("q_window_topn", qWindowTopn, Some(qWindowTopnSql)),
     Op("q_running_sum", qRunningSum, Some(qRunningSumSql)),

@@ -109,7 +109,8 @@ class PlanAuditSpec extends SparkSpec {
       "txt_ngram_topk" -> 4,
       "pipe_decontaminate" -> 2,
       "q_approx_distinct" -> 3, "q_pivot" -> 3,
-      "q_rollup" -> 2, "q_running_sum" -> 2, "q_semi_anti" -> 5,
+      "q_rollup" -> 2, "q_cube" -> 2,
+      "q_running_sum" -> 2, "q_semi_anti" -> 5,
       // join itself is exchange-free (bucketed SMJ); agg + sort remain
       "q_bucketed_join" -> 2,
       // dim broadcasts at test SF (salted keys still in the join); agg + sort
