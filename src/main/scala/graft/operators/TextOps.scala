@@ -77,18 +77,29 @@ object TextOps extends Suite {
     * (doc_id, lang, n_tokens, components, quality), zero-token docs
     * excluded. Kept in ONE place so the curate/budget ops and
     * txt_quality can never drift. */
-  private[operators] def qualityScored(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        length(col("text")).as("n_chars"), toks.as("t"))
+  private[operators] def qualityScored(spark: SparkSession, dir: String): DataFrame =
+    scoreQuality(Tables.documents(spark, dir))
+
+  /** The scorer itself, over ANY frame with (doc_id, lang, text) —
+    * batch or streaming. `carry` names extra columns to pass through
+    * untouched (opt-in, NOT automatic: documents carries its own
+    * n_chars/source, which must not leak into the scored schema), so
+    * a streaming caller keeps its event-time column for
+    * watermarking. */
+  private[graft] def scoreQuality(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val passthrough = carry.map(col)
+    docs
+      .select(Seq(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars"), toks.as("t")) ++ passthrough: _*)
       .filter(size(col("t")) > 0) // see txt_stats: zero-token guard
-      .select(col("doc_id"), col("lang"),
+      .select(Seq(col("doc_id"), col("lang"),
         size(col("t")).cast("long").as("n_tokens"),
         least(lit(1.0), col("n_chars").cast("double") / 500.0).as("len_score"),
         (size(array_distinct(col("t"))).cast("double") / size(col("t")))
           .as("uniq_ratio"),
         (size(filter(col("t"), x => x.isInCollection(stopwords)))
-          .cast("double") / size(col("t"))).as("stop_ratio"))
+          .cast("double") / size(col("t"))).as("stop_ratio")) ++ passthrough: _*)
       .withColumn("len_score", round(col("len_score"), 6))
       .withColumn("uniq_ratio", round(col("uniq_ratio"), 6))
       .withColumn("stop_ratio", round(col("stop_ratio"), 6))
