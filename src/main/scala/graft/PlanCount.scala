@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Dev tool: print the planned exchange count for every registered
   * query (or the ones named on the command line) at sf0.001 — the
   * numbers PlanAuditSpec pins. Usage:
@@ -9,12 +7,10 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanCount {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", false)
-      .appName("graft-plancount")
-      .getOrCreate()
+    // Engine.session carries the nanos-timestamp + AQE config every
+    // registered query assumes — a bare builder breaks events-table
+    // plans at footer-read time
+    val spark = Engine.session("graft-plancount")
     spark.sparkContext.setLogLevel("ERROR")
     val re = "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     val names =

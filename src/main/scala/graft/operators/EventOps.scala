@@ -223,6 +223,27 @@ object EventOps extends Suite {
       |FROM e JOIN f ON e.user_id = f.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- ev_attribution: purchase ← view interval join ----------------
+  // The batch form of graft.streaming.StreamJoin.intervalJoin — the
+  // SAME builder runs here over the events table (withWatermark is a
+  // no-op on batch input), so the driver's oracle hash-verifies the
+  // exact join the streaming spec runs live: each purchase paired
+  // with the same user's views in the preceding 30 minutes.
+  private def evAttribution(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamJoin.intervalJoin(
+      Tables.events(spark, dir), Tables.events(spark, dir),
+      leftType = "purchase", rightType = "view")
+      .select("l_id", "l_user", "l_ts", "l_value", "r_id", "r_ts")
+      .orderBy("l_id", "r_id")
+
+  private val evAttributionSql =
+    """SELECT p.event_id AS l_id, p.user_id AS l_user, p.ts AS l_ts,
+      |  p.value AS l_value, v.event_id AS r_id, v.ts AS r_ts
+      |FROM events p JOIN events v ON p.user_id = v.user_id
+      |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL '30 minutes'
+      |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      |ORDER BY l_id, r_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
@@ -230,5 +251,6 @@ object EventOps extends Suite {
     Op("ev_asof_join", evAsofJoin, Some(evAsofJoinSql)),
     Op("ev_funnel", evFunnel, Some(evFunnelSql)),
     Op("ev_retention_cohort", evRetention, Some(evRetentionSql)),
+    Op("ev_attribution", evAttribution, Some(evAttributionSql)),
   )
 }

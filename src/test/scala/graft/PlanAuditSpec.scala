@@ -67,6 +67,8 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_exact" -> 2, "dedup_minhash" -> 2, "dedup_ngram_jaccard" -> 2,
       "dedup_simhash" -> 2, "ev_asof_join" -> 3, "ev_funnel" -> 2,
       "ev_sessionize" -> 2, "ev_sliding_2h" -> 2, "ev_tumbling_1h" -> 3,
+      // broadcast at test SF (1 = sort); user_id shuffle form at scale
+      "ev_attribution" -> 3,
       // cohort self-join shares the user_id shuffle; distinct-agg + sort
       "ev_retention_cohort" -> 4,
       "mm_features" -> 1, "pipe_curate" -> 5, "pipe_sample" -> 1,
