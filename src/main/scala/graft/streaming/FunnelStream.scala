@@ -32,9 +32,24 @@ object FunnelStream {
 
   private val stages = Seq("signup", "view", "purchase")
 
+  /** Event time as epoch MICROS — `Timestamp.getTime` alone is
+    * millisecond-truncated, and the events table carries genuine
+    * microsecond precision: two stage events inside the same
+    * millisecond would collapse under ms and flip the strict `>`
+    * comparisons the funnel rule is built on. */
+  private[graft] def epochMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private[graft] def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** The one funnel rule, shared by the streaming fold and the spec's
     * batch replay: t1 = min signup, t2 = min view > t1,
-    * t3 = min purchase > t2; users with no signup emit nothing. */
+    * t3 = min purchase > t2; users with no signup emit nothing.
+    * Event times are epoch micros (see [[epochMicros]]). */
   def foldFunnel(uid: Long, events: Seq[(Long, String)]): Option[FunnelResult] = {
     def minAfter(tpe: String, after: Long): Option[Long] = {
       val c = events.collect { case (t, `tpe`) if t > after => t }
@@ -43,8 +58,8 @@ object FunnelStream {
     minAfter("signup", Long.MinValue).map { t1 =>
       val t2 = minAfter("view", t1)
       val t3 = t2.flatMap(minAfter("purchase", _))
-      FunnelResult(uid, new Timestamp(t1),
-        t2.map(new Timestamp(_)), t3.map(new Timestamp(_)),
+      FunnelResult(uid, microsTs(t1),
+        t2.map(microsTs), t3.map(microsTs),
         1 + t2.size + t3.size)
     }
   }
@@ -68,11 +83,11 @@ object FunnelStream {
             foldFunnel(uid, buf).iterator
           } else {
             val buf = state.getOption.getOrElse(Seq.empty) ++
-              it.map(e => (e.ts.getTime, e.event_type))
+              it.map(e => (epochMicros(e.ts), e.event_type))
             state.update(buf)
             // close the funnel once the watermark passes the user's
-            // last activity by quietGap
-            state.setTimeoutTimestamp(buf.map(_._1).max, quietGap)
+            // last activity by quietGap (timeout API takes millis)
+            state.setTimeoutTimestamp(buf.map(_._1).max / 1000L, quietGap)
             Iterator.empty
           }
       }

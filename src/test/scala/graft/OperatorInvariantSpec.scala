@@ -216,6 +216,33 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("FunnelStream.foldFunnel replays the registered ev_funnel query exactly") {
+    // the streaming funnel's fold and the driver-hash-verified batch
+    // operator implement the one rule — prove it on REAL event data
+    // (µs timestamps included; sentinel '1970-01-01' ⇔ None)
+    import graft.streaming.FunnelStream
+    val byUser = sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .select("user_id", "ts", "event_type").collect()
+      .groupBy(_.getLong(0))
+    val folded = byUser.flatMap { case (uid, rows) =>
+      FunnelStream.foldFunnel(uid, rows.toSeq.map(r =>
+        (FunnelStream.epochMicros(r.getTimestamp(1)), r.getString(2))))
+    }.map(f => (f.user_id,
+      FunnelStream.epochMicros(f.signup_ts),
+      f.view_ts.map(FunnelStream.epochMicros).getOrElse(0L),
+      f.purchase_ts.map(FunnelStream.epochMicros).getOrElse(0L),
+      f.stage.toLong)).toSet
+    val batch = run("ev_funnel").collect().map(r => (r.getLong(0),
+      FunnelStream.epochMicros(r.getTimestamp(1)),
+      FunnelStream.epochMicros(r.getTimestamp(2)),
+      FunnelStream.epochMicros(r.getTimestamp(3)),
+      r.getInt(4).toLong)).toSet
+    assert(folded == batch,
+      s"stream fold diverged from ev_funnel: ${folded.diff(batch).take(3)} " +
+        s"vs ${batch.diff(folded).take(3)}")
+  }
+
   test("cdc_schema_reconcile preserves all rows and nulls the missing columns") {
     val rec = run("cdc_schema_reconcile")
     val total = sources.Tables.events(spark, sf).count()

@@ -51,16 +51,19 @@ class FunnelStreamSpec extends SparkSpec {
   }
 
   test("fold rule: stage k must be strictly after stage k-1") {
+    import FunnelStream.microsTs
     // view at the same instant as signup does not count (strict >)
     assert(FunnelStream.foldFunnel(1,
       Seq((100L, "signup"), (100L, "view"), (200L, "purchase")))
-      .contains(FunnelResult(1, new Timestamp(100), None, None, 1)))
+      .contains(FunnelResult(1, microsTs(100), None, None, 1)))
     // purchase before the qualifying view does not count
     assert(FunnelStream.foldFunnel(2,
       Seq((100L, "signup"), (300L, "view"), (200L, "purchase")))
-      .contains(FunnelResult(2, new Timestamp(100),
-        Some(new Timestamp(300)), None, 2)))
+      .contains(FunnelResult(2, microsTs(100),
+        Some(microsTs(300)), None, 2)))
     // no signup → no funnel row at all
     assert(FunnelStream.foldFunnel(3, Seq((100L, "view"))).isEmpty)
+    // micros round-trip: sub-millisecond instants stay distinct
+    assert(FunnelStream.epochMicros(microsTs(1234567L)) == 1234567L)
   }
 }
