@@ -24,23 +24,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      unary("simhash64")(SimHash64)))
+      unary("simhash64")(SimHash64.apply)))
     ext.injectFunction((
       FunctionIdentifier("minhash128"),
       new ExpressionInfo(classOf[MinHash128].getName, "minhash128"),
-      unary("minhash128")(MinHash128)))
+      unary("minhash128")(MinHash128.apply)))
     ext.injectFunction((
       FunctionIdentifier("shingle_hash3"),
       new ExpressionInfo(classOf[ShingleHash3].getName, "shingle_hash3"),
-      unary("shingle_hash3")(ShingleHash3)))
+      unary("shingle_hash3")(ShingleHash3.apply)))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
-      unary("hyperplane_buckets")(HyperplaneBuckets)))
+      unary("hyperplane_buckets")(HyperplaneBuckets.apply)))
     ext.injectFunction((
       FunctionIdentifier("dec_quant"),
       new ExpressionInfo(classOf[DecQuant].getName, "dec_quant"),
-      unary("dec_quant")(DecQuant)))
+      unary("dec_quant")(DecQuant.apply)))
     ext.injectFunction((
       FunctionIdentifier("dec_dot"),
       new ExpressionInfo(classOf[DecDotProduct].getName, "dec_dot"),
