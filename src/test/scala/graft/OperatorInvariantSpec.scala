@@ -216,6 +216,26 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("pipe_mix_report cells partition the corpus and shares sum to 1") {
+    val rep = run("pipe_mix_report")
+    val sums = rep.agg(sum(col("token_share")), sum(col("doc_share")),
+      sum(col("n_docs"))).collect()(0)
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-3, "token shares")
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-3, "doc shares")
+    // every scored doc lands in exactly one cell
+    val scored = operators.TextOps
+      .scoreQuality(sources.Tables.documents(spark, sf)).count()
+    assert(sums.getLong(2) == scored, "cells must partition the corpus")
+  }
+
+  test("q_cube grand total equals the orders row count") {
+    val grand = run("q_cube")
+      .filter(col("g_status") === 1 && col("g_priority") === 1).collect()
+    assert(grand.length == 1)
+    assert(grand(0).getAs[Long]("n_orders") ==
+      sources.Tables.orders(spark, sf).count())
+  }
+
   test("FunnelStream.foldFunnel replays the registered ev_funnel query exactly") {
     // the streaming funnel's fold and the driver-hash-verified batch
     // operator implement the one rule — prove it on REAL event data
