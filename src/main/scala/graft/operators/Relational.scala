@@ -1115,6 +1115,47 @@ object Relational extends Suite {
       |WHERE gap_days IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q_set_ops: INTERSECT / EXCEPT cohort counts ------------------
+  // Set-operator plan shapes (both plan as distinct-mode joins in
+  // Spark — left-semi for INTERSECT, left-anti for EXCEPT, each with
+  // aggregate-distinct on both sides): year-over-year customer
+  // retention cohorts. Set semantics make the result order- and
+  // duplicate-insensitive, so the counts are deterministic.
+  private def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    def buyers(year: Int) = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val y96 = buyers(1996)
+    val y97 = buyers(1997)
+    def counted(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_customers"))
+        .select(lit(name).as("cohort"), col("n_customers"))
+    counted("both", y96.intersect(y97))
+      .unionAll(counted("only_1996", y96.except(y97)))
+      .unionAll(counted("only_1997", y97.except(y96)))
+      .orderBy("cohort")
+  }
+
+  private val qSetOpsSql =
+    """WITH y96 AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |y97 AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT 'both' AS cohort, COUNT(*) AS n_customers
+      |  FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97) a
+      |UNION ALL
+      |SELECT 'only_1996', COUNT(*)
+      |  FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97) b
+      |UNION ALL
+      |SELECT 'only_1997', COUNT(*)
+      |  FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96) c
+      |ORDER BY cohort""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
     Op("q3_shipping_priority", q3, Some(q3Sql)),
@@ -1147,5 +1188,6 @@ object Relational extends Suite {
     Op("q_approx_distinct", qApproxDistinct, None),
     Op("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     Op("q_order_gaps", qOrderGaps, Some(qOrderGapsSql)),
+    Op("q_set_ops", qSetOps, Some(qSetOpsSql)),
   )
 }

@@ -102,6 +102,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_percentiles" -> 2,
       // lag window + segment join/agg + sort
       "q_order_gaps" -> 3,
+      // three distinct-join legs × (agg exchange each side) at this
+      // SF collapse to 6; single-row count aggs are exchange-free
+      "q_set_ops" -> 6,
       // the (vec,sub,label) sub-distance subtree plans under BOTH the
       // encode branch and the ADC branch (4 of the 8; the ADC copy's
       // query filter pushes to the scan so it aggregates queries
