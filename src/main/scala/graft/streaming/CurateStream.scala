@@ -11,12 +11,13 @@ import graft.operators.TextOps
   * training-data pipeline).
   *
   * Composition, all on the micro-batch plan:
-  *  1. content fingerprint (md5 of raw text) BEFORE scoring, so the
-  *     dedup key is the same one batch `dedup_exact` groups on;
-  *  2. the SHARED quality scorer (TextOps.scoreQuality — the one
+  *  1. the SHARED quality scorer (TextOps.scoreQuality — the one
   *     expression txt_quality, the §H composites, and this stream all
   *     use, so batch and stream admission can never drift);
-  *  3. quality floor;
+  *  2. quality floor;
+  *  3. content fingerprint (md5 of raw text — the same key batch
+  *     `dedup_exact` groups on) computed AFTER the gate, so rejected
+  *     documents are never hashed;
   *  4. `dropDuplicatesWithinWatermark` on the fingerprint — state
   *     stays bounded by the watermark horizon while catching the
   *     duplicate storms that matter on a crawl feed (re-fetches
@@ -33,10 +34,10 @@ object CurateStream {
     * as (doc_id, lang, n_tokens, quality, fp, ts). */
   def curate(docs: DataFrame, minQuality: Double = 0.45,
       watermark: String = "1 hour"): DataFrame = {
-    val scored = TextOps.scoreQuality(
-      docs.withColumn("fp", md5(col("text"))), carry = Seq("fp", "ts"))
+    val scored = TextOps.scoreQuality(docs, carry = Seq("text", "ts"))
     scored
       .filter(col("quality") >= minQuality)
+      .withColumn("fp", md5(col("text"))).drop("text")
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .select("doc_id", "lang", "n_tokens", "quality", "fp", "ts")
