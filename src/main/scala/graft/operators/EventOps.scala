@@ -244,6 +244,59 @@ object EventOps extends Suite {
       |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
       |ORDER BY l_id, r_id""".stripMargin
 
+  // ---- ev_anomaly: z-score outlier hours per event type -------------
+  // Operational anomaly detection over the hourly throughput series
+  // (the batch analog of the reference's WAL/throughput alerting,
+  // wal_monitor.rs:157-166 — "this hour's volume is unusual for this
+  // event type"). Per type: mean/variance over its hourly counts,
+  // flag hours with |z| ≥ 2.
+  // Cross-engine determinism: counts, Σc and Σc² are integer-exact,
+  // so z = (n·c − Σc) / (n·σ) with σ = sqrt((n·Σc² − (Σc)²) / n²)
+  // divides one exactly-represented integer double by one IEEE sqrt
+  // product — identical in both engines; no FP accumulation anywhere.
+  // Scale: one shuffle to (type, hour), then a broadcast-size
+  // per-type stats frame joins back — the hourly series is ~10⁴ rows
+  // per type even over years, so the stats side is always tiny.
+  private val anomalyZ = 2.0
+
+  private def evAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .withColumn("sigma",
+        sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+          (col("n") * col("n")).cast("double")))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("n") * col("c") - col("s")).cast("double") /
+        (col("n").cast("double") * col("sigma")))
+      .filter(col("sigma") > 0 && abs(col("z")) >= anomalyZ)
+      .select(col("event_type"), col("hr"), col("c").as("n_events"),
+        round(col("z"), 6).as("z"))
+      .orderBy("event_type", "hr")
+  }
+
+  private val evAnomalySql =
+    s"""WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss
+      |  FROM hourly GROUP BY 1)
+      |SELECT h.event_type, h.hr, h.c AS n_events,
+      |  ROUND(CAST(s.n * h.c - s.s AS DOUBLE) /
+      |    (CAST(s.n AS DOUBLE) * sqrt(CAST(s.n * s.ss - s.s * s.s AS DOUBLE)
+      |      / CAST(s.n * s.n AS DOUBLE))), 6) AS z
+      |FROM hourly h JOIN stats s USING (event_type)
+      |WHERE sqrt(CAST(s.n * s.ss - s.s * s.s AS DOUBLE)
+      |    / CAST(s.n * s.n AS DOUBLE)) > 0
+      |  AND abs(CAST(s.n * h.c - s.s AS DOUBLE) /
+      |    (CAST(s.n AS DOUBLE) * sqrt(CAST(s.n * s.ss - s.s * s.s AS DOUBLE)
+      |      / CAST(s.n * s.n AS DOUBLE)))) >= $anomalyZ
+      |ORDER BY event_type, hr""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
@@ -252,5 +305,6 @@ object EventOps extends Suite {
     Op("ev_funnel", evFunnel, Some(evFunnelSql)),
     Op("ev_retention_cohort", evRetention, Some(evRetentionSql)),
     Op("ev_attribution", evAttribution, Some(evAttributionSql)),
+    Op("ev_anomaly", evAnomaly, Some(evAnomalySql)),
   )
 }

@@ -329,6 +329,65 @@ object PipelineOps extends Suite {
       |    (SELECT CAST(SUM(n_docs) AS BIGINT) FROM g), 6) AS doc_share
       |FROM g ORDER BY source, lang, band""".stripMargin
 
+  // ---- pipe_temperature_mix: α-temperature source-mixture weights ---
+  // The multilingual/multi-source sampling recipe (Conneau & Lample,
+  // "Cross-lingual Language Model Pretraining", 2019 §3.1; also
+  // GPT-3's dataset mixture): sampling weight w_s ∝ share_s^α with
+  // α = 0.5 upweights the tail sources relative to their raw token
+  // share. Output per source: raw token share, temperature weight,
+  // and the expected token draw from a fixed budget.
+  // Determinism: token counts are integer-exact; share_s is ONE
+  // double division of exact integers; sqrt is a single
+  // correctly-rounded IEEE op; the normalizer Σ√share is summed in
+  // DECIMAL(18,12) (order-independent), so the final weight divides
+  // two identical doubles in both engines. No FP accumulation.
+  // Scale: per-source token totals are one map-side-combined agg; the
+  // source list (thousands at most) then computes entirely on a
+  // broadcast-size frame.
+  private val mixBudget = 1000000L // tokens drawn from the mixture
+
+  private def pipeTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), Tok.toks.as("t"))
+      .groupBy("source").agg(sum(size(col("t")).cast("long")).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("total"))
+    val sq = perSource.crossJoin(broadcast(total))
+      .withColumn("share", col("n_tokens").cast("double") /
+        col("total").cast("double"))
+      .withColumn("sqrt_share",
+        sqrt(col("share")).cast(DecimalType(18, 12)))
+    val norm = sq.agg(sum(col("sqrt_share")).as("norm"))
+    sq.crossJoin(broadcast(norm))
+      .withColumn("weight",
+        col("sqrt_share").cast("double") / col("norm").cast("double"))
+      .select(col("source"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("weight"), 6).as("weight"),
+        floor(col("weight") * mixBudget).cast("long").as("token_draw"))
+      .orderBy("source")
+  }
+
+  private val pipeTemperatureMixSql =
+    s"""WITH per_source AS (
+      |  SELECT source, CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+      |  FROM (SELECT source, ${Tok.toksSql} AS t FROM documents) x
+      |  GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per_source),
+      |sq AS (
+      |  SELECT source, n_tokens,
+      |    CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+      |    CAST(sqrt(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))
+      |      AS DECIMAL(18,12)) AS sqrt_share
+      |  FROM per_source, tot),
+      |nrm AS (SELECT SUM(sqrt_share) AS norm FROM sq)
+      |SELECT source, n_tokens,
+      |  ROUND(share, 6) AS share,
+      |  ROUND(CAST(sqrt_share AS DOUBLE) / CAST(norm AS DOUBLE), 6) AS weight,
+      |  CAST(FLOOR(CAST(sqrt_share AS DOUBLE) / CAST(norm AS DOUBLE)
+      |    * $mixBudget) AS BIGINT) AS token_draw
+      |FROM sq, nrm ORDER BY source""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("pipe_curate", pipeCurate, Some(pipeCurateSql)),
     Op("pipe_mix_report", pipeMixReport, Some(pipeMixReportSql)),
@@ -337,5 +396,6 @@ object PipelineOps extends Suite {
     Op("pipe_dup_clusters", pipeDupClusters, Some(pipeDupClustersSql)),
     Op("pipe_curate_cc", pipeCurateCc, Some(pipeCurateCcSql)),
     Op("pipe_decontaminate", pipeDecontaminate, Some(pipeDecontaminateSql)),
+    Op("pipe_temperature_mix", pipeTemperatureMix, Some(pipeTemperatureMixSql)),
   )
 }

@@ -279,11 +279,130 @@ object TextOps extends Suite {
       |WHERE rk <= $ngramK
       |ORDER BY lang, rk""".stripMargin
 
+  // ---- txt_repetition: Gopher-style repetition filters --------------
+  // Per-doc repetition signals (Rae et al., "Scaling Language Models:
+  // Methods, Analysis & Insights from Training Gopher", 2021 §A1.1 —
+  // the repetition family of quality filters):
+  //   top_tok_frac    — most-frequent-token share of all tokens
+  //   dup_bigram_frac — 1 − distinct bigrams / total bigrams
+  //   dup_3gram_frac  — 1 − distinct 3-grams / total 3-grams
+  // All per-row array expressions: at 100 TB this is a map-only pass
+  // (no shuffle at all — the presentation sort is the only exchange
+  // and exists for the oracle, not the pipeline form). The flag
+  // compares the UNROUNDED doubles — both engines build them through
+  // the identical op sequence, so the cut is deterministic.
+  private val repTopFrac = 0.15
+  private val repDupBigram = 0.10
+
+  private def txtRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val bigrams = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val trigrams = transform(slice(t, lit(1), size(t) - 2),
+      (x, i) => concat_ws(" ", x, element_at(t, i + 2), element_at(t, i + 3)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(t) >= 3)
+      .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+        (array_max(transform(array_distinct(t),
+          x => size(filter(t, y => y === x)))).cast("double") /
+          size(t).cast("double")).as("top_tok_frac"),
+        (lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+          (size(t) - 1).cast("double")).as("dup_bigram_frac"),
+        (lit(1.0) - size(array_distinct(trigrams)).cast("double") /
+          (size(t) - 2).cast("double")).as("dup_3gram_frac"))
+      .withColumn("is_repetitive",
+        col("top_tok_frac") >= repTopFrac ||
+          col("dup_bigram_frac") >= repDupBigram)
+      .withColumn("top_tok_frac", round(col("top_tok_frac"), 6))
+      .withColumn("dup_bigram_frac", round(col("dup_bigram_frac"), 6))
+      .withColumn("dup_3gram_frac", round(col("dup_3gram_frac"), 6))
+      .orderBy("doc_id")
+  }
+
+  private val txtRepetitionSql =
+    s"""SELECT doc_id, n_tokens,
+      |  ROUND(top_tok_frac, 6) AS top_tok_frac,
+      |  ROUND(dup_bigram_frac, 6) AS dup_bigram_frac,
+      |  ROUND(dup_3gram_frac, 6) AS dup_3gram_frac,
+      |  top_tok_frac >= $repTopFrac OR dup_bigram_frac >= $repDupBigram
+      |    AS is_repetitive
+      |FROM (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |    CAST(list_max(list_transform(list_distinct(t),
+      |      x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
+      |      / CAST(len(t) AS DOUBLE) AS top_tok_frac,
+      |    1.0 - CAST(len(list_distinct(
+      |        [t[i] || ' ' || t[i+1] for i in range(1, len(t))]))
+      |      AS DOUBLE) / CAST(len(t) - 1 AS DOUBLE) AS dup_bigram_frac,
+      |    1.0 - CAST(len(list_distinct(
+      |        [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |         for i in range(1, len(t) - 1)]))
+      |      AS DOUBLE) / CAST(len(t) - 2 AS DOUBLE) AS dup_3gram_frac
+      |  FROM (SELECT doc_id, $toksSql AS t FROM documents) x
+      |  WHERE len(t) >= 3) y
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- txt_boilerplate: corpus-common-shingle flagging --------------
+  // The cross-document companion to txt_repetition (C4's boilerplate
+  // line filter re-expressed over word 3-grams, since this corpus has
+  // no newlines): a shingle is "boilerplate" when it appears in ≥
+  // boilerDf distinct documents; a document is flagged when ≥
+  // boilerFrac of its distinct shingles are boilerplate.
+  // Scale shape: explode distinct shingle HASHES (narrow longs, one
+  // codegen'd shingle_hash3 pass — never shingle strings), one hash
+  // agg for document frequency, one shuffle join back on the hash,
+  // one per-doc agg. Every stage partitions by shingle or doc_id —
+  // at 100 TB nothing is driver-side and no stage needs the full
+  // vocabulary resident. The oracle replays the same set logic on
+  // shingle strings (set identity survives hashing; same contract as
+  // dedup_ngram_jaccard).
+  private val boilerDf = 5
+  private val boilerFrac = 0.08
+
+  private def txtBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr("shingle_hash3(t)")).as("sh"))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("nd"))
+    sh.join(df, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("nd") >= boilerDf, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("boiler_frac",
+        col("n_common").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("is_boiler", col("boiler_frac") >= boilerFrac)
+      .withColumn("boiler_frac", round(col("boiler_frac"), 6))
+      .orderBy("doc_id")
+  }
+
+  private val txtBoilerplateSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |s AS (SELECT doc_id, unnest(list_distinct(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |     for i in range(1, len(t) - 1)])) AS sh
+      |  FROM t WHERE len(t) >= 3),
+      |g AS (SELECT sh, COUNT(*) AS nd FROM s GROUP BY sh),
+      |d AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |    CAST(SUM(CASE WHEN g.nd >= $boilerDf THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_common
+      |  FROM s JOIN g USING (sh) GROUP BY s.doc_id)
+      |SELECT doc_id, n_shingles, n_common,
+      |  ROUND(CAST(n_common AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+      |    AS boiler_frac,
+      |  CAST(n_common AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= $boilerFrac
+      |    AS is_boiler
+      |FROM d ORDER BY doc_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
     Op("txt_langid", txtLangid, Some(txtLangidSql)),
     Op("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
     Op("txt_ngram_topk", txtNgramTopk, Some(txtNgramTopkSql)),
+    Op("txt_repetition", txtRepetition, Some(txtRepetitionSql)),
+    Op("txt_boilerplate", txtBoilerplate, Some(txtBoilerplateSql)),
   )
 }
