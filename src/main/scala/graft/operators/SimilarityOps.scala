@@ -372,11 +372,110 @@ object SimilarityOps extends Suite {
       |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- sim_kmeans: Lloyd's k-means codebook training ----------------
+  // The trained-codebook step sim_ivf_topk and sim_pq_topk declare as
+  // their production path (Jégou et al. 2011 §II-A trains coarse and
+  // product quantizers with k-means; Lloyd 1982): k seed centroids =
+  // the first k vectors by vec_id (deterministic init), then
+  // `kmIters` rounds of assign-to-nearest + recompute-means.
+  // Division-free determinism: a centroid is carried as its exact
+  // decimal SUM vector s plus member count n, never a divided mean —
+  // squared distance to the mean is Σ((n·d − s)/n)² computed as
+  // (Σ exact-decimal (n·d − s)²)/n², so the only FP steps are one
+  // decimal→double cast and one division per (vec, cluster), then the
+  // argmin ties break on cluster id. Both engines therefore walk
+  // IDENTICAL assignment sequences through every iteration — the
+  // oracle unrolls the same three rounds as CTEs and must match
+  // hash-for-hash.
+  // Scale: the centroid frame is k×d rows (broadcast); each round is
+  // one broadcast join + two map-side-combined aggs over the corpus —
+  // the corpus is never reshuffled by cluster and no state ever
+  // concentrates on the driver. This is the same round shape MLlib's
+  // distributed k-means runs at petabyte scale.
+  private val kmK = 8
+  private val kmIters = 3
+
+  private def simKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        col("x").cast("double").cast(DecimalType(12, 8)).as("d"))
+    var sums = exploded.filter(col("vec_id") < kmK)
+      .select(col("vec_id").cast("long").as("cluster"), col("i"),
+        col("d").as("s"), lit(1L).as("n"))
+    var assign: DataFrame = null
+    for (it <- 1 to kmIters) {
+      assign = exploded.join(broadcast(sums), Seq("i"))
+        .withColumn("sq",
+          ((col("n") * col("d") - col("s")).cast("double") *
+            (col("n") * col("d") - col("s")).cast("double"))
+            .cast(DecimalType(24, 6)))
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg((sum(col("sq")).cast("double") /
+          (max(col("n")) * max(col("n"))).cast("double")).as("dist_sq"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist_sq"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.dist_sq").as("dist_sq"))
+      if (it < kmIters)
+        sums = exploded.join(assign.select("vec_id", "cluster"), Seq("vec_id"))
+          .groupBy("cluster", "i")
+          .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))
+    }
+    assign.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("dist_sq").cast(DecimalType(18, 8))).cast("double"), 6)
+          .as("wss"),
+        round(min(col("dist_sq")), 6).as("min_dist_sq"),
+        round(max(col("dist_sq")), 6).as("max_dist_sq"))
+      .orderBy("cluster")
+  }
+
+  private val simKmeansSql: String = {
+    val distExpr =
+      """CAST(SUM(CAST(
+        |      CAST(s.n * t.d - s.s AS DOUBLE) * CAST(s.n * t.d - s.s AS DOUBLE)
+        |      AS DECIMAL(24,6))) AS DOUBLE) /
+        |      CAST(MAX(s.n) * MAX(s.n) AS DOUBLE)""".stripMargin
+    val iters = (1 to kmIters).map { r =>
+      val assign =
+        s"""assign$r AS (
+          |  SELECT vec_id, cluster, dist_sq FROM (
+          |    SELECT t.vec_id, s.cluster, $distExpr AS dist_sq
+          |    FROM terms t JOIN sums${r - 1} s ON t.i = s.i
+          |    GROUP BY t.vec_id, s.cluster) x
+          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+          |    ORDER BY dist_sq, cluster) = 1)""".stripMargin
+      val update = if (r < kmIters)
+        s""",
+          |sums$r AS (
+          |  SELECT a.cluster, t.i, SUM(t.d) AS s, COUNT(*) AS n
+          |  FROM terms t JOIN assign$r a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+      else ""
+      assign + update
+    }.mkString(",\n")
+    s"""WITH terms AS (
+      |  SELECT vec_id, i,
+      |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS d
+      |  FROM embeddings, range(1, 65) r(i)),
+      |sums0 AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS cluster, i, d AS s,
+      |    CAST(1 AS BIGINT) AS n
+      |  FROM terms WHERE vec_id < $kmK),
+      |$iters
+      |SELECT cluster, COUNT(*) AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(dist_sq AS DECIMAL(18,8))) AS DOUBLE), 6) AS wss,
+      |  ROUND(MIN(dist_sq), 6) AS min_dist_sq,
+      |  ROUND(MAX(dist_sq), 6) AS max_dist_sq
+      |FROM assign$kmIters GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
     Op("sim_ann_lsh", simAnnLsh, None),
     Op("sim_centroids", simCentroids, Some(simCentroidsSql)),
     Op("sim_ivf_topk", simIvfTopk, Some(simIvfTopkSql)),
     Op("sim_pq_topk", simPqTopk, Some(simPqTopkSql)),
+    Op("sim_kmeans", simKmeans, Some(simKmeansSql)),
   )
 }
