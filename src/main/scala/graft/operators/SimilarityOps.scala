@@ -395,32 +395,68 @@ object SimilarityOps extends Suite {
   private val kmK = 8
   private val kmIters = 3
 
-  private def simKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"),
-        col("x").cast("double").cast(DecimalType(12, 8)).as("d"))
-    var sums = exploded.filter(col("vec_id") < kmK)
-      .select(col("vec_id").cast("long").as("cluster"), col("i"),
-        col("d").as("s"), lit(1L).as("n"))
+  private def simKmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansStats(spark, dir, kmIters)
+
+  /** Parameterized core (spec surface: Lloyd's total-WSS descent is
+    * checked across iteration counts). */
+  private[graft] def kmeansStats(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.Column
+    // corpus rows carry their quantized vector; ASSIGNMENT IS MAP-ONLY:
+    // the k centroids ride along as one broadcast single-row nested
+    // array and the argmin folds per row — the corpus is never
+    // shuffled or joined during assignment. Only the centroid UPDATE
+    // exchanges anything, and map-side combine reduces that to k×d
+    // partial rows per task. (The first formulation joined an
+    // exploded corpus against the centroid frame and re-shuffled
+    // ~n·k rows every round — this one moves only k×d.)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double").cast(DecimalType(12, 8))).as("dv"))
+    // per-term math shared with the oracle: ((n·d − s).double)² as
+    // DECIMAL(24,6), summed exactly, ÷ n² in double
+    def distSq(c: Column): Column =
+      aggregate(
+        zip_with(col("dv"), c.getField("s_arr"),
+          (d, s) => ((c.getField("n") * d - s).cast("double") *
+            (c.getField("n") * d - s).cast("double"))
+            .cast(DecimalType(24, 6))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, 6)),
+        (acc, v) => (acc + v).cast(DecimalType(30, 6))).cast("double") /
+        (c.getField("n") * c.getField("n")).cast("double")
+    // single-row [(cluster, n, s_arr)] sorted by cluster id
+    def nest(perDim: DataFrame): DataFrame = perDim
+      .groupBy("cluster")
+      .agg(max(col("n")).as("n"),
+        transform(array_sort(collect_list(struct(col("i"), col("s")))),
+          e => e.getField("s")).as("s_arr"))
+      .agg(array_sort(collect_list(
+        struct(col("cluster"), col("n"), col("s_arr")))).as("cs"))
+    var cent = emb.filter(col("vec_id") < kmK)
+      .select(col("vec_id").cast("long").as("cluster"), lit(1L).as("n"),
+        transform(col("dv"), d => d.cast(DecimalType(22, 8))).as("s_arr"))
+      .agg(array_sort(collect_list(
+        struct(col("cluster"), col("n"), col("s_arr")))).as("cs"))
     var assign: DataFrame = null
-    for (it <- 1 to kmIters) {
-      assign = exploded.join(broadcast(sums), Seq("i"))
-        .withColumn("sq",
-          ((col("n") * col("d") - col("s")).cast("double") *
-            (col("n") * col("d") - col("s")).cast("double"))
-            .cast(DecimalType(24, 6)))
-        .groupBy(col("vec_id"), col("cluster"))
-        .agg((sum(col("sq")).cast("double") /
-          (max(col("n")) * max(col("n"))).cast("double")).as("dist_sq"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist_sq"), col("cluster"))).as("m"))
-        .select(col("vec_id"), col("m.cluster").as("cluster"),
-          col("m.dist_sq").as("dist_sq"))
-      if (it < kmIters)
-        sums = exploded.join(assign.select("vec_id", "cluster"), Seq("vec_id"))
+    for (it <- 1 to iters) {
+      // strict < keeps the earlier (lower-id) cluster on ties —
+      // same order as the oracle's ORDER BY dist_sq, cluster
+      val best = aggregate(col("ds"), element_at(col("ds"), 1),
+        (acc, v) => when(v.getField("dist_sq") < acc.getField("dist_sq"), v)
+          .otherwise(acc))
+      assign = emb.crossJoin(broadcast(cent))
+        .withColumn("ds", transform(col("cs"), c =>
+          struct(distSq(c).as("dist_sq"), c.getField("cluster").as("cluster"))))
+        .select(col("vec_id"), col("dv"),
+          best.getField("cluster").as("cluster"),
+          best.getField("dist_sq").as("dist_sq"))
+      if (it < iters)
+        cent = nest(assign
+          .select(col("cluster"), posexplode(col("dv")).as(Seq("i", "d")))
           .groupBy("cluster", "i")
-          .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))
+          .agg(sum(col("d")).as("s"), count(lit(1)).as("n")))
     }
     assign.groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"),

@@ -272,4 +272,96 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rec.filter(col("event_id") % 2 === 1)
       .filter(col("event_type").isNotNull).isEmpty)
   }
+
+  test("sim_kmeans covers the corpus and Lloyd's total WSS is non-increasing") {
+    val n = sources.Tables.embeddings(spark, sf).count()
+    val wssByIter = (1 to 3).map { it =>
+      val stats = operators.SimilarityOps.kmeansStats(spark, sf, it)
+      assert(stats.agg(sum(col("n_vecs"))).collect()(0).getLong(0) == n,
+        s"iter $it: clusters must partition the corpus")
+      stats.agg(sum(col("wss"))).collect()(0).getDouble(0)
+    }
+    // each extra round = one more (update means, reassign) step; both
+    // halves of Lloyd's step can only lower the total objective
+    assert(wssByIter(1) <= wssByIter(0) + 1e-6 &&
+      wssByIter(2) <= wssByIter(1) + 1e-6,
+      s"WSS must descend across iterations: $wssByIter")
+  }
+
+  test("txt_repetition fractions are hand-verifiable on a crafted doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    // "a a a a b": top token 4/5; bigrams {a a,a a,a a,a b} → dup 2/4;
+    // trigrams {aaa,aaa,aab} → dup 1/3. The 10-distinct-token doc has
+    // top frac 0.1 — under the 0.15 cut (a 5-token all-distinct doc
+    // would sit at 0.2 and legitimately flag: short docs are noisy).
+    Seq((0L, "a a a a b", "en", "s", 9L),
+        (1L, "q w e r t y u i o p", "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("txt_repetition")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(rows(0) == ((0L, 0.8, 0.5, round6(1.0 / 3), true)), s"${rows(0)}")
+    assert(rows(1) == ((1L, 0.1, 0.0, 0.0, false)), s"${rows(1)}")
+  }
+
+  private def round6(x: Double) = math.rint(x * 1e6) / 1e6
+
+  test("txt_boilerplate flags exactly the docs sharing a corpus-common shingle") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("boiler").toString
+    // "p q r" appears in 5 docs (= boilerDf); doc 5 shares nothing
+    val common = (0L to 4L).map(i => (i, s"p q r t$i u$i v$i", "en", "s", 9L))
+    val docs = common :+ ((5L, "m n o k l j", "en", "s", 9L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("txt_boilerplate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .toMap
+    (0L to 4L).foreach { i =>
+      assert(out(i) == ((4L, 1L, true)), s"doc $i: ${out(i)}")
+    }
+    assert(out(5L) == ((4L, 0L, false)), s"doc 5: ${out(5L)}")
+  }
+
+  test("ev_anomaly flags exactly the spike hour with the hand-computed z") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("anom").toString
+    // "flat": constant hourly counts → sigma = 0 → excluded entirely.
+    // "spiky": hourly counts 1,1,1,1,16 → mean 4, population variance
+    // (4·(−3)² + 12²)/5 = 36, so z(16) = 12/6 = 2.0 exactly (flagged
+    // at |z| ≥ 2) and z(1) = −0.5 (not flagged).
+    // ts is written as a raw nanos long — the same physical shape the
+    // driver's TIMESTAMP(NANOS) parquet presents to Tables.events.
+    val hourNs = 3600L * 1000000000L
+    def at(h: Int, k: Int) = (0 until k).map { j =>
+      (h * 1000L + j, h * hourNs + j * 1000000000L, j.toLong, "spiky",
+        1.0, "{}")
+    }
+    val flat = (0 until 4).map(h =>
+      (9000L + h, h * hourNs, 99L, "flat", 1.0, "{}"))
+    val events = (0 until 4).flatMap(at(_, 1)) ++ at(4, 16) ++ flat
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("ev_anomaly")(spark, dir).collect()
+    assert(out.length == 1, out.mkString(";"))
+    assert(out(0).getString(0) == "spiky" && out(0).getLong(2) == 16L &&
+      out(0).getDouble(3) == 2.0, out(0).toString)
+  }
+
+  test("pipe_temperature_mix weights sum to 1 and α=0.5 upweights the tail") {
+    val mix = run("pipe_temperature_mix").collect()
+    val wSum = mix.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    val boost = mix.map(r =>
+      r.getAs[Double]("share") -> r.getAs[Double]("weight") /
+        r.getAs[Double]("share"))
+    val minShare = boost.minBy(_._1)
+    val maxShare = boost.maxBy(_._1)
+    assert(minShare._2 > maxShare._2,
+      "temperature must upweight the smallest source relative to the largest")
+    assert(mix.map(_.getAs[Long]("token_draw")).sum <= 1000000L,
+      "floor'd draws cannot exceed the budget")
+  }
 }

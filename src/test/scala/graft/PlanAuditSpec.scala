@@ -123,7 +123,24 @@ class PlanAuditSpec extends SparkSpec {
       "q_top_suppliers" -> 1, "q_window_topn" -> 3, "sim_ann_lsh" -> 3,
       "sim_centroids" -> 4, "sim_ivf_topk" -> 5, "sim_topk_exact" -> 2,
       "txt_fingerprint" -> 1, "txt_langid" -> 1, "txt_quality" -> 1,
-      "txt_stats" -> 1)
+      "txt_stats" -> 1,
+      // map-only per-row fractions; the one exchange is the sort
+      "txt_repetition" -> 1,
+      // shingle doc-frequency agg + join-back + per-doc agg; sort
+      // reuses the doc partitioning
+      "txt_boilerplate" -> 4,
+      // (type,hour) agg + per-type stats agg (broadcast back) + sort
+      "ev_anomaly" -> 4,
+      // everything after the per-source token agg runs on a
+      // source-count-sized frame: two single-row normalizer aggs and
+      // their broadcast joins + sort — small-data exchanges only
+      "pipe_temperature_mix" -> 8,
+      // ASSIGNMENT IS MAP-ONLY (centroids ride a broadcast nested
+      // array); the 9 exchanges are the per-round centroid-update
+      // partial aggs and nesting collects, every one carrying ≤ k×d
+      // rows after map-side combine — the corpus itself is never
+      // re-shuffled across rounds
+      "sim_kmeans" -> 9)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
