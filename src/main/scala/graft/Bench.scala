@@ -29,7 +29,12 @@ object Bench {
     // locale, which can emit comma decimals (invalid JSON)
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args (dev iteration only; the driver passes none):
+    // bench just the named queries
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      if (args.nonEmpty) all.filter(args.toSet) else all
+    }
     names.foreach(runOne) // warmup: JVM JIT + codegen cache + FS cache
     val samples: Map[String, Seq[Double]] =
       (1 to rounds).flatMap(_ => names.map(n => n -> runOne(n)))

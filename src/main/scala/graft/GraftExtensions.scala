@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DecDotProduct, DecQuant, HyperplaneBuckets, MinHash128, ShingleHash3, SimHash64}
+import graft.functions.{DecDotProduct, DecQuant, HyperplaneBuckets, KmAssign, MinHash128, ShingleHash3, SimHash64}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions with the session's function registry, so they're
@@ -48,6 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.size != 2) throw new IllegalArgumentException(
           s"dec_dot expects exactly 2 arguments, got ${children.size}")
         DecDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("km_assign"),
+      new ExpressionInfo(classOf[KmAssign].getName, "km_assign"),
+      { children =>
+        if (children.size != 2) throw new IllegalArgumentException(
+          s"km_assign expects exactly 2 arguments, got ${children.size}")
+        KmAssign(children.head, children(1))
       }))
   }
 }

@@ -402,31 +402,20 @@ object SimilarityOps extends Suite {
     * checked across iteration counts). */
   private[graft] def kmeansStats(spark: SparkSession, dir: String,
       iters: Int): DataFrame = {
-    import org.apache.spark.sql.Column
-    // corpus rows carry their quantized vector; ASSIGNMENT IS MAP-ONLY:
-    // the k centroids ride along as one broadcast single-row nested
-    // array and the argmin folds per row — the corpus is never
-    // shuffled or joined during assignment. Only the centroid UPDATE
-    // exchanges anything, and map-side combine reduces that to k×d
-    // partial rows per task. (The first formulation joined an
-    // exploded corpus against the centroid frame and re-shuffled
-    // ~n·k rows every round — this one moves only k×d.)
+    // corpus rows carry their vector as dec_quant's unscaled scale-8
+    // longs; ASSIGNMENT IS MAP-ONLY: the k centroids ride along as
+    // one broadcast single-row nested array of exact integer
+    // (sum, count) pairs and the native km_assign kernel picks the
+    // argmin per row — the corpus is never shuffled or joined during
+    // assignment. Only the centroid UPDATE exchanges anything, and
+    // map-side combine reduces that to k×d partial rows per task.
+    // (A join formulation re-shuffled ~n·k rows per round; an
+    // interpreted HOF fold computed the same kernel ~10× slower.)
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => x.cast("double").cast(DecimalType(12, 8))).as("dv"))
-    // per-term math shared with the oracle: ((n·d − s).double)² as
-    // DECIMAL(24,6), summed exactly, ÷ n² in double
-    def distSq(c: Column): Column =
-      aggregate(
-        zip_with(col("dv"), c.getField("s_arr"),
-          (d, s) => ((c.getField("n") * d - s).cast("double") *
-            (c.getField("n") * d - s).cast("double"))
-            .cast(DecimalType(24, 6))),
-        lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, 6)),
-        (acc, v) => (acc + v).cast(DecimalType(30, 6))).cast("double") /
-        (c.getField("n") * c.getField("n")).cast("double")
-    // single-row [(cluster, n, s_arr)] sorted by cluster id
+      .select(col("vec_id"), expr("dec_quant(embedding)").as("dq"))
+    // single-row [(cluster, n, s_arr)] sorted by cluster id — the
+    // sort fixes the kernel's strict-< tie-break to the lowest
+    // cluster id, same as the oracle's ORDER BY dist_sq, cluster
     def nest(perDim: DataFrame): DataFrame = perDim
       .groupBy("cluster")
       .agg(max(col("n")).as("n"),
@@ -434,29 +423,35 @@ object SimilarityOps extends Suite {
           e => e.getField("s")).as("s_arr"))
       .agg(array_sort(collect_list(
         struct(col("cluster"), col("n"), col("s_arr")))).as("cs"))
-    var cent = emb.filter(col("vec_id") < kmK)
+    // each round's centroids are ONE small row and each assignment is
+    // consumed twice (update + next round / stats) — materialize both
+    // with an eager RELIABLE checkpoint so no round ever replays
+    // earlier rounds' lineage (pipe_dup_clusters' pattern: truncated
+    // lineage keeps the final plan flat for the shuffle-budget audit,
+    // and the directory-backed copy survives executor loss where a
+    // cache/localCheckpoint would not; point setCheckpointDir at
+    // durable storage on a real cluster)
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    def pin(df: DataFrame): DataFrame = df.checkpoint()
+    var cent = pin(emb.filter(col("vec_id") < kmK)
       .select(col("vec_id").cast("long").as("cluster"), lit(1L).as("n"),
-        transform(col("dv"), d => d.cast(DecimalType(22, 8))).as("s_arr"))
+        col("dq").as("s_arr"))
       .agg(array_sort(collect_list(
-        struct(col("cluster"), col("n"), col("s_arr")))).as("cs"))
+        struct(col("cluster"), col("n"), col("s_arr")))).as("cs")))
     var assign: DataFrame = null
     for (it <- 1 to iters) {
-      // strict < keeps the earlier (lower-id) cluster on ties —
-      // same order as the oracle's ORDER BY dist_sq, cluster
-      val best = aggregate(col("ds"), element_at(col("ds"), 1),
-        (acc, v) => when(v.getField("dist_sq") < acc.getField("dist_sq"), v)
-          .otherwise(acc))
-      assign = emb.crossJoin(broadcast(cent))
-        .withColumn("ds", transform(col("cs"), c =>
-          struct(distSq(c).as("dist_sq"), c.getField("cluster").as("cluster"))))
-        .select(col("vec_id"), col("dv"),
-          best.getField("cluster").as("cluster"),
-          best.getField("dist_sq").as("dist_sq"))
+      assign = pin(emb.crossJoin(broadcast(cent))
+        .withColumn("b", expr("km_assign(dq, cs)"))
+        .select(col("vec_id"), col("dq"),
+          col("b.cluster").as("cluster"),
+          col("b.dist_sq").as("dist_sq")))
       if (it < iters)
-        cent = nest(assign
-          .select(col("cluster"), posexplode(col("dv")).as(Seq("i", "d")))
+        cent = pin(nest(assign
+          .select(col("cluster"), posexplode(col("dq")).as(Seq("i", "d")))
           .groupBy("cluster", "i")
-          .agg(sum(col("d")).as("s"), count(lit(1)).as("n")))
+          .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))))
     }
     assign.groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"),

@@ -136,11 +136,12 @@ class PlanAuditSpec extends SparkSpec {
       // their broadcast joins + sort — small-data exchanges only
       "pipe_temperature_mix" -> 8,
       // ASSIGNMENT IS MAP-ONLY (centroids ride a broadcast nested
-      // array); the 9 exchanges are the per-round centroid-update
-      // partial aggs and nesting collects, every one carrying ≤ k×d
-      // rows after map-side combine — the corpus itself is never
-      // re-shuffled across rounds
-      "sim_kmeans" -> 9)
+      // array, the native km_assign kernel folds the argmin per row)
+      // and every round ends in a reliable checkpoint, so the final
+      // plan is just stats-agg + sort; the per-round centroid-update
+      // exchanges (k×d rows after map-side combine) run inside the
+      // loop's materializations — the corpus is never re-shuffled
+      "sim_kmeans" -> 2)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
