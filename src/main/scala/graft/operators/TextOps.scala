@@ -304,9 +304,21 @@ object TextOps extends Suite {
     Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("t"))
       .filter(size(t) >= 3)
+      // top-token count = longest run in the SORTED token array — one
+      // O(L log L) pass instead of the O(L²) count-per-distinct-token
+      // fold (same integer, so the oracle keeps the direct form);
+      // acc = (prev token, current run, best run)
+      .withColumn("top_n", aggregate(array_sort(t),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(run, acc.getField("best")).as("best"))
+        },
+        acc => acc.getField("best")))
       .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
-        (array_max(transform(array_distinct(t),
-          x => size(filter(t, y => y === x)))).cast("double") /
+        (col("top_n").cast("double") /
           size(t).cast("double")).as("top_tok_frac"),
         (lit(1.0) - size(array_distinct(bigrams)).cast("double") /
           (size(t) - 1).cast("double")).as("dup_bigram_frac"),
