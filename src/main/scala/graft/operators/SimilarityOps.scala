@@ -298,6 +298,13 @@ object SimilarityOps extends Suite {
       .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))
     // distance from every (vector, subspace) to every label's
     // sub-centroid, scaled by n²: Σ((n·d−s)/n)² = Σ(n·d−s)²/n²
+    // materialize ONCE: both the encode branch (codes) and the
+    // query-side lookup table (dq) consume this frame — without the
+    // eager checkpoint the whole (vec, sub, label) distance subtree
+    // plans (and runs) under both branches
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val subDist = terms
       .join(broadcast(sums), Seq("i"))
       .withColumn("sq",
@@ -307,6 +314,7 @@ object SimilarityOps extends Suite {
       .groupBy(col("vec_id"), col("sub"), col("c_label"))
       .agg((sum(col("sq")).cast("double") /
         (max(col("n")) * max(col("n"))).cast("double")).as("dist_sq"))
+      .checkpoint()
     val codes = subDist
       .groupBy(col("vec_id").as("cand_id"), col("sub"))
       .agg(min_by(col("c_label"), struct(col("dist_sq"), col("c_label")))

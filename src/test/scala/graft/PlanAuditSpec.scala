@@ -105,11 +105,11 @@ class PlanAuditSpec extends SparkSpec {
       // three distinct-join legs × (agg exchange each side) at this
       // SF collapse to 6; single-row count aggs are exchange-free
       "q_set_ops" -> 6,
-      // the (vec,sub,label) sub-distance subtree plans under BOTH the
-      // encode branch and the ADC branch (4 of the 8; the ADC copy's
-      // query filter pushes to the scan so it aggregates queries
-      // only), + codes agg + partials agg + window + sort
-      "sim_pq_topk" -> 8,
+      // the (vec,sub,label) sub-distance frame is checkpointed and
+      // shared by the encode and ADC branches (it used to plan — and
+      // run — under both); remaining: codes agg + partials agg +
+      // window + sort
+      "sim_pq_topk" -> 4,
       // bigram count agg + bucketed-window + final-window + sort
       "txt_ngram_topk" -> 4,
       "pipe_decontaminate" -> 2,
