@@ -388,6 +388,75 @@ object PipelineOps extends Suite {
       |    * $mixBudget) AS BIGINT) AS token_draw
       |FROM sq, nrm ORDER BY source""".stripMargin
 
+  // ---- pipe_funnel_report: per-stage curation loss accounting -------
+  // The observability row every curation run reports: how many
+  // documents and tokens survive each successive gate (scored →
+  // quality floor → exact-dup keeper → cluster keeper). The stages
+  // NEST (cc keepers ⊆ exact keepers: every exact group is inside a
+  // component and only the component min survives), so the report is
+  // a monotone funnel — the spec pins that.
+  // Shape: the gates land as boolean flags on one pass over the
+  // scored frame (two doc_id equi-joins), then ONE aggregate computes
+  // all four stages' conditional sums and a 4-row stack unpivots —
+  // no per-stage rescan of the corpus.
+  private def pipeFunnelReport(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.qualityScored(spark, dir)
+      .select("doc_id", "n_tokens", "quality")
+    val exactKeep = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      .withColumn("ek", lit(true))
+    val ccKeep = pipeDupClusters(spark, dir)
+      .filter(col("is_keeper")).select("doc_id")
+      .withColumn("ck", lit(true))
+    val flags = scored
+      .withColumn("q", col("quality") >= qualityFloor)
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(ccKeep, Seq("doc_id"), "left")
+    def stage(cond: org.apache.spark.sql.Column, i: Int) = Seq(
+      count(when(cond, 1)).as(s"d$i"),
+      sum(when(cond, col("n_tokens")).otherwise(0L)).as(s"t$i"))
+    val stageCols = stage(lit(true), 0) ++ stage(col("q"), 1) ++
+      stage(col("q") && col("ek").isNotNull, 2) ++
+      stage(col("q") && col("ck").isNotNull, 3)
+    val agg = flags.agg(stageCols.head, stageCols.tail: _*)
+    agg.select(expr(
+      """stack(4,
+        |  0, 'scored',     d0, t0,
+        |  1, 'quality',    d1, t1,
+        |  2, 'exact_keep', d2, t2,
+        |  3, 'cc_keep',    d3, t3) AS (stage, stage_name, n_docs, n_tokens)
+      """.stripMargin))
+      .select(col("stage").cast("long").as("stage"), col("stage_name"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy("stage")
+  }
+
+  private val pipeFunnelReportSql =
+    s"""WITH scored AS (${TextOps.qualityScoredSql}),
+      |exact_keep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |clusters AS ($pipeDupClustersSql),
+      |q AS (SELECT doc_id, n_tokens FROM scored
+      |  WHERE quality >= $qualityFloor)
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS stage, 'scored' AS stage_name,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens
+      |  FROM scored
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), 'quality', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM q
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'exact_keep', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM q
+      |  WHERE doc_id IN (SELECT doc_id FROM exact_keep)
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'cc_keep', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM q
+      |  WHERE doc_id IN (SELECT doc_id FROM clusters WHERE is_keeper)) f
+      |ORDER BY stage""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("pipe_curate", pipeCurate, Some(pipeCurateSql)),
     Op("pipe_mix_report", pipeMixReport, Some(pipeMixReportSql)),
@@ -397,5 +466,6 @@ object PipelineOps extends Suite {
     Op("pipe_curate_cc", pipeCurateCc, Some(pipeCurateCcSql)),
     Op("pipe_decontaminate", pipeDecontaminate, Some(pipeDecontaminateSql)),
     Op("pipe_temperature_mix", pipeTemperatureMix, Some(pipeTemperatureMixSql)),
+    Op("pipe_funnel_report", pipeFunnelReport, Some(pipeFunnelReportSql)),
   )
 }

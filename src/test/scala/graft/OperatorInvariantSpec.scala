@@ -350,6 +350,19 @@ class OperatorInvariantSpec extends SparkSpec {
       out(0).getDouble(3) == 2.0, out(0).toString)
   }
 
+  test("pipe_funnel_report stages nest monotonically and tie out to their ops") {
+    val rep = run("pipe_funnel_report").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rep.keySet == Set(0L, 1L, 2L, 3L))
+    (0L to 2L).foreach { s =>
+      assert(rep(s)._1 >= rep(s + 1)._1 && rep(s)._2 >= rep(s + 1)._2,
+        s"stage $s must not gain docs/tokens: $rep")
+    }
+    // the terminal stage IS pipe_curate_cc's survivor set
+    assert(rep(3L)._1 == run("pipe_curate_cc").count(),
+      "cc_keep stage must equal the curate_cc output")
+  }
+
   test("pipe_temperature_mix weights sum to 1 and α=0.5 upweights the tail") {
     val mix = run("pipe_temperature_mix").collect()
     val wSum = mix.map(_.getAs[Double]("weight")).sum

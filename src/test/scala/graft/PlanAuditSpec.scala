@@ -131,6 +131,9 @@ class PlanAuditSpec extends SparkSpec {
       "txt_boilerplate" -> 4,
       // (type,hour) agg + per-type stats agg (broadcast back) + sort
       "ev_anomaly" -> 4,
+      // flags join on checkpointed cc labels + one global agg; the
+      // 4-row stack is exchange-free
+      "pipe_funnel_report" -> 2,
       // everything after the per-source token agg runs on a
       // source-count-sized frame: two single-row normalizer aggs and
       // their broadcast joins + sort — small-data exchanges only
