@@ -406,9 +406,33 @@ object SimilarityOps extends Suite {
   private def simKmeans(spark: SparkSession, dir: String): DataFrame =
     kmeansStats(spark, dir, kmIters)
 
-  /** Parameterized core (spec surface: Lloyd's total-WSS descent is
-    * checked across iteration counts). */
-  private[graft] def kmeansStats(spark: SparkSession, dir: String,
+  /** single-row [(cluster, n, s_arr)] sorted by cluster id — the sort
+    * fixes km_assign's strict-< tie-break to the lowest cluster id,
+    * same as the oracle's ORDER BY dist_sq, cluster. */
+  private def nestCentroids(perDim: DataFrame): DataFrame = perDim
+    .groupBy("cluster")
+    .agg(max(col("n")).as("n"),
+      transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        e => e.getField("s")).as("s_arr"))
+    .agg(array_sort(collect_list(
+      struct(col("cluster"), col("n"), col("s_arr")))).as("cs"))
+
+  /** per-dim exact integer sums of a (cluster, dq) frame — the
+    * centroid-update aggregation (k×d rows after map-side combine). */
+  private def centroidSums(assign: DataFrame): DataFrame = assign
+    .select(col("cluster"), posexplode(col("dq")).as(Seq("i", "d")))
+    .groupBy("cluster", "i")
+    .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))
+
+  private def ensureCkptDir(spark: SparkSession): Unit =
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+
+  /** Lloyd's training core: returns the final checkpointed assignment
+    * frame (vec_id, dq, cluster, dist_sq). Shared by the stats query,
+    * the WSS-descent spec, and the trained-IVF search. */
+  private[graft] def kmeansTrain(spark: SparkSession, dir: String,
       iters: Int): DataFrame = {
     // corpus rows carry their vector as dec_quant's unscaled scale-8
     // longs; ASSIGNMENT IS MAP-ONLY: the k centroids ride along as
@@ -421,16 +445,6 @@ object SimilarityOps extends Suite {
     // interpreted HOF fold computed the same kernel ~10× slower.)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("dec_quant(embedding)").as("dq"))
-    // single-row [(cluster, n, s_arr)] sorted by cluster id — the
-    // sort fixes the kernel's strict-< tie-break to the lowest
-    // cluster id, same as the oracle's ORDER BY dist_sq, cluster
-    def nest(perDim: DataFrame): DataFrame = perDim
-      .groupBy("cluster")
-      .agg(max(col("n")).as("n"),
-        transform(array_sort(collect_list(struct(col("i"), col("s")))),
-          e => e.getField("s")).as("s_arr"))
-      .agg(array_sort(collect_list(
-        struct(col("cluster"), col("n"), col("s_arr")))).as("cs"))
     // each round's centroids are ONE small row and each assignment is
     // consumed twice (update + next round / stats) — materialize both
     // with an eager RELIABLE checkpoint so no round ever replays
@@ -439,61 +453,68 @@ object SimilarityOps extends Suite {
     // and the directory-backed copy survives executor loss where a
     // cache/localCheckpoint would not; point setCheckpointDir at
     // durable storage on a real cluster)
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-    def pin(df: DataFrame): DataFrame = df.checkpoint()
-    var cent = pin(emb.filter(col("vec_id") < kmK)
+    ensureCkptDir(spark)
+    var cent = emb.filter(col("vec_id") < kmK)
       .select(col("vec_id").cast("long").as("cluster"), lit(1L).as("n"),
         col("dq").as("s_arr"))
       .agg(array_sort(collect_list(
-        struct(col("cluster"), col("n"), col("s_arr")))).as("cs")))
+        struct(col("cluster"), col("n"), col("s_arr")))).as("cs"))
+      .checkpoint()
     var assign: DataFrame = null
     for (it <- 1 to iters) {
-      assign = pin(emb.crossJoin(broadcast(cent))
+      assign = emb.crossJoin(broadcast(cent))
         .withColumn("b", expr("km_assign(dq, cs)"))
         .select(col("vec_id"), col("dq"),
           col("b.cluster").as("cluster"),
-          col("b.dist_sq").as("dist_sq")))
+          col("b.dist_sq").as("dist_sq"))
+        .checkpoint()
       if (it < iters)
-        cent = pin(nest(assign
-          .select(col("cluster"), posexplode(col("dq")).as(Seq("i", "d")))
-          .groupBy("cluster", "i")
-          .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))))
+        cent = nestCentroids(centroidSums(assign)).checkpoint()
     }
-    assign.groupBy("cluster")
+    assign
+  }
+
+  private[graft] def kmeansStats(spark: SparkSession, dir: String,
+      iters: Int): DataFrame =
+    kmeansTrain(spark, dir, iters).groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(col("dist_sq").cast(DecimalType(18, 8))).cast("double"), 6)
           .as("wss"),
         round(min(col("dist_sq")), 6).as("min_dist_sq"),
         round(max(col("dist_sq")), 6).as("max_dist_sq"))
       .orderBy("cluster")
-  }
 
-  private val simKmeansSql: String = {
-    val distExpr =
-      """CAST(SUM(CAST(
-        |      CAST(s.n * t.d - s.s AS DOUBLE) * CAST(s.n * t.d - s.s AS DOUBLE)
-        |      AS DECIMAL(24,6))) AS DOUBLE) /
-        |      CAST(MAX(s.n) * MAX(s.n) AS DOUBLE)""".stripMargin
+  /** km_assign's per-(row, centroid) distance, replayed relationally:
+    * exact decimal (n·d − s) per dim, ONE decimal→double cast,
+    * squared, DECIMAL(24,6) per-term rounding, exact sum, ÷ n². */
+  private val kmDistExpr =
+    """CAST(SUM(CAST(
+      |      CAST(s.n * t.d - s.s AS DOUBLE) * CAST(s.n * t.d - s.s AS DOUBLE)
+      |      AS DECIMAL(24,6))) AS DOUBLE) /
+      |      CAST(MAX(s.n) * MAX(s.n) AS DOUBLE)""".stripMargin
+
+  /** WITH-body replaying kmeansTrain: terms, sums0..sums{iters-1},
+    * assign1..assign{kmIters}, plus sums$kmIters (the trained means
+    * the IVF probe needs). Shared by the kmeans and trained-IVF
+    * oracles. */
+  private val kmCtes: String = {
     val iters = (1 to kmIters).map { r =>
       val assign =
         s"""assign$r AS (
           |  SELECT vec_id, cluster, dist_sq FROM (
-          |    SELECT t.vec_id, s.cluster, $distExpr AS dist_sq
+          |    SELECT t.vec_id, s.cluster, $kmDistExpr AS dist_sq
           |    FROM terms t JOIN sums${r - 1} s ON t.i = s.i
           |    GROUP BY t.vec_id, s.cluster) x
           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
           |    ORDER BY dist_sq, cluster) = 1)""".stripMargin
-      val update = if (r < kmIters)
+      val update =
         s""",
           |sums$r AS (
           |  SELECT a.cluster, t.i, SUM(t.d) AS s, COUNT(*) AS n
           |  FROM terms t JOIN assign$r a USING (vec_id) GROUP BY 1, 2)""".stripMargin
-      else ""
       assign + update
     }.mkString(",\n")
-    s"""WITH terms AS (
+    s"""terms AS (
       |  SELECT vec_id, i,
       |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS d
       |  FROM embeddings, range(1, 65) r(i)),
@@ -501,13 +522,89 @@ object SimilarityOps extends Suite {
       |  SELECT CAST(vec_id AS BIGINT) AS cluster, i, d AS s,
       |    CAST(1 AS BIGINT) AS n
       |  FROM terms WHERE vec_id < $kmK),
-      |$iters
+      |$iters""".stripMargin
+  }
+
+  private val simKmeansSql: String =
+    s"""WITH $kmCtes
       |SELECT cluster, COUNT(*) AS n_vecs,
       |  ROUND(CAST(SUM(CAST(dist_sq AS DECIMAL(18,8))) AS DOUBLE), 6) AS wss,
       |  ROUND(MIN(dist_sq), 6) AS min_dist_sq,
       |  ROUND(MAX(dist_sq), 6) AS max_dist_sq
       |FROM assign$kmIters GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  // ---- sim_ivf_kmeans: IVF search over the TRAINED codebook ---------
+  // Closes the loop sim_ivf_topk's surrogate declares: the coarse
+  // quantizer here is the k-means-trained codebook (final means of
+  // kmeansTrain), the inverted lists are its assignment — exactly
+  // Jégou et al. 2011 §II-A's trained IVF. A query probes its nearest
+  // trained centroid with the SAME km_assign kernel used in training
+  // (nprobe=1) and exact-cosine-ranks only that list.
+  // Scale: training amortizes across queries (checkpointed lists),
+  // the probe is map-only against the broadcast codebook, and each
+  // query touches 1/k of the corpus. The oracle replays training
+  // via the shared CTE chain, then probes and ranks relationally —
+  // hash-verifying codebook, probe choice, list membership, and
+  // cosines end to end.
+  private def simIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val assign = kmeansTrain(spark, dir, kmIters)
+    val trained = nestCentroids(centroidSums(assign)).checkpoint()
+    val withNorm = assign.select(col("vec_id"), col("dq"), col("cluster"))
+      .withColumn("norm", call_function("dec_dot", col("dq"), col("dq")))
+    val probed = withNorm.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(trained))
+      .withColumn("b", expr("km_assign(dq, cs)"))
+      .select(col("vec_id").as("q_id"), col("dq").as("qdq"),
+        col("norm").as("qn"), col("b.cluster").as("probe_cluster"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("cand_id"))
+    withNorm.join(broadcast(probed),
+        col("cluster") === col("probe_cluster") &&
+          col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        call_function("dec_dot", col("qdq"), col("dq")) /
+          (sqrt(col("qn")) * sqrt(col("norm"))))
+      .select(col("q_id"), col("probe_cluster"), col("vec_id").as("cand_id"),
+        col("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("probe_cluster"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("q_id", "rank")
   }
+
+  private val simIvfKmeansSql =
+    s"""WITH $kmCtes,
+      |probe AS (
+      |  SELECT vec_id AS q_id, cluster AS probe_cluster FROM (
+      |    SELECT t.vec_id, s.cluster, $kmDistExpr AS dist_sq
+      |    FROM terms t JOIN sums$kmIters s ON t.i = s.i
+      |    WHERE t.vec_id < $nQueries
+      |    GROUP BY t.vec_id, s.cluster) x
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY dist_sq, cluster) = 1),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(d * d) AS DOUBLE) AS norm
+      |  FROM terms GROUP BY vec_id),
+      |dots AS (
+      |  SELECT p.q_id, p.probe_cluster, c.vec_id AS cand_id,
+      |    CAST(SUM(qt.d * ct.d) AS DOUBLE) AS dot
+      |  FROM probe p
+      |  JOIN assign$kmIters c ON c.cluster = p.probe_cluster
+      |    AND c.vec_id <> p.q_id
+      |  JOIN terms qt ON qt.vec_id = p.q_id
+      |  JOIN terms ct ON ct.vec_id = c.vec_id AND ct.i = qt.i
+      |  GROUP BY 1, 2, 3)
+      |SELECT q_id, rank, probe_cluster, cand_id, ROUND(cosine, 6) AS cosine
+      |FROM (
+      |  SELECT d.q_id, d.probe_cluster, d.cand_id,
+      |    d.dot / (sqrt(nq.norm) * sqrt(nc.norm)) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY d.q_id
+      |      ORDER BY d.dot / (sqrt(nq.norm) * sqrt(nc.norm)) DESC, d.cand_id
+      |    ) AS rank
+      |  FROM dots d
+      |  JOIN norms nq ON d.q_id = nq.vec_id
+      |  JOIN norms nc ON d.cand_id = nc.vec_id) t
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   override val ops: Seq[Op] = Seq(
     Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
@@ -516,5 +613,6 @@ object SimilarityOps extends Suite {
     Op("sim_ivf_topk", simIvfTopk, Some(simIvfTopkSql)),
     Op("sim_pq_topk", simPqTopk, Some(simPqTopkSql)),
     Op("sim_kmeans", simKmeans, Some(simKmeansSql)),
+    Op("sim_ivf_kmeans", simIvfKmeans, Some(simIvfKmeansSql)),
   )
 }

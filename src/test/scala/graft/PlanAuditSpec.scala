@@ -144,7 +144,11 @@ class PlanAuditSpec extends SparkSpec {
       // plan is just stats-agg + sort; the per-round centroid-update
       // exchanges (k×d rows after map-side combine) run inside the
       // loop's materializations — the corpus is never re-shuffled
-      "sim_kmeans" -> 2)
+      "sim_kmeans" -> 2,
+      // training is checkpointed (see sim_kmeans); probe is map-only
+      // against the broadcast trained codebook, so the final plan is
+      // the ranking window + sort
+      "sim_ivf_kmeans" -> 2)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
