@@ -64,7 +64,31 @@ object MultimodalOps extends Suite {
       |  CAST((octet_length(encode(text)) * 7919) % 256 AS DOUBLE) / 255.0 AS brightness
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- mm_dedup: binary-content exact dedup -------------------------
+  // The §G counterpart of dedup_exact: media pipelines dedupe on a
+  // content hash of the RAW BYTES (re-crawled/re-hosted images are
+  // byte-identical far more often than their metadata suggests). One
+  // hash aggregation over md5(blob) — map-side combined, no blob ever
+  // shuffles beyond its 16-byte digest at 100 TB (project the digest
+  // BEFORE the exchange, as here).
+  private def mmDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_blobs"), min(col("doc_id")).as("keep_id"))
+      .orderBy("fp")
+
+  // DuckDB's md5 takes VARCHAR only; the corpus is pure ascii (the
+  // mm_features spec pins n_bytes == n_chars), so md5(text) hashes
+  // the identical bytes the Spark side's md5(encode(text,'UTF-8'))
+  // sees
+  private val mmDedupSql =
+    """SELECT md5(text) AS fp, COUNT(*) AS n_blobs,
+      |  MIN(doc_id) AS keep_id
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("mm_features", mmFeatures, Some(mmFeaturesSql)),
+    Op("mm_dedup", mmDedup, Some(mmDedupSql)),
   )
 }

@@ -286,6 +286,81 @@ object Relational extends Suite {
       |ORDER BY g_status, g_priority,
       |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---- q_grouping_sets: explicit non-hierarchical sets --------------
+  // The third Expand shape: two INDEPENDENT single-column summaries
+  // ((status), (priority)) in one pass over the fact — neither a
+  // prefix hierarchy (ROLLUP) nor the powerset (CUBE). One scan feeds
+  // both summaries (the Expand doubles rows, the aggregation stays
+  // one exchange); GROUPING() flags disambiguate which summary a row
+  // belongs to. SQL path for q_rollup's reason.
+  private def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_gs_orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM graft_gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY g_status,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  private val qGroupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY g_status,
+      |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---- q_ntile_spend: spend quartiles per segment -------------------
+  // NTILE over a TOTAL order (spend DESC, custkey) — deterministic
+  // bucket boundaries, standard remainder-to-leading-buckets
+  // semantics in both engines. Partitioned by segment so no single
+  // task ever sorts the whole customer base (the global-NTILE form is
+  // exactly the unpartitioned-window shape the plan audit forbids);
+  // per-customer spend is one decimal-exact aggregation first, so the
+  // window input is customers, not orders.
+  private def qNtileSpend(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("spend"), col("c_custkey"))
+    spend.withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("c_mktsegment", "quartile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast("double").as("total_spend"),
+        max(col("spend")).cast("double").as("top_spend"))
+      .orderBy("c_mktsegment", "quartile")
+  }
+
+  private val qNtileSpendSql =
+    """WITH spend AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |tiled AS (
+      |  SELECT c_mktsegment, spend,
+      |    CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY spend DESC, c_custkey) AS BIGINT) AS quartile
+      |  FROM spend)
+      |SELECT c_mktsegment, quartile, COUNT(*) AS n_customers,
+      |  CAST(SUM(spend) AS DOUBLE) AS total_spend,
+      |  CAST(MAX(spend) AS DOUBLE) AS top_spend
+      |FROM tiled GROUP BY 1, 2 ORDER BY c_mktsegment, quartile""".stripMargin
+
   // ---- q_pivot: status × priority matrix ----------------------------
   private def qPivot(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir)
@@ -1182,6 +1257,8 @@ object Relational extends Suite {
     Op("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     Op("q_rollup", qRollup, Some(qRollupSql)),
     Op("q_cube", qCube, Some(qCubeSql)),
+    Op("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
+    Op("q_ntile_spend", qNtileSpend, Some(qNtileSpendSql)),
     Op("q_pivot", qPivot, Some(qPivotSql)),
     Op("q_window_topn", qWindowTopn, Some(qWindowTopnSql)),
     Op("q_running_sum", qRunningSum, Some(qRunningSumSql)),

@@ -115,6 +115,13 @@ class PlanAuditSpec extends SparkSpec {
       "pipe_decontaminate" -> 2,
       "q_approx_distinct" -> 3, "q_pivot" -> 3,
       "q_rollup" -> 2, "q_cube" -> 2,
+      // one Expand + agg exchange feeds both summaries; sort
+      "q_grouping_sets" -> 2,
+      // spend agg + segment window + final agg reuses the window
+      // partitioning; sort
+      "q_ntile_spend" -> 3,
+      // digest projected before the exchange — blobs never shuffle
+      "mm_dedup" -> 2,
       "q_running_sum" -> 2, "q_semi_anti" -> 5,
       // join itself is exchange-free (bucketed SMJ); agg + sort remain
       "q_bucketed_join" -> 2,
