@@ -30,12 +30,12 @@ case class CdcApplied(
   */
 object CdcStream {
 
-  private def newer(a: CdcEvent, b: CdcEvent): CdcEvent = {
+  private[streaming] def newer(a: CdcEvent, b: CdcEvent): CdcEvent = {
     import scala.math.Ordering.Implicits._
     if ((b.ts.getTime, b.event_id) > (a.ts.getTime, a.event_id)) b else a
   }
 
-  private def applied(e: CdcEvent): CdcApplied =
+  private[streaming] def applied(e: CdcEvent): CdcApplied =
     CdcApplied(e.user_id, e.event_id, e.ts, e.value,
       is_deleted = e.event_type == "error")
 
@@ -90,6 +90,62 @@ object CdcStream {
       }
       .start()
   }
+}
+
+/** One decoded CDC event tagged with its source table — the shape of
+  * a LOGICAL REPLICATION STREAM, which multiplexes every published
+  * table's changes in commit order (pgoutput relation messages;
+  * pipeline_manager.rs resolves relation ids to per-table buffers). */
+case class TableCdcEvent(
+    table: String, event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+object CdcDemux {
+  import CdcStream.{applied, newer}
+
+  /** Route one multiplexed CDC stream to per-table merge targets —
+    * the reference's one-replication-slot → many-table-buffers shape.
+    * Each micro-batch is cached once, then each REGISTERED table's
+    * slice is deduped to latest-per-key and merged into that table's
+    * target (same contract as [[CdcStream.mergeInto]]; the sequence
+    * guard makes redelivery idempotent per table). Events for tables
+    * with no registered target are counted through `onUnrouted` (the
+    * reference logs-and-skips unpublished relations) — they are NOT
+    * an error: replication slots commonly carry more tables than one
+    * pipeline consumes.
+    *
+    * Scale: the demux adds no shuffle — each table's slice is a
+    * filter over the cached batch, and the per-key dedupe shuffles
+    * only that slice. Targets merge a distributed Dataset, never a
+    * driver-side copy. */
+  def mergeInto(
+      events: Dataset[TableCdcEvent],
+      targets: Map[String, CdcTarget],
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      onUnrouted: Long => Unit = _ => ()): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[TableCdcEvent], batchId: Long) =>
+        import batch.sparkSession.implicits._
+        val known = targets.keySet // closure-capture the names only
+        val cached = batch.persist()
+        try {
+          targets.toSeq.sortBy(_._1).foreach { case (tbl, target) =>
+            val deduped = cached.filter(_.table == tbl)
+              .map(e => CdcEvent(e.event_id, e.ts, e.user_id,
+                e.event_type, e.value))
+              .groupByKey(_.user_id)
+              .reduceGroups(newer _).map(_._2).map(applied)
+            target.merge(batchId, deduped)
+          }
+          val unrouted = cached.filter(e => !known.contains(e.table)).count()
+          if (unrouted > 0) onUnrouted(unrouted)
+        } finally cached.unpersist()
+      }
+      .start()
 }
 
 /** Merge destination abstraction (Snowflake/BigQuery/Iceberg writer
