@@ -297,6 +297,51 @@ object EventOps extends Suite {
       |      / CAST(s.n * s.n AS DOUBLE)))) >= $anomalyZ
       |ORDER BY event_type, hr""".stripMargin
 
+  // ---- ev_dau_wau: daily/weekly actives + stickiness ----------------
+  // The engagement counters every event pipeline reports: per day,
+  // distinct users that day (DAU), distinct users over the trailing
+  // 7 days (WAU), and DAU/WAU stickiness. Exact distinct-over-
+  // sliding-window doesn't decompose into partial aggs, so the WAU
+  // side joins the (day, user) DISTINCT pairs to a trailing-week day
+  // grid — the dedupe is the only corpus-sized aggregation, the
+  // grid join fans each pair out 7× (bounded, not quadratic), and at
+  // 100 TB the standard escape hatch is approx HLL sketch-merge per
+  // day (q_approx_distinct's path) — this op is the exact baseline.
+  // Stickiness = one double division of exact counts, ROUND(…, 6).
+  private def evDauWau(spark: SparkSession, dir: String): DataFrame = {
+    // day as a truncated TIMESTAMP, not DATE — the retention op's
+    // convention (identical cross-engine arrow type)
+    val dayUsers = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = dayUsers.groupBy("day").agg(count(lit(1)).as("dau"))
+    val grid = dayUsers.select(col("day").as("active_day"), col("user_id"))
+      .crossJoin(broadcast(dayUsers.select(col("day")).distinct()))
+      .filter(col("active_day") <= col("day") &&
+        col("active_day") >= col("day") - expr("INTERVAL 6 DAYS"))
+    val wau = grid.select(col("day"), col("user_id")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness",
+        round(col("dau").cast("double") / col("wau").cast("double"), 6))
+      .orderBy("day")
+  }
+
+  private val evDauWauSql =
+    """WITH day_users AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    user_id FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM day_users GROUP BY day),
+      |days AS (SELECT DISTINCT day FROM day_users),
+      |wau AS (
+      |  SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+      |  FROM days d JOIN day_users u
+      |    ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+      |  GROUP BY d.day)
+      |SELECT day, dau, wau,
+      |  ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
@@ -306,5 +351,6 @@ object EventOps extends Suite {
     Op("ev_retention_cohort", evRetention, Some(evRetentionSql)),
     Op("ev_attribution", evAttribution, Some(evAttributionSql)),
     Op("ev_anomaly", evAnomaly, Some(evAnomalySql)),
+    Op("ev_dau_wau", evDauWau, Some(evDauWauSql)),
   )
 }

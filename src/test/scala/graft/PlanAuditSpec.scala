@@ -138,6 +138,9 @@ class PlanAuditSpec extends SparkSpec {
       "txt_boilerplate" -> 4,
       // (type,hour) agg + per-type stats agg (broadcast back) + sort
       "ev_anomaly" -> 4,
+      // (day,user) distinct agg + dau agg + grid re-distinct + wau agg
+      // + join + sort; only the first distinct is corpus-sized
+      "ev_dau_wau" -> 7,
       // flags join on checkpointed cc labels + one global agg; the
       // 4-row stack is exchange-free
       "pipe_funnel_report" -> 2,
