@@ -361,6 +361,52 @@ object Relational extends Suite {
       |  CAST(MAX(spend) AS DOUBLE) AS top_spend
       |FROM tiled GROUP BY 1, 2 ORDER BY c_mktsegment, quartile""".stripMargin
 
+  // ---- q_full_outer: order months ⟗ ship months ---------------------
+  // The one outer-join mode the suite didn't exercise: monthly order
+  // activity FULL OUTER monthly ship activity. The generated data
+  // guarantees one-sided rows on both ends (shipments trail orders by
+  // up to ~3 months), so coalesced keys and zero-filled sides are
+  // genuinely exercised, not vacuous. Two pre-aggregations shrink the
+  // join inputs to month-cardinality first — the full outer join is
+  // between ~100-row frames at any corpus scale (aggregate-then-join,
+  // never join-then-aggregate for this shape).
+  private def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val om = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.dsum(col("o_totalprice"), 2).as("order_value"))
+    val sm = Tables.lineitem(spark, dir)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(count(lit(1)).as("n_shipments"))
+    om.join(sm, Seq("month"), "full_outer")
+      .select(col("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("order_value"), lit(0.0)).as("order_value"),
+        coalesce(col("n_shipments"), lit(0L)).as("n_shipments"),
+        (col("n_orders").isNull || col("n_shipments").isNull)
+          .as("one_sided"))
+      .orderBy("month")
+  }
+
+  private val qFullOuterSql =
+    """WITH om AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS order_value
+      |  FROM orders GROUP BY 1),
+      |sm AS (
+      |  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+      |    COUNT(*) AS n_shipments
+      |  FROM lineitem GROUP BY 1)
+      |SELECT COALESCE(om.month, sm.month) AS month,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(order_value, 0.0) AS order_value,
+      |  COALESCE(n_shipments, 0) AS n_shipments,
+      |  n_orders IS NULL OR n_shipments IS NULL AS one_sided
+      |FROM om FULL OUTER JOIN sm ON om.month = sm.month
+      |ORDER BY month""".stripMargin
+
   // ---- q_pivot: status × priority matrix ----------------------------
   private def qPivot(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir)
@@ -1259,6 +1305,7 @@ object Relational extends Suite {
     Op("q_cube", qCube, Some(qCubeSql)),
     Op("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     Op("q_ntile_spend", qNtileSpend, Some(qNtileSpendSql)),
+    Op("q_full_outer", qFullOuter, Some(qFullOuterSql)),
     Op("q_pivot", qPivot, Some(qPivotSql)),
     Op("q_window_topn", qWindowTopn, Some(qWindowTopnSql)),
     Op("q_running_sum", qRunningSum, Some(qRunningSumSql)),

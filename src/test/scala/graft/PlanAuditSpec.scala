@@ -117,6 +117,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_rollup" -> 2, "q_cube" -> 2,
       // one Expand + agg exchange feeds both summaries; sort
       "q_grouping_sets" -> 2,
+      // two month-level pre-aggs; the full outer joins ~100-row frames
+      "q_full_outer" -> 3,
       // spend agg + segment window + final agg reuses the window
       // partitioning; sort
       "q_ntile_spend" -> 3,
