@@ -457,6 +457,50 @@ object PipelineOps extends Suite {
       |  WHERE doc_id IN (SELECT doc_id FROM clusters WHERE is_keeper)) f
       |ORDER BY stage""".stripMargin
 
+  // ---- pipe_pack_sequences: contiguous token-budget packing ---------
+  // The training-data prep step after curation: documents stream into
+  // fixed-capacity token sequences (the "sequence packing" every
+  // pretraining pipeline runs before tokenization shards). Model:
+  // contiguous greedy packing in deterministic (lang, doc_id) order —
+  // doc d lands in bin floor(cum_before / B) of its language, where
+  // cum_before is the running token total of all earlier docs. A doc
+  // crossing a boundary starts spilling into the next bin (the
+  // concat-then-chunk regime most pretraining packers use), so bins
+  // fill to ~B exactly except each language's last.
+  // Integer-only arithmetic end to end ⇒ bit-identical cross-engine.
+  // Scale: one window cumsum per language partition + one aggregate —
+  // same shape as pipe_token_budget; at 100 TB the window partitions
+  // by (lang, shard) exactly like the budget op would.
+  private val packBudget = 2048L
+
+  private def pipePackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.qualityScored(spark, dir)
+      .select("doc_id", "lang", "n_tokens")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = scored
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        expr(s"(cum - n_tokens) div $packBudget")) // integral div, not `/`
+    binned.groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
+  private val pipePackSequencesSql =
+    s"""WITH scored AS (${TextOps.qualityScoredSql}),
+      |binned AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+      |      // $packBudget AS BIGINT) AS bin
+      |  FROM scored)
+      |SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM binned GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("pipe_curate", pipeCurate, Some(pipeCurateSql)),
     Op("pipe_mix_report", pipeMixReport, Some(pipeMixReportSql)),
@@ -467,5 +511,6 @@ object PipelineOps extends Suite {
     Op("pipe_decontaminate", pipeDecontaminate, Some(pipeDecontaminateSql)),
     Op("pipe_temperature_mix", pipeTemperatureMix, Some(pipeTemperatureMixSql)),
     Op("pipe_funnel_report", pipeFunnelReport, Some(pipeFunnelReportSql)),
+    Op("pipe_pack_sequences", pipePackSequences, Some(pipePackSequencesSql)),
   )
 }

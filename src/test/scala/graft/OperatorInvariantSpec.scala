@@ -363,6 +363,30 @@ class OperatorInvariantSpec extends SparkSpec {
       "cc_keep stage must equal the curate_cc output")
   }
 
+  test("pipe_pack_sequences bins are contiguous, ordered, and conserve tokens") {
+    val bins = run("pipe_pack_sequences").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val scored = operators.TextOps
+      .scoreQuality(sources.Tables.documents(spark, sf))
+    bins.groupBy(_._1).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // bin ids are dense 0..n
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq,
+        s"$lang: bins not contiguous")
+      // doc-id ranges are disjoint and ordered (contiguous packing)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 < b._4,
+          s"$lang: bin ${a._2} overlaps bin ${b._2}")
+        case _ => ()
+      }
+      // token conservation per language
+      val total = scored.filter(col("lang") === lang)
+        .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+      assert(rows.map(_._3).sum == total, s"$lang: tokens not conserved")
+    }
+  }
+
   test("pipe_temperature_mix weights sum to 1 and α=0.5 upweights the tail") {
     val mix = run("pipe_temperature_mix").collect()
     val wSum = mix.map(_.getAs[Double]("weight")).sum

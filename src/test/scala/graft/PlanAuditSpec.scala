@@ -76,6 +76,9 @@ class PlanAuditSpec extends SparkSpec {
       // at runtime) + sort
       "pipe_mix_report" -> 4,
       "pipe_token_budget" -> 2,
+      // same shape as token_budget: lang-partitioned cumsum window +
+      // bin agg reusing the partitioning; sort
+      "pipe_pack_sequences" -> 2,
       // final plan reads the loop's checkpointed labels: sort only
       "pipe_dup_clusters" -> 2,
       // keeper semi-join broadcasts; the one exchange is the final sort
