@@ -408,6 +408,54 @@ object TextOps extends Suite {
       |    AS is_boiler
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---- txt_scrub: PII redaction -------------------------------------
+  // The redaction pass every public-corpus pipeline runs before
+  // training: emails, North-American phone shapes, and dotted-quad
+  // IPs replaced with typed placeholder tokens, plus per-doc match
+  // counts for the scrub report. Patterns stay inside the
+  // character-class subset that Java regex (Spark) and RE2-ish
+  // dialects (DuckDB) treat identically — no backreferences, no
+  // lookaround, no \\b (word-boundary semantics differ). Map-only.
+  // The synthetic corpus contains no PII, so the driver oracle
+  // hash-verifies the identity transform over 5k real docs (i.e.
+  // cross-engine regex agreement); the crafted-doc spec proves the
+  // redaction itself.
+  private val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  private def txtScrub(spark: SparkSession, dir: String): DataFrame = {
+    // order matters (emails contain dots that could half-match the IP
+    // pattern): scrub email → phone → ip, counting on the RAW text
+    val counts = piiPatterns.map { case (name, re, _) =>
+      regexp_count(col("text"), lit(re)).cast("long").as(s"n_$name")
+    }
+    val scrubbed = piiPatterns.foldLeft(col("text")) {
+      case (c, (_, re, token)) => regexp_replace(c, re, token)
+    }
+    Tables.documents(spark, dir)
+      .select(Seq(col("doc_id")) ++ counts :+
+        md5(scrubbed).as("scrubbed_fp") :+
+        (length(col("text")) - length(scrubbed)).cast("long")
+          .as("chars_removed"): _*)
+      .orderBy("doc_id")
+  }
+
+  private val txtScrubSql = {
+    val countCols = piiPatterns.map { case (name, re, _) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$name"
+    }.mkString(",\n      |  ")
+    val scrubbed = piiPatterns.foldLeft("text") {
+      case (c, (_, re, token)) => s"regexp_replace($c, '$re', '$token', 'g')"
+    }
+    s"""SELECT doc_id,
+      |  $countCols,
+      |  md5($scrubbed) AS scrubbed_fp,
+      |  CAST(length(text) - length($scrubbed) AS BIGINT) AS chars_removed
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -416,5 +464,6 @@ object TextOps extends Suite {
     Op("txt_ngram_topk", txtNgramTopk, Some(txtNgramTopkSql)),
     Op("txt_repetition", txtRepetition, Some(txtRepetitionSql)),
     Op("txt_boilerplate", txtBoilerplate, Some(txtBoilerplateSql)),
+    Op("txt_scrub", txtScrub, Some(txtScrubSql)),
   )
 }

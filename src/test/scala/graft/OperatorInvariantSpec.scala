@@ -387,6 +387,33 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("txt_scrub redacts crafted PII and leaves clean text untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scrub").toString
+    val dirty = "mail bob@example.com or call 555-123-4567 from 10.0.0.1 ok"
+    val clean = "nothing sensitive here at all"
+    Seq((0L, dirty, "en", "s", dirty.length.toLong),
+        (1L, clean, "en", "s", clean.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("txt_scrub")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getLong(5))).toMap
+    val (em, ph, ip, fp, removed) = out(0L)
+    assert((em, ph, ip) == ((1L, 1L, 1L)), s"counts: $em $ph $ip")
+    // the scrubbed fingerprint equals md5 of the hand-scrubbed text
+    val expected = "mail <EMAIL> or call <PHONE> from <IP> ok"
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fp == expectedMd5, "scrub output must match the hand redaction")
+    assert(removed == dirty.length - expected.length)
+    // clean doc: identity transform, zero counts
+    assert(out(1L) == ((0L, 0L, 0L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString, 0L)))
+  }
+
   test("pipe_temperature_mix weights sum to 1 and α=0.5 upweights the tail") {
     val mix = run("pipe_temperature_mix").collect()
     val wSum = mix.map(_.getAs[Double]("weight")).sum

@@ -138,6 +138,8 @@ class PlanAuditSpec extends SparkSpec {
       "txt_stats" -> 1,
       // map-only per-row fractions; the one exchange is the sort
       "txt_repetition" -> 1,
+      // map-only regex scrub; the one exchange is the sort
+      "txt_scrub" -> 1,
       // shingle doc-frequency agg + join-back + per-doc agg; sort
       // reuses the doc partitioning
       "txt_boilerplate" -> 4,
