@@ -239,6 +239,40 @@ object PipelineOps extends Suite {
       |  AND doc_id IN (SELECT doc_id FROM clusters WHERE is_keeper)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- pipe_split: leakage-safe train/validation split --------------
+  // Hash-splitting DOCUMENTS leaks: a near-duplicate pair lands on
+  // both sides and the eval set scores memorization. The correct unit
+  // of assignment is the dup CLUSTER — every member inherits the
+  // split of its cluster_id, so no two (near-)duplicates can ever
+  // straddle the boundary. The bucket is the first md5 byte of the
+  // cluster id (content-stable, engine-portable: md5 of the decimal
+  // string is bit-identical in Spark and DuckDB; the byte decodes via
+  // hex-nibble positions — no conv() on the DuckDB side). val =
+  // bucket < 26 (~10%). Cost = the cluster loop + a map-only pass.
+  private val valBuckets = 26 // of 256 ≈ 10% eval slice
+
+  private def pipeSplit(spark: SparkSession, dir: String): DataFrame =
+    pipeDupClusters(spark, dir).select("doc_id", "cluster_id")
+      .withColumn("bucket",
+        conv(substring(md5(col("cluster_id").cast("string")), 1, 2), 16, 10)
+          .cast("long"))
+      .withColumn("split",
+        when(col("bucket") < valBuckets, "val").otherwise("train"))
+      .orderBy("doc_id")
+
+  private val pipeSplitSql =
+    s"""WITH clusters AS ($pipeDupClustersSql),
+      |h AS (
+      |  SELECT doc_id, cluster_id,
+      |    (strpos('0123456789abcdef',
+      |       substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+      |    strpos('0123456789abcdef',
+      |       substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+      |  FROM clusters)
+      |SELECT doc_id, cluster_id, bucket,
+      |  CASE WHEN bucket < $valBuckets THEN 'val' ELSE 'train' END AS split
+      |FROM h ORDER BY doc_id""".stripMargin
+
   // ---- pipe_decontaminate: benchmark-overlap flagging ---------------
   // Test-set decontamination: a corpus document is contaminated if it
   // shares ≥ 8 distinct 3-gram shingles with any benchmark document
@@ -508,6 +542,7 @@ object PipelineOps extends Suite {
     Op("pipe_token_budget", pipeTokenBudget, Some(pipeTokenBudgetSql)),
     Op("pipe_dup_clusters", pipeDupClusters, Some(pipeDupClustersSql)),
     Op("pipe_curate_cc", pipeCurateCc, Some(pipeCurateCcSql)),
+    Op("pipe_split", pipeSplit, Some(pipeSplitSql)),
     Op("pipe_decontaminate", pipeDecontaminate, Some(pipeDecontaminateSql)),
     Op("pipe_temperature_mix", pipeTemperatureMix, Some(pipeTemperatureMixSql)),
     Op("pipe_funnel_report", pipeFunnelReport, Some(pipeFunnelReportSql)),

@@ -593,6 +593,44 @@ object Relational extends Suite {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q15: top supplier by quarterly revenue (TPC-H Q15 shape) -----
+  // The revenue-view + scalar-max shape: per-supplier revenue over a
+  // fixed 3-month ship window, then the supplier(s) hitting the max
+  // (ties kept, per the spec). The max rides a broadcast 1-row frame
+  // and the tiny winners frame broadcasts into the supplier scan, so
+  // the only corpus-sized exchange is the suppkey aggregation — no
+  // global window, no second fact pass. Revenue compares in exact
+  // decimal space (a double max could tie-break differently per
+  // engine) and casts to double only at output.
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    val revView = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(rev()).as("total_rev"))
+    val maxRev = revView.agg(max(col("total_rev")).as("max_rev"))
+    val winners = revView.crossJoin(broadcast(maxRev))
+      .filter(col("total_rev") === col("max_rev"))
+      .select("l_suppkey", "total_rev")
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q15Sql =
+    s"""WITH revenue AS (
+      |  SELECT l_suppkey, SUM($revSql) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l_shipdate < TIMESTAMP '1995-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   // ---- q4: priority count over EXISTS (TPC-H Q4 shape) --------------
   // The decorrelated-EXISTS shape: count orders per priority having at
   // least one returned lineitem (this schema has no commit/receipt
@@ -1285,6 +1323,7 @@ object Relational extends Suite {
     Op("q7_volume_shipping", q7, Some(q7Sql)),
     Op("q10_returned_items", q10, Some(q10Sql)),
     Op("q14_promo_revenue", q14, Some(q14Sql)),
+    Op("q15_top_supplier", q15, Some(q15Sql)),
     Op("q4_priority_exists", q4, Some(q4Sql)),
     Op("q12_priority_class", q12, Some(q12Sql)),
     Op("q13_custdist", q13, Some(q13Sql)),

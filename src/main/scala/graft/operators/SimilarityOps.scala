@@ -108,6 +108,55 @@ object SimilarityOps extends Suite {
       .orderBy("q_id", "rank")
   }
 
+  // ---- sim_range_search: cosine radius search -----------------------
+  // The other half of the similarity API: every corpus vector within
+  // cosine ≥ τ of a query ("find all near-duplicates / all relevant
+  // neighbors"), not a fixed k. Cheaper than top-k at scale — the
+  // query set broadcasts, the corpus streams through one map-side
+  // cosine + filter, and NO ranking window runs: the only exchange is
+  // the output sort, and the output is threshold-bounded rather than
+  // k·|Q|. The threshold compares the unrounded cosine (exact-decimal
+  // dot, single IEEE sqrt/divide — bit-identical cross-engine, so
+  // boundary membership can't flip between Spark and the oracle).
+  private val rangeTau = 0.3
+
+  private def simRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm", dotDec(col("v"), col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("norm")))
+      .filter(col("cosine") >= rangeTau)
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("q_id", "cand_id")
+  }
+
+  private val simRangeSearchSql =
+    s"""WITH terms AS (
+      |  SELECT vec_id, i,
+      |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS d
+      |  FROM embeddings, range(1, 65) r(i)),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(d * d) AS DOUBLE) AS norm
+      |  FROM terms GROUP BY vec_id),
+      |dots AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+      |    CAST(SUM(q.d * c.d) AS DOUBLE) AS dot
+      |  FROM terms q JOIN terms c ON q.i = c.i
+      |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT d.q_id, d.cand_id,
+      |  ROUND(d.dot / (sqrt(nq.norm) * sqrt(nc.norm)), 6) AS cosine
+      |FROM dots d
+      |JOIN norms nq ON d.q_id = nq.vec_id
+      |JOIN norms nc ON d.cand_id = nc.vec_id
+      |WHERE d.dot / (sqrt(nq.norm) * sqrt(nc.norm)) >= $rangeTau
+      |ORDER BY d.q_id, d.cand_id""".stripMargin
+
   // ---- sim_centroids: per-label centroid + distance stats -----------
   // The IVF building block. All cross-row arithmetic is exact decimal
   // (order-independent); dist = sqrt(Σ_i ((n·x_i − s_i)/n)²) computed
@@ -609,6 +658,7 @@ object SimilarityOps extends Suite {
   override val ops: Seq[Op] = Seq(
     Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
     Op("sim_ann_lsh", simAnnLsh, None),
+    Op("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),
     Op("sim_centroids", simCentroids, Some(simCentroidsSql)),
     Op("sim_ivf_topk", simIvfTopk, Some(simIvfTopkSql)),
     Op("sim_pq_topk", simPqTopk, Some(simPqTopkSql)),

@@ -151,6 +151,38 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(joined.filter(col("a.cosine") =!= col("e.cosine")).isEmpty)
   }
 
+  test("sim_range_search returns exactly the τ-ball and agrees with the exact path") {
+    val range = run("sim_range_search")
+    // nothing below the radius (rounded output of an unrounded filter)
+    assert(range.filter(col("cosine") < 0.3 - 1e-6).isEmpty,
+      "range search emitted a pair below τ")
+    // completeness + score identity vs brute force: every top-k pair
+    // at or above τ must appear in the ball with the same cosine
+    val above = run("sim_topk_exact")
+      .filter(col("cosine") >= 0.3).select("q_id", "cand_id", "cosine")
+    val missing = above.join(range.select("q_id", "cand_id", "cosine"),
+      Seq("q_id", "cand_id", "cosine"), "left_anti")
+    assert(missing.isEmpty,
+      "a brute-force pair ≥ τ is missing from the range result")
+  }
+
+  test("pipe_split partitions the corpus and never splits a dup cluster") {
+    val split = run("pipe_split")
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    assert(split.count() == nDocs, "split must cover every doc exactly once")
+    assert(split.select("doc_id").distinct().count() == nDocs)
+    // leak-freedom: a dup cluster lands entirely on one side
+    val straddled = split.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1)
+    assert(straddled.isEmpty, "a dup cluster straddles train/val")
+    // both sides exist and the val slice is in the hash-expected band
+    val n = split.count().toDouble
+    val nVal = split.filter(col("split") === "val").count().toDouble
+    assert(nVal > 0 && nVal / n < 0.35,
+      s"val share ${nVal / n} outside the plausible 26/256 band")
+  }
+
   test("sim_ivf_topk candidates come from the probed list with exact-path cosines") {
     val ivf = run("sim_ivf_topk")
     val labels = sources.Tables.embeddings(spark, sf)

@@ -162,6 +162,16 @@ class PlanAuditSpec extends SparkSpec {
       // exchanges (k×d rows after map-side combine) run inside the
       // loop's materializations — the corpus is never re-shuffled
       "sim_kmeans" -> 2,
+      // suppkey agg appears under the max branch and the main branch
+      // (ReuseExchange collapses them at runtime, q11-style) + the
+      // 1-row max's SinglePartition + sort; winners broadcast
+      "q15_top_supplier" -> 4,
+      // queries broadcast, cosine + τ-filter are map-side, no ranking
+      // window; the one exchange is the output sort
+      "sim_range_search" -> 1,
+      // cluster labels come checkpointed from the loop; bucket/split
+      // are map-only over them, so only the sort exchanges
+      "pipe_split" -> 1,
       // training is checkpointed (see sim_kmeans); probe is map-only
       // against the broadcast trained codebook, so the final plan is
       // the ranking window + sort
