@@ -94,6 +94,80 @@ object EventOps extends Suite {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---- ev_top_paths: top trigram session paths per entry step -------
+  // Path mining: the k most frequent 3-step event-type sequences
+  // inside 30-min-gap sessions, reported per entry step. Sessions use
+  // the lag-gap-flag construction (same semantics ev_sessionize's
+  // oracle pins, here needed per-event); paths come from two LEADs
+  // over the session order — both windows ride the ONE user_id
+  // shuffle (the session window's (user_id, session_id) clustering is
+  // satisfied by the user_id partitioning). The ranking is two-phase
+  // à la txt_ngram_topk — bucket-local top-k then a final window over
+  // step×32×k candidate rows — so no task ever sorts a step's full
+  // path vocabulary, and the final window is partitioned by step (no
+  // global single-task sort). The oracle is the plain one-window
+  // formulation, proving the two-phase plan semantics-preserving.
+  private val pathK = 5
+  private val pathBuckets = 32
+
+  private def evTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapped = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(col("ts") <
+          lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTE"), 0)
+          .otherwise(1))
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts"), col("event_id"))
+    val counts = gapped
+      .withColumn("t2", lead(col("event_type"), 1).over(bySession))
+      .withColumn("t3", lead(col("event_type"), 2).over(bySession))
+      .filter(col("t3").isNotNull)
+      .select(col("event_type").as("step1"),
+        concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("step1", "path").agg(count(lit(1)).as("n"))
+    val bucketed = Window
+      .partitionBy(col("step1"), pmod(hash(col("path")), lit(pathBuckets)))
+      .orderBy(desc("n"), col("path"))
+    counts.withColumn("rk0", row_number().over(bucketed))
+      .filter(col("rk0") <= pathK).drop("rk0")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("step1").orderBy(desc("n"), col("path")))
+        .cast("long"))
+      .filter(col("rk") <= pathK)
+      .select("step1", "rk", "path", "n")
+      .orderBy("step1", "rk")
+  }
+
+  private val evTopPathsSql =
+    s"""WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN ts < LAG(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id)
+      |      + INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |paths AS (
+      |  SELECT event_type AS step1,
+      |    event_type || '>' || LEAD(event_type, 1) OVER w
+      |      || '>' || LEAD(event_type, 2) OVER w AS path
+      |  FROM sess
+      |  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+      |  QUALIFY LEAD(event_type, 2) OVER w IS NOT NULL),
+      |counts AS (SELECT step1, path, COUNT(*) AS n FROM paths GROUP BY 1, 2)
+      |SELECT step1, rk, path, n FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY step1
+      |    ORDER BY n DESC, path) AS BIGINT) AS rk
+      |  FROM counts) x
+      |WHERE rk <= $pathK ORDER BY step1, rk""".stripMargin
+
   // ---- ev_asof_join: purchase → latest click at-or-before ts --------
   // Spark lacks a native as-of join; the scalable composition is the
   // union-and-carry-forward trick: union both sides, one shuffle by
@@ -346,6 +420,7 @@ object EventOps extends Suite {
     Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
     Op("ev_sessionize", evSessionize, Some(evSessionizeSql)),
+    Op("ev_top_paths", evTopPaths, Some(evTopPathsSql)),
     Op("ev_asof_join", evAsofJoin, Some(evAsofJoinSql)),
     Op("ev_funnel", evFunnel, Some(evFunnelSql)),
     Op("ev_retention_cohort", evRetention, Some(evRetentionSql)),

@@ -151,6 +151,23 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(joined.filter(col("a.cosine") =!= col("e.cosine")).isEmpty)
   }
 
+  test("ev_top_paths ranks are dense, counts non-increasing, paths start at step1") {
+    val rows = run("ev_top_paths").collect().groupBy(_.getString(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (step, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.size),
+        s"$step ranks not dense")
+      val ns = sorted.map(_.getLong(3))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+        s"$step counts not non-increasing")
+      assert(sorted.forall { r =>
+        val parts = r.getString(2).split(">")
+        parts.length == 3 && parts.head == step
+      }, s"$step has a malformed path")
+    }
+  }
+
   test("sim_range_search returns exactly the τ-ball and agrees with the exact path") {
     val range = run("sim_range_search")
     // nothing below the radius (rounded output of an unrounded filter)

@@ -148,6 +148,10 @@ class PlanAuditSpec extends SparkSpec {
       // (day,user) distinct agg + dau agg + grid re-distinct + wau agg
       // + join + sort; only the first distinct is corpus-sized
       "ev_dau_wau" -> 7,
+      // one corpus-sized user_id exchange feeds BOTH session windows;
+      // then path-count agg (vocab-sized), bucket-local top-k window,
+      // final window over steps×32×k candidates, sort
+      "ev_top_paths" -> 5,
       // flags join on checkpointed cc labels + one global agg; the
       // 4-row stack is exchange-free
       "pipe_funnel_report" -> 2,
