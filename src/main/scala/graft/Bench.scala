@@ -20,6 +20,10 @@ object Bench {
       // timed runs must not read persisted staging warmed by a prior
       // run of the same query — clear so every run pays full cost
       spark.catalog.clearCache()
+      // the cluster-labels memo is a cross-query materialization; the
+      // producer must still pay (and report) the full propagation loop
+      if (name == "pipe_dup_clusters")
+        operators.PipelineOps.invalidateClusterMemo()
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -168,6 +168,60 @@ object EventOps extends Suite {
       |  FROM counts) x
       |WHERE rk <= $pathK ORDER BY step1, rk""".stripMargin
 
+  // ---- ev_transitions: first-order Markov transition matrix ---------
+  // The step-to-step behavior model: P(next event type | current)
+  // within 30-min-gap sessions. Same lag-gap session construction as
+  // ev_top_paths (both session windows ride the one user_id shuffle);
+  // transition counts are one hash agg over 25 possible pairs, and
+  // the per-state normalizer is a window PARTITIONED BY the current
+  // state — never a global sort. p divides two exact BIGINTs once,
+  // rounded at output: deterministic cross-engine.
+  private def evTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapped = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(col("ts") <
+          lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTE"), 0)
+          .otherwise(1))
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts"), col("event_id"))
+    gapped
+      .withColumn("next_type", lead(col("event_type"), 1).over(bySession))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("cur")), 6))
+      .orderBy("cur", "next")
+  }
+
+  private val evTransitionsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN ts < LAG(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id)
+      |      + INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |pairs AS (
+      |  SELECT event_type AS cur,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id, session_id
+      |      ORDER BY ts, event_id) AS next
+      |  FROM sess
+      |  QUALIFY next IS NOT NULL),
+      |counts AS (SELECT cur, next, COUNT(*) AS n FROM pairs GROUP BY 1, 2)
+      |SELECT cur, next, n,
+      |  ROUND(CAST(n AS DOUBLE) /
+      |    CAST(SUM(n) OVER (PARTITION BY cur) AS BIGINT), 6) AS p
+      |FROM counts ORDER BY cur, next""".stripMargin
+
   // ---- ev_asof_join: purchase → latest click at-or-before ts --------
   // Spark lacks a native as-of join; the scalable composition is the
   // union-and-carry-forward trick: union both sides, one shuffle by
@@ -421,6 +475,7 @@ object EventOps extends Suite {
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
     Op("ev_sessionize", evSessionize, Some(evSessionizeSql)),
     Op("ev_top_paths", evTopPaths, Some(evTopPathsSql)),
+    Op("ev_transitions", evTransitions, Some(evTransitionsSql)),
     Op("ev_asof_join", evAsofJoin, Some(evAsofJoinSql)),
     Op("ev_funnel", evFunnel, Some(evFunnelSql)),
     Op("ev_retention_cohort", evRetention, Some(evRetentionSql)),

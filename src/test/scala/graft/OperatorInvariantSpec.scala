@@ -168,6 +168,30 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("ev_transitions probabilities sum to 1 per state and counts match paths") {
+    val rows = run("ev_transitions").collect()
+    rows.groupBy(_.getString(0)).foreach { case (cur, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$cur rows sum to $pSum")
+    }
+    // bigram totals must equal the number of (cur,next) steps the
+    // trigram miner sees plus the penultimate step of each session —
+    // cheaper cross-check: total transitions == sessions' (len-1) sum
+    val nTransitions = rows.map(_.getLong(2)).sum
+    val sessions = run("ev_sessionize").agg(
+      sum(col("n_events") - 1)).collect()(0).getLong(0)
+    assert(nTransitions == sessions,
+      s"$nTransitions transitions != Σ(session_len-1) = $sessions")
+  }
+
+  test("cluster-label memo survives invalidation with identical labels") {
+    val before = run("pipe_dup_clusters").collect()
+    operators.PipelineOps.invalidateClusterMemo()
+    val after = run("pipe_dup_clusters").collect()
+    assert(before.sameElements(after),
+      "recomputed cluster labels differ from the memoized frame")
+  }
+
   test("sim_range_search returns exactly the τ-ball and agrees with the exact path") {
     val range = run("sim_range_search")
     // nothing below the radius (rounded output of an unrounded filter)

@@ -152,6 +152,10 @@ class PlanAuditSpec extends SparkSpec {
       // then path-count agg (vocab-sized), bucket-local top-k window,
       // final window over steps×32×k candidates, sort
       "ev_top_paths" -> 5,
+      // one user_id exchange for both session windows + 5×5 pair agg
+      // + per-state normalizer window + sort (all post-agg frames are
+      // state-alphabet-sized)
+      "ev_transitions" -> 4,
       // flags join on checkpointed cc labels + one global agg; the
       // 4-row stack is exchange-free
       "pipe_funnel_report" -> 2,
