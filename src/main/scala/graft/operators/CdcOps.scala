@@ -38,10 +38,16 @@ object CdcOps extends Suite {
     * (ts, event_id) is unique per key). */
   private def latestPerKey(ev: DataFrame): DataFrame = {
     val cols = ev.columns
+    // the key column must come from the GROUPING key, not from inside
+    // the max_by struct: extracting r.user_id would erase the agg's
+    // output partitioning, and every downstream join on the PK (e.g.
+    // cdc_snapshot_diff's full-outer diff) would re-shuffle both
+    // sides for nothing
     ev.groupBy("user_id")
       .agg(max_by(struct(cols.map(col).toSeq: _*),
         struct(col("ts"), col("event_id"))).as("r"))
-      .select(cols.map(c => col(s"r.$c").as(c)).toSeq: _*)
+      .select(cols.map(c =>
+        if (c == "user_id") col(c) else col(s"r.$c").as(c)).toSeq: _*)
   }
 
   private val opCol =
@@ -202,6 +208,75 @@ object CdcOps extends Suite {
       |FROM events WHERE event_id % 2 = 1
       |ORDER BY event_id""".stripMargin
 
+  // ---- cdc_snapshot_diff: changelog from two table states -----------
+  // The INVERSE of apply: given the table state at two cut points,
+  // emit the net change rows (INSERT / UPDATE / DELETE with old and
+  // new values) — what a reconciliation job produces when the source
+  // can't stream and must be re-snapshotted. Both states shuffle by
+  // the PK once; the FULL OUTER diff join then reuses that exact
+  // partitioning (co-partitioned, no third exchange), and keys whose
+  // value didn't change drop out. At 100 TB this is two pruned scans
+  // + one co-located join — the canonical snapshot-reconcile plan.
+  private val diffT1 = "2024-01-15"
+  private val diffT2 = "2024-01-31"
+
+  private def stateAt(spark: SparkSession, dir: String, cut: String) =
+    latestPerKey(Tables.events(spark, dir)
+      .filter(col("ts") <= lit(cut).cast("timestamp")))
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("value"))
+
+  private def cdcSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val before = stateAt(spark, dir, diffT1)
+      .withColumnRenamed("value", "old_value")
+    val after = stateAt(spark, dir, diffT2)
+      .withColumnRenamed("value", "new_value")
+    before.join(after, Seq("user_id"), "full_outer")
+      .withColumn("change",
+        when(col("old_value").isNull, "INSERT")
+          .when(col("new_value").isNull, "DELETE")
+          .when(col("old_value") =!= col("new_value"), "UPDATE"))
+      .filter(col("change").isNotNull)
+      // values render as DECIMAL(18,2)→string: `value` is exactly
+      // 2-dp so the cast is lossless and both engines format the
+      // scale-2 decimal identically ('116.00'), while a NULL (the
+      // absent side of an INSERT/DELETE) crosses as a NULL STRING —
+      // None in both engines' arrow bridges. A NULL double would
+      // become NaN on the oracle's pandas side and a bare decimal
+      // would be re-floated there, both breaking the hash gate.
+      .select(col("user_id"), col("change"),
+        col("old_value").cast(DecimalType(18, 2)).cast("string")
+          .as("old_value"),
+        col("new_value").cast(DecimalType(18, 2)).cast("string")
+          .as("new_value"))
+      .orderBy("user_id")
+  }
+
+  private val cdcSnapshotDiffSql =
+    s"""WITH state1 AS (
+      |  SELECT user_id, value FROM (
+      |    SELECT user_id, event_type, value, ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts <= TIMESTAMP '$diffT1') t
+      |  WHERE rn = 1 AND event_type <> 'error'),
+      |state2 AS (
+      |  SELECT user_id, value FROM (
+      |    SELECT user_id, event_type, value, ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts <= TIMESTAMP '$diffT2') t
+      |  WHERE rn = 1 AND event_type <> 'error')
+      |SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+      |  CASE WHEN a.user_id IS NULL THEN 'INSERT'
+      |       WHEN b.user_id IS NULL THEN 'DELETE'
+      |       WHEN a.value <> b.value THEN 'UPDATE' END AS change,
+      |  CAST(CAST(a.value AS DECIMAL(18,2)) AS VARCHAR) AS old_value,
+      |  CAST(CAST(b.value AS DECIMAL(18,2)) AS VARCHAR) AS new_value
+      |FROM state1 a FULL OUTER JOIN state2 b ON a.user_id = b.user_id
+      |WHERE CASE WHEN a.user_id IS NULL THEN 'INSERT'
+      |       WHEN b.user_id IS NULL THEN 'DELETE'
+      |       WHEN a.value <> b.value THEN 'UPDATE' END IS NOT NULL
+      |ORDER BY user_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("cdc_dedupe_latest", cdcDedupeLatest, Some(cdcDedupeLatestSql)),
     Op("cdc_apply_snapshot", cdcApplySnapshot, Some(cdcApplySnapshotSql)),
@@ -209,5 +284,6 @@ object CdcOps extends Suite {
     Op("cdc_scd2", cdcScd2, Some(cdcScd2Sql)),
     Op("cdc_changelog_stats", cdcChangelogStats, Some(cdcChangelogStatsSql)),
     Op("cdc_schema_reconcile", cdcSchemaReconcile, Some(cdcSchemaReconcileSql)),
+    Op("cdc_snapshot_diff", cdcSnapshotDiff, Some(cdcSnapshotDiffSql)),
   )
 }

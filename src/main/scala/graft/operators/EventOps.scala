@@ -222,6 +222,35 @@ object EventOps extends Suite {
       |    CAST(SUM(n) OVER (PARTITION BY cur) AS BIGINT), 6) AS p
       |FROM counts ORDER BY cur, next""".stripMargin
 
+  // ---- ev_props_stats: semi-structured JSON property stats ----------
+  // The schema-on-read path: `props` is a JSON string column (the
+  // usual "properties bag" of event pipelines); extract a typed field
+  // at scan time and aggregate per event type. get_json_object runs
+  // map-side inside codegen — the JSON never reaches the shuffle, only
+  // the extracted BIGINT does. Null/missing keys drop out of COUNT
+  // identically in both engines. avg divides two exact integers once.
+  private def evPropsStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("n_distinct"))
+      .withColumn("avg_k", round(col("sum_k").cast("double") / col("n"), 6))
+      .orderBy("event_type")
+
+  private val evPropsStatsSql =
+    """SELECT event_type,
+      |  COUNT(k) AS n, MIN(k) AS min_k, MAX(k) AS max_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  COUNT(DISTINCT k) AS n_distinct,
+      |  ROUND(CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / COUNT(k), 6) AS avg_k
+      |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
+      |      FROM events) x
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- ev_asof_join: purchase → latest click at-or-before ts --------
   // Spark lacks a native as-of join; the scalable composition is the
   // union-and-carry-forward trick: union both sides, one shuffle by
@@ -476,6 +505,7 @@ object EventOps extends Suite {
     Op("ev_sessionize", evSessionize, Some(evSessionizeSql)),
     Op("ev_top_paths", evTopPaths, Some(evTopPathsSql)),
     Op("ev_transitions", evTransitions, Some(evTransitionsSql)),
+    Op("ev_props_stats", evPropsStats, Some(evPropsStatsSql)),
     Op("ev_asof_join", evAsofJoin, Some(evAsofJoinSql)),
     Op("ev_funnel", evFunnel, Some(evFunnelSql)),
     Op("ev_retention_cohort", evRetention, Some(evRetentionSql)),

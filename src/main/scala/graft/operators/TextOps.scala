@@ -456,6 +456,47 @@ object TextOps extends Suite {
       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---- txt_readability: Flesch reading-ease from portable counts ----
+  // The readability gate corpus filters use (Flesch 1948): 206.835 −
+  // 1.015·(words/sentences) − 84.6·(syllables/words), with sentences
+  // = [.!?]+ runs (floored at 1) and syllables ≈ [aeiouy]+ vowel
+  // groups — the standard heuristic when no dictionary is available.
+  // All three inputs are exact BIGINT counts from regexes in the
+  // Java∩DuckDB-identical subset, so the one double expression (same
+  // op structure both engines) is bit-identical before rounding.
+  // Map-only over the pruned (doc_id, text) scan.
+  private def txtReadability(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(Tok.toks).cast("long")
+    val sentences = greatest(lit(1L),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+    val syllables = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch", round(
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 6))
+      .orderBy("doc_id")
+  }
+
+  private val txtReadabilitySql =
+    s"""WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(${Tok.toksSql}) AS BIGINT) AS n_words,
+      |    GREATEST(CAST(1 AS BIGINT),
+      |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+      |      AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |      AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  ROUND(206.835
+      |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch
+      |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -465,5 +506,6 @@ object TextOps extends Suite {
     Op("txt_repetition", txtRepetition, Some(txtRepetitionSql)),
     Op("txt_boilerplate", txtBoilerplate, Some(txtBoilerplateSql)),
     Op("txt_scrub", txtScrub, Some(txtScrubSql)),
+    Op("txt_readability", txtReadability, Some(txtReadabilitySql)),
   )
 }

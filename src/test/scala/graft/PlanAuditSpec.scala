@@ -156,6 +156,14 @@ class PlanAuditSpec extends SparkSpec {
       // + per-state normalizer window + sort (all post-agg frames are
       // state-alphabet-sized)
       "ev_transitions" -> 4,
+      // JSON extraction is map-side; distinct-agg two-phase + sort
+      "ev_props_stats" -> 3,
+      // one PK agg exchange per snapshot side; the full-outer diff
+      // join REUSES the agg partitioning (latestPerKey keeps the
+      // grouping key out of the struct exactly for this); sort
+      "cdc_snapshot_diff" -> 3,
+      // map-only regex counts + one double expression; sort
+      "txt_readability" -> 1,
       // flags join on checkpointed cc labels + one global agg; the
       // 4-row stack is exchange-free
       "pipe_funnel_report" -> 2,
