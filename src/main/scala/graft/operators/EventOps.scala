@@ -251,6 +251,39 @@ object EventOps extends Suite {
       |      FROM events) x
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- ev_value_hist: fixed-width value histogram per type ----------
+  // The distribution primitive: 50-wide buckets of `value` per event
+  // type with counts and within-type shares. The bucket is one
+  // map-side floor(value/50) (single IEEE divide + floor — identical
+  // both engines; no width_bucket in the oracle dialect), the agg is
+  // type×bucket-sized, and the share normalizer is a window
+  // PARTITIONED BY type. Nothing corpus-sized survives the agg.
+  private val histWidth = 50.0
+
+  private def evValueHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") / histWidth).cast("long").as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("event_type")), 6))
+      .withColumn("lo", col("bucket") * histWidth)
+      .select("event_type", "bucket", "lo", "n", "share")
+      .orderBy("event_type", "bucket")
+
+  private val evValueHistSql =
+    s"""WITH b AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(value / CAST($histWidth AS DOUBLE)) AS BIGINT) AS bucket
+      |  FROM events),
+      |c AS (SELECT event_type, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2)
+      |SELECT event_type, bucket,
+      |  bucket * CAST($histWidth AS DOUBLE) AS lo, n,
+      |  ROUND(CAST(n AS DOUBLE) /
+      |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT), 6) AS share
+      |FROM c ORDER BY event_type, bucket""".stripMargin
+
   // ---- ev_asof_join: purchase → latest click at-or-before ts --------
   // Spark lacks a native as-of join; the scalable composition is the
   // union-and-carry-forward trick: union both sides, one shuffle by
@@ -506,6 +539,7 @@ object EventOps extends Suite {
     Op("ev_top_paths", evTopPaths, Some(evTopPathsSql)),
     Op("ev_transitions", evTransitions, Some(evTransitionsSql)),
     Op("ev_props_stats", evPropsStats, Some(evPropsStatsSql)),
+    Op("ev_value_hist", evValueHist, Some(evValueHistSql)),
     Op("ev_asof_join", evAsofJoin, Some(evAsofJoinSql)),
     Op("ev_funnel", evFunnel, Some(evFunnelSql)),
     Op("ev_retention_cohort", evRetention, Some(evRetentionSql)),

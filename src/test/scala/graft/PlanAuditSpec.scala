@@ -158,6 +158,9 @@ class PlanAuditSpec extends SparkSpec {
       "ev_transitions" -> 4,
       // JSON extraction is map-side; distinct-agg two-phase + sort
       "ev_props_stats" -> 3,
+      // map-side bucket + type×bucket agg + share window + sort (the
+      // window reuses the agg's type partitioning at runtime)
+      "ev_value_hist" -> 3,
       // one PK agg exchange per snapshot side; the full-outer diff
       // join REUSES the agg partitioning (latestPerKey keeps the
       // grouping key out of the struct exactly for this); sort
