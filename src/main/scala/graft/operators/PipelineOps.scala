@@ -402,11 +402,16 @@ object PipelineOps extends Suite {
   // broadcast-size frame.
   private val mixBudget = 1000000L // tokens drawn from the mixture
 
-  private def pipeTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-group (n_tokens, share, weight) with UNROUNDED doubles for
+    * any grouping column — shared by the weight report (source) and
+    * the oversampler (lang) so consumers can't disagree on the
+    * mixture math. */
+  private def mixWeights(spark: SparkSession, dir: String,
+      key: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val perSource = Tables.documents(spark, dir)
-      .select(col("source"), Tok.toks.as("t"))
-      .groupBy("source").agg(sum(size(col("t")).cast("long")).as("n_tokens"))
+      .select(col(key), Tok.toks.as("t"))
+      .groupBy(key).agg(sum(size(col("t")).cast("long")).as("n_tokens"))
     val total = perSource.agg(sum(col("n_tokens")).as("total"))
     val sq = perSource.crossJoin(broadcast(total))
       .withColumn("share", col("n_tokens").cast("double") /
@@ -417,32 +422,77 @@ object PipelineOps extends Suite {
     sq.crossJoin(broadcast(norm))
       .withColumn("weight",
         col("sqrt_share").cast("double") / col("norm").cast("double"))
+  }
+
+  private def pipeTemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    mixWeights(spark, dir, "source")
       .select(col("source"), col("n_tokens"),
         round(col("share"), 6).as("share"),
         round(col("weight"), 6).as("weight"),
         floor(col("weight") * mixBudget).cast("long").as("token_draw"))
       .orderBy("source")
-  }
 
-  private val pipeTemperatureMixSql =
-    s"""WITH per_source AS (
-      |  SELECT source, CAST(SUM(len(t)) AS BIGINT) AS n_tokens
-      |  FROM (SELECT source, ${Tok.toksSql} AS t FROM documents) x
-      |  GROUP BY source),
+  /** CTE prefix shared by the weight report and oversampler oracles —
+    * the SQL twin of [[mixWeights]], parametric in the grouping key. */
+  private def mixWeightCtes(key: String) =
+    s"""per_source AS (
+      |  SELECT $key, CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+      |  FROM (SELECT $key, ${Tok.toksSql} AS t FROM documents) x
+      |  GROUP BY $key),
       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per_source),
       |sq AS (
-      |  SELECT source, n_tokens,
+      |  SELECT $key, n_tokens,
       |    CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
       |    CAST(sqrt(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))
       |      AS DECIMAL(18,12)) AS sqrt_share
       |  FROM per_source, tot),
-      |nrm AS (SELECT SUM(sqrt_share) AS norm FROM sq)
+      |nrm AS (SELECT SUM(sqrt_share) AS norm FROM sq)""".stripMargin
+
+  private val pipeTemperatureMixSql =
+    s"""WITH ${mixWeightCtes("source")}
       |SELECT source, n_tokens,
       |  ROUND(share, 6) AS share,
       |  ROUND(CAST(sqrt_share AS DOUBLE) / CAST(norm AS DOUBLE), 6) AS weight,
       |  CAST(FLOOR(CAST(sqrt_share AS DOUBLE) / CAST(norm AS DOUBLE)
       |    * $mixBudget) AS BIGINT) AS token_draw
       |FROM sq, nrm ORDER BY source""".stripMargin
+
+  // ---- pipe_oversample: epoch replication from mixture weights ------
+  // Materializing the mixture: each language is repeated
+  // E·weight/share ≈ n_copies times, where weight is its α=0.5
+  // temperature weight and E=2 is the epoch budget — the "multiple
+  // epochs over tail languages" move (tail langs land ~3 copies, the
+  // dominant one 1). The factor frame is language-count-sized and
+  // broadcasts; the corpus streams through one map-side join +
+  // sequence-explode — the output IS the repeated dataset, so its
+  // only exchange is the sort. Copy counts come from one double
+  // divide + floor(x+0.5) with identical structure both engines.
+  private val epochBudget = 2L
+
+  private def pipeOversample(spark: SparkSession, dir: String): DataFrame = {
+    val factors = mixWeights(spark, dir, "lang")
+      .select(col("lang"), greatest(lit(1L),
+        floor(lit(epochBudget) * (col("weight") / col("share")) + lit(0.5))
+          .cast("long")).as("n_copies"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(broadcast(factors), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  private val pipeOversampleSql =
+    s"""WITH ${mixWeightCtes("lang")},
+      |f AS (
+      |  SELECT lang, GREATEST(CAST(1 AS BIGINT),
+      |    CAST(FLOOR($epochBudget * ((CAST(sqrt_share AS DOUBLE)
+      |        / CAST(norm AS DOUBLE)) / share) + 0.5) AS BIGINT))
+      |      AS n_copies
+      |  FROM sq, nrm)
+      |SELECT doc_id, lang, n_copies,
+      |  UNNEST(generate_series(1, n_copies)) AS copy
+      |FROM documents JOIN f USING (lang)
+      |ORDER BY doc_id, copy""".stripMargin
 
   // ---- pipe_funnel_report: per-stage curation loss accounting -------
   // The observability row every curation run reports: how many
@@ -567,6 +617,7 @@ object PipelineOps extends Suite {
     Op("pipe_split", pipeSplit, Some(pipeSplitSql)),
     Op("pipe_decontaminate", pipeDecontaminate, Some(pipeDecontaminateSql)),
     Op("pipe_temperature_mix", pipeTemperatureMix, Some(pipeTemperatureMixSql)),
+    Op("pipe_oversample", pipeOversample, Some(pipeOversampleSql)),
     Op("pipe_funnel_report", pipeFunnelReport, Some(pipeFunnelReportSql)),
     Op("pipe_pack_sequences", pipePackSequences, Some(pipePackSequencesSql)),
   )

@@ -184,6 +184,26 @@ class OperatorInvariantSpec extends SparkSpec {
       s"$nTransitions transitions != Σ(session_len-1) = $sessions")
   }
 
+  test("pipe_oversample replicates whole languages with dense copy indices") {
+    val rows = run("pipe_oversample").collect()
+    // copies are dense 1..n_copies per doc
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val copies = rs.map(_.getLong(3)).sorted.toSeq
+      val n = rs.head.getLong(2)
+      assert(copies == (1L to n), s"doc $doc copies not dense 1..$n")
+    }
+    // a language has ONE factor (no per-doc drift) and the dominant
+    // language is never oversampled above a tail language
+    val byLang = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).distinct).toMap
+    byLang.foreach { case (lang, fs) =>
+      assert(fs.length == 1, s"$lang has multiple factors $fs")
+    }
+    val en = byLang("en").head
+    assert(byLang.filterKeys(_ != "en").values.forall(_.head >= en),
+      "dominant language oversampled above a tail language")
+  }
+
   test("cluster-label memo survives invalidation with identical labels") {
     val before = run("pipe_dup_clusters").collect()
     operators.PipelineOps.invalidateClusterMemo()

@@ -170,6 +170,11 @@ class PlanAuditSpec extends SparkSpec {
       // flags join on checkpointed cc labels + one global agg; the
       // 4-row stack is exchange-free
       "pipe_funnel_report" -> 2,
+      // the factor frame shares pipe_temperature_mix's weight shape
+      // (lang-count-sized aggs + single-row normalizers — small-data
+      // exchanges only); the corpus itself joins broadcast and the
+      // one corpus-sized exchange is the output sort
+      "pipe_oversample" -> 8,
       // everything after the per-source token agg runs on a
       // source-count-sized frame: two single-row normalizer aggs and
       // their broadcast joins + sort — small-data exchanges only
