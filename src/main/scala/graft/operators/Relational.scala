@@ -1208,6 +1208,26 @@ object Relational extends Suite {
       .orderBy("c_mktsegment", "o_orderpriority")
   }
 
+  // ---- q_approx_percentiles: the declared 100 TB quantile path ------
+  // q_percentiles' production form: percentile_approx's mergeable
+  // sketch replaces the exact per-group sort — partial sketches
+  // combine map-side, so the shuffle carries one digest per
+  // (partition, group) instead of every order row. Rows-only (digest
+  // internals are impl-specific); the invariant spec bounds its error
+  // against the exact discrete quantiles.
+  private def qApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("ap90"),
+        percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("ap99"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+
   private val qPercentilesSql = {
     // CAST(p AS DOUBLE): a bare 0.9 literal is DECIMAL in DuckDB and
     // 0.9*n is then exact, while Spark's double 0.9*n can land just
@@ -1350,6 +1370,7 @@ object Relational extends Suite {
     Op("q_running_sum", qRunningSum, Some(qRunningSumSql)),
     Op("q_approx_distinct", qApproxDistinct, None),
     Op("q_percentiles", qPercentiles, Some(qPercentilesSql)),
+    Op("q_approx_percentiles", qApproxPercentiles, None),
     Op("q_order_gaps", qOrderGaps, Some(qOrderGapsSql)),
     Op("q_set_ops", qSetOps, Some(qSetOpsSql)),
   )

@@ -257,6 +257,22 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(joined.filter(col("i.cosine") =!= col("e.cosine")).isEmpty)
   }
 
+  test("q_approx_percentiles tracks the exact discrete quantiles within 5%") {
+    val approx = run("q_approx_percentiles")
+      .select("c_mktsegment", "o_orderpriority", "ap50", "ap90", "ap99")
+    val exact = run("q_percentiles")
+      .select("c_mktsegment", "o_orderpriority", "p50", "p90", "p99")
+    approx.join(exact, Seq("c_mktsegment", "o_orderpriority")).collect()
+      .foreach { r =>
+        Seq(("p50", 2, 5), ("p90", 3, 6), ("p99", 4, 7)).foreach {
+          case (name, ai, ei) =>
+            val (a, e) = (r.getDouble(ai), r.getDouble(ei))
+            assert(math.abs(a - e) / e <= 0.05,
+              s"$name off by ${math.abs(a - e) / e} for ${r.getString(0)}")
+        }
+      }
+  }
+
   test("q_approx_distinct HLL estimate is within 5% of the exact count") {
     run("q_approx_distinct").collect().foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble

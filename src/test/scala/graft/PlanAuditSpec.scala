@@ -103,6 +103,9 @@ class PlanAuditSpec extends SparkSpec {
       "q21_waiting_supplier" -> 2,
       // join + group-window exchange; final agg reuses the partitioning
       "q_percentiles" -> 2,
+      // mergeable digests: one group agg exchange + sort — the
+      // declared 100 TB quantile path (no per-group row sort)
+      "q_approx_percentiles" -> 2,
       // lag window + segment join/agg + sort
       "q_order_gaps" -> 3,
       // three distinct-join legs × (agg exchange each side) at this
