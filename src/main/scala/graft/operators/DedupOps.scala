@@ -77,7 +77,14 @@ object DedupOps extends Suite {
   /** Near-dup pairs (a_id < b_id, unrounded jaccard ≥ 0.5) — the
     * shared core of dedup_ngram_jaccard and PipelineOps' curation
     * drop-list. */
-  private[operators] def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsAt(spark, dir, 0.5)
+
+  /** The same blocked co-occurrence pair join at an arbitrary jaccard
+    * floor — dedup_edit uses a loose floor (0.05) as its CANDIDATE
+    * generator before edit-distance verification. */
+  private[operators] def jaccardPairsAt(
+      spark: SparkSession, dir: String, tau: Double): DataFrame = {
     // both join sides read this; persist so the interpreted shingle
     // construction (tokenize→3-gram→hash, the expensive part) runs
     // once (CacheManager dedupes identical plans across calls).
@@ -99,7 +106,7 @@ object DedupOps extends Suite {
       // rounded value would admit pairs in [τ-5e-7, τ) it rejects
       .withColumn("jaccard", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= tau)
   }
 
   private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -112,7 +119,7 @@ object DedupOps extends Suite {
     * SQL lives; dedup_ngram_jaccard's oracle and PipelineOps'
     * curation oracle both derive from it. The WHERE filters the
     * UNROUNDED ratio, matching the Spark side. */
-  private[operators] val jaccardPairsSql: String =
+  private[operators] def jaccardPairsSqlAt(tau: String): String =
     s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
       |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
@@ -123,8 +130,15 @@ object DedupOps extends Suite {
       |        $shinglesSqlExpr AS s
       |      FROM (SELECT doc_id, lang, $toksSql AS t FROM documents) x) b
       |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      |  AND len(a.s) <= len(b.s) * 2 AND len(b.s) <= len(a.s) * 2
       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-      |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin
+      |    len(list_distinct(list_concat(a.s, b.s))) >= $tau""".stripMargin
+
+  // the size-ratio join predicate is mathematically implied at
+  // τ=0.5 (J ≥ ½ ⟹ max ≤ 2·min) so the canonical pair SQL is
+  // unchanged by carrying it explicitly; at looser floors it is
+  // load-bearing (the Spark side always prunes on it)
+  private[operators] val jaccardPairsSql: String = jaccardPairsSqlAt("0.5")
 
   // NOTE: must be defined AFTER jaccardPairsSql — object vals
   // initialize top-to-bottom, and interpolating a not-yet-initialized
@@ -350,11 +364,53 @@ object DedupOps extends Suite {
       |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---- dedup_edit: edit-distance near-identical pairs ---------------
+  // The character-level complement of the token-set ops: pairs whose
+  // levenshtein distance is ≤ 30% of the longer text (catches small
+  // in-place edits that shuffle no 3-grams... and rejects pairs mere
+  // topic overlap lets through the loose shingle floor). Blocking
+  // keeps it 100 TB-shaped: candidates come from the SAME blocked
+  // co-occurrence join at a loose jaccard floor (0.05) — never
+  // all-pairs — and the O(len²) levenshtein kernel runs only on
+  // survivors. The bound is integer-exact (dist·10 ≤ 3·maxlen), and
+  // levenshtein is the classic DP — identical values both engines.
+  private val editCandTau = 0.05
+
+  private def dedupEdit(spark: SparkSession, dir: String): DataFrame = {
+    val cand = jaccardPairsAt(spark, dir, editCandTau).select("a_id", "b_id")
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    cand
+      .join(d.select(col("doc_id").as("a_id"), col("text").as("ta")), Seq("a_id"))
+      .join(d.select(col("doc_id").as("b_id"), col("text").as("tb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        length(col("ta")).cast("long").as("la"),
+        length(col("tb")).cast("long").as("lb"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") * 10 <= greatest(col("la"), col("lb")) * 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val dedupEditSql =
+    s"""WITH cand AS (
+      |  SELECT a_id, b_id FROM (${jaccardPairsSqlAt(editCandTau.toString)}) j),
+      |p AS (
+      |  SELECT c.a_id, c.b_id,
+      |    CAST(length(da.text) AS BIGINT) AS la,
+      |    CAST(length(db.text) AS BIGINT) AS lb,
+      |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+      |  FROM cand c
+      |  JOIN documents da ON da.doc_id = c.a_id
+      |  JOIN documents db ON db.doc_id = c.b_id)
+      |SELECT a_id, b_id, la, lb, dist FROM p
+      |WHERE dist * 10 <= GREATEST(la, lb) * 3
+      |ORDER BY a_id, b_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     Op("dedup_minhash", dedupMinhash, None),
     Op("dedup_simhash", dedupSimhash, None),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
+    Op("dedup_edit", dedupEdit, Some(dedupEditSql)),
   )
 }

@@ -65,7 +65,11 @@ class PlanAuditSpec extends SparkSpec {
       "cdc_dedupe_latest" -> 2, "cdc_merge_batch" -> 4, "cdc_scd2" -> 2,
       "cdc_schema_reconcile" -> 1, "dedup_embedding" -> 2,
       "dedup_exact" -> 2, "dedup_minhash" -> 2, "dedup_ngram_jaccard" -> 2,
-      "dedup_simhash" -> 2, "ev_asof_join" -> 3, "ev_funnel" -> 2,
+      "dedup_simhash" -> 2,
+      // candidate pair agg (the blocked co-occurrence join at the
+      // loose floor) + two id joins back to texts + sort; the
+      // levenshtein kernel is map-side on survivors only
+      "dedup_edit" -> 5, "ev_asof_join" -> 3, "ev_funnel" -> 2,
       "ev_sessionize" -> 2, "ev_sliding_2h" -> 2, "ev_tumbling_1h" -> 3,
       // broadcast at test SF (1 = sort); user_id shuffle form at scale
       "ev_attribution" -> 3,
