@@ -87,8 +87,96 @@ object MultimodalOps extends Suite {
       |  MIN(doc_id) AS keep_id
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
+  /** One sampled frame: source frame index, byte offset/length, and
+    * the digest of the REAL byte slice. */
+  case class Frame(
+      doc_id: Long, frame_idx: Long, off: Long, n_bytes: Long, fp: String)
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+
+  // ---- mm_frame_sample: every k-th fixed-size frame ------------------
+  // The video-pipeline shape: a blob is a sequence of fixed-size
+  // frames; keep every 4th. This is the 1→N batch shape a real frame
+  // extractor has (mapPartitions + flatMap — decoder init once per
+  // partition, multiple typed rows out per blob), and the byte
+  // slicing + per-frame digest are REAL (only frame geometry is the
+  // stub — 64-byte "frames" over the text-as-bytes corpus). The
+  // oracle mirrors the slices with substr+md5 (pure-ascii corpus ⇒
+  // byte offsets == char offsets, pinned by the mm_features spec).
+  private val frameBytes = 64L
+  private val sampleEvery = 4L
+
+  private def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[MediaBlob]
+      .mapPartitions { batch =>
+        // per-partition init point for a real frame decoder
+        batch.flatMap { m =>
+          val n = m.blob.length.toLong
+          val nFrames = (n + frameBytes - 1) / frameBytes
+          (0L until nFrames by sampleEvery).iterator.map { i =>
+            val off = i * frameBytes
+            val len = math.min(frameBytes, n - off)
+            val slice = java.util.Arrays.copyOfRange(
+              m.blob, off.toInt, (off + len).toInt)
+            Frame(m.doc_id, i, off, len, md5hex(slice))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val mmFrameSampleSql =
+    s"""WITH f AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+      |    UNNEST(generate_series(0,
+      |      (octet_length(encode(text)) + ${frameBytes - 1}) // $frameBytes - 1,
+      |      $sampleEvery)) AS i
+      |  FROM documents)
+      |SELECT doc_id, i AS frame_idx, i * $frameBytes AS off,
+      |  LEAST($frameBytes, n - i * $frameBytes) AS n_bytes,
+      |  md5(substr(text, CAST(i * $frameBytes + 1 AS BIGINT), $frameBytes))
+      |    AS fp
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---- mm_resize: blob → smaller blob with verified content ----------
+  // The blob→blob transform shape (resize/transcode): emit the
+  // "resized" payload's size and digest. The stub halves the blob by
+  // byte truncation — a REAL slice both engines hash identically —
+  // where a real deployment decodes, scales, and re-encodes at the
+  // same mapPartitions boundary.
+  private def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[MediaBlob]
+      .mapPartitions { batch =>
+        batch.map { m =>
+          val half = java.util.Arrays.copyOfRange(
+            m.blob, 0, (m.blob.length + 1) / 2)
+          (m.doc_id, m.blob.length.toLong, half.length.toLong, md5hex(half))
+        }
+      }
+      .toDF("doc_id", "n_bytes", "new_bytes", "fp")
+      .orderBy("doc_id")
+  }
+
+  private val mmResizeSql =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  (octet_length(encode(text)) + 1) // 2 AS new_bytes,
+      |  md5(substr(text, 1, (octet_length(encode(text)) + 1) // 2)) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("mm_features", mmFeatures, Some(mmFeaturesSql)),
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
+    Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
+    Op("mm_resize", mmResize, Some(mmResizeSql)),
   )
 }

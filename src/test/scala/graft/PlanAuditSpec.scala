@@ -134,6 +134,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_ntile_spend" -> 3,
       // digest projected before the exchange — blobs never shuffle
       "mm_dedup" -> 2,
+      // per-partition flatMap/map; the one exchange is the sort
+      "mm_frame_sample" -> 1, "mm_resize" -> 1,
       "q_running_sum" -> 2, "q_semi_anti" -> 5,
       // join itself is exchange-free (bucketed SMJ); agg + sort remain
       "q_bucketed_join" -> 2,
