@@ -277,6 +277,65 @@ object CdcOps extends Suite {
       |       WHEN a.value <> b.value THEN 'UPDATE' END IS NOT NULL
       |ORDER BY user_id""".stripMargin
 
+  // ---- cdc_incremental_agg: materialized-view maintenance -----------
+  // The aggregate-refresh job every CDC destination runs after a merge:
+  // a per-group materialized view (n_keys, sum_value by the latest
+  // row's event_type) is maintained INCREMENTALLY from the batch — for
+  // each touched key, retract its prior contribution and add its new
+  // one — instead of re-aggregating the table. The oracle recomputes
+  // the view from the full log, so the hash gate proves incremental
+  // maintenance ≡ recompute (the IVM correctness property).
+  //
+  // Scale shape: the batch shuffles by PK once (latestPerKey); prior
+  // state is probed ONLY for batch keys (left-semi — at 100 TB the
+  // batch-key list broadcasts into a bucketed state scan, so the
+  // retraction read is key-pruned, not a table scan); the delta agg is
+  // group-cardinality-sized. The full corpus is never re-aggregated —
+  // that is the entire point of IVM at this scale. Here prior state
+  // and its view are derived from the log for self-containment; in
+  // production both are stored tables.
+  private def cdcIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val split = lit(mergeSplit).cast("timestamp")
+    val dec = DecimalType(18, 2)
+    val state1 = latestPerKey(ev.filter(col("ts") < split))
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type"), col("value"))
+    val view1 = state1.groupBy("event_type")
+      .agg(count(lit(1)).as("n_keys"), sum(col("value").cast(dec)).as("sum_value"))
+    val batch = ev.filter(col("ts") >= split)
+    // retract: prior contributions of every key the batch touches
+    val retract = state1
+      .join(batch.select("user_id").distinct(), Seq("user_id"), "left_semi")
+      .select(col("event_type"), lit(-1L).as("dk"),
+        (col("value").cast(dec) * lit(-1).cast(DecimalType(1, 0))).as("dv"))
+    // add: the touched keys' new rows (batch events all sequence-after
+    // prior ones, so latest-of-batch IS the key's new state)
+    val additions = latestPerKey(batch)
+      .filter(col("event_type") =!= "error")
+      .select(col("event_type"), lit(1L).as("dk"), col("value").cast(dec).as("dv"))
+    val deltas = retract.unionByName(additions)
+      .groupBy("event_type").agg(sum("dk").as("dk"), sum("dv").as("dv"))
+    view1.join(deltas, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n_keys"), lit(0L)) + coalesce(col("dk"), lit(0L)))
+          .as("n_keys"),
+        (coalesce(col("sum_value"), lit(0).cast(dec)) +
+          coalesce(col("dv"), lit(0).cast(dec))).cast("double").as("sum_value"))
+      .filter(col("n_keys") > 0)
+      .orderBy("event_type")
+  }
+
+  private val cdcIncrementalAggSql =
+    """SELECT event_type, COUNT(*) AS n_keys,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT user_id, event_type, value, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 AND event_type <> 'error'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("cdc_dedupe_latest", cdcDedupeLatest, Some(cdcDedupeLatestSql)),
     Op("cdc_apply_snapshot", cdcApplySnapshot, Some(cdcApplySnapshotSql)),
@@ -285,5 +344,6 @@ object CdcOps extends Suite {
     Op("cdc_changelog_stats", cdcChangelogStats, Some(cdcChangelogStatsSql)),
     Op("cdc_schema_reconcile", cdcSchemaReconcile, Some(cdcSchemaReconcileSql)),
     Op("cdc_snapshot_diff", cdcSnapshotDiff, Some(cdcSnapshotDiffSql)),
+    Op("cdc_incremental_agg", cdcIncrementalAgg, Some(cdcIncrementalAggSql)),
   )
 }

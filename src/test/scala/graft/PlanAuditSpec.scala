@@ -170,6 +170,12 @@ class PlanAuditSpec extends SparkSpec {
       // map-side bucket + type×bucket agg + share window + sort (the
       // window reuses the agg's type partitioning at runtime)
       "ev_value_hist" -> 3,
+      // the production IVM plan is batch-PK agg + key-pruned state
+      // probe + group-sized delta agg (3); the other 4 here derive
+      // prior state AND its view from the log for self-containment
+      // (stored tables in production) — the twin state1 subtrees
+      // collapse via ReuseExchange at runtime
+      "cdc_incremental_agg" -> 7,
       // one PK agg exchange per snapshot side; the full-outer diff
       // join REUSES the agg partitioning (latestPerKey keeps the
       // grouping key out of the struct exactly for this); sort
