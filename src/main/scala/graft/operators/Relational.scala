@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1335,6 +1335,60 @@ object Relational extends Suite {
       |  FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96) c
       |ORDER BY cohort""".stripMargin
 
+  // ---- q_profile: one-pass column profiler (ANALYZE TABLE shape) ----
+  // The data-profiling pass a pipeline runs before trusting a new
+  // drop: per-column null count, exact distinct count, and min/max,
+  // for every orders column, in ONE aggregate over one scan. Spark
+  // plans the multi-distinct agg as the standard Expand(×6 columns) +
+  // two-phase distinct — the same shape as melting to (column, value)
+  // rows, but without materializing the melt. The 1-row wide result
+  // explodes into one output row per column (driver-free). At 100 TB
+  // swap countDistinct for approx_count_distinct: the Expand
+  // disappears and the profile becomes one mergeable-sketch pass.
+  // min/max stay TYPED through the agg and render to strings only at
+  // the end (doubles via lossless DECIMAL(18,2), timestamps at second
+  // precision) so the profile is numeric, not lexicographic.
+  private def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val asStr = (x: Column) => x.cast("string")
+    val asDec = (x: Column) => x.cast(DecimalType(18, 2)).cast("string")
+    val asTs = (x: Column) => date_format(x, "yyyy-MM-dd HH:mm:ss")
+    val cols: Seq[(String, Column => Column)] = Seq(
+      "o_orderkey" -> asStr, "o_custkey" -> asStr,
+      "o_orderstatus" -> asStr, "o_totalprice" -> asDec,
+      "o_orderdate" -> asTs, "o_orderpriority" -> asStr)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, r) =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        r(min(col(c))).as(s"${c}_min"), r(max(col(c))).as(s"${c}_max"))
+    }
+    val one = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(cols.map { case (c, _) =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"${c}_nulls").as("n_nulls"),
+          col(s"${c}_distinct").as("n_distinct"),
+          col(s"${c}_min").as("min_repr"), col(s"${c}_max").as("max_repr"))
+      }: _*)).as("r"))
+      .select("r.*")
+      .orderBy("col_name")
+  }
+
+  private val qProfileSql = {
+    val render: Map[String, String => String] = Map(
+      "o_totalprice" -> (c => s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"),
+      "o_orderdate" -> (c => s"strftime($c, '%Y-%m-%d %H:%M:%S')"))
+    val stack = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority").map { c =>
+      val r = render.getOrElse(c, (x: String) => s"CAST($x AS VARCHAR)")
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  COUNT(DISTINCT $c) AS n_distinct,
+        |  ${r(s"MIN($c)")} AS min_repr, ${r(s"MAX($c)")} AS max_repr
+        |FROM orders""".stripMargin
+    }
+    stack.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
     Op("q3_shipping_priority", q3, Some(q3Sql)),
@@ -1373,5 +1427,6 @@ object Relational extends Suite {
     Op("q_approx_percentiles", qApproxPercentiles, None),
     Op("q_order_gaps", qOrderGaps, Some(qOrderGapsSql)),
     Op("q_set_ops", qSetOps, Some(qSetOpsSql)),
+    Op("q_profile", qProfile, Some(qProfileSql)),
   )
 }
