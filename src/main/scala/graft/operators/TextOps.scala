@@ -497,6 +497,74 @@ object TextOps extends Suite {
       |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch
       |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin
 
+  // ---- txt_lm_perplexity: unigram-LM perplexity quality score -------
+  // The CCNet quality signal (Wenzek et al., "CCNet: Extracting High
+  // Quality Monolingual Datasets from Web Crawl Data", 2020 §4.3 —
+  // there a per-language 5-gram Kneser-Ney LM; here a per-language
+  // unigram MLE, which exercises the identical engine shape): train
+  // token log-probs from the corpus itself, score each doc by
+  // cross-entropy, ppl = exp(ce). Low ppl ≈ in-distribution fluent
+  // text; high ppl ≈ junk. Scale shape: TRAIN is one (lang, token)
+  // hash agg (vocabulary-sized — bounded regardless of corpus size)
+  // + a langs-row total; SCORE is a broadcast map-side join of the
+  // model onto the exploded corpus + one doc_id shuffle. Nothing
+  // driver-side; the model frame is the only small side.
+  // Cross-engine exactness: each vocab entry's logp is quantized ONCE
+  // to DECIMAL(12,6) (ln is the only non-correctly-rounded IEEE op,
+  // and it runs per distinct (lang, token), not per occurrence); the
+  // per-doc sum is exact decimal (order-independent), and ce/ppl are
+  // single IEEE div/exp ops per row from identical inputs. No
+  // smoothing needed: the model is trained on the scored corpus, so
+  // every token is in-vocab (scoring foreign data needs add-k — the
+  // join becomes left + coalesce to the smoothed floor).
+  private def txtLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("lang"), explode(col("t")).as("tok"))
+    val counts = occ.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("lang").agg(sum(col("cnt")).as("total"))
+    val model = counts.join(totals, Seq("lang"))
+      .select(col("lang"), col("tok"),
+        round(log(col("cnt").cast("double")) - log(col("total").cast("double")), 6)
+          .cast(DecimalType(12, 6)).as("logp"))
+    // ce rounding happens in INTEGER micro-units: slp is scale-6
+    // decimal, so slp/n lands on exact .5e-7 ties that double
+    // rounding breaks differently per engine (seen at sf0.1);
+    // (2m+n) div (2n) is half-up over positive longs — deterministic
+    // everywhere. ce/ppl are then single IEEE ops from exact inputs.
+    occ.join(broadcast(model), Seq("lang", "tok"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).cast("long").as("n_tokens"), sum(col("logp")).as("slp"))
+      .withColumn("m", (col("slp") * lit(-1000000L)).cast("long"))
+      .withColumn("micros", expr("(2*m + n_tokens) div (2*n_tokens)"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("micros").cast("double") / lit(1000000.0)).as("ce"),
+        round(exp(col("m").cast("double") /
+          (col("n_tokens") * lit(1000000L)).cast("double")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  private val txtLmPerplexitySql =
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+      |occ AS (SELECT doc_id, lang, unnest(t) AS tok FROM t WHERE len(t) > 0),
+      |c AS (SELECT lang, tok, COUNT(*) AS cnt FROM occ GROUP BY 1, 2),
+      |tot AS (SELECT lang, SUM(cnt) AS total FROM c GROUP BY 1),
+      |m AS (SELECT lang, tok,
+      |    CAST(ROUND(LN(CAST(cnt AS DOUBLE)) - LN(CAST(total AS DOUBLE)), 6)
+      |      AS DECIMAL(12,6)) AS logp
+      |  FROM c JOIN tot USING (lang)),
+      |d AS (SELECT occ.doc_id, occ.lang,
+      |    CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(m.logp) AS slp
+      |  FROM occ JOIN m USING (lang, tok) GROUP BY 1, 2),
+      |i AS (SELECT doc_id, lang, n_tokens,
+      |    CAST(slp * -1000000 AS BIGINT) AS mm FROM d)
+      |SELECT doc_id, lang, n_tokens,
+      |  CAST((2*mm + n_tokens) // (2*n_tokens) AS DOUBLE) / 1000000.0 AS ce,
+      |  ROUND(EXP(CAST(mm AS DOUBLE) / CAST(n_tokens * 1000000 AS DOUBLE)), 6)
+      |    AS ppl
+      |FROM i ORDER BY doc_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -507,5 +575,6 @@ object TextOps extends Suite {
     Op("txt_boilerplate", txtBoilerplate, Some(txtBoilerplateSql)),
     Op("txt_scrub", txtScrub, Some(txtScrubSql)),
     Op("txt_readability", txtReadability, Some(txtReadabilitySql)),
+    Op("txt_lm_perplexity", txtLmPerplexity, Some(txtLmPerplexitySql)),
   )
 }

@@ -214,7 +214,16 @@ class PlanAuditSpec extends SparkSpec {
       // training is checkpointed (see sim_kmeans); probe is map-only
       // against the broadcast trained codebook, so the final plan is
       // the ranking window + sort
-      "sim_ivf_kmeans" -> 2)
+      "sim_ivf_kmeans" -> 2,
+      // ONE aggregate pass: Expand(×6 distinct cols) + two-phase
+      // distinct agg (hash exchange + SinglePartition final) + the
+      // 6-row explode's sort
+      "q_profile" -> 3,
+      // train: (lang,tok) vocab agg + lang totals agg (+ their join);
+      // score: model joins BROADCAST onto the exploded corpus, one
+      // doc_id agg, sort — the corpus-sized exchanges are the doc agg
+      // and the sort only
+      "txt_lm_perplexity" -> 5)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
