@@ -405,6 +405,65 @@ object DedupOps extends Suite {
       |WHERE dist * 10 <= GREATEST(la, lb) * 3
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- dedup_containment: asymmetric shingle containment ------------
+  // Broder 1997's SECOND resemblance measure: containment
+  // c(A,B) = |S(A)∩S(B)| / |S(A)|. Catches the pairs symmetric
+  // jaccard structurally misses — a short doc quoted whole inside a
+  // much longer one has c ≈ 1 but jaccard ≈ |A|/|B| ≈ 0, so it
+  // passes every jaccard/minhash gate. Direction matters: a_id is
+  // the CONTAINED (smaller-set) side.
+  // Scale shape: the same shingle-hash co-occurrence join as
+  // jaccard — |A∩B| is a count of narrow (hash, lang) matches and
+  // non-overlapping pairs never materialize — but deliberately
+  // WITHOUT the length-band block and size-ratio prune (containment
+  // pairs live exactly in the large-size-gap region those bounds cut
+  // away). Lang remains the block key; hot-shingle skew is AQE-split.
+  // At 100 TB the candidate generator is MinHash: Broder's sketches
+  // estimate containment as |minhash(A)∩minhash(B)|/|minhash(A)|
+  // over the SAME signatures dedup_minhash already computes, so the
+  // exact pass here runs only on sketch candidates.
+  private val containTau = 0.9
+
+  private def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val ex = hashedShingles(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(col("s")).as("n"), explode(col("s")).as("h"))
+      .persist()
+    val a = ex.select(col("h"), col("lang"),
+      col("doc_id").as("a_id"), col("n").as("na"))
+    val b = ex.select(col("h"), col("lang"),
+      col("doc_id").as("b_id"), col("n").as("nb"))
+    a.join(b, Seq("h", "lang"))
+      .filter(col("na") < col("nb") ||
+        (col("na") === col("nb") && col("a_id") < col("b_id")))
+      .groupBy("a_id", "b_id", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      // unrounded filter, rounded projection (see jaccardPairs)
+      .withColumn("containment", col("inter").cast("double") / col("na"))
+      .filter(col("containment") >= containTau)
+      .select(col("a_id"), col("b_id"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val dedupContainmentSql =
+    s"""WITH sh AS (
+      |  SELECT doc_id, lang, $shinglesSqlExpr AS s
+      |  FROM (SELECT doc_id, lang, $toksSql AS t FROM documents) x
+      |  WHERE len(t) >= 3)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(len(a.s) AS BIGINT) AS na, CAST(len(b.s) AS BIGINT) AS nb,
+      |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
+      |    AS containment
+      |FROM sh a JOIN sh b
+      |  ON a.lang = b.lang
+      |  AND (len(a.s) < len(b.s)
+      |       OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id))
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+      |    >= $containTau
+      |ORDER BY a_id, b_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
@@ -412,5 +471,6 @@ object DedupOps extends Suite {
     Op("dedup_simhash", dedupSimhash, None),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Op("dedup_edit", dedupEdit, Some(dedupEditSql)),
+    Op("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
   )
 }

@@ -532,6 +532,48 @@ object EventOps extends Suite {
       |  ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
 
+  // ---- ev_heavy_hitters: per-type frequent users --------------------
+  // The frequent-items detector (abuse/bot surfacing, hot-key
+  // discovery before a partitioning decision): users whose event
+  // count within a type is ≥ 1.2× the uniform share. The cut is
+  // lift-over-mean rather than an absolute φ so it is scale-free
+  // (per-user counts thin as the user base grows; a fixed per-mille
+  // threshold empties at 100×), and it is evaluated in pure integer
+  // arithmetic (10·n·users ≥ 12·total) — no FP boundary to disagree
+  // over. Scale shape: one (type, user) hash agg with map-side
+  // partial combine carrying ≤1 row per partition×key, a types-row
+  // total that BROADCASTS back, and the output sort. At 100 TB with
+  // an unbounded key domain the same two-level shape runs on
+  // Misra–Gries summaries per partition (merge = sum + re-prune) or
+  // a count-min sketch + candidate heap — both mergeable in one agg
+  // pass; the exact form here is the oracle for those.
+  private def evHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(spark, dir)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val t = c.groupBy("event_type")
+      .agg(sum(col("n_events")).as("total"), count(lit(1)).as("n_users"))
+    c.join(broadcast(t), Seq("event_type"))
+      .filter(col("n_events") * col("n_users") * 10 >= col("total") * 12)
+      .select(col("event_type"), col("user_id"), col("n_events"),
+        round(col("n_events").cast("double") / col("total"), 6).as("share"),
+        round(col("n_events").cast("double") * col("n_users") / col("total"), 6)
+          .as("lift"))
+      .orderBy("event_type", "user_id")
+  }
+
+  private val evHeavyHittersSql =
+    """WITH c AS (SELECT event_type, user_id, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, SUM(n_events) AS total,
+      |    COUNT(*) AS n_users FROM c GROUP BY 1)
+      |SELECT event_type, user_id, n_events,
+      |  ROUND(CAST(n_events AS DOUBLE) / total, 6) AS share,
+      |  ROUND(CAST(n_events AS DOUBLE) * n_users / total, 6) AS lift
+      |FROM c JOIN t USING (event_type)
+      |WHERE n_events * n_users * 10 >= total * 12
+      |ORDER BY event_type, user_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
@@ -546,5 +588,6 @@ object EventOps extends Suite {
     Op("ev_attribution", evAttribution, Some(evAttributionSql)),
     Op("ev_anomaly", evAnomaly, Some(evAnomalySql)),
     Op("ev_dau_wau", evDauWau, Some(evDauWauSql)),
+    Op("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
   )
 }

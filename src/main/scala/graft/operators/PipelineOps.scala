@@ -334,6 +334,47 @@ object PipelineOps extends Suite {
       |ORDER BY c.doc_id, bench_id""".stripMargin
   }
 
+  // ---- pipe_bloom_decontaminate: sketch-prefiltered decontamination -
+  // The same contract as pipe_decontaminate with the 100 TB middle
+  // stage made real: the benchmark's shingle hashes fold into a Bloom
+  // filter (Bloom 1970) via a DISTRIBUTED mergeable-sketch aggregate
+  // (`df.stat.bloomFilter` — partial filters OR-merge; only the
+  // KB-sized sketch ever reaches the driver), which then broadcasts
+  // as a corpus-side prefilter. Where the exact op relies on
+  // broadcasting the bench shingles into the join probe, the bloom
+  // form matters when the contamination list outgrows a broadcast
+  // hash table: the shuffle then carries only the ~fpp fraction of
+  // corpus shingles that might match, instead of all of them.
+  // Correctness is NOT probabilistic: Bloom filters have no false
+  // negatives, and survivors go through the exact shared-shingle
+  // verify — so the output is bit-identical to pipe_decontaminate
+  // and the driver hash-checks it against the SAME exact oracle.
+  // The mightContain probe is a scala UDF (Spark exposes no public
+  // expression for it); it gates rows BEFORE the join so the
+  // codegen'd hot path is untouched.
+  private val bloomFpp = 0.01
+
+  private def pipeBloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = Tables.documents(spark, dir)
+      .select(col("doc_id"), Tok.toks.as("t"))
+      .select(col("doc_id"), expr("shingle_hash3(t)").as("s"))
+    val bench = shingled.filter(col("doc_id") < benchDocs)
+      .select(col("doc_id").as("bench_id"), explode(col("s")).as("h"))
+    // sized generously for the fixed 10-doc benchmark; a real run
+    // sizes from a count of the contamination list
+    val bf = bench.stat.bloomFilter("h", 1L << 16, bloomFpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val corpus = shingled.filter(col("doc_id") >= benchDocs)
+      .select(col("doc_id"), explode(col("s")).as("h"))
+      .filter(mightContain(col("h")))
+    corpus.join(broadcast(bench), Seq("h"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= contamMinShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
   // ---- pipe_mix_report: corpus composition by source×lang×band ------
   // The data-mixture report every training run starts from: per
   // (source, language, quality band) document and token counts with
@@ -616,6 +657,10 @@ object PipelineOps extends Suite {
     Op("pipe_curate_cc", pipeCurateCc, Some(pipeCurateCcSql)),
     Op("pipe_split", pipeSplit, Some(pipeSplitSql)),
     Op("pipe_decontaminate", pipeDecontaminate, Some(pipeDecontaminateSql)),
+    // same exact oracle: the bloom stage is pure pruning (no false
+    // negatives + exact verify on survivors)
+    Op("pipe_bloom_decontaminate", pipeBloomDecontaminate,
+      Some(pipeDecontaminateSql)),
     Op("pipe_temperature_mix", pipeTemperatureMix, Some(pipeTemperatureMixSql)),
     Op("pipe_oversample", pipeOversample, Some(pipeOversampleSql)),
     Op("pipe_funnel_report", pipeFunnelReport, Some(pipeFunnelReportSql)),

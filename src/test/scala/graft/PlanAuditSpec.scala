@@ -223,7 +223,18 @@ class PlanAuditSpec extends SparkSpec {
       // score: model joins BROADCAST onto the exploded corpus, one
       // doc_id agg, sort — the corpus-sized exchanges are the doc agg
       // and the sort only
-      "txt_lm_perplexity" -> 5)
+      "txt_lm_perplexity" -> 5,
+      // same co-occurrence machinery as dedup_ngram_jaccard minus
+      // the band block: pair join on (h, lang) + pair agg + sort
+      "dedup_containment" -> 4,
+      // (type,user) agg appears under both the pair branch and the
+      // totals branch (ReuseExchange collapses them at runtime,
+      // q15-style) + the types-row total agg (broadcasts back) + sort
+      "ev_heavy_hitters" -> 4,
+      // bloom build runs as its own sketch job; the main plan is the
+      // broadcast verify join + pair agg + sort (corpus never shuffles
+      // before the bloom gate)
+      "pipe_bloom_decontaminate" -> 2)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
