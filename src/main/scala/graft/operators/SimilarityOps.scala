@@ -336,7 +336,14 @@ object SimilarityOps extends Suite {
   // and the determinism strategy are unchanged by that swap.
   private val pqSubspaces = 8
 
-  private def simPqTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, sub, c_label, dist_sq): distance from every (vector,
+    * subspace) to every label's sub-centroid, scaled by n²:
+    * Σ((n·d−s)/n)² = Σ(n·d−s)²/n². Materialized ONCE per call via an
+    * eager reliable checkpoint: both the encode branch (codes) and
+    * the query-side lookup table (dq) consume it — without the
+    * checkpoint the whole distance subtree plans (and runs) under
+    * both branches. Shared by sim_pq_topk and sim_ivfpq. */
+  private def pqSubDist(spark: SparkSession, dir: String): DataFrame = {
     val terms = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("i", "x")))
@@ -345,16 +352,8 @@ object SimilarityOps extends Suite {
         col("x").cast("double").cast(DecimalType(12, 8)).as("d"))
     val sums = terms.groupBy(col("label").as("c_label"), col("i"))
       .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))
-    // distance from every (vector, subspace) to every label's
-    // sub-centroid, scaled by n²: Σ((n·d−s)/n)² = Σ(n·d−s)²/n²
-    // materialize ONCE: both the encode branch (codes) and the
-    // query-side lookup table (dq) consume this frame — without the
-    // eager checkpoint the whole (vec, sub, label) distance subtree
-    // plans (and runs) under both branches
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-    val subDist = terms
+    ensureCkptDir(spark)
+    terms
       .join(broadcast(sums), Seq("i"))
       .withColumn("sq",
         ((col("n") * col("d") - col("s")).cast("double") *
@@ -364,6 +363,10 @@ object SimilarityOps extends Suite {
       .agg((sum(col("sq")).cast("double") /
         (max(col("n")) * max(col("n"))).cast("double")).as("dist_sq"))
       .checkpoint()
+  }
+
+  private def simPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val subDist = pqSubDist(spark, dir)
     val codes = subDist
       .groupBy(col("vec_id").as("cand_id"), col("sub"))
       .agg(min_by(col("c_label"), struct(col("dist_sq"), col("c_label")))
@@ -655,6 +658,110 @@ object SimilarityOps extends Suite {
       |  JOIN norms nc ON d.cand_id = nc.vec_id) t
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  // ---- sim_ivfpq: IVFADC — coarse probe + in-list ADC ranking -------
+  // The complete system of Jégou et al. 2011 §III (IVFADC): the
+  // k-means-trained coarse quantizer partitions the corpus into
+  // inverted lists (sim_ivf_kmeans' frames), vectors inside a list
+  // are stored as 8 PQ codes (sim_pq_topk's encoder), and a query
+  // (a) probes its nearest trained centroid with the same km_assign
+  // kernel (nprobe=1), then (b) ranks ONLY that list's members by
+  // ADC table lookups. This is the memory-AND-compute shape real
+  // vector stores run at 100 TB: each query touches 1/k of the
+  // corpus, and what it touches is bytes of codes, not floats.
+  // (The paper encodes RESIDUALS q(x − coarse(x)); raw-vector PQ here
+  // keeps the shared encoder — the frame shapes are unchanged by
+  // that swap.) Determinism: both quantizers and the
+  // fixed-association ADC total are the audited constructions from
+  // their parent ops, so the composition stays hash-oracle-exact —
+  // the oracle replays coarse training (shared CTE chain) AND the PQ
+  // encoder, then probes and ranks relationally.
+  private def simIvfpq(spark: SparkSession, dir: String): DataFrame = {
+    val assign = kmeansTrain(spark, dir, kmIters)
+    val trained = nestCentroids(centroidSums(assign)).checkpoint()
+    val subDist = pqSubDist(spark, dir)
+    val codes = subDist
+      .groupBy(col("vec_id").as("cand_id"), col("sub"))
+      .agg(min_by(col("c_label"), struct(col("dist_sq"), col("c_label")))
+        .as("code"))
+    val dq = subDist.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("sub").as("q_sub"),
+        col("c_label").as("q_code"), col("dist_sq"))
+    val probed = assign.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(trained))
+      .withColumn("b", expr("km_assign(dq, cs)"))
+      .select(col("vec_id").as("q_id"), col("b.cluster").as("probe_cluster"))
+    // candidate pairs = probed list members only (~N/k per query);
+    // the codes join shuffles on cand_id, the ADC table broadcasts
+    val cand = assign.select(col("vec_id").as("cand_id"), col("cluster"))
+      .join(broadcast(probed),
+        col("cluster") === col("probe_cluster") &&
+          col("cand_id") =!= col("q_id"))
+      .select("q_id", "probe_cluster", "cand_id")
+    val partialCols = (0 until pqSubspaces).map(s =>
+      max(when(col("sub") === s, col("dist_sq"))).as(s"p$s"))
+    val partials = codes.join(cand, Seq("cand_id"))
+      .join(broadcast(dq), Seq("q_id"))
+      .filter(col("sub") === col("q_sub") && col("code") === col("q_code"))
+      .groupBy("q_id", "probe_cluster", "cand_id")
+      .agg(partialCols.head, partialCols.tail: _*)
+    val adc = (1 until pqSubspaces)
+      .foldLeft(col("p0")) { (acc, s) => acc + col(s"p$s") }
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("approx_dist"), col("cand_id"))
+    partials.withColumn("approx_dist", adc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("probe_cluster"), col("cand_id"),
+        round(col("approx_dist"), 6).as("approx_dist"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val simIvfpqSql = {
+    val pCols = (0 until pqSubspaces).map(s =>
+      s"MAX(CASE WHEN c.sub = $s THEN q.dist_sq END) AS p$s").mkString(",\n      |    ")
+    val adc = (1 until pqSubspaces).foldLeft("p0") { (acc, s) => s"($acc + p$s)" }
+    s"""WITH $kmCtes,
+      |pterms AS (
+      |  SELECT t.vec_id, e.label, ((t.i - 1) // 8) AS sub, t.i, t.d
+      |  FROM terms t JOIN embeddings e USING (vec_id)),
+      |psums AS (
+      |  SELECT label AS c_label, i, SUM(d) AS s, COUNT(*) AS n
+      |  FROM pterms GROUP BY 1, 2),
+      |subdist AS (
+      |  SELECT t.vec_id, t.sub, s.c_label, $kmDistExpr AS dist_sq
+      |  FROM pterms t JOIN psums s ON t.i = s.i
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id AS cand_id, sub, c_label AS code FROM subdist
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |    ORDER BY dist_sq, c_label) = 1),
+      |probe AS (
+      |  SELECT vec_id AS q_id, cluster AS probe_cluster FROM (
+      |    SELECT t.vec_id, s.cluster, $kmDistExpr AS dist_sq
+      |    FROM terms t JOIN sums$kmIters s ON t.i = s.i
+      |    WHERE t.vec_id < $nQueries
+      |    GROUP BY t.vec_id, s.cluster) x
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY dist_sq, cluster) = 1),
+      |partials AS (
+      |  SELECT q.vec_id AS q_id, p.probe_cluster, c.cand_id,
+      |    $pCols
+      |  FROM codes c
+      |  JOIN assign$kmIters a ON a.vec_id = c.cand_id
+      |  JOIN subdist q ON q.sub = c.sub AND q.c_label = c.code
+      |  JOIN probe p ON p.q_id = q.vec_id AND a.cluster = p.probe_cluster
+      |  WHERE q.vec_id < $nQueries AND c.cand_id <> q.vec_id
+      |  GROUP BY 1, 2, 3)
+      |SELECT q_id, rank, probe_cluster, cand_id,
+      |  ROUND(approx_dist, 6) AS approx_dist
+      |FROM (
+      |  SELECT q_id, probe_cluster, cand_id, $adc AS approx_dist,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY $adc, cand_id) AS rank
+      |  FROM partials) x
+      |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
     Op("sim_ann_lsh", simAnnLsh, None),
@@ -664,5 +771,6 @@ object SimilarityOps extends Suite {
     Op("sim_pq_topk", simPqTopk, Some(simPqTopkSql)),
     Op("sim_kmeans", simKmeans, Some(simKmeansSql)),
     Op("sim_ivf_kmeans", simIvfKmeans, Some(simIvfKmeansSql)),
+    Op("sim_ivfpq", simIvfpq, Some(simIvfpqSql)),
   )
 }

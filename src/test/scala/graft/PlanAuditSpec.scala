@@ -234,7 +234,12 @@ class PlanAuditSpec extends SparkSpec {
       // bloom build runs as its own sketch job; the main plan is the
       // broadcast verify join + pair agg + sort (corpus never shuffles
       // before the bloom gate)
-      "pipe_bloom_decontaminate" -> 2)
+      "pipe_bloom_decontaminate" -> 2,
+      // coarse training + PQ sub-distances come checkpointed; the
+      // final plan is the codes agg (reused under candidate join),
+      // the cand_id join, ADC pivot agg, ranking window + sort —
+      // the ADC table and probe list broadcast
+      "sim_ivfpq" -> 5)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
