@@ -57,7 +57,7 @@ object DedupOps extends Suite {
     * see graft.functions.ShingleHash3). Set jaccard is preserved
     * (collisions ~2^-64 per pair) and every downstream consumer
     * (jaccard counts, MinHash) works on fixed-size longs. */
-  private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def hashedShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), toks.as("t"))
       .select(col("doc_id"), col("lang"),

@@ -375,6 +375,94 @@ object PipelineOps extends Suite {
       .orderBy("doc_id", "bench_id")
   }
 
+  // ---- pipe_incremental_dedup: new batch vs historical corpus -------
+  // The daily-ingest dedup shape: curation doesn't re-dedup 100 TB
+  // per crawl — it checks the NEW slice against the standing index.
+  // The new batch here is doc_id ≡ 4 (mod 5) (a deterministic 20%
+  // standing in for today's crawl); each new doc classifies as
+  //   exact  — md5(text) already in the historical corpus,
+  //   near   — blocked shingle-jaccard ≥ 0.5 with a historical doc,
+  //   unique — neither; match_id = the matched historical doc.
+  // Scale shape is the point: the NEW side is the small side
+  // everywhere. Exact: historical fingerprints SEMI-JOIN against the
+  // broadcast new-batch digest set BEFORE aggregating, so only
+  // matching groups aggregate. Near: the historical shingle stream
+  // joins the broadcast new-side shingles map-side; only candidate
+  // pairs (sharing a shingle, same (lang, band) block, size-ratio
+  // pruned) shuffle. The 100 TB corpus is read once, never
+  // re-shuffled, and nothing scales with corpus × batch.
+  private def pipeIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = pmod(col("doc_id"), lit(5)) === 4
+    val docs = Tables.documents(spark, dir)
+    val histFp = docs.filter(!isNew)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val newFp = docs.filter(isNew)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val exact = histFp
+      .join(broadcast(newFp.select("fp").distinct()), Seq("fp"), "leftsemi")
+      .groupBy("fp").agg(min(col("doc_id")).as("exact_id"))
+      .join(newFp, Seq("fp"))
+      .select(col("doc_id"), col("exact_id"))
+    val sh = DedupOps.hashedShingles(spark, dir)
+      .select(col("doc_id"), col("lang"), col("band"),
+        size(col("s")).as("n"), explode(col("s")).as("h"))
+    val a = sh.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .select(col("h"), col("lang"), col("band"),
+        col("doc_id").as("a_id"), col("n").as("na"))
+    val b = sh.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("h"), col("lang"), col("band"),
+        col("doc_id").as("b_id"), col("n").as("nb"))
+    val near = a.join(broadcast(b), Seq("h", "lang", "band"))
+      .filter(col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
+      .groupBy("a_id", "b_id", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= 0.5)
+      .groupBy(col("b_id").as("doc_id"))
+      .agg(min(col("a_id")).as("near_id"))
+    docs.filter(isNew).select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact")
+          .when(col("near_id").isNotNull, "near")
+          .otherwise("unique").as("status"),
+        coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
+      .orderBy("doc_id")
+  }
+
+  private val pipeIncrementalDedupSql = {
+    import DedupOps.shinglesSqlExpr
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, text, ${Tok.toksSql} AS t FROM documents),
+      |ex AS (
+      |  SELECT n.doc_id, MIN(h.doc_id) AS exact_id
+      |  FROM d n JOIN d h ON h.doc_id % 5 <> 4 AND md5(h.text) = md5(n.text)
+      |  WHERE n.doc_id % 5 = 4 GROUP BY 1),
+      |sh AS (
+      |  SELECT doc_id, lang, CAST(len(t) // 50 AS BIGINT) AS band,
+      |    $shinglesSqlExpr AS s
+      |  FROM d WHERE len(t) >= 3),
+      |nr AS (
+      |  SELECT b.doc_id, MIN(a.doc_id) AS near_id
+      |  FROM sh b JOIN sh a ON a.doc_id % 5 <> 4
+      |    AND a.lang = b.lang AND a.band = b.band
+      |    AND len(a.s) <= len(b.s) * 2 AND len(b.s) <= len(a.s) * 2
+      |  WHERE b.doc_id % 5 = 4
+      |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CASE WHEN ex.exact_id IS NOT NULL THEN 'exact'
+      |       WHEN nr.near_id IS NOT NULL THEN 'near'
+      |       ELSE 'unique' END AS status,
+      |  COALESCE(ex.exact_id, nr.near_id, -1) AS match_id
+      |FROM d LEFT JOIN ex ON ex.doc_id = d.doc_id
+      |LEFT JOIN nr ON nr.doc_id = d.doc_id
+      |WHERE d.doc_id % 5 = 4
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- pipe_mix_report: corpus composition by source×lang×band ------
   // The data-mixture report every training run starts from: per
   // (source, language, quality band) document and token counts with
@@ -661,6 +749,8 @@ object PipelineOps extends Suite {
     // negatives + exact verify on survivors)
     Op("pipe_bloom_decontaminate", pipeBloomDecontaminate,
       Some(pipeDecontaminateSql)),
+    Op("pipe_incremental_dedup", pipeIncrementalDedup,
+      Some(pipeIncrementalDedupSql)),
     Op("pipe_temperature_mix", pipeTemperatureMix, Some(pipeTemperatureMixSql)),
     Op("pipe_oversample", pipeOversample, Some(pipeOversampleSql)),
     Op("pipe_funnel_report", pipeFunnelReport, Some(pipeFunnelReportSql)),

@@ -565,6 +565,83 @@ object TextOps extends Suite {
       |    AS ppl
       |FROM i ORDER BY doc_id""".stripMargin
 
+  // ---- txt_line_dedup: cross-document duplicate-line removal --------
+  // The line-level dedup every web-corpus pipeline runs between
+  // document dedup and training (C4 drops repeated boilerplate lines;
+  // MassiveText/Gopher and RefinedWeb remove lines duplicated across
+  // documents): a "line" here is a fixed 10-token chunk (this corpus
+  // has no newlines — real deployments split on '\n'; only the
+  // segmenter expression changes). A chunk appearing in ≥2 DISTINCT
+  // documents is removed from ALL of them, and each document
+  // reconstructs from its surviving chunks in position order.
+  // Scale shape: chunking is map-only; the duplicate census is one
+  // hash agg on the chunk's md5 (the 16-byte digest shuffles, never
+  // the chunk text); the flag joins back on the digest; and the
+  // reconstruction is one doc_id agg whose sort-by-position happens
+  // inside the aggregated array (no global window). Four exchanges
+  // total regardless of corpus size.
+  private val lineTokens = 10
+
+  private def txtLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .withColumn("n_chunks", expr(s"(size(t) + ${lineTokens - 1}) div $lineTokens"))
+    val chunks = docs
+      .select(col("doc_id"), col("n_chunks"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          j => array_join(
+            slice(col("t"), j * lineTokens + 1, lit(lineTokens)), " ")))
+          .as(Seq("pos", "chunk")))
+      .withColumn("ch", md5(col("chunk")))
+    val census = chunks.groupBy("ch")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val kept = chunks.join(census, Seq("ch")).filter(col("nd") < 2)
+    val recon = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          e => e.getField("chunk")), " ")).as("kept_fp"))
+    docs.select("doc_id", "n_chunks")
+      .join(recon, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks").cast("long").as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        col("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val txtLineDedupSql =
+    s"""WITH t AS (
+      |  SELECT doc_id, t,
+      |    CAST((len(t) + ${lineTokens - 1}) // $lineTokens AS BIGINT)
+      |      AS n_chunks
+      |  FROM (SELECT doc_id, $toksSql AS t FROM documents) x
+      |  WHERE len(t) > 0),
+      |ch AS (
+      |  SELECT doc_id, j AS pos,
+      |    array_to_string(
+      |      t[($lineTokens*j + 1):($lineTokens*j + $lineTokens)], ' ')
+      |      AS chunk
+      |  FROM t, range(0, 100000) r(j) WHERE j < n_chunks),
+      |census AS (
+      |  SELECT md5(chunk) AS h, COUNT(DISTINCT doc_id) AS nd
+      |  FROM ch GROUP BY 1),
+      |kept AS (
+      |  SELECT ch.doc_id, ch.pos, ch.chunk FROM ch
+      |  JOIN census ON census.h = md5(ch.chunk) WHERE census.nd < 2),
+      |recon AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    md5(string_agg(chunk, ' ' ORDER BY pos)) AS kept_fp
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_chunks,
+      |  COALESCE(r.n_kept, 0) AS n_kept,
+      |  t.n_chunks - COALESCE(r.n_kept, 0) AS n_removed,
+      |  r.kept_fp
+      |FROM t LEFT JOIN recon r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -576,5 +653,6 @@ object TextOps extends Suite {
     Op("txt_scrub", txtScrub, Some(txtScrubSql)),
     Op("txt_readability", txtReadability, Some(txtReadabilitySql)),
     Op("txt_lm_perplexity", txtLmPerplexity, Some(txtLmPerplexitySql)),
+    Op("txt_line_dedup", txtLineDedup, Some(txtLineDedupSql)),
   )
 }

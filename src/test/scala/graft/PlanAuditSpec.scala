@@ -239,7 +239,14 @@ class PlanAuditSpec extends SparkSpec {
       // final plan is the codes agg (reused under candidate join),
       // the cand_id join, ADC pivot agg, ranking window + sort —
       // the ADC table and probe list broadcast
-      "sim_ivfpq" -> 5)
+      "sim_ivfpq" -> 5,
+      // chunk census agg on the md5 digest + flag join-back + doc
+      // reconstruction agg + the outer join and sort
+      "txt_line_dedup" -> 6,
+      // the new batch broadcasts everywhere (digest semi-join +
+      // shingle co-occurrence); shuffles are the pruned hist fp agg,
+      // candidate pair aggs, result joins + sort
+      "pipe_incremental_dedup" -> 8)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
