@@ -1389,6 +1389,75 @@ object Relational extends Suite {
     stack.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ---- q_orders_backlog: daily open-order count (interval agg) ------
+  // "How many orders were open on each day" — the classic interval
+  // counting query. The naive form joins every order against every
+  // day it spans (rows × avg-duration blowup); the scale-safe form
+  // converts each [order_day, last_ship_day] interval to ±1 delta
+  // events and runs ONE running sum over the per-day net — the event
+  // frame is 2 rows per order and the daily frame is calendar-sized.
+  // The global cumsum is two-phase so no single task sorts all days:
+  // a year-partitioned window computes within-year cumsums, and the
+  // handful of year totals offset them through a broadcast triangle
+  // join. The oracle is the plain one-window form — the hash gate
+  // proves the two-phase plan is semantics-preserving.
+  private def qOrdersBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("start_day"))
+      .agg(to_date(max(col("l_shipdate"))).as("end_day"))
+    val deltas = iv.select(explode(array(
+      struct(col("start_day").as("day"), lit(1).as("delta")),
+      struct(date_add(col("end_day"), 1).as("day"), lit(-1).as("delta"))))
+      .as("e")).select("e.*")
+    // calendar-sized after the delta agg; materialize once (eager
+    // reliable checkpoint) — the within-year window AND the
+    // year-totals branch both consume it, and without the checkpoint
+    // the whole fact-join subtree plans (and runs) under both
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val daily = deltas.groupBy("day")
+      .agg(sum(col("delta")).cast("long").as("net"))
+      .withColumn("yr", year(col("day")))
+      .checkpoint()
+    val wYear = Window.partitionBy("yr").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = daily.withColumn("cum_y", sum(col("net")).over(wYear))
+    val ytot = within.groupBy("yr").agg(sum(col("net")).as("y_net"))
+    val offsets = ytot.as("a")
+      .join(broadcast(ytot.as("b")), col("b.yr") < col("a.yr"), "left")
+      .groupBy(col("a.yr").as("yr"))
+      .agg(coalesce(sum(col("b.y_net")), lit(0L)).as("offset"))
+    within.join(broadcast(offsets), Seq("yr"))
+      // render the day as a string: DATE columns round-trip as
+      // python dates from Spark parquet but datetime64 from DuckDB,
+      // and the driver hashes their reprs differently
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("net"),
+        (col("offset") + col("cum_y")).cast("long").as("open_orders"))
+      .orderBy("day")
+  }
+
+  private val qOrdersBacklogSql =
+    """WITH iv AS (
+      |  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS start_day,
+      |    CAST(MAX(l.l_shipdate) AS DATE) AS end_day
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT start_day AS day, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT end_day + 1, -1 FROM iv),
+      |daily AS (
+      |  SELECT day, CAST(SUM(delta) AS BIGINT) AS net
+      |  FROM deltas GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, net,
+      |  CAST(SUM(net) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS open_orders
+      |FROM daily ORDER BY day""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
     Op("q3_shipping_priority", q3, Some(q3Sql)),
@@ -1428,5 +1497,6 @@ object Relational extends Suite {
     Op("q_order_gaps", qOrderGaps, Some(qOrderGapsSql)),
     Op("q_set_ops", qSetOps, Some(qSetOpsSql)),
     Op("q_profile", qProfile, Some(qProfileSql)),
+    Op("q_orders_backlog", qOrdersBacklog, Some(qOrdersBacklogSql)),
   )
 }

@@ -246,7 +246,12 @@ class PlanAuditSpec extends SparkSpec {
       // the new batch broadcasts everywhere (digest semi-join +
       // shingle co-occurrence); shuffles are the pruned hist fp agg,
       // candidate pair aggs, result joins + sort
-      "pipe_incremental_dedup" -> 8)
+      "pipe_incremental_dedup" -> 8,
+      // the corpus-sized work (o⋈l fact join + per-order agg + daily
+      // agg) runs once into the daily checkpoint; the final plan is
+      // calendar-sized — year window, year-total agg, broadcast
+      // triangle offsets, sort
+      "q_orders_backlog" -> 4)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
