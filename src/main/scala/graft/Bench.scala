@@ -24,6 +24,12 @@ object Bench {
       // producer must still pay (and report) the full propagation loop
       if (name == "pipe_dup_clusters")
         operators.PipelineOps.invalidateClusterMemo()
+      // same contract for the trained-quantizer frames: sim_kmeans
+      // pays full training, sim_pq_topk pays the full encode
+      if (name == "sim_kmeans")
+        operators.SimilarityOps.invalidateKmMemo()
+      if (name == "sim_pq_topk")
+        operators.SimilarityOps.invalidatePqMemo()
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
