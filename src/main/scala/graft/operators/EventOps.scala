@@ -574,6 +574,32 @@ object EventOps extends Suite {
       |WHERE n_events * n_users * 10 >= total * 12
       |ORDER BY event_type, user_id""".stripMargin
 
+  // ---- ev_count_min: count-min frequency sketch vs exact ------------
+  // ev_heavy_hitters' declared sketch path made real (Cormode &
+  // Muthukrishnan 2005): per-user event frequencies estimated from a
+  // count-min sketch instead of the exact (type, user) aggregate.
+  // The sketch builds DISTRIBUTED (`df.stat.countMinSketch` merges
+  // per-partition sketches; only the d×w counter grid reaches the
+  // driver) and broadcasts back for the estimate probe — at 100 TB
+  // the exact agg's shuffle carries one row per live key, while the
+  // sketch pass shuffles NOTHING but the fixed-size grid, the trade
+  // every frequency pipeline makes when the key domain explodes.
+  // No oracle (counter layout is seed/impl-specific — the
+  // dedup_minhash contract): the invariant spec pins the CMS
+  // guarantees instead: est ≥ exact always, and est ≤ exact + ε·N
+  // with probability 1−δ (ε=0.001 ⇒ at most εN absolute error).
+  private def evCountMin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cms = ev.stat.countMinSketch(col("user_id"), 0.001, 0.01, 42)
+    val cmsB = spark.sparkContext.broadcast(cms)
+    val est = udf((u: Long) => cmsB.value.estimateCount(u))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("est_n", est(col("user_id")))
+      .withColumn("over", (col("est_n") - col("exact_n")).cast("long"))
+      .orderBy("user_id")
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
@@ -589,5 +615,6 @@ object EventOps extends Suite {
     Op("ev_anomaly", evAnomaly, Some(evAnomalySql)),
     Op("ev_dau_wau", evDauWau, Some(evDauWauSql)),
     Op("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
+    Op("ev_count_min", evCountMin, None),
   )
 }

@@ -282,6 +282,19 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("ev_count_min never underestimates and overestimates within ε·N") {
+    val rows = run("ev_count_min").collect()
+    val n = rows.map(_.getAs[Long]("exact_n")).sum
+    rows.foreach { r =>
+      val over = r.getAs[Long]("over")
+      assert(over >= 0, s"CMS underestimated: $r")
+      // ε=0.001 ⇒ P(over > εN) ≤ δ=0.01 per key; with few hundred
+      // keys allow the bound itself, not the probabilistic slack
+      assert(over <= math.max(1L, (0.001 * n).ceil.toLong),
+        s"CMS overestimate $over exceeds εN for $r")
+    }
+  }
+
   test("mm_features n_bytes equals n_chars for ascii documents") {
     val mm = run("mm_features").select("doc_id", "n_bytes")
     val docs = sources.Tables.documents(spark, sf)

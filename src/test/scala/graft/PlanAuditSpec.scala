@@ -251,7 +251,10 @@ class PlanAuditSpec extends SparkSpec {
       // agg) runs once into the daily checkpoint; the final plan is
       // calendar-sized — year window, year-total agg, broadcast
       // triangle offsets, sort
-      "q_orders_backlog" -> 4)
+      "q_orders_backlog" -> 4,
+      // sketch build is its own job; the main plan is the exact
+      // (user) agg + the probe (map-side broadcast sketch) + sort
+      "ev_count_min" -> 2)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
