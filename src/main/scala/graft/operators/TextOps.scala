@@ -642,6 +642,69 @@ object TextOps extends Suite {
       |FROM t LEFT JOIN recon r USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- txt_tfidf: top-5 characteristic terms per document -----------
+  // The classic corpus-statistics scorer (Sparck Jones 1972): per
+  // language, idf = ln(N/df) over document frequency; per doc, the
+  // top-5 tokens by tf·idf — the keyword/topic signal curation
+  // pipelines use for domain tagging and near-topic sampling.
+  // Scale shape mirrors txt_lm_perplexity: the (lang, token) df
+  // model is vocabulary-sized and BROADCASTS onto the per-doc tf
+  // frame; ranking windows partition by doc_id. Determinism: idf is
+  // quantized ONCE per vocab entry to scale-6 decimal (ln is the
+  // only non-correctly-rounded op, run per distinct (lang, token));
+  // scores are exact decimal tf·idf products ranked with a token
+  // tie-break, and cast to double only in the projection.
+  private val tfidfK = 5
+
+  private def txtTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docsT = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+    val tf = docsT
+      .select(col("doc_id"), col("lang"), explode(col("t")).as("tok"))
+      .groupBy("doc_id", "lang", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("lang", "tok").agg(count(lit(1)).as("df"))
+    val nd = docsT.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val model = df.join(broadcast(nd), Seq("lang"))
+      .select(col("lang"), col("tok"),
+        round(log(col("n_docs").cast("double") / col("df")), 6)
+          .cast(DecimalType(12, 6)).as("idf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score_dec"), col("tok"))
+    tf.join(broadcast(model), Seq("lang", "tok"))
+      .withColumn("score_dec", col("tf") * col("idf"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= tfidfK)
+      .select(col("doc_id"), col("rank"), col("tok"),
+        col("score_dec").cast("double").as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val txtTfidfSql =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+      |tf AS (
+      |  SELECT doc_id, lang, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, lang, unnest(t) AS tok FROM t
+      |        WHERE len(t) > 0) occ
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT lang, tok, COUNT(*) AS df FROM tf GROUP BY 1, 2),
+      |nd AS (SELECT lang, COUNT(*) AS n_docs FROM t WHERE len(t) > 0
+      |  GROUP BY 1),
+      |m AS (SELECT lang, tok,
+      |    CAST(ROUND(LN(CAST(n_docs AS DOUBLE) / df), 6) AS DECIMAL(12,6))
+      |      AS idf
+      |  FROM df JOIN nd USING (lang)),
+      |s AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf * m.idf AS score_dec,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * m.idf DESC, tf.tok) AS rank
+      |  FROM tf JOIN m ON m.lang = tf.lang AND m.tok = tf.tok)
+      |SELECT doc_id, rank, tok, CAST(score_dec AS DOUBLE) AS score
+      |FROM s WHERE rank <= $tfidfK
+      |ORDER BY doc_id, rank""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -654,5 +717,6 @@ object TextOps extends Suite {
     Op("txt_readability", txtReadability, Some(txtReadabilitySql)),
     Op("txt_lm_perplexity", txtLmPerplexity, Some(txtLmPerplexitySql)),
     Op("txt_line_dedup", txtLineDedup, Some(txtLineDedupSql)),
+    Op("txt_tfidf", txtTfidf, Some(txtTfidfSql)),
   )
 }

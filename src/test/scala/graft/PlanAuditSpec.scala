@@ -254,7 +254,12 @@ class PlanAuditSpec extends SparkSpec {
       "q_orders_backlog" -> 4,
       // sketch build is its own job; the main plan is the exact
       // (user) agg + the probe (map-side broadcast sketch) + sort
-      "ev_count_min" -> 2)
+      "ev_count_min" -> 2,
+      // tf agg + df agg + lang-count agg feed the broadcast model;
+      // the tf frame reshuffles once for the per-doc ranking window
+      // + sort (the tf subtree appears under the model branch too —
+      // ReuseExchange collapses it at runtime)
+      "txt_tfidf" -> 7)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
