@@ -424,7 +424,10 @@ object DedupOps extends Suite {
   // exact pass here runs only on sketch candidates.
   private val containTau = 0.9
 
-  private def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+  /** Directed containment pairs (a contained in b, unrounded ratio
+    * ≥ containTau) — shared by dedup_containment and PipelineOps'
+    * dedup-method report. */
+  private[operators] def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
     val ex = hashedShingles(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(col("s")).as("n"), explode(col("s")).as("h"))
@@ -441,14 +444,21 @@ object DedupOps extends Suite {
       // unrounded filter, rounded projection (see jaccardPairs)
       .withColumn("containment", col("inter").cast("double") / col("na"))
       .filter(col("containment") >= containTau)
+  }
+
+  private def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(spark, dir)
       .select(col("a_id"), col("b_id"),
         col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
         round(col("containment"), 6).as("containment"))
       .orderBy("a_id", "b_id")
-  }
 
-  private val dedupContainmentSql =
+  /** DuckDB twin of [[containmentPairs]] rendered as a full query
+    * (a_id, b_id, na, nb, rounded containment) — the report oracle
+    * re-derives its unordered pair set from this. */
+  private[operators] val dedupContainmentSql =
     s"""WITH sh AS (
+
       |  SELECT doc_id, lang, $shinglesSqlExpr AS s
       |  FROM (SELECT doc_id, lang, $toksSql AS t FROM documents) x
       |  WHERE len(t) >= 3)

@@ -463,6 +463,67 @@ object PipelineOps extends Suite {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- pipe_dedup_report: dedup-method overlap matrix ---------------
+  // The QA report a curation team reads before picking thresholds:
+  // how many pairs each dedup method flags and how the pair sets
+  // overlap. Methods = the three oracle-exact pair generators (exact
+  // md5, blocked jaccard ≥ 0.5, containment ≥ 0.9), pairs normalized
+  // to unordered (a_id < b_id). Output = the symmetric count matrix
+  // as (method_a ≤ method_b, n_pairs) rows — diagonal is a method's
+  // own count, off-diagonal the intersection.
+  // Scale: pair frames are dup-sized (orders of magnitude below the
+  // corpus); each matrix cell is an equi-join + count on (a_id,
+  // b_id). Exact pairs materialize per md5 group — group fanout is
+  // C(n,2), bounded by real dup-group sizes (the min-keeper form in
+  // dedup_exact is the aggregate-only alternative when groups can be
+  // pathological).
+  private def pipeDedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+    val exact = d.as("a").join(d.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val jac = DedupOps.jaccardPairs(spark, dir).select("a_id", "b_id")
+    val cont = DedupOps.containmentPairs(spark, dir)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+    val methods = Seq("exact" -> exact.persist(), "jaccard" -> jac.persist(),
+      "containment" -> cont.persist())
+    val cells = for {
+      (na, fa) <- methods; (nb, fb) <- methods if na <= nb
+    } yield {
+      val joined = if (na == nb) fa else fa.join(fb, Seq("a_id", "b_id"))
+      joined.agg(count(lit(1)).as("n_pairs"))
+        .select(lit(na).as("method_a"), lit(nb).as("method_b"),
+          col("n_pairs"))
+    }
+    cells.reduce(_ unionAll _).orderBy("method_a", "method_b")
+  }
+
+  private val pipeDedupReportSql = {
+    val cells = Seq(
+      ("containment", "containment", "SELECT COUNT(*) FROM jc"),
+      ("containment", "exact",
+        "SELECT COUNT(*) FROM jc JOIN je USING (a_id, b_id)"),
+      ("containment", "jaccard",
+        "SELECT COUNT(*) FROM jc JOIN jj USING (a_id, b_id)"),
+      ("exact", "exact", "SELECT COUNT(*) FROM je"),
+      ("exact", "jaccard",
+        "SELECT COUNT(*) FROM je JOIN jj USING (a_id, b_id)"),
+      ("jaccard", "jaccard", "SELECT COUNT(*) FROM jj"),
+    ).map { case (a, b, q) =>
+      s"SELECT '$a' AS method_a, '$b' AS method_b, ($q) AS n_pairs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH je AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM documents a
+      |  JOIN documents b ON md5(a.text) = md5(b.text)
+      |    AND a.doc_id < b.doc_id),
+      |jj AS (SELECT a_id, b_id FROM (${DedupOps.jaccardPairsSql}) x),
+      |jc AS (SELECT LEAST(a_id, b_id) AS a_id, GREATEST(a_id, b_id) AS b_id
+      |  FROM (${DedupOps.dedupContainmentSql}) x)
+      |$cells
+      |ORDER BY method_a, method_b""".stripMargin
+  }
+
   // ---- pipe_mix_report: corpus composition by source×lang×band ------
   // The data-mixture report every training run starts from: per
   // (source, language, quality band) document and token counts with
@@ -751,6 +812,7 @@ object PipelineOps extends Suite {
       Some(pipeDecontaminateSql)),
     Op("pipe_incremental_dedup", pipeIncrementalDedup,
       Some(pipeIncrementalDedupSql)),
+    Op("pipe_dedup_report", pipeDedupReport, Some(pipeDedupReportSql)),
     Op("pipe_temperature_mix", pipeTemperatureMix, Some(pipeTemperatureMixSql)),
     Op("pipe_oversample", pipeOversample, Some(pipeOversampleSql)),
     Op("pipe_funnel_report", pipeFunnelReport, Some(pipeFunnelReportSql)),

@@ -259,7 +259,12 @@ class PlanAuditSpec extends SparkSpec {
       // the tf frame reshuffles once for the per-doc ranking window
       // + sort (the tf subtree appears under the model branch too —
       // ReuseExchange collapses it at runtime)
-      "txt_tfidf" -> 7)
+      "txt_tfidf" -> 7,
+      // six dup-sized matrix cells over three PERSISTED pair frames;
+      // the printed plan re-expands the pair subtrees under every
+      // cell (InMemoryRelation's stored plan prints its exchanges)
+      // but runtime reads the cached frames once each
+      "pipe_dedup_report" -> 18)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
