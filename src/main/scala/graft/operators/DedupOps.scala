@@ -83,15 +83,21 @@ object DedupOps extends Suite {
   /** The same blocked co-occurrence pair join at an arbitrary jaccard
     * floor — dedup_edit uses a loose floor (0.05) as its CANDIDATE
     * generator before edit-distance verification. */
-  private[operators] def jaccardPairsAt(
-      spark: SparkSession, dir: String, tau: Double): DataFrame = {
-    // both join sides read this; persist so the interpreted shingle
-    // construction (tokenize→3-gram→hash, the expensive part) runs
-    // once (CacheManager dedupes identical plans across calls).
-    val ex = hashedShingles(spark, dir)
+  /** The ONE persisted exploded-shingle frame (doc_id, lang, band,
+    * n, h) — every pair generator (jaccard, containment, the §H
+    * composites through them) joins over this, so the interpreted
+    * shingle construction (tokenize→3-gram→hash, the expensive part)
+    * runs once per session (CacheManager dedupes the identical plan
+    * across calls). */
+  private def explodedShingles(spark: SparkSession, dir: String): DataFrame =
+    hashedShingles(spark, dir)
       .select(col("doc_id"), col("lang"), col("band"),
         size(col("s")).as("n"), explode(col("s")).as("h"))
       .persist()
+
+  private[operators] def jaccardPairsAt(
+      spark: SparkSession, dir: String, tau: Double): DataFrame = {
+    val ex = explodedShingles(spark, dir)
     val a = ex.select(col("h"), col("lang"), col("band"),
       col("doc_id").as("a_id"), col("n").as("na"))
     val b = ex.select(col("h"), col("lang"), col("band"),
@@ -428,10 +434,9 @@ object DedupOps extends Suite {
     * ≥ containTau) — shared by dedup_containment and PipelineOps'
     * dedup-method report. */
   private[operators] def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val ex = hashedShingles(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        size(col("s")).as("n"), explode(col("s")).as("h"))
-      .persist()
+    // reuses the SAME persisted frame as jaccardPairs (band is simply
+    // not a join key here)
+    val ex = explodedShingles(spark, dir)
     val a = ex.select(col("h"), col("lang"),
       col("doc_id").as("a_id"), col("n").as("na"))
     val b = ex.select(col("h"), col("lang"),
