@@ -238,11 +238,10 @@ object DedupOps extends Suite {
     }
   }
 
-  private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) > 0)
-      .select(col("doc_id"), expr("simhash64(t)").as("sh"))
+  /** Manku-bucketed hamming ≤ 3 pairs over ANY (doc_id, sh) frame —
+    * shared by dedup_simhash (text signatures) and §G's
+    * mm_phash_dedup (byte-level blob signatures). */
+  private[operators] def simhashPairs(d: DataFrame): DataFrame = {
     val keyed = d.select(col("doc_id"), col("sh"),
       posexplode(array(simhashKeyCols: _*)).as(Seq("tbl", "key")))
     keyed.as("x").join(keyed.as("y"),
@@ -254,6 +253,12 @@ object DedupOps extends Suite {
       .filter(col("hamming") <= 3)
       .orderBy("a_id", "b_id")
   }
+
+  private def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), expr("simhash64(t)").as("sh")))
 
   // ---- dedup_embedding: LSH-bucketed cosine near-dup pairs ----------
   // Candidate generation is multi-table random-hyperplane LSH

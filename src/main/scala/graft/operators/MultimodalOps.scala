@@ -173,10 +173,31 @@ object MultimodalOps extends Suite {
       |  md5(substr(text, 1, (octet_length(encode(text)) + 1) // 2)) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- mm_phash_dedup: perceptual-hash-style near-dup over blobs ----
+  // The §G counterpart of dedup_simhash: media near-dups (re-encoded,
+  // metadata-stripped copies) share most content bytes while failing
+  // the exact md5 gate of mm_dedup. Each blob fingerprints to a
+  // 64-bit signature — simhash over its byte 4-grams via the SAME
+  // codegen'd simhash64 expression — and candidate pairs come from
+  // the SAME Manku block-triple tables, exact hamming ≤ 3 on
+  // survivors. A real image pipeline swaps the byte-4-gram
+  // fingerprint for pHash/aHash over DECODED pixels at exactly this
+  // expression boundary (decode-then-hash is §G's declared stub
+  // point); the bucketing, pair join, and verification are unchanged
+  // by that swap. Rows-only (signatures are impl-specific); the
+  // invariant spec ties byte-identical blobs to hamming-0 pairs.
+  private def mmPhashDedup(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.simhashPairs(Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .filter(length(col("blob")) >= 4)
+      .select(col("doc_id"),
+        expr("simhash64(regexp_extract_all(hex(blob), '.{8}', 0))").as("sh")))
+
   override val ops: Seq[Op] = Seq(
     Op("mm_features", mmFeatures, Some(mmFeaturesSql)),
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
     Op("mm_resize", mmResize, Some(mmResizeSql)),
+    Op("mm_phash_dedup", mmPhashDedup, None),
   )
 }

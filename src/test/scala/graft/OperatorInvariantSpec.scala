@@ -295,6 +295,31 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("mm_phash_dedup finds every byte-identical blob pair at hamming 0") {
+    val pairs = run("mm_phash_dedup").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Int]("hamming"))).toSet
+    // byte-identical blobs = md5(text) dup groups (blobs are utf-8
+    // text bytes); every within-group pair must surface at hamming 0
+    val groups = run("dedup_exact").collect()
+      .filter(_.getAs[Long]("n_docs") > 1).map(_.getAs[String]("fp")).toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "md5(text) AS fp").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp")))
+    val dupPairs = for {
+      fp <- groups.toSeq
+      ids = docs.filter(_._2 == fp).map(_._1).sorted.toSeq
+      i <- ids; j <- ids if i < j
+    } yield (i, j)
+    dupPairs.foreach { case (a, b) =>
+      assert(pairs.contains((a, b, 0)),
+        s"identical blobs ($a,$b) missing from phash pairs")
+    }
+    pairs.foreach { case (a, b, h) =>
+      assert(a < b && h <= 3, s"malformed pair ($a,$b,$h)")
+    }
+  }
+
   test("mm_features n_bytes equals n_chars for ascii documents") {
     val mm = run("mm_features").select("doc_id", "n_bytes")
     val docs = sources.Tables.documents(spark, sf)
