@@ -463,6 +463,59 @@ object PipelineOps extends Suite {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- pipe_threshold_sweep: quality-gate sensitivity curve ---------
+  // The tuning curve read before fixing pipe_curate's floor: surviving
+  // doc and token counts at each candidate quality threshold. ONE
+  // aggregate pass computes all 9 thresholds as conditional sums
+  // (never 9 scans), and the 1-row wide result explodes to a row per
+  // threshold, q_profile-style. Shares remain exact integer ratios
+  // divided once. The quality column is the exact decimal-derived
+  // double (bit-identical cross-engine), and thresholds are the same
+  // double literals in both engines, so each cut is deterministic.
+  private val sweepThresholds = (30 to 70 by 5).map(_ / 100.0)
+
+  private def pipeThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.qualityScored(spark, dir)
+      .select("doc_id", "n_tokens", "quality")
+    val aggs = count(lit(1)).as("all_docs") +:
+      sum(col("n_tokens")).as("all_tokens") +:
+      sweepThresholds.zipWithIndex.flatMap { case (t, i) =>
+        Seq(sum(when(col("quality") >= t, 1L).otherwise(0L)).as(s"d$i"),
+          sum(when(col("quality") >= t, col("n_tokens")).otherwise(0L))
+            .as(s"t$i"))
+      }
+    val one = scored.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(sweepThresholds.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"),
+          col(s"d$i").cast("long").as("n_docs"),
+          col(s"t$i").cast("long").as("n_tokens"),
+          round(col(s"d$i").cast("double") / col("all_docs"), 6)
+            .as("doc_frac"),
+          round(col(s"t$i").cast("double") / col("all_tokens"), 6)
+            .as("token_frac"))
+      }: _*)).as("r"))
+      .select("r.*")
+      .orderBy("threshold")
+  }
+
+  private val pipeThresholdSweepSql = {
+    val rows = sweepThresholds.map { t =>
+      s"""SELECT CAST($t AS DOUBLE) AS threshold,
+        |  CAST(SUM(CASE WHEN quality >= $t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs,
+        |  CAST(SUM(CASE WHEN quality >= $t THEN n_tokens ELSE 0 END)
+        |    AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(CASE WHEN quality >= $t THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS doc_frac,
+        |  ROUND(CAST(SUM(CASE WHEN quality >= $t THEN n_tokens ELSE 0 END)
+        |    AS DOUBLE) / CAST(SUM(n_tokens) AS BIGINT), 6) AS token_frac
+        |FROM scored""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH scored AS (${TextOps.qualityScoredSql})
+      |$rows
+      |ORDER BY threshold""".stripMargin
+  }
+
   // ---- pipe_dedup_report: dedup-method overlap matrix ---------------
   // The QA report a curation team reads before picking thresholds:
   // how many pairs each dedup method flags and how the pair sets
@@ -813,6 +866,7 @@ object PipelineOps extends Suite {
     Op("pipe_incremental_dedup", pipeIncrementalDedup,
       Some(pipeIncrementalDedupSql)),
     Op("pipe_dedup_report", pipeDedupReport, Some(pipeDedupReportSql)),
+    Op("pipe_threshold_sweep", pipeThresholdSweep, Some(pipeThresholdSweepSql)),
     Op("pipe_temperature_mix", pipeTemperatureMix, Some(pipeTemperatureMixSql)),
     Op("pipe_oversample", pipeOversample, Some(pipeOversampleSql)),
     Op("pipe_funnel_report", pipeFunnelReport, Some(pipeFunnelReportSql)),

@@ -1458,6 +1458,53 @@ object Relational extends Suite {
       |    AS open_orders
       |FROM daily ORDER BY day""".stripMargin
 
+  // ---- q_order_streaks: gaps-and-islands per customer ---------------
+  // The classic consecutive-runs shape (retention streaks, SLA
+  // windows, sensor uptime): per customer, group their active months
+  // into maximal consecutive runs ("islands") via the
+  // month-index − row_number trick — consecutive months share a
+  // constant difference, so one subtraction labels the island and an
+  // aggregation measures it. No self-join, no recursive CTE: two
+  // windows and two aggs, all partitioned by customer (a customer's
+  // history fits a partition at any corpus scale; nothing global).
+  private def qOrderStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val months = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("midx"))
+      .distinct()
+    val wSeq = Window.partitionBy("o_custkey").orderBy("midx")
+    val islands = months
+      .withColumn("island", col("midx") - row_number().over(wSeq))
+      .groupBy("o_custkey", "island")
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy("o_custkey")
+      .agg(sum(col("len")).cast("long").as("n_active_months"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).cast("long").as("longest_streak"))
+      .orderBy("o_custkey")
+  }
+
+  private val qOrderStreaksSql =
+    """WITH m AS (
+      |  SELECT DISTINCT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |      AS midx
+      |  FROM orders),
+      |isl AS (
+      |  SELECT o_custkey,
+      |    midx - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY midx)
+      |      AS island
+      |  FROM m),
+      |runs AS (
+      |  SELECT o_custkey, island, COUNT(*) AS len
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT o_custkey,
+      |  CAST(SUM(len) AS BIGINT) AS n_active_months,
+      |  COUNT(*) AS n_streaks,
+      |  CAST(MAX(len) AS BIGINT) AS longest_streak
+      |FROM runs GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q1_pricing_summary", q1, Some(q1Sql)),
     Op("q3_shipping_priority", q3, Some(q3Sql)),
@@ -1498,5 +1545,6 @@ object Relational extends Suite {
     Op("q_set_ops", qSetOps, Some(qSetOpsSql)),
     Op("q_profile", qProfile, Some(qProfileSql)),
     Op("q_orders_backlog", qOrdersBacklog, Some(qOrdersBacklogSql)),
+    Op("q_order_streaks", qOrderStreaks, Some(qOrderStreaksSql)),
   )
 }

@@ -264,7 +264,13 @@ class PlanAuditSpec extends SparkSpec {
       // the printed plan re-expands the pair subtrees under every
       // cell (InMemoryRelation's stored plan prints its exchanges)
       // but runtime reads the cached frames once each
-      "pipe_dedup_report" -> 18)
+      "pipe_dedup_report" -> 18,
+      // distinct (cust,month) agg + customer-window exchange; the
+      // island and customer aggs reuse that partitioning; sort
+      "q_order_streaks" -> 4,
+      // ONE conditional-sum aggregate (SinglePartition final) + the
+      // 9-row explode's sort
+      "pipe_threshold_sweep" -> 3)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
