@@ -25,14 +25,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS): read as long (see
-    * Engine's nanosAsLong) and convert ns→µs with integer division
-    * (`div` — a double division would lose precision at 1.7e18).
-    * The generator emits µs-precision values, so this is exact and
-    * matches DuckDB's µs TIMESTAMP view of the same file. */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** events.ts normalizes to TimestampType regardless of the file's
+    * physical encoding — the generator has shipped both layouts:
+    *  - TIMESTAMP(NANOS): Spark reads it as long under Engine's
+    *    nanosAsLong; convert ns→µs with integer division (`div` — a
+    *    double division would lose precision at 1.7e18).
+    *  - TIMESTAMP(MICROS) (isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ; with the session pinned to UTC the cast to
+    *    TimestampType preserves the wall clock, matching DuckDB's
+    *    naive µs TIMESTAMP view of the same file. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
