@@ -94,8 +94,52 @@ object ScaleOps extends Suite {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q_partition_prune: date-partitioned layout + pruned scan -----
+  // The third layout primitive after bucketing and salting: a fact
+  // table laid out as one directory per order year (hive-style
+  // partitioning — at 100 TB this is daily/hourly partitioning, THE
+  // standard time-series layout). A year-filtered query then prunes
+  // at PLANNING time: the scan lists only the matching directory and
+  // reads 1/7th of the files here, 1/Nth at scale — the filter never
+  // touches data at all (vs a rowgroup-stats skip, which still lists
+  // and opens footers). PlanAuditSpec pins the prune: the year
+  // predicate must appear as a PartitionFilter, not a data filter.
+  // Layout is materialized idempotently per sf dir, like the bucketed
+  // tables; the query reads the partitioned copy, the oracle replays
+  // the plain filter over the raw table — identical results prove the
+  // layout lossless.
+  private val pruneYear = 1997
+
+  private def partitionedLayout(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"orders_part_${Integer.toHexString(dir.hashCode)}"
+    if (!spark.catalog.tableExists(name)) {
+      val tmp = Files.createTempDirectory("graft_part").toString
+      Tables.orders(spark, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year")
+        .option("path", s"$tmp/$name")
+        .saveAsTable(name)
+    }
+    spark.table(name)
+  }
+
+  private def qPartitionPrune(spark: SparkSession, dir: String): DataFrame =
+    partitionedLayout(spark, dir)
+      .filter(col("o_year") === pruneYear)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        Num.dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+
+  private val qPartitionPruneSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders WHERE year(o_orderdate) = $pruneYear
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinSql)),
     Op("q_salted_join", qSaltedJoin, Some(qSaltedJoinSql)),
+    Op("q_partition_prune", qPartitionPrune, Some(qPartitionPruneSql)),
   )
 }

@@ -89,4 +89,38 @@ object Formats {
       mode: SaveMode = SaveMode.Append): Unit =
     df.write.options(options).format("jdbc")
       .option("url", url).option("dbtable", table).mode(mode).save()
+
+  /** Small-file compaction. Streaming sinks emit one file per
+    * micro-batch per partition; after a week a busy table is millions
+    * of KB-sized files and the FILE COUNT — not the byte count — is
+    * what kills it at scale: driver-side listing, per-file open cost,
+    * one scan task per tiny file. Rewrite the directory into
+    * ceil(rows / targetRowsPerFile) files and swap it in. Returns the
+    * resulting file count.
+    *
+    * The swap here is rename-based (write to a sibling tmp dir, move
+    * the old dir away, move tmp in) — safe for this library's
+    * single-writer batch context. A concurrent-reader deployment does
+    * the same rewrite under a table format's atomic commit
+    * (Iceberg/Delta rewrite-files); the data motion is identical. */
+  def compact(spark: SparkSession, path: String,
+      targetRowsPerFile: Long): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1L,
+      (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val tmp = path.stripSuffix("/") + "_compact_tmp"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val old = Paths.get(path.stripSuffix("/") + "_compact_old")
+    Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(path),
+      StandardCopyOption.ATOMIC_MOVE)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(old.toFile)
+    nFiles
+  }
 }

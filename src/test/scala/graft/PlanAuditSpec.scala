@@ -270,7 +270,19 @@ class PlanAuditSpec extends SparkSpec {
       "q_order_streaks" -> 4,
       // ONE conditional-sum aggregate (SinglePartition final) + the
       // 9-row explode's sort
-      "pipe_threshold_sweep" -> 3)
+      "pipe_threshold_sweep" -> 3,
+      // one user_id exchange feeds the RANGE-frame window; sort
+      "ft_rolling_24h" -> 2,
+      // daily agg + spans agg exchanges (the grid join and ffill
+      // window reuse the user partitioning) + sort
+      "ft_daily_ffill" -> 3,
+      // label side exchanges for the user_id join at this SF (history
+      // broadcasts); group agg reuses the partitioning; sort
+      "ft_point_in_time" -> 2,
+      // daily rollup agg + the label window's user_id exchange + sort
+      "ft_label_next7d" -> 3,
+      // directory-level prune leaves a 1/7th scan: agg + sort
+      "q_partition_prune" -> 2)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
@@ -309,6 +321,22 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(keys.exists(k => k.exists(_.contains("salt"))),
       s"salted join lost its salt key — join keys were $keys")
+  }
+
+  test("q_partition_prune prunes at planning time, not with a data filter") {
+    val scans = collectAll(physical("q_partition_prune")).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no file scan in q_partition_prune")
+    // the year predicate must be a PARTITION filter (directory-level
+    // prune at planning time) — if it shows up as a data filter the
+    // layout isn't being used and every partition's files get read
+    assert(scans.exists(_.partitionFilters.exists(
+        _.references.exists(_.name == "o_year"))),
+      "o_year is not a partition filter — scan reads all partitions")
+    assert(scans.forall(_.dataFilters.forall(
+        !_.references.exists(_.name == "o_year"))),
+      "o_year leaked into the data filters — prune isn't directory-level")
   }
 
   test("dedup pair joins key on block/bucket columns, not bare label/lang") {

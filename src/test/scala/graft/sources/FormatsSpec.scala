@@ -69,6 +69,27 @@ class FormatsSpec extends SparkSpec {
     assert(feats(1).height == 3) // 1300 bytes / 640 + 1
   }
 
+  test("compact rewrites a many-small-files table losslessly") {
+    val tmp = Files.createTempDirectory("graft_compact").toString
+    val path = s"$tmp/orders"
+    val orders = Tables.orders(spark, sf)
+    // simulate a micro-batch sink's debris: 40 files for a tiny table
+    orders.repartition(40).write.parquet(path)
+    def parts = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parts == 40, s"setup expected 40 files, got $parts")
+    val rows = orders.count()
+    val n = Formats.compact(spark, path, targetRowsPerFile = rows)
+    assert(n == 1 && parts == 1, s"expected 1 compacted file, got $parts")
+    val back = spark.read.parquet(path)
+      .select(orders.columns.map(col).toSeq: _*)
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty,
+      "compaction changed the data")
+    assert(!new java.io.File(s"${path}_compact_tmp").exists() &&
+      !new java.io.File(s"${path}_compact_old").exists(),
+      "compaction left debris directories")
+  }
+
   test("partitioned parquet write prunes by partition directory") {
     val tmp = Files.createTempDirectory("graft_part").toString
     write(Tables.orders(spark, sf).withColumn("status", col("o_orderstatus")),
