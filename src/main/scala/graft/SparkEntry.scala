@@ -10,7 +10,7 @@ object SparkEntry {
     * DuckDB oracle SQL (SURVEY.md §2 A–G). */
   private val suites: Seq[Suite] =
     Seq(Relational, CdcOps, EventOps, TextOps, DedupOps, SimilarityOps,
-      MultimodalOps, PipelineOps, ScaleOps, FeatureOps)
+      MultimodalOps, PipelineOps, ScaleOps, FeatureOps, QualityOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

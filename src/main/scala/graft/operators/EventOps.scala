@@ -434,6 +434,64 @@ object EventOps extends Suite {
       |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
       |ORDER BY l_id, r_id""".stripMargin
 
+  // ---- ev_conversion_lag: view→purchase delay percentiles -----------
+  // How long after the triggering view does a purchase land, by hour
+  // of day — the latency distribution of the attribution pairs
+  // (product-analytics complement of ev_attribution's pair list).
+  // Per purchase: the MIN lag to its in-window views (= the latest
+  // prior view). Lag is integer seconds from an exact µs integer
+  // division; percentiles are q_percentiles' discrete rank-index
+  // form (ties permute rows, never the value at a rank). The ranking
+  // window partitions by the hour-of-day bucket; conversions at
+  // 100 TB would partition by (date, hour) so no bucket outgrows a
+  // task — the frame here is already one row per CONVERSION, orders
+  // of magnitude smaller than events.
+  private def evConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val conv = graft.streaming.StreamJoin.intervalJoin(ev, ev,
+        leftType = "purchase", rightType = "view")
+      .select(col("l_id"), hour(col("l_ts")).as("hr"),
+        expr("(unix_micros(l_ts) - unix_micros(r_ts)) div 1000000")
+          .as("lag_s"))
+      .groupBy("l_id", "hr")
+      .agg(min(col("lag_s")).as("lag_s"))
+    val w = Window.partitionBy("hr")
+    def at(p: Double) =
+      max(when(col("rn") === greatest(lit(1L), ceil(lit(p) * col("n"))),
+        col("lag_s")))
+    conv
+      .withColumn("rn", row_number().over(w.orderBy("lag_s")))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy("hr")
+      .agg(max(col("n")).as("n_conversions"),
+        at(0.5).as("p50_lag_s"), at(0.9).as("p90_lag_s"),
+        max(col("lag_s")).as("max_lag_s"))
+      .orderBy("hr")
+  }
+
+  private val evConversionLagSql = {
+    def at(p: String) =
+      s"""MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(CAST($p AS DOUBLE) * n) AS BIGINT))
+        |    THEN lag_s END)""".stripMargin
+    s"""WITH conv AS (
+      |  SELECT p.event_id AS l_id, hour(p.ts) AS hr,
+      |    MIN((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000) AS lag_s
+      |  FROM events p JOIN events v ON p.user_id = v.user_id
+      |    AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL '30 minutes'
+      |  WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT hr, lag_s,
+      |    ROW_NUMBER() OVER (PARTITION BY hr ORDER BY lag_s) AS rn,
+      |    COUNT(*) OVER (PARTITION BY hr) AS n
+      |  FROM conv)
+      |SELECT hr, MAX(n) AS n_conversions,
+      |  ${at("0.5")} AS p50_lag_s,
+      |  ${at("0.9")} AS p90_lag_s,
+      |  MAX(lag_s) AS max_lag_s
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- ev_anomaly: z-score outlier hours per event type -------------
   // Operational anomaly detection over the hourly throughput series
   // (the batch analog of the reference's WAL/throughput alerting,
@@ -612,6 +670,7 @@ object EventOps extends Suite {
     Op("ev_funnel", evFunnel, Some(evFunnelSql)),
     Op("ev_retention_cohort", evRetention, Some(evRetentionSql)),
     Op("ev_attribution", evAttribution, Some(evAttributionSql)),
+    Op("ev_conversion_lag", evConversionLag, Some(evConversionLagSql)),
     Op("ev_anomaly", evAnomaly, Some(evAnomalySql)),
     Op("ev_dau_wau", evDauWau, Some(evDauWauSql)),
     Op("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),

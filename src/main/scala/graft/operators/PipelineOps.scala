@@ -850,8 +850,44 @@ object PipelineOps extends Suite {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM binned GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
 
+  // ---- pipe_domain_cap: per-source document cap ---------------------
+  // The anti-spam curation move (C4/RefinedWeb-style domain caps): no
+  // single source may contribute more than `domainCap` documents, and
+  // the survivors are its BEST by the exact quality score (ties broken
+  // by doc_id, so the cut is deterministic cross-engine). The score is
+  // map-only with `source` carried through — no join on the Spark
+  // side; the per-source ranking window is the only shuffle before
+  // the output sort. At 100 TB a heavy domain is exactly the skewed
+  // partition AQE splits — and the rank prunes it to `domainCap` rows
+  // the moment it's computed.
+  private val domainCap = 15
+
+  private def pipeDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(desc("quality"), col("doc_id"))
+    TextOps.scoreQuality(Tables.documents(spark, dir), carry = Seq("source"))
+      .select("doc_id", "source", "lang", "quality")
+      .withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= domainCap)
+      .orderBy("doc_id")
+  }
+
+  private val pipeDomainCapSql =
+    s"""WITH scored AS (${TextOps.qualityScoredSql}),
+      |j AS (
+      |  SELECT s.doc_id, d.source, s.lang, s.quality
+      |  FROM scored s JOIN documents d USING (doc_id)),
+      |r AS (
+      |  SELECT doc_id, source, lang, quality,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY quality DESC, doc_id) AS rank_in_source
+      |  FROM j)
+      |SELECT * FROM r WHERE rank_in_source <= $domainCap
+      |ORDER BY doc_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("pipe_curate", pipeCurate, Some(pipeCurateSql)),
+    Op("pipe_domain_cap", pipeDomainCap, Some(pipeDomainCapSql)),
     Op("pipe_mix_report", pipeMixReport, Some(pipeMixReportSql)),
     Op("pipe_sample", pipeSample, Some(pipeSampleSql)),
     Op("pipe_token_budget", pipeTokenBudget, Some(pipeTokenBudgetSql)),

@@ -282,7 +282,16 @@ class PlanAuditSpec extends SparkSpec {
       // daily rollup agg + the label window's user_id exchange + sort
       "ft_label_next7d" -> 3,
       // directory-level prune leaves a 1/7th scan: agg + sort
-      "q_partition_prune" -> 2)
+      "q_partition_prune" -> 2,
+      // two fused single-row agg passes (SinglePartition finals) + the
+      // orphan join's agg + the 6-row stack's sort
+      "dq_checks" -> 4,
+      // conversions agg (the interval join broadcasts at this SF) +
+      // hour-bucket ranking window + final agg reusing it + sort
+      "ev_conversion_lag" -> 3,
+      // map-only score (source carried, no join) + per-source ranking
+      // window + sort
+      "pipe_domain_cap" -> 2)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
