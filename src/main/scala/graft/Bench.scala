@@ -2,21 +2,28 @@ package graft
 /** Per-round benchmark: times every registered query at
   * SPARK_GRAFT_SF_DIR with a noop-format write (materializes every
   * column — `.count()` would let Catalyst prune the aggregates) after
-  * one untimed warmup pass (JVM/codegen). Failures are fatal.
+  * one untimed warmup pass (JVM/codegen).
   *
   * Each query is timed k=3 times (round-robin, so a transient
   * contention spike on a shared host lands on different queries each
   * round) and the reported number is the per-query MIN — contention
   * only ever adds time, so the min is the closest observable to the
   * machine's true cost. All raw samples ship in the JSON so a noisy
-  * round is diagnosable from the artifact alone. */
+  * round is diagnosable from the artifact alone.
+  *
+  * A query that THROWS is excluded from the timings and reported in
+  * an `"errors"` map instead of killing the run — one broken query
+  * must not zero out the whole round's perf record (round 5 lost its
+  * entire bench artifact to a single analysis error; the correctness
+  * gate, not the bench, is what must go red for breakage). */
 object Bench {
   private val rounds = 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-bench")
-    def runOne(name: String): Double = {
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    def runOne(name: String): Option[Double] = {
       // timed runs must not read persisted staging warmed by a prior
       // run of the same query — clear so every run pays full cost
       spark.catalog.clearCache()
@@ -32,13 +39,22 @@ object Bench {
         operators.SimilarityOps.invalidatePqMemo()
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(1).mkString.take(300)
+        None
+      }
     }
     // locale-pinned formatting: the f interpolator uses the default
     // locale, which can emit comma decimals (invalid JSON)
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // optional args (dev iteration only; the driver passes none):
     // bench just the named queries
     val names = {
@@ -47,16 +63,23 @@ object Bench {
     }
     names.foreach(runOne) // warmup: JVM JIT + codegen cache + FS cache
     val samples: Map[String, Seq[Double]] =
-      (1 to rounds).flatMap(_ => names.map(n => n -> runOne(n)))
+      (1 to rounds).flatMap(_ => names.flatMap(n => runOne(n).map(n -> _)))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val results = names.map(n => n -> samples(n).min)
+    val timed = names.filter(samples.contains)
+    val results = timed.map(n => n -> samples(n).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val raw = names.map { n =>
+    val raw = timed.map { n =>
       "\"" + n + "\":[" + samples(n).map(num).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$raw,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    // a failed query is visible in "errors" AND in the exit code, but
+    // only after the full artifact is printed
+    if (errors.nonEmpty) sys.exit(2)
   }
 }

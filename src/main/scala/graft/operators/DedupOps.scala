@@ -288,7 +288,14 @@ object DedupOps extends Suite {
   import graft.functions.VectorMath.dotDec
   import graft.functions.{HyperplaneBuckets => HB}
 
-  private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    embeddingPairs(spark, dir).orderBy("a_id", "b_id")
+
+  /** The (a_id, b_id, cosine) near-dup pair frame at the 0.4 floor —
+    * shared by dedup_embedding (its direct output) and
+    * dedup_embedding_sweep (its aggregation input), so the sweep's
+    * counts are over exactly the hash-verified pairs. */
+  private def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
     val dims = 0 until 64
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
@@ -324,17 +331,44 @@ object DedupOps extends Suite {
         dotDec(col("av"), col("bv")) / (sqrt(col("an")) * sqrt(col("bn"))))
       .filter(col("cosine") >= 0.4)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
-      .orderBy("a_id", "b_id")
+  }
+
+  // ---- dedup_embedding_sweep: cosine-threshold tuning curve ---------
+  // pipe_threshold_sweep's analog for the embedding path: pair counts
+  // at each candidate τ from ONE pass over the LSH candidate pairs —
+  // the curve a curation team reads before pinning the near-dup
+  // threshold (τ too low merges topical neighbors, too high misses
+  // paraphrases). One conditional-count aggregate over the shared
+  // hash-verified pair frame (never one scan per τ), exploded to a
+  // row per threshold. Counts are over the rounded cosine exactly as
+  // dedup_embedding emits it, so the curve is reproducible from its
+  // output alone.
+  private val cosineTaus: Seq[Double] = (40 to 90 by 5).map(_ / 100.0)
+
+  private def dedupEmbeddingSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embeddingPairs(spark, dir)
+    val agg = pairs.agg(
+      count(when(col("cosine") >= cosineTaus.head, lit(1)))
+        .as(s"c${(cosineTaus.head * 100).round}"),
+      cosineTaus.tail.map(t =>
+        count(when(col("cosine") >= t, lit(1))).as(s"c${(t * 100).round}")): _*)
+    agg.select(explode(array(cosineTaus.map { t =>
+        struct(lit(t).as("tau"),
+          col(s"c${(t * 100).round}").cast("long").as("n_pairs"))
+      }: _*)).as("r"))
+      .select("r.*")
+      .orderBy("tau")
   }
 
   /** The oracle replays the hyperplane buckets with the same integer
     * plane literals and the same left-fold double accumulation, so
-    * the candidate set is bit-identical to hyperplane_buckets. */
-  private val dedupEmbeddingSql: String = {
+    * the candidate set is bit-identical to hyperplane_buckets. The
+    * CTE chain (through `emb_pairs`) is shared with the sweep oracle. */
+  private val embPairsCtes: String = {
     val planeRows = (0 until HB.TABLES * HB.PLANES).map { tp =>
       s"(${tp / HB.PLANES},${tp % HB.PLANES},[${HB.weights(tp).mkString(",")}])"
     }.mkString(",\n")
-    s"""WITH planes(t, p, w) AS (VALUES
+    s"""planes(t, p, w) AS (VALUES
       |$planeRows),
       |sgn AS (
       |  SELECT e.vec_id, pl.t, pl.p,
@@ -364,15 +398,32 @@ object DedupOps extends Suite {
       |  FROM cand c
       |  JOIN terms a ON a.vec_id = c.a_id
       |  JOIN terms b ON b.vec_id = c.b_id AND b.i = a.i
-      |  GROUP BY c.a_id, c.b_id)
-      |SELECT a_id, b_id, ROUND(cosine, 6) AS cosine FROM (
-      |  SELECT d.a_id, d.b_id,
-      |    d.dot / (sqrt(na.norm) * sqrt(nb.norm)) AS cosine
-      |  FROM dots d
-      |  JOIN norms na ON d.a_id = na.vec_id
-      |  JOIN norms nb ON d.b_id = nb.vec_id) t
-      |WHERE cosine >= 0.4
+      |  GROUP BY c.a_id, c.b_id),
+      |emb_pairs AS (
+      |  SELECT a_id, b_id, ROUND(cosine, 6) AS cosine FROM (
+      |    SELECT d.a_id, d.b_id,
+      |      d.dot / (sqrt(na.norm) * sqrt(nb.norm)) AS cosine
+      |    FROM dots d
+      |    JOIN norms na ON d.a_id = na.vec_id
+      |    JOIN norms nb ON d.b_id = nb.vec_id) t
+      |  WHERE cosine >= 0.4)""".stripMargin
+  }
+
+  private val dedupEmbeddingSql: String =
+    s"""WITH $embPairsCtes
+      |SELECT a_id, b_id, cosine FROM emb_pairs
       |ORDER BY a_id, b_id""".stripMargin
+
+  private val dedupEmbeddingSweepSql: String = {
+    val rows = cosineTaus.map { t =>
+      s"""SELECT CAST($t AS DOUBLE) AS tau,
+        |  CAST(COALESCE(SUM(CASE WHEN cosine >= CAST($t AS DOUBLE)
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+        |FROM emb_pairs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $embPairsCtes
+      |$rows
+      |ORDER BY tau""".stripMargin
   }
 
   // ---- dedup_edit: edit-distance near-identical pairs ---------------
@@ -490,6 +541,8 @@ object DedupOps extends Suite {
     Op("dedup_minhash", dedupMinhash, None),
     Op("dedup_simhash", dedupSimhash, None),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
+    Op("dedup_embedding_sweep", dedupEmbeddingSweep,
+      Some(dedupEmbeddingSweepSql)),
     Op("dedup_edit", dedupEdit, Some(dedupEditSql)),
     Op("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
   )
