@@ -36,4 +36,19 @@ object VectorMath {
   /** cosine(a, b) given precomputed squared norms (as doubles). */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dotDec(a, b) / (sqrt(normA) * sqrt(normB))
+
+  /** Quantize ONCE per vector (array<long> of unscaled DECIMAL(12,8))
+    * before a pairwise join: dec_quant costs 64 BigDecimal roundings
+    * per call, so running it inside an N×Q pair expression repeats
+    * that work per PAIR. Pre-quantizing on the scan side leaves only
+    * dec_dot's 64 long multiplies in the pair loop — same bits, since
+    * dotDec is exactly dec_dot∘(dec_quant × dec_quant). */
+  def quantized(c: Column): Column = call_function("dec_quant", c)
+
+  /** Exact dot over two pre-[[quantized]] vectors. */
+  def dotQ(a: Column, b: Column): Column = call_function("dec_dot", a, b)
+
+  /** cosine over pre-[[quantized]] vectors + precomputed sq norms. */
+  def cosineQ(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dotQ(a, b) / (sqrt(normA) * sqrt(normB))
 }

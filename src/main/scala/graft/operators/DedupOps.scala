@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -321,14 +322,16 @@ object DedupOps extends Suite {
       .join(flat("a"), Seq("a_id")).join(flat("b"), Seq("b_id"))
       .filter(approxDot / (sqrt(col("an")) * sqrt(col("bn"))) >= 0.4 - 1e-6)
       .select("a_id", "b_id", "an", "bn")
-    val vecs = e.select(col("vec_id"), col("v"))
+    val vecs = e.select(col("vec_id"),
+      graft.functions.VectorMath.quantized(col("v")).as("v"))
     prefiltered
       .join(vecs.select(col("vec_id").as("a_id"), col("v").as("av")),
         Seq("a_id"))
       .join(vecs.select(col("vec_id").as("b_id"), col("v").as("bv")),
         Seq("b_id"))
       .withColumn("cosine",
-        dotDec(col("av"), col("bv")) / (sqrt(col("an")) * sqrt(col("bn"))))
+        graft.functions.VectorMath.dotQ(col("av"), col("bv")) /
+          (sqrt(col("an")) * sqrt(col("bn"))))
       .filter(col("cosine") >= 0.4)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
   }
@@ -425,6 +428,86 @@ object DedupOps extends Suite {
       |$rows
       |ORDER BY tau""".stripMargin
   }
+
+  // ---- dedup_substring: exact repeated-substring spans --------------
+  // The exact-substring dedup of Lee et al., "Deduplicating Training
+  // Data Makes Language Models Better" (2021, arXiv:2107.06499):
+  // mark every substring of ≥ k tokens that occurs more than once in
+  // the corpus. The paper builds a single-machine suffix array; the
+  // Spark-native equivalent is overlapping k-gram counting — a
+  // duplicated substring of length ≥ k is exactly a maximal run of
+  // duplicated k-grams, so (1) count every k-gram's corpus-wide
+  // sites, (2) positions of grams with ≥2 sites mark [pos, pos+k-1]
+  // as duplicated, (3) per doc, merge overlapping/adjacent intervals
+  // into maximal spans (gaps-and-islands over a doc-partitioned
+  // window). Gram generation is MAP-ONLY (explode + slice — no
+  // window, no per-doc sort); the only shuffles are the gram census
+  // and the narrow (doc, pos) span merge. At 100 TB the census/join
+  // key becomes xxhash64(gram) (8-byte shuffle rows; a collision can
+  // only over-mark one gram-length span) — same plan shape. The
+  // oracle replays grams from the shared tokenizer via list slicing.
+  private val subK = 5 // span resolution: duplicated runs of ≥5 tokens
+
+  private def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= subK) // sequence(0, n<0) would descend
+    val grams = t
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - lit(subK))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("t"), col("pos") + 1, lit(subK)), " ").as("gram"))
+    val census = grams.groupBy("gram")
+      .agg(count(lit(1)).as("n_sites"))
+      .filter(col("n_sites") >= 2)
+      .select("gram")
+    val covered = grams.join(census, Seq("gram"))
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + subK - 1).cast("long").as("e"))
+    val wPrev = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("s")
+    covered
+      .withColumn("pme", max(col("e")).over(wPrev))
+      .withColumn("ni",
+        when(col("pme").isNull || col("s") > col("pme") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val dedupSubstringSql =
+    s"""WITH t AS (
+      |  SELECT doc_id, $toksSql AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(j AS BIGINT) AS pos,
+      |    array_to_string(t[(j + 1):(j + $subK)], ' ') AS gram
+      |  FROM t, range(0, 100000) r(j) WHERE j <= len(t) - $subK),
+      |census AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+      |covered AS (
+      |  SELECT g.doc_id, g.pos AS s, g.pos + ${subK - 1} AS e
+      |  FROM g JOIN census USING (gram)),
+      |isl AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+      |    THEN 1 ELSE 0 END AS ni
+      |  FROM covered),
+      |isl2 AS (
+      |  SELECT doc_id, s, e,
+      |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY s) AS island
+      |  FROM isl)
+      |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+      |  CAST(MAX(e) AS BIGINT) AS span_end,
+      |  CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+      |FROM isl2 GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
 
   // ---- dedup_edit: edit-distance near-identical pairs ---------------
   // The character-level complement of the token-set ops: pairs whose
@@ -545,5 +628,6 @@ object DedupOps extends Suite {
       Some(dedupEmbeddingSweepSql)),
     Op("dedup_edit", dedupEdit, Some(dedupEditSql)),
     Op("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
+    Op("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
   )
 }

@@ -295,6 +295,52 @@ object PipelineOps extends Suite {
       |  CASE WHEN bucket < $valBuckets THEN 'val' ELSE 'train' END AS split
       |FROM h ORDER BY doc_id""".stripMargin
 
+  // ---- pipe_shard_manifest: deterministic export sharding -----------
+  // The export step of a curation pipeline: assign every document a
+  // stable shard by content-independent hash (pipe_split's md5-byte
+  // mechanism on doc_id — re-runs and backfills land each doc in the
+  // SAME shard regardless of cluster layout or input order) and emit
+  // the per-shard manifest a training loader consumes: doc count,
+  // token count, byte count, and an order-insensitive content
+  // fingerprint (md5 of the sorted id list) that lets an auditor
+  // verify a delivered shard file against the manifest without
+  // re-reading the corpus. At 100 TB this frame is the by-product of
+  // `df.repartition(col("shard")).write` — one hash shuffle; the
+  // manifest agg itself shuffles only (shard, counters) rows.
+  private val nShards = 8
+
+  private def pipeShardManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(Tok.toks).cast("long").as("n_toks"),
+        col("n_chars"))
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long") % nShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",")).as("ids_fp"))
+      .orderBy("shard")
+
+  private val pipeShardManifestSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, CAST(len(${Tok.toksSql}) AS BIGINT) AS n_toks,
+      |    n_chars,
+      |    ((strpos('0123456789abcdef',
+      |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+      |      strpos('0123456789abcdef',
+      |        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % $nShards
+      |      AS shard
+      |  FROM documents)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+      |    AS ids_fp
+      |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
   // ---- pipe_decontaminate: benchmark-overlap flagging ---------------
   // Test-set decontamination: a corpus document is contaminated if it
   // shares ≥ 8 distinct 3-gram shingles with any benchmark document
@@ -894,6 +940,7 @@ object PipelineOps extends Suite {
     Op("pipe_dup_clusters", pipeDupClusters, Some(pipeDupClustersSql)),
     Op("pipe_curate_cc", pipeCurateCc, Some(pipeCurateCcSql)),
     Op("pipe_split", pipeSplit, Some(pipeSplitSql)),
+    Op("pipe_shard_manifest", pipeShardManifest, Some(pipeShardManifestSql)),
     Op("pipe_decontaminate", pipeDecontaminate, Some(pipeDecontaminateSql)),
     // same exact oracle: the bloom stage is pure pruning (no false
     // negatives + exact verify on survivors)

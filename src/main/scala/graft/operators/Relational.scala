@@ -1356,12 +1356,24 @@ object Relational extends Suite {
       "o_orderkey" -> asStr, "o_custkey" -> asStr,
       "o_orderstatus" -> asStr, "o_totalprice" -> asDec,
       "o_orderdate" -> asTs, "o_orderpriority" -> asStr)
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, r) =>
+    // Two aggregates, not one: mixing the 6 DISTINCT aggs with the
+    // plain aggs would evaluate every plain agg on the ×7-Expanded
+    // stream (25 gid-guarded buffers × 7·N rows). Split, the plain
+    // pass runs once over N narrow rows and the distinct pass's
+    // Expand carries only the 6 distinct columns; the two 1-row
+    // results recombine with a free nested-loop join. (At 100 TB the
+    // approx_count_distinct swap removes the Expand entirely and the
+    // two passes fold back into one.)
+    val plainAggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, r) =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_distinct"),
         r(min(col(c))).as(s"${c}_min"), r(max(col(c))).as(s"${c}_max"))
     }
-    val one = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val distinctAggs = cols.map { case (c, _) =>
+      countDistinct(col(c)).as(s"${c}_distinct")
+    }
+    val one = Tables.orders(spark, dir).agg(plainAggs.head, plainAggs.tail: _*)
+      .crossJoin(broadcast(
+        Tables.orders(spark, dir).agg(distinctAggs.head, distinctAggs.tail: _*)))
     one.select(explode(array(cols.map { case (c, _) =>
         struct(lit(c).as("col_name"), col("n_rows"),
           col(s"${c}_nulls").as("n_nulls"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
-import graft.functions.VectorMath.{cosine, dotDec}
+import graft.functions.VectorMath.{cosineQ, dotQ, quantized}
 
 /** Similarity search over `embeddings` (SURVEY §F).
   *
@@ -26,17 +26,20 @@ object SimilarityOps extends Suite {
   private val topK = 5
 
   // ---- sim_topk_exact: brute-force cosine top-5 ---------------------
+  // Vectors are dec_quant'd once on the scan side (array<long>), so
+  // the N×Q pair loop runs only dec_dot's long multiplies — the
+  // quantization cost doesn't scale with |pairs|.
   private def simTopkExact(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("norm", dotDec(col("v"), col("v")))
+      .select(col("vec_id"), quantized(col("embedding")).as("v"))
+      .withColumn("norm", dotQ(col("v"), col("v")))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qn"))
     val w = Window.partitionBy("q_id")
       .orderBy(desc("cosine"), col("cand_id"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("norm")))
+      .withColumn("cosine", cosineQ(col("qv"), col("v"), col("qn"), col("norm")))
       .select(col("q_id"), col("vec_id").as("cand_id"), col("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
@@ -81,8 +84,8 @@ object SimilarityOps extends Suite {
   // emitted cosine to the exact path's value.
   private def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("norm", dotDec(col("v"), col("v")))
+      .select(col("vec_id"), quantized(col("embedding")).as("v"))
+      .withColumn("norm", dotQ(col("v"), col("v")))
     val keyed = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         posexplode(expr("hyperplane_buckets(embedding)")).as(Seq("tbl", "key")))
@@ -99,7 +102,7 @@ object SimilarityOps extends Suite {
       .join(e.select(col("vec_id").as("cand_id"), col("v"), col("norm")),
         Seq("cand_id"))
       .join(broadcast(q), Seq("q_id"))
-      .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("norm")))
+      .withColumn("cosine", cosineQ(col("qv"), col("v"), col("qn"), col("norm")))
       .select(col("q_id"), col("cand_id"), col("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
@@ -122,13 +125,13 @@ object SimilarityOps extends Suite {
 
   private def simRangeSearch(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("norm", dotDec(col("v"), col("v")))
+      .select(col("vec_id"), quantized(col("embedding")).as("v"))
+      .withColumn("norm", dotQ(col("v"), col("v")))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qn"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("norm")))
+      .withColumn("cosine", cosineQ(col("qv"), col("v"), col("qn"), col("norm")))
       .filter(col("cosine") >= rangeTau)
       .select(col("q_id"), col("vec_id").as("cand_id"),
         round(col("cosine"), 6).as("cosine"))
@@ -243,15 +246,15 @@ object SimilarityOps extends Suite {
       .agg(min_by(col("c_label"), struct(col("dist_sq"), col("c_label")))
         .as("probe_label"))
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding").as("v"))
-      .withColumn("norm", dotDec(col("v"), col("v")))
+      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("v"))
+      .withColumn("norm", dotQ(col("v"), col("v")))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
       .join(probe, Seq("q_id"))
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("cand_id"))
     e.join(broadcast(q), col("label") === col("probe_label") &&
         col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("norm")))
+      .withColumn("cosine", cosineQ(col("qv"), col("v"), col("qn"), col("norm")))
       .select(col("q_id"), col("probe_label"), col("vec_id").as("cand_id"),
         col("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
