@@ -448,7 +448,10 @@ object DedupOps extends Suite {
   // oracle replays grams from the shared tokenizer via list slicing.
   private val subK = 5 // span resolution: duplicated runs of ≥5 tokens
 
-  private def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+  /** Maximal duplicated spans (doc_id, span_start, span_end,
+    * span_tokens) — shared by dedup_substring (its direct output) and
+    * dedup_substring_scrub (its removal mask). */
+  private def dupSpanFrame(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= subK) // sequence(0, n<0) would descend
@@ -476,11 +479,15 @@ object DedupOps extends Suite {
       .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
-      .orderBy("doc_id", "span_start")
   }
 
-  private val dedupSubstringSql =
-    s"""WITH t AS (
+  private def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    dupSpanFrame(spark, dir).orderBy("doc_id", "span_start")
+
+  /** CTE chain through `spans` — shared by the span listing and the
+    * scrub oracle, so both replay the identical mask. */
+  private val dupSpansCtes =
+    s"""t AS (
       |  SELECT doc_id, $toksSql AS t FROM documents),
       |g AS (
       |  SELECT doc_id, CAST(j AS BIGINT) AS pos,
@@ -502,12 +509,74 @@ object DedupOps extends Suite {
       |isl2 AS (
       |  SELECT doc_id, s, e,
       |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY s) AS island
-      |  FROM isl)
-      |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
-      |  CAST(MAX(e) AS BIGINT) AS span_end,
-      |  CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
-      |FROM isl2 GROUP BY doc_id, island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+      |    CAST(MAX(e) AS BIGINT) AS span_end,
+      |    CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+      |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
+
+  private val dedupSubstringSql =
+    s"""WITH $dupSpansCtes
+      |SELECT doc_id, span_start, span_end, span_tokens FROM spans
       |ORDER BY doc_id, span_start""".stripMargin
+
+  // ---- dedup_substring_scrub: cut the duplicated spans out ----------
+  // The removal step Lee et al. actually apply: every token inside a
+  // duplicated span is dropped (all occurrences — the C4 convention;
+  // keep-first needs a global site ranking and buys ~nothing at
+  // corpus scale), and the survivors reconstruct in position order to
+  // a content fingerprint an auditor can verify without the corpus.
+  // The mask join is doc_id-equi with a per-doc range predicate over
+  // the handful of merged spans; everything else is the map-only
+  // token explode and one per-doc aggregation.
+  private def dedupSubstringScrub(spark: SparkSession, dir: String): DataFrame = {
+    val spans = dupSpanFrame(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n_toks", size(col("t")).cast("long"))
+    val tokens = docs
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = tokens.as("tk").join(spans.as("sp"),
+        col("tk.doc_id") === col("sp.doc_id") &&
+          col("tk.pos").between(col("sp.span_start"), col("sp.span_end")),
+        "left_anti")
+    val recon = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ")).as("kept_fp"))
+    docs.select("doc_id", "n_toks")
+      .join(recon, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        col("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSubstringScrubSql =
+    s"""WITH $dupSpansCtes,
+      |toks AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+      |  FROM t, range(1, 100000) r(i) WHERE i <= len(t)),
+      |kept AS (
+      |  SELECT tk.doc_id, tk.pos, tk.tok
+      |  FROM toks tk LEFT JOIN spans sp
+      |    ON sp.doc_id = tk.doc_id
+      |    AND tk.pos BETWEEN sp.span_start AND sp.span_end
+      |  WHERE sp.doc_id IS NULL),
+      |recon AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_fp
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_toks,
+      |  COALESCE(r.n_kept, 0) AS n_kept,
+      |  CAST(len(d.t) AS BIGINT) - COALESCE(r.n_kept, 0) AS n_removed,
+      |  r.kept_fp
+      |FROM t d LEFT JOIN recon r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   // ---- dedup_edit: edit-distance near-identical pairs ---------------
   // The character-level complement of the token-set ops: pairs whose
@@ -629,5 +698,7 @@ object DedupOps extends Suite {
     Op("dedup_edit", dedupEdit, Some(dedupEditSql)),
     Op("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     Op("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
+    Op("dedup_substring_scrub", dedupSubstringScrub,
+      Some(dedupSubstringScrubSql)),
   )
 }

@@ -575,4 +575,38 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(mix.map(_.getAs[Long]("token_draw")).sum <= 1000000L,
       "floor'd draws cannot exceed the budget")
   }
+
+  test("dedup_substring spans are merged-maximal and tie out to the scrub") {
+    import org.apache.spark.sql.expressions.Window
+    val spans = run("dedup_substring")
+    assert(spans.filter(col("span_tokens") < 5 ||
+      col("span_tokens") =!= col("span_end") - col("span_start") + 1).isEmpty,
+      "span under gram resolution or inconsistent bounds")
+    // consecutive spans per doc must be separated by >=2 positions —
+    // an adjacent pair would have merged into one island
+    val w = Window.partitionBy("doc_id").orderBy("span_start")
+    val unmerged = spans.withColumn("prev_end", lag(col("span_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("span_start") <= col("prev_end") + 1)
+    assert(unmerged.isEmpty, "overlapping/adjacent spans failed to merge")
+    // the scrub must remove exactly the span-covered token count
+    val bySpan = spans.groupBy("doc_id").agg(sum("span_tokens").as("t"))
+    val mismatch = run("dedup_substring_scrub")
+      .join(bySpan, Seq("doc_id"), "left")
+      .filter(coalesce(col("t"), lit(0L)) =!= col("n_removed"))
+    assert(mismatch.isEmpty, "scrub n_removed diverges from the span mask")
+  }
+
+  test("pipe_shard_manifest shards partition the corpus exactly") {
+    val m = run("pipe_shard_manifest")
+    val d = sources.Tables.documents(spark, sf)
+    assert(m.agg(sum("n_docs")).head.getLong(0) == d.count(),
+      "shard doc counts must sum to the corpus")
+    assert(m.agg(sum("n_chars")).head.getLong(0) ==
+      d.agg(sum("n_chars")).head.getLong(0),
+      "shard byte counts must sum to the corpus")
+    assert(m.count() <= 8 &&
+      m.select("shard").distinct().count() == m.count(),
+      "at most nShards rows, one per shard")
+  }
 }
