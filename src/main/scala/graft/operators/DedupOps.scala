@@ -455,11 +455,15 @@ object DedupOps extends Suite {
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= subK) // sequence(0, n<0) would descend
+    // persisted: the census aggregate AND the site-probe side of the
+    // join both consume the exploded gram frame — without the persist
+    // the tokenize+slice pass runs twice per query
     val grams = t
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), size(col("t")) - lit(subK))).as("pos"))
       .select(col("doc_id"), col("pos"),
         array_join(slice(col("t"), col("pos") + 1, lit(subK)), " ").as("gram"))
+      .persist()
     val census = grams.groupBy("gram")
       .agg(count(lit(1)).as("n_sites"))
       .filter(col("n_sites") >= 2)

@@ -141,6 +141,18 @@ class PlanAuditSpec extends SparkSpec {
       "q_bucketed_join" -> 2,
       // dim broadcasts at test SF (salted keys still in the join); agg + sort
       "q_salted_join" -> 2,
+      // gram census agg + covered-positions/island window + sort
+      "dedup_substring" -> 3,
+      // + the kept-tokens per-doc agg over the span mask
+      "dedup_substring_scrub" -> 4,
+      // shard agg + sort; the shard hash is map-only
+      "pipe_shard_manifest" -> 2,
+      // plain agg and 6-way-distinct agg each collapse to one
+      // exchange (1-row outputs, broadcast recombine); sort
+      "q_profile" -> 3,
+      // broadcast query side, map-side cosine+filter: the ONLY
+      // exchange is the output sort — the declared range-search shape
+      "sim_range_search" -> 1,
       "q_top_suppliers" -> 1, "q_window_topn" -> 3, "sim_ann_lsh" -> 3,
       "sim_centroids" -> 4, "sim_ivf_topk" -> 5, "sim_topk_exact" -> 2,
       "txt_fingerprint" -> 1, "txt_langid" -> 1, "txt_quality" -> 1,
