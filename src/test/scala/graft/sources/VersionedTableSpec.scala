@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** Transactional guarantees of the versioned-manifest table format:
+  * atomic publish, snapshot isolation, optimistic concurrency, time
+  * travel, vacuum of failed-commit debris. */
+class VersionedTableSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-vtable").toString
+
+  test("overwrite commits are atomic versions with time travel") {
+    val root = freshRoot()
+    val v1 = VersionedTable.commit(Seq(1, 2, 3).toDF("x"), root)
+    val v2 = VersionedTable.commit(Seq(10, 20).toDF("x"), root,
+      overwrite = true)
+    assert(v1 == 1 && v2 == 2)
+    assert(VersionedTable.read(spark, root).as[Int].collect().sorted
+      === Array(10, 20))
+    // the overwritten snapshot remains fully readable
+    assert(VersionedTable.readAt(spark, root, 1).as[Int].collect().sorted
+      === Array(1, 2, 3))
+  }
+
+  test("append accumulates data dirs without rewriting old ones") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1).toDF("x"), root)
+    VersionedTable.commit(Seq(2).toDF("x"), root)
+    VersionedTable.commit(Seq(3).toDF("x"), root)
+    assert(VersionedTable.read(spark, root).as[Int].collect().sorted
+      === Array(1, 2, 3))
+    assert(VersionedTable.versions(root) == Seq(1, 2, 3))
+  }
+
+  test("a crashed commit is invisible and vacuum reclaims its debris") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1).toDF("x"), root)
+    // simulate a writer dying after staging data but before the
+    // manifest link: orphan parquet under data/, no version file
+    Seq(99).toDF("x").write.parquet(
+      Paths.get(root, "data/deadbeef-0000-0000-0000-000000000000").toString)
+    assert(VersionedTable.versions(root) == Seq(1))
+    assert(VersionedTable.read(spark, root).as[Int].collect() === Array(1))
+    val removed = VersionedTable.vacuum(root)
+    assert(removed == Seq("data/deadbeef-0000-0000-0000-000000000000"))
+    // referenced dirs survive vacuum
+    assert(VersionedTable.read(spark, root).as[Int].collect() === Array(1))
+  }
+
+  test("a lost commit race throws ConcurrentCommit; retry lands on top") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1).toDF("x"), root)
+    // squat version 2 (the concurrent winner)
+    VersionedTable.commitOnce(Seq(2).toDF("x"), root,
+      overwrite = false, expected = 1)
+    // a writer that still believes the table is at v1 must lose...
+    intercept[VersionedTable.ConcurrentCommit] {
+      VersionedTable.commitOnce(Seq(3).toDF("x"), root,
+        overwrite = false, expected = 1)
+    }
+    // ...and the retrying commit() replays cleanly on the new state
+    val v = VersionedTable.commit(Seq(3).toDF("x"), root)
+    assert(v == 3)
+    assert(VersionedTable.read(spark, root).as[Int].collect().sorted
+      === Array(1, 2, 3))
+  }
+
+  test("a resolved snapshot keeps reading its own files across commits") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1, 2).toDF("x"), root)
+    val snap = VersionedTable.read(spark, root) // resolves v1's manifest
+    VersionedTable.commit(Seq(100).toDF("x"), root, overwrite = true)
+    VersionedTable.vacuum(root) // must not touch v1's referenced dirs
+    assert(snap.as[Int].collect().sorted === Array(1, 2),
+      "in-flight reader saw a concurrent overwrite")
+  }
+}
