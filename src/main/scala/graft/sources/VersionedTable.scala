@@ -72,13 +72,21 @@ object VersionedTable {
   }
 
   private def writeManifest(root: String, v: Int, op: String,
-      dirs: Seq[String]): Path = {
+      dirs: Seq[String], txn: Option[Long]): Path = {
+    val txnField = txn.fold("")(id => s""""txn":$id,""")
     val body = dirs.map("\"" + _ + "\"").mkString(
-      s"""{"version":$v,"op":"$op","dirs":[""", ",", "]}")
+      s"""{"version":$v,"op":"$op",$txnField"dirs":[""", ",", "]}")
     val tmp = versionsDir(root).resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, body)
     tmp
   }
+
+  /** Transaction ids already committed (streaming sink bookkeeping). */
+  def committedTxns(root: String): Set[Long] =
+    versions(root).flatMap { v =>
+      "\"txn\":(\\d+)".r.findFirstMatchIn(
+        Files.readString(versionFile(root, v))).map(_.group(1).toLong)
+    }.toSet
 
   /** Stage `df` as a new write-once data dir; returns its relative path. */
   private def stage(df: DataFrame, root: String): String = {
@@ -90,14 +98,14 @@ object VersionedTable {
   /** One optimistic commit attempt at exactly `expected + 1`.
     * @throws ConcurrentCommit if that version already landed */
   def commitOnce(df: DataFrame, root: String, overwrite: Boolean,
-      expected: Int): Int = {
+      expected: Int, txn: Option[Long] = None): Int = {
     Files.createDirectories(versionsDir(root))
     val next = expected + 1
     val dirs = (if (overwrite) Nil
                 else versions(root).lastOption.toSeq
                   .flatMap(manifestDirs(root, _))) :+ stage(df, root)
     val tmp = writeManifest(root, next,
-      if (overwrite) "overwrite" else "append", dirs)
+      if (overwrite) "overwrite" else "append", dirs, txn)
     try Files.createLink(versionFile(root, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.delete(tmp)
@@ -105,6 +113,28 @@ object VersionedTable {
     }
     Files.delete(tmp)
     next
+  }
+
+  /** Exactly-once micro-batch append: the Structured Streaming
+    * foreachBatch sink form. The batch id rides the manifest as a
+    * transaction id; a redelivered batch (restart replays the last
+    * uncommitted-to-the-CHECKPOINT batch, which may already be
+    * committed to the TABLE) is recognized and skipped, so
+    * at-least-once delivery from the checkpoint becomes exactly-once
+    * in the table — the txn check and the data publish are the same
+    * atomic manifest link. Returns None for a skipped duplicate. */
+  def commitBatch(df: DataFrame, root: String, batchId: Long,
+      maxAttempts: Int = 5): Option[Int] = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (committedTxns(root).contains(batchId)) return None
+      val base = versions(root).lastOption.getOrElse(0)
+      try return Some(commitOnce(df, root, overwrite = false, base,
+        txn = Some(batchId)))
+      catch { case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e }
+    }
+    None // unreachable
   }
 
   /** Commit with optimistic retry: on a lost race the staged data of

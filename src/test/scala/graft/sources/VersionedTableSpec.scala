@@ -71,6 +71,33 @@ class VersionedTableSpec extends SparkSpec {
       === Array(1, 2, 3))
   }
 
+  test("commitBatch is an exactly-once streaming sink under redelivery") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = freshRoot()
+    val input = MemoryStream[Int]
+    val q = input.toDS().toDF("x").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        VersionedTable.commitBatch(df, root, id); ()
+      }
+      .outputMode("append").start()
+    try {
+      input.addData(1, 2); q.processAllAvailable()
+      input.addData(3); q.processAllAvailable()
+      assert(VersionedTable.read(spark, root).as[Int].collect().sorted
+        === Array(1, 2, 3))
+      // a restart redelivers the last batch: same batch id, same data —
+      // the txn in the manifest makes the re-commit a no-op
+      val again = VersionedTable.commitBatch(Seq(3).toDF("x"), root, 1L)
+      assert(again.isEmpty, "redelivered batch must be skipped")
+      assert(VersionedTable.read(spark, root).as[Int].collect().sorted
+        === Array(1, 2, 3))
+      // a genuinely new batch id still lands
+      assert(VersionedTable.commitBatch(Seq(4).toDF("x"), root, 2L).nonEmpty)
+      assert(VersionedTable.read(spark, root).count() == 4)
+    } finally q.stop()
+  }
+
   test("a resolved snapshot keeps reading its own files across commits") {
     val root = freshRoot()
     VersionedTable.commit(Seq(1, 2).toDF("x"), root)
