@@ -124,13 +124,13 @@ object VersionedTable {
     * in the table — the txn check and the data publish are the same
     * atomic manifest link. Returns None for a skipped duplicate. */
   def commitBatch(df: DataFrame, root: String, batchId: Long,
-      maxAttempts: Int = 5): Option[Int] = {
+      overwrite: Boolean = false, maxAttempts: Int = 5): Option[Int] = {
     var attempt = 0
     while (true) {
       attempt += 1
       if (committedTxns(root).contains(batchId)) return None
       val base = versions(root).lastOption.getOrElse(0)
-      try return Some(commitOnce(df, root, overwrite = false, base,
+      try return Some(commitOnce(df, root, overwrite, base,
         txn = Some(batchId)))
       catch { case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e }
     }
