@@ -164,9 +164,36 @@ object VersionedTable {
     spark.read.parquet(paths: _*)
   }
 
+  /** Compaction (the OPTIMIZE analog): rewrite the current snapshot's
+    * accumulated append dirs into one dir of `numFiles` files and
+    * publish it as a normal commit — data-identical, so readers are
+    * indifferent to when it runs, and the manifest game gives it the
+    * same guarantees as any write (an append racing the compaction
+    * simply wins or retries; nothing is lost either way). At scale
+    * the FILE COUNT from micro-batch appends, not bytes, is what
+    * kills listing/open/task-launch — compaction is the sink-side
+    * maintenance loop. Old versions still reference the small files
+    * until [[vacuum]] after their retention lapses. */
+  def compact(spark: SparkSession, root: String, numFiles: Int = 1): Int =
+    commit(read(spark, root).coalesce(numFiles), root, overwrite = true)
+
+  /** Time-travel retention: drop all but the last `keepLast` version
+    * manifests. Data dirs are untouched until [[vacuum]] reclaims the
+    * now-unreferenced ones — the two-step (expire, then vacuum after
+    * a grace period longer than any reader) is what keeps long
+    * in-flight readers of expired versions safe. Returns the dropped
+    * versions. */
+  def expire(root: String, keepLast: Int = 1): Seq[Int] = {
+    require(keepLast >= 1, "must retain at least the current version")
+    val drop = versions(root).dropRight(keepLast)
+    drop.foreach(v => Files.delete(versionFile(root, v)))
+    drop
+  }
+
   /** Delete data dirs referenced by NO retained version (failed/raced
-    * commit debris). Never touches referenced dirs, so concurrent
-    * readers of any committed version are unaffected. */
+    * commit debris, expired-version files). Never touches referenced
+    * dirs, so concurrent readers of any retained version are
+    * unaffected. */
   def vacuum(root: String): Seq[String] = {
     val live = versions(root).flatMap(manifestDirs(root, _)).toSet
     val dataDir = Paths.get(root, "data")

@@ -98,6 +98,25 @@ class VersionedTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compact + expire + vacuum collapse append debris losslessly") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1).toDF("x"), root)
+    VersionedTable.commit(Seq(2).toDF("x"), root)
+    VersionedTable.commit(Seq(3).toDF("x"), root)
+    val v = VersionedTable.compact(spark, root)
+    assert(v == 4)
+    assert(VersionedTable.read(spark, root).as[Int].collect().sorted
+      === Array(1, 2, 3), "compaction changed data")
+    // retention: keep only the compacted version, then reclaim
+    assert(VersionedTable.expire(root, keepLast = 1) == Seq(1, 2, 3))
+    val removed = VersionedTable.vacuum(root)
+    assert(removed.size == 3, s"3 append dirs should be reclaimed: $removed")
+    assert(VersionedTable.read(spark, root).as[Int].collect().sorted
+      === Array(1, 2, 3))
+    val dataDirs = Files.list(Paths.get(root, "data")).count()
+    assert(dataDirs == 1, "only the compacted dir remains")
+  }
+
   test("a resolved snapshot keeps reading its own files across commits") {
     val root = freshRoot()
     VersionedTable.commit(Seq(1, 2).toDF("x"), root)
