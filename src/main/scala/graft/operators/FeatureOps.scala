@@ -7,9 +7,9 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
-/** Feature engineering over the event stream (SURVEY §I) — the
-  * point-in-time-correct feature shapes a training pipeline derives
-  * from raw event logs before model training. The reference's
+/** Feature engineering over the event stream and order history
+  * (SURVEY §I) — the point-in-time-correct feature shapes a training
+  * pipeline derives from raw logs before model training. The reference's
   * continuous pipeline delivers the events (docs/data_flow.md §1–3);
   * these operators are what the downstream consumer computes from
   * them, with the one invariant that matters for training data:
@@ -207,10 +207,209 @@ object FeatureOps extends Suite {
       |FROM daily
       |ORDER BY user_id, day""".stripMargin
 
+  // ---- ft_target_encode: leave-one-out categorical encoding ---------
+  // Target-encode the customer market segment by mean order total,
+  // LEAVE-ONE-OUT per order: each order's encoding is the segment
+  // mean computed WITHOUT that order — the standard guard against the
+  // encoding leaking the row's own target into its features. The
+  // segment stats frame is category-cardinality-sized (a handful of
+  // rows at any corpus size) and broadcasts; the encode itself is
+  // map-only over the fact scan. Sums are exact DECIMAL(18,2), so
+  // loo = CAST(seg_sum - own AS DOUBLE) / (seg_n - 1) is one IEEE
+  // division of bit-identical operands in both engines.
+  private def ftTargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("q", col("o_totalprice").cast(DecimalType(18, 2)))
+    val seg = o.join(
+        broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val stats = seg.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+    seg.join(broadcast(stats), Seq("c_mktsegment"))
+      .withColumn("loo_enc",
+        round((col("s") - col("q")).cast("double") /
+          (col("n") - lit(1)).cast("double"), 6))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("loo_enc"))
+      .orderBy("o_orderkey")
+  }
+
+  private val ftTargetEncodeSql =
+    """WITH seg AS (
+      |  SELECT o.o_orderkey, c.c_mktsegment,
+      |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS q
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |stats AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n, SUM(q) AS s
+      |  FROM seg GROUP BY 1)
+      |SELECT o_orderkey, seg.c_mktsegment,
+      |  ROUND(CAST(s - q AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS loo_enc
+      |FROM seg JOIN stats USING (c_mktsegment)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- ft_scaler: per-category z-score + min-max normalization ------
+  // Train-and-apply feature scaling per event_type: standardized and
+  // min-max-scaled `value` for every event. The train step reduces
+  // to alphabet-sized per-type moments (n, Σx, Σx², min, max) that
+  // broadcast back; the apply step is map-only — the canonical
+  // "fit on the corpus, transform the corpus" shape with one
+  // alphabet-keyed aggregation and zero extra fact shuffles.
+  // Determinism: value quantizes to exact centi-units
+  // (CAST(DECIMAL(18,2)) · 100 → BIGINT), every moment is an exact
+  // integer, and σ/z/minmax mirror ev_anomaly's single-IEEE-op
+  // structure so both engines emit identical bits. At 100 TB the
+  // int64 moments widen to DECIMAL(38,0) sums — same plan.
+  private def ftScaler(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("q100",
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("q100")).as("s"),
+        sum(col("q100") * col("q100")).as("ss"),
+        min(col("q100")).as("mn"), max(col("q100")).as("mx"))
+      .withColumn("sigma",
+        sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+          (col("n") * col("n")).cast("double")))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(col("sigma") > 0 && col("mx") > col("mn"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("n") * col("q100") - col("s")).cast("double") /
+          (col("n").cast("double") * col("sigma")), 6).as("z_value"),
+        round((col("q100") - col("mn")).cast("double") /
+          (col("mx") - col("mn")).cast("double"), 6).as("mm_value"))
+      .orderBy("event_id")
+  }
+
+  private val ftScalerSql =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS q100
+      |  FROM events),
+      |stats AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(q100) AS s,
+      |    SUM(q100 * q100) AS ss, MIN(q100) AS mn, MAX(q100) AS mx
+      |  FROM ev GROUP BY 1),
+      |sig AS (
+      |  SELECT *, sqrt(CAST(n * ss - s * s AS DOUBLE)
+      |    / CAST(n * n AS DOUBLE)) AS sigma
+      |  FROM stats)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  ROUND(CAST(g.n * e.q100 - g.s AS DOUBLE)
+      |    / (CAST(g.n AS DOUBLE) * g.sigma), 6) AS z_value,
+      |  ROUND(CAST(e.q100 - g.mn AS DOUBLE)
+      |    / CAST(g.mx - g.mn AS DOUBLE), 6) AS mm_value
+      |FROM ev e JOIN sig g USING (event_type)
+      |WHERE g.sigma > 0 AND g.mx > g.mn
+      |ORDER BY e.event_id""".stripMargin
+
+  // ---- ft_cooccurrence: top co-purchased part pairs -----------------
+  // Market-basket co-occurrence mining (the input to item-item
+  // recommenders and association rules): the 20 part pairs appearing
+  // together in the most orders. The self-join is keyed on
+  // l_orderkey, so the pair fan-out per order is C(items, 2) — a
+  // BOUNDED constant (TPC-H orders hold ≤ 7 lineitems), never a
+  // corpus-quadratic blowup; a pathological mega-basket is the skew
+  // AQE splits. The global top-20 runs as TakeOrderedAndProject
+  // (partial top-k per partition; only 20 rows per partition reach
+  // the driver-side merge). Count ties break on (p1, p2) so the cut
+  // is cross-engine deterministic.
+  private def ftCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  private val ftCooccurrenceSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+      |FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin
+
+  // ---- ft_rfm: recency/frequency/monetary segmentation --------------
+  // Classic RFM customer scoring: per customer, days since last
+  // order (R), order count (F), exact-decimal lifetime spend (M);
+  // each scored into within-segment quartiles (NTILE(4) PARTITIONED
+  // by market segment — a global unpartitioned quartile would be a
+  // single-task sort at scale, the shape PlanAuditSpec forbids), and
+  // rolled up to the (segment, rfm_code) distribution with average
+  // spend. The reference date is the corpus max order date (one
+  // broadcast scalar row), so the op is deterministic for a frozen
+  // corpus rather than wall-clock-dependent. Every NTILE ordering
+  // ends in c_custkey, a total order — quartile boundaries cannot
+  // flip between engines.
+  private def ftRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("f"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("m"))
+    val maxDate = o.agg(max(col("o_orderdate")).as("ref_date"))
+    val seg = cust
+      .crossJoin(broadcast(maxDate))
+      .withColumn("r_days",
+        datediff(col("ref_date").cast("date"), col("last_order").cast("date")))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    def q(order: Seq[org.apache.spark.sql.Column]) = ntile(4).over(
+      Window.partitionBy("c_mktsegment").orderBy(order: _*))
+    val scored = seg
+      .withColumn("rq", q(Seq(col("r_days").asc, col("o_custkey").asc)))
+      .withColumn("fq", q(Seq(col("f").desc, col("o_custkey").asc)))
+      .withColumn("mq", q(Seq(col("m").desc, col("o_custkey").asc)))
+      .withColumn("rfm_code",
+        (col("rq") * 100 + col("fq") * 10 + col("mq")).cast("long"))
+    scored.groupBy("c_mktsegment", "rfm_code")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("m")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_monetary"))
+      .orderBy("c_mktsegment", "rfm_code")
+  }
+
+  private val ftRfmSql =
+    """WITH cust AS (
+      |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+      |    COUNT(*) AS f,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      |  FROM orders GROUP BY 1),
+      |ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+      |seg AS (
+      |  SELECT cust.*, c.c_mktsegment,
+      |    datediff('day', CAST(last_order AS DATE),
+      |      CAST(ref.ref_date AS DATE)) AS r_days
+      |  FROM cust CROSS JOIN ref
+      |  JOIN customer c ON cust.o_custkey = c.c_custkey),
+      |scored AS (
+      |  SELECT c_mktsegment, m,
+      |    NTILE(4) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY r_days ASC, o_custkey ASC) * 100 +
+      |    NTILE(4) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY f DESC, o_custkey ASC) * 10 +
+      |    NTILE(4) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY m DESC, o_custkey ASC) AS rfm_code
+      |  FROM seg)
+      |SELECT c_mktsegment, rfm_code, COUNT(*) AS n_customers,
+      |  ROUND(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    AS avg_monetary
+      |FROM scored GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ft_rolling_24h", ftRolling, Some(ftRollingSql)),
     Op("ft_daily_ffill", ftDailyFfill, Some(ftDailyFfillSql)),
     Op("ft_point_in_time", ftPointInTime, Some(ftPointInTimeSql)),
     Op("ft_label_next7d", ftLabelNext7d, Some(ftLabelNext7dSql)),
+    Op("ft_target_encode", ftTargetEncode, Some(ftTargetEncodeSql)),
+    Op("ft_scaler", ftScaler, Some(ftScalerSql)),
+    Op("ft_cooccurrence", ftCooccurrence, Some(ftCooccurrenceSql)),
+    Op("ft_rfm", ftRfm, Some(ftRfmSql)),
   )
 }
