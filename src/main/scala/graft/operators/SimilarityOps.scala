@@ -794,9 +794,49 @@ object SimilarityOps extends Suite {
       |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- sim_recall_report: measured recall@k of every ANN path -------
+  // The tuning report a user reads before trading exactness for
+  // speed: per ANN method, micro-averaged and worst-query recall@k
+  // against the exact brute-force top-k on the SAME queries (k = the
+  // method's own cut: LSH 5, IVF 3, IVFPQ 5). Reuses the registered
+  // query functions directly, so the report can never drift from
+  // what the queries actually return; the trained-quantizer frames
+  // are session-memoized, so the added cost over the underlying
+  // paths is three left-semi joins on (q_id, cand_id) — query-set
+  // sized, broadcast. Rows-only by design: the ground truth
+  // (sim_topk_exact) is hash-verified separately and the ANN paths
+  // are the system under measurement; the invariant spec pins
+  // recall ∈ [0,1], per-method row presence, and a recall floor for
+  // the LSH path.
+  private def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopkExact(spark, dir)
+      .select(col("q_id"), col("rank"), col("cand_id"))
+    def row(method: String, frame: DataFrame, k: Int): DataFrame = {
+      val truth = exact.filter(col("rank") <= k).select("q_id", "cand_id")
+      val hits = frame.select("q_id", "cand_id")
+        .join(truth, Seq("q_id", "cand_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+        .join(hits, Seq("q_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(col("n_hits")).cast("double") /
+            sum(col("n_truth")).cast("double"), 6).as("recall"),
+          round(min(col("n_hits").cast("double") /
+            col("n_truth").cast("double")), 6).as("min_recall"))
+        .select(lit(method).as("method"), lit(k).cast("long").as("k"),
+          col("n_queries"), col("recall"), col("min_recall"))
+    }
+    row("lsh", simAnnLsh(spark, dir), topK)
+      .unionByName(row("ivf_kmeans", simIvfKmeans(spark, dir), 3))
+      .unionByName(row("ivfpq", simIvfpq(spark, dir), topK))
+      .orderBy("method")
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
     Op("sim_ann_lsh", simAnnLsh, None),
+    Op("sim_recall_report", simRecallReport, None),
     Op("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),
     Op("sim_centroids", simCentroids, Some(simCentroidsSql)),
     Op("sim_ivf_topk", simIvfTopk, Some(simIvfTopkSql)),

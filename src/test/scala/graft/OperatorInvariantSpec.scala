@@ -609,4 +609,34 @@ class OperatorInvariantSpec extends SparkSpec {
       m.select("shard").distinct().count() == m.count(),
       "at most nShards rows, one per shard")
   }
+
+  test("sim_recall_report measures every ANN path with recalls in [0,1]") {
+    val rows = run("sim_recall_report")
+      .select("method", "k", "n_queries", "recall", "min_recall").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("ivf_kmeans", "ivfpq", "lsh"), "one row per ANN method")
+    rows.foreach { r =>
+      val (recall, minR) = (r.getDouble(3), r.getDouble(4))
+      assert(recall >= 0.0 && recall <= 1.0 && minR >= 0.0 && minR <= recall,
+        s"${r.getString(0)}: recall=$recall min=$minR out of bounds")
+      assert(r.getLong(2) == 10L, "all 10 queries measured")
+    }
+    // the LSH candidate union is wide (24 tables); its top-5 should
+    // dominate the single-probe quantized paths — pin a floor so a
+    // bucketing regression (e.g. a broken hyperplane key) is caught
+    val lsh = rows.find(_.getString(0) == "lsh").get.getDouble(3)
+    assert(lsh >= 0.5, s"lsh recall@5 collapsed: $lsh")
+  }
+
+  test("sim_recall_report agrees with a hand-computed lsh recall") {
+    val exact = run("sim_topk_exact").select("q_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = run("sim_ann_lsh").select("q_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (ann & exact).size.toDouble / exact.size
+    val got = run("sim_recall_report")
+      .filter(col("method") === "lsh").select("recall")
+      .collect().head.getDouble(0)
+    assert(math.abs(got - want) < 1e-6, s"report $got != replay $want")
+  }
 }
