@@ -402,6 +402,102 @@ object FeatureOps extends Suite {
       |FROM scored GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- ft_item_pagerank: PageRank over the co-purchase graph --------
+  // The iterative-graph shape (Page et al. 1999) done Spark-first:
+  // items are nodes, an undirected edge links parts bought together
+  // in at least one order, and 3 power-iteration rounds of
+  // r' = (1-d)/N + d·Σ r(u)/deg(u) rank items by graph centrality —
+  // the item-importance prior a recommender starts from. Per
+  // iteration the plan is the canonical distributed PageRank: ranks
+  // join edges on src (one shuffle), contributions aggregate on dst
+  // (one shuffle); the edge list and degrees are built once and
+  // persisted across rounds. At 100 TB edges pre-partition by src so
+  // the per-round join reuses one partitioning; the iteration count
+  // is fixed, so the lineage stays bounded without checkpoints.
+  // Cross-engine exactness: the ENTIRE iteration runs in integer
+  // pico-units (rank mass 1.0 ≡ 10^12) — per-edge contribution
+  // r/deg, the 0.85 damping, and the teleport term are all half-up
+  // integer divisions over positive longs ((2a+b) div (2b) — the
+  // txt_lm_perplexity trick), sums are long sums, and the only
+  // floating-point op is the final output division. Both engines
+  // walk bit-identical rank sequences, so the oracle replays all 3
+  // iterations as CTEs. (ROUND(double, 12) is NOT cross-engine-safe:
+  // Spark rounds the exact binary expansion, DuckDB rounds in double
+  // arithmetic — observed 3e-12 drift; integer units dodge the whole
+  // class.) Isolated parts (never co-purchased) are outside the
+  // graph by construction; every node has deg ≥ 1 (no dangling-mass
+  // term).
+  private val prIters = 3
+  private val prUnit = 1000000000000L // pico-units: 1.0 rank mass
+
+  private def ftItemPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(deg, Seq("src")).persist()
+    val n = edgesD.select(col("src").as("node")).distinct()
+      .agg(count(lit(1)).as("n"))
+    // r0 = 1/N, tp = 0.15/N, both half-up in pico-units
+    val init = edgesD.select(col("src").as("node")).distinct()
+      .crossJoin(broadcast(n))
+      .select(col("node"),
+        expr(s"(2 * ${prUnit}L + n) div (2 * n)").as("r"),
+        expr(s"(2 * ${prUnit / 100 * 15}L + n) div (2 * n)").as("tp"))
+    val ranks = (1 to prIters).foldLeft(init) { (prev, _) =>
+      edgesD
+        .join(prev.select(col("node").as("src"), col("r")), Seq("src"))
+        .withColumn("c", expr("(2 * r + deg) div (2 * deg)"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+        .join(init.select("node", "tp"), Seq("node"))
+        .select(col("node"),
+          (col("tp") + expr("(2 * 85 * s + 100) div 200")).as("r"),
+          col("tp"))
+    }
+    val out = ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+      .orderBy(col("r").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("p_partkey"), col("deg").as("degree"),
+        (col("r").cast("double") / lit(prUnit.toDouble)).as("pagerank"))
+    edgesD.unpersist()
+    out
+  }
+
+  private val ftItemPagerankSql = {
+    def iter(k: Int) =
+      s"""c$k AS (
+        |  SELECT e.dst AS node, SUM((2 * r.r + e.deg) // (2 * e.deg)) AS s
+        |  FROM edges e JOIN r${k - 1} r ON e.src = r.node GROUP BY 1),
+        |r$k AS (
+        |  SELECT c.node, i.tp + ((2 * 85 * c.s + 100) // 200) AS r
+        |  FROM c$k c JOIN r0 i ON c.node = i.node)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2),
+      |degs AS (SELECT src, COUNT(*) AS deg FROM pairs GROUP BY 1),
+      |edges AS (SELECT p.src, p.dst, d.deg FROM pairs p
+      |  JOIN degs d ON p.src = d.src),
+      |nn AS (SELECT COUNT(DISTINCT src) AS n FROM pairs),
+      |r0 AS (
+      |  SELECT src AS node,
+      |    (2 * ${prUnit} + n) // (2 * n) AS r,
+      |    (2 * ${prUnit / 100 * 15} + n) // (2 * n) AS tp
+      |  FROM (SELECT DISTINCT src FROM pairs) s CROSS JOIN nn),
+      |${(1 to prIters).map(iter).mkString(",\n")}
+      |SELECT r.node AS p_partkey, d.deg AS degree,
+      |  CAST(r.r AS DOUBLE) / ${prUnit}.0 AS pagerank
+      |FROM r$prIters r JOIN degs d ON r.node = d.src
+      |ORDER BY r.r DESC, r.node LIMIT 20""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("ft_rolling_24h", ftRolling, Some(ftRollingSql)),
     Op("ft_daily_ffill", ftDailyFfill, Some(ftDailyFfillSql)),
@@ -411,5 +507,6 @@ object FeatureOps extends Suite {
     Op("ft_scaler", ftScaler, Some(ftScalerSql)),
     Op("ft_cooccurrence", ftCooccurrence, Some(ftCooccurrenceSql)),
     Op("ft_rfm", ftRfm, Some(ftRfmSql)),
+    Op("ft_item_pagerank", ftItemPagerank, Some(ftItemPagerankSql)),
   )
 }

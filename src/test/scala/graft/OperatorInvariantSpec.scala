@@ -628,6 +628,20 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(lsh >= 0.5, s"lsh recall@5 collapsed: $lsh")
   }
 
+  test("ft_item_pagerank ranks are a probability-like descending top-20") {
+    val rows = run("ft_item_pagerank")
+      .select("p_partkey", "degree", "pagerank").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val pr = rows.map(_.getDouble(2))
+    assert(pr.forall(p => p > 0.0 && p < 1.0), "ranks in (0,1)")
+    assert(pr.zip(pr.tail).forall { case (a, b) => a >= b },
+      "output ordered by rank desc")
+    // rank mass is conserved up to per-node rounding: the full frame
+    // sums to ~1.0; the top-20 alone must stay strictly below that
+    assert(pr.sum < 1.0, "top-20 mass below total")
+    assert(rows.map(_.getLong(1)).forall(_ >= 1L), "degrees >= 1")
+  }
+
   test("sim_recall_report agrees with a hand-computed lsh recall") {
     val exact = run("sim_topk_exact").select("q_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
