@@ -431,6 +431,15 @@ object FeatureOps extends Suite {
   private val prUnit = 1000000000000L // pico-units: 1.0 rank mass
 
   private def ftItemPagerank(spark: SparkSession, dir: String): DataFrame = {
+    // every round ends in an eager RELIABLE checkpoint (the
+    // sim_kmeans / pipe_dup_clusters pattern): the unrolled 3-round
+    // lineage would otherwise re-embed the edge-building subtree
+    // combinatorially (91 planned shuffles), and directory-backed
+    // files survive executor loss where a cache would not. Point
+    // setCheckpointDir at durable storage on a real cluster.
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
@@ -439,7 +448,7 @@ object FeatureOps extends Suite {
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesD = edges.join(deg, Seq("src")).persist()
+    val edgesD = edges.join(deg, Seq("src")).checkpoint()
     val n = edgesD.select(col("src").as("node")).distinct()
       .agg(count(lit(1)).as("n"))
     // r0 = 1/N, tp = 0.15/N, both half-up in pico-units
@@ -448,24 +457,26 @@ object FeatureOps extends Suite {
       .select(col("node"),
         expr(s"(2 * ${prUnit}L + n) div (2 * n)").as("r"),
         expr(s"(2 * ${prUnit / 100 * 15}L + n) div (2 * n)").as("tp"))
+      .checkpoint()
     val ranks = (1 to prIters).foldLeft(init) { (prev, _) =>
       edgesD
         .join(prev.select(col("node").as("src"), col("r")), Seq("src"))
         .withColumn("c", expr("(2 * r + deg) div (2 * deg)"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("s"))
-        .join(init.select("node", "tp"), Seq("node"))
+        .join(broadcast(init.select("node", "tp")), Seq("node"))
         .select(col("node"),
           (col("tp") + expr("(2 * 85 * s + 100) div 200")).as("r"),
           col("tp"))
+        .checkpoint()
     }
-    val out = ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+    ranks
+      .join(edgesD.select(col("src").as("node"), col("deg")).distinct(),
+        Seq("node"))
       .orderBy(col("r").desc, col("node"))
       .limit(20)
       .select(col("node").as("p_partkey"), col("deg").as("degree"),
         (col("r").cast("double") / lit(prUnit.toDouble)).as("pagerank"))
-    edgesD.unpersist()
-    out
   }
 
   private val ftItemPagerankSql = {

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -931,7 +932,99 @@ object PipelineOps extends Suite {
       |SELECT * FROM r WHERE rank_in_source <= $domainCap
       |ORDER BY doc_id""".stripMargin
 
+  // ---- pipe_dataset_card: the one-frame dataset datasheet -----------
+  // The "datasheet for datasets" summary (Gebru et al. 2021) a
+  // training run publishes next to the corpus: size facets (docs,
+  // tokens, chars, languages, sources), exact-duplicate mass, mean
+  // quality, and the token-length distribution's discrete p50/p90 —
+  // one (metric, value) frame. Plan shape: ONE multi-distinct pass
+  // over the raw table (q_profile's Expand form), ONE aggregate over
+  // the shared scored frame, and percentiles from a token-count
+  // HISTOGRAM (distinct-length-sized, bounded) via a triangle join —
+  // never an unpartitioned window or a corpus sort. All values are
+  // integer counts, exact-decimal means (quality re-quantized to its
+  // scale-7 grid), or integer rank-indexed percentiles (cum·k ≥ q·n
+  // in integers), so the frame is cross-engine bit-identical.
+  private def pipeDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val raw = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(md5(col("text"))).as("n_unique_texts"))
+    val sc = TextOps.qualityScored(spark, dir).agg(
+      count(lit(1)).as("n_scored"),
+      sum(col("n_tokens")).as("sum_tokens"),
+      sum(col("quality").cast(DecimalType(9, 7))).as("sum_q"))
+    val hist = TextOps.qualityScored(spark, dir)
+      .groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+    val cum = hist.as("a")
+      .join(broadcast(hist.as("b")), col("b.n_tokens") <= col("a.n_tokens"))
+      .groupBy(col("a.n_tokens").as("nt"))
+      .agg(sum(col("b.cnt")).as("cum"))
+    val pcts = cum.crossJoin(broadcast(sc.select(col("n_scored").as("ns"))))
+      .agg(
+        min(when(col("cum") * 2 >= col("ns"), col("nt"))).as("p50"),
+        min(when(col("cum") * 10 >= col("ns") * 9, col("nt"))).as("p90"))
+    raw.crossJoin(broadcast(sc)).crossJoin(broadcast(pcts))
+      .select(expr(
+        """stack(11,
+          |  'exact_dup_docs', cast(n_docs - n_unique_texts as double),
+          |  'mean_quality', round(cast(sum_q as double) / n_scored, 6),
+          |  'mean_tokens', round(cast(sum_tokens as double) / n_scored, 6),
+          |  'n_chars', cast(n_chars as double),
+          |  'n_docs', cast(n_docs as double),
+          |  'n_langs', cast(n_langs as double),
+          |  'n_scored_docs', cast(n_scored as double),
+          |  'n_sources', cast(n_sources as double),
+          |  'n_tokens', cast(sum_tokens as double),
+          |  'p50_tokens', cast(p50 as double),
+          |  'p90_tokens', cast(p90 as double)
+          |) as (metric, value)""".stripMargin))
+      .orderBy("metric")
+  }
+
+  private val pipeDatasetCardSql =
+    s"""WITH scored AS (${TextOps.qualityScoredSql}),
+      |raw AS (
+      |  SELECT COUNT(*) AS n_docs, SUM(n_chars) AS n_chars,
+      |    COUNT(DISTINCT lang) AS n_langs,
+      |    COUNT(DISTINCT source) AS n_sources,
+      |    COUNT(DISTINCT md5(text)) AS n_unique_texts
+      |  FROM documents),
+      |sc AS (
+      |  SELECT COUNT(*) AS n_scored, SUM(n_tokens) AS sum_tokens,
+      |    SUM(CAST(quality AS DECIMAL(9,7))) AS sum_q
+      |  FROM scored),
+      |hist AS (SELECT n_tokens, COUNT(*) AS cnt FROM scored GROUP BY 1),
+      |cum AS (
+      |  SELECT a.n_tokens AS nt, SUM(b.cnt) AS cum
+      |  FROM hist a JOIN hist b ON b.n_tokens <= a.n_tokens GROUP BY 1),
+      |pcts AS (
+      |  SELECT
+      |    MIN(CASE WHEN c.cum * 2 >= s.n_scored THEN c.nt END) AS p50,
+      |    MIN(CASE WHEN c.cum * 10 >= s.n_scored * 9 THEN c.nt END) AS p90
+      |  FROM cum c CROSS JOIN sc s)
+      |SELECT metric, value FROM (
+      |  SELECT 'exact_dup_docs' AS metric,
+      |    CAST(n_docs - n_unique_texts AS DOUBLE) AS value FROM raw
+      |  UNION ALL SELECT 'mean_quality',
+      |    ROUND(CAST(sum_q AS DOUBLE) / n_scored, 6) FROM sc
+      |  UNION ALL SELECT 'mean_tokens',
+      |    ROUND(CAST(sum_tokens AS DOUBLE) / n_scored, 6) FROM sc
+      |  UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM raw
+      |  UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM raw
+      |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM raw
+      |  UNION ALL SELECT 'n_scored_docs', CAST(n_scored AS DOUBLE) FROM sc
+      |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM raw
+      |  UNION ALL SELECT 'n_tokens', CAST(sum_tokens AS DOUBLE) FROM sc
+      |  UNION ALL SELECT 'p50_tokens', CAST(p50 AS DOUBLE) FROM pcts
+      |  UNION ALL SELECT 'p90_tokens', CAST(p90 AS DOUBLE) FROM pcts
+      |) u ORDER BY metric""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("pipe_dataset_card", pipeDatasetCard, Some(pipeDatasetCardSql)),
     Op("pipe_curate", pipeCurate, Some(pipeCurateSql)),
     Op("pipe_domain_cap", pipeDomainCap, Some(pipeDomainCapSql)),
     Op("pipe_mix_report", pipeMixReport, Some(pipeMixReportSql)),

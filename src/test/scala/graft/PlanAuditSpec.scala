@@ -303,7 +303,16 @@ class PlanAuditSpec extends SparkSpec {
       "ev_conversion_lag" -> 3,
       // map-only score (source carried, no join) + per-source ranking
       // window + sort
-      "pipe_domain_cap" -> 2)
+      "pipe_domain_cap" -> 2,
+      // three independent aggregate passes (raw multi-distinct Expand,
+      // scored totals, token histogram) + bounded histogram cum-agg +
+      // stacked output sort — no corpus-sized window anywhere
+      "pipe_dataset_card" -> 7,
+      // a composite that EMBEDS four full query plans (exact + three
+      // ANN paths, each audited on its own) plus three query-set-sized
+      // semi-join/agg blocks; the count is the sum of its parts, not a
+      // new shuffle introduced by the report itself
+      "sim_recall_report" -> 25)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
