@@ -691,6 +691,74 @@ object DedupOps extends Suite {
       |    >= $containTau
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- dedup_semantic: SemDeDup within-cluster embedding dedup ------
+  // SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+  // web-scale through semantic deduplication", 2023): cluster the
+  // corpus embeddings with k-means, then compare pairs ONLY inside
+  // each cluster — semantic near-duplicates (paraphrases, templated
+  // rewrites) land in the same cluster, so the quadratic pair work is
+  // bounded per cluster instead of corpus-global. Candidates here
+  // come from the TRAINED codebook (sim_kmeans' checkpointed
+  // assignment — the hash-verified training loop), unlike
+  // dedup_embedding's hyperplane LSH: LSH catches high-cosine pairs,
+  // SemDeDup's clusters catch the lower-τ semantic band LSH's p₁/p₂
+  // gap can't separate. Emits (cluster, a_id, b_id, cosine ≥ τ)
+  // pairs; the keeper convention is min vec_id, like dedup_exact.
+  // Scale: the paper runs k ≈ √n (100k clusters at web scale), so
+  // per-cluster membership — and the per-cluster pair fan-out — stays
+  // bounded as the corpus grows; the self-join shuffles narrow
+  // (id, cluster, dq) rows on the cluster key, and a hot cluster is
+  // exactly the skewed partition AQE splits. Vectors are dec_quant'd
+  // once scan-side; the pair loop runs only dec_dot's long multiplies.
+  // The oracle replays the FULL pipeline — k-means training via the
+  // shared CTE chain, then within-cluster exact-decimal cosines — so
+  // the hash gate verifies codebook, membership, and pair set end to
+  // end.
+  private val semTau = 0.3
+
+  private def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val m = SimilarityOps.kmeansTrain(spark, dir, SimilarityOps.kmIters)
+      .select(col("vec_id"), col("dq"), col("cluster"))
+      .withColumn("norm",
+        graft.functions.VectorMath.dotQ(col("dq"), col("dq")))
+    m.as("a").join(m.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", graft.functions.VectorMath.cosineQ(
+        col("a.dq"), col("b.dq"), col("a.norm"), col("b.norm")))
+      .filter(col("cosine") >= semTau)
+      .select(col("a.cluster").as("cluster"), col("a.vec_id").as("a_id"),
+        col("b.vec_id").as("b_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("cluster", "a_id", "b_id")
+  }
+
+  private val dedupSemanticSql: String = {
+    val fin = s"assign${SimilarityOps.kmIters}"
+    s"""WITH ${SimilarityOps.kmCtes},
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(d * d) AS DOUBLE) AS norm
+      |  FROM terms GROUP BY vec_id),
+      |cand AS (
+      |  SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM $fin a JOIN $fin b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+      |dots AS (
+      |  SELECT c.cluster, c.a_id, c.b_id,
+      |    CAST(SUM(ta.d * tb.d) AS DOUBLE) AS dot
+      |  FROM cand c
+      |  JOIN terms ta ON ta.vec_id = c.a_id
+      |  JOIN terms tb ON tb.vec_id = c.b_id AND tb.i = ta.i
+      |  GROUP BY 1, 2, 3)
+      |SELECT cluster, a_id, b_id, ROUND(cosine, 6) AS cosine FROM (
+      |  SELECT d.cluster, d.a_id, d.b_id,
+      |    d.dot / (sqrt(na.norm) * sqrt(nb.norm)) AS cosine
+      |  FROM dots d
+      |  JOIN norms na ON d.a_id = na.vec_id
+      |  JOIN norms nb ON d.b_id = nb.vec_id) t
+      |WHERE cosine >= $semTau
+      |ORDER BY cluster, a_id, b_id""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
@@ -704,5 +772,6 @@ object DedupOps extends Suite {
     Op("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     Op("dedup_substring_scrub", dedupSubstringScrub,
       Some(dedupSubstringScrubSql)),
+    Op("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
   )
 }

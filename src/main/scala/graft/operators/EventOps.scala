@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -658,6 +658,95 @@ object EventOps extends Suite {
       .orderBy("user_id")
   }
 
+  // ---- ev_ab_test: deterministic-split experiment readout -----------
+  // Two-sample experiment analysis over the event stream: users split
+  // into arms by a deterministic hash (user_id % 2 — every engine and
+  // every re-run lands a user in the same arm), per event_type the
+  // arms' mean `value` is compared with a Welch z statistic
+  // z = (mA − mB) / sqrt(varA/nA + varB/nB). The A/B readout is the
+  // other half of the experimentation story next to ev_anomaly's
+  // time-series alerting.
+  // Cross-engine determinism: value quantizes to exact centi-units
+  // (ft_scaler's contract), so per-arm n/Σx/Σx² are exact int64
+  // moments; the z expression is a fixed dag of single IEEE ops on
+  // exactly-represented integer doubles — identical bits both
+  // engines. z is scale-invariant, so it runs entirely in
+  // centi-units; means divide back by 100 for display.
+  // Scale: ONE conditional-aggregation pass (both arms' moments ride
+  // the same scan — adding an arm adds zero scans), alphabet-sized
+  // output. At 100 TB the int64 moment sums widen to DECIMAL(38,0);
+  // plan unchanged.
+  private def evAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+      .withColumn("q100",
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+    def m(a: Int, f: Column => Column, as: String): Column =
+      f(when(col("arm") === a, col("q100"))).as(as)
+    val stats = ev.groupBy("event_type").agg(
+      count(when(col("arm") === 0, lit(1))).as("n_a"),
+      m(0, sum, "s_a"),
+      sum(when(col("arm") === 0, col("q100") * col("q100"))).as("ss_a"),
+      count(when(col("arm") === 1, lit(1))).as("n_b"),
+      m(1, sum, "s_b"),
+      sum(when(col("arm") === 1, col("q100") * col("q100"))).as("ss_b"))
+    def sampleVar(n: Column, s: Column, ss: Column): Column =
+      (n * ss - s * s).cast("double") / (n * (n - 1)).cast("double")
+    stats
+      .withColumn("se", sqrt(
+        sampleVar(col("n_a"), col("s_a"), col("ss_a")) /
+          col("n_a").cast("double") +
+        sampleVar(col("n_b"), col("s_b"), col("ss_b")) /
+          col("n_b").cast("double")))
+      .withColumn("zraw",
+        (col("s_a").cast("double") / col("n_a").cast("double") -
+          col("s_b").cast("double") / col("n_b").cast("double")) / col("se"))
+      .filter(col("n_a") > 1 && col("n_b") > 1 && col("se") > 0)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("s_a").cast("double") /
+          (col("n_a") * 100).cast("double"), 6).as("mean_a"),
+        round(col("s_b").cast("double") /
+          (col("n_b") * 100).cast("double"), 6).as("mean_b"),
+        round(col("zraw"), 6).as("z"),
+        (abs(col("zraw")) >= 1.96).cast("int").as("significant"))
+      .orderBy("event_type")
+  }
+
+  private val evAbTestSql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS q100
+      |  FROM events),
+      |stats AS (
+      |  SELECT event_type,
+      |    COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+      |    SUM(CASE WHEN arm = 0 THEN q100 END) AS s_a,
+      |    SUM(CASE WHEN arm = 0 THEN q100 * q100 END) AS ss_a,
+      |    COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+      |    SUM(CASE WHEN arm = 1 THEN q100 END) AS s_b,
+      |    SUM(CASE WHEN arm = 1 THEN q100 * q100 END) AS ss_b
+      |  FROM ev GROUP BY 1),
+      |z AS (
+      |  SELECT *,
+      |    sqrt(CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
+      |        / CAST(n_a * (n_a - 1) AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |      + CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
+      |        / CAST(n_b * (n_b - 1) AS DOUBLE) / CAST(n_b AS DOUBLE)) AS se
+      |  FROM stats),
+      |zz AS (
+      |  SELECT *,
+      |    (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |      - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / se AS zraw
+      |  FROM z)
+      |SELECT event_type, n_a, n_b,
+      |  ROUND(CAST(s_a AS DOUBLE) / CAST(n_a * 100 AS DOUBLE), 6) AS mean_a,
+      |  ROUND(CAST(s_b AS DOUBLE) / CAST(n_b * 100 AS DOUBLE), 6) AS mean_b,
+      |  ROUND(zraw, 6) AS z,
+      |  CAST(abs(zraw) >= 1.96 AS INT) AS significant
+      |FROM zz
+      |WHERE n_a > 1 AND n_b > 1 AND se > 0
+      |ORDER BY event_type""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
@@ -675,5 +764,6 @@ object EventOps extends Suite {
     Op("ev_dau_wau", evDauWau, Some(evDauWauSql)),
     Op("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
     Op("ev_count_min", evCountMin, None),
+    Op("ev_ab_test", evAbTest, Some(evAbTestSql)),
   )
 }

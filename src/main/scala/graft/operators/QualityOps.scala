@@ -100,7 +100,89 @@ object QualityOps extends Suite {
       |  CAST(n_violations = 0 AS INT) AS ok
       |FROM r ORDER BY "check"""".stripMargin
 
+  // ---- dq_drift: PSI distribution drift between batches -------------
+  // Population-Stability-Index drift report between a baseline and a
+  // current time slice of the event stream — the "did the input
+  // distribution move under my model/pipeline" check that gates a
+  // retrain or pages an operator (the batch complement of
+  // ev_anomaly's per-hour spike detection; industry convention:
+  // PSI < 0.1 stable, ≥ 0.1 drifting). Per event_type, `value` is
+  // histogrammed into fixed-width bins over BOTH slices, bin shares
+  // are Laplace-smoothed (+1 per observed bin, so an empty side never
+  // divides by zero or ln(0)), and
+  // PSI = Σ_bins (p_cur − p_base) · ln(p_cur / p_base).
+  // Cross-engine determinism: all counts are exact integers; each
+  // bin's ln ratio is quantized once to 6 decimals (txt_tfidf's
+  // ln-quantization contract); per-bin terms land in DECIMAL(18,12)
+  // so the cross-bin sum is exact and order-independent; the drifted
+  // flag cuts on the ROUND(…, 6) value both engines share.
+  // Scale: one conditional-count pass to alphabet×bin cells (both
+  // slices ride the same scan), a broadcast-size per-type stats
+  // frame joins back, and the PSI sum is over ~dozens of rows —
+  // nothing here grows with the corpus except the first map-side-
+  // combined aggregation.
+  private val driftSplit = "2024-01-16 00:00:00"
+  private val driftBinWidth = 50
+
+  private def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("ts") < lit(driftSplit).cast("timestamp")).as("is_base"),
+        floor(col("value") / driftBinWidth).cast("long").as("bucket"))
+    val cells = ev.groupBy("event_type", "bucket")
+      .agg(count(when(col("is_base"), lit(1))).as("cb"),
+        count(when(!col("is_base"), lit(1))).as("cc"))
+    val stats = cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("cb")).as("nb"), sum(col("cc")).as("nc"))
+    val psi = cells.join(broadcast(stats), Seq("event_type"))
+      .withColumn("pb", (col("cb") + 1).cast("double") /
+        (col("nb") + col("n_bins")).cast("double"))
+      .withColumn("pc", (col("cc") + 1).cast("double") /
+        (col("nc") + col("n_bins")).cast("double"))
+      .withColumn("term", ((col("pc") - col("pb")) *
+        round(log(col("pc") / col("pb")), 6))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+      .groupBy("event_type").agg(sum(col("term")).as("psum"))
+    stats.join(psi, Seq("event_type"))
+      .select(col("event_type"), col("nb").as("n_base"),
+        col("nc").as("n_cur"), col("n_bins"),
+        round(col("psum").cast("double"), 6).as("psi"))
+      .withColumn("drifted", (col("psi") >= 0.1).cast("int"))
+      .orderBy("event_type")
+  }
+
+  private val dqDriftSql =
+    s"""WITH ev AS (
+      |  SELECT event_type, (ts < TIMESTAMP '$driftSplit') AS is_base,
+      |    CAST(floor(value / $driftBinWidth) AS BIGINT) AS bucket
+      |  FROM events),
+      |cells AS (
+      |  SELECT event_type, bucket,
+      |    COUNT(CASE WHEN is_base THEN 1 END) AS cb,
+      |    COUNT(CASE WHEN NOT is_base THEN 1 END) AS cc
+      |  FROM ev GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bins,
+      |    CAST(SUM(cb) AS BIGINT) AS nb, CAST(SUM(cc) AS BIGINT) AS nc
+      |  FROM cells GROUP BY 1),
+      |terms AS (
+      |  SELECT event_type,
+      |    CAST((pc - pb) * ROUND(ln(pc / pb), 6) AS DECIMAL(18,12)) AS term
+      |  FROM (
+      |    SELECT c.event_type,
+      |      CAST(c.cb + 1 AS DOUBLE) / CAST(s.nb + s.n_bins AS DOUBLE) AS pb,
+      |      CAST(c.cc + 1 AS DOUBLE) / CAST(s.nc + s.n_bins AS DOUBLE) AS pc
+      |    FROM cells c JOIN stats s USING (event_type)) x),
+      |psi AS (SELECT event_type, SUM(term) AS psum FROM terms GROUP BY 1)
+      |SELECT s.event_type, s.nb AS n_base, s.nc AS n_cur, s.n_bins,
+      |  ROUND(CAST(p.psum AS DOUBLE), 6) AS psi,
+      |  CAST(ROUND(CAST(p.psum AS DOUBLE), 6) >= 0.1 AS INT) AS drifted
+      |FROM stats s JOIN psi p USING (event_type)
+      |ORDER BY s.event_type""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("dq_checks", dqChecks, Some(dqChecksSql)),
+    Op("dq_drift", dqDrift, Some(dqDriftSql)),
   )
 }

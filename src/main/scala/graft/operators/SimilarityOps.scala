@@ -462,7 +462,7 @@ object SimilarityOps extends Suite {
   // concentrates on the driver. This is the same round shape MLlib's
   // distributed k-means runs at petabyte scale.
   private val kmK = 8
-  private val kmIters = 3
+  private[operators] val kmIters = 3
 
   private def simKmeans(spark: SparkSession, dir: String): DataFrame =
     kmeansStats(spark, dir, kmIters)
@@ -581,7 +581,7 @@ object SimilarityOps extends Suite {
     * assign1..assign{kmIters}, plus sums$kmIters (the trained means
     * the IVF probe needs). Shared by the kmeans and trained-IVF
     * oracles. */
-  private val kmCtes: String = {
+  private[operators] val kmCtes: String = {
     val iters = (1 to kmIters).map { r =>
       val assign =
         s"""assign$r AS (

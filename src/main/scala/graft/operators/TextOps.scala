@@ -705,6 +705,65 @@ object TextOps extends Suite {
       |FROM s WHERE rank <= $tfidfK
       |ORDER BY doc_id, rank""".stripMargin
 
+  // ---- txt_entropy: token Shannon entropy quality signal ------------
+  // Per-doc token-distribution entropy H = ln(n) − (1/n)·Σ c·ln(c)
+  // (Shannon 1948) plus the normalized efficiency H / ln(types) —
+  // the information-density quality signal: near-zero entropy means
+  // a doc is one token stamped repeatedly (spam/boilerplate), high
+  // efficiency means tokens are spread evenly. Complements
+  // txt_repetition's top-token fractions with a single
+  // whole-distribution number.
+  // Cross-engine exactness (txt_tfidf's ln-quantization contract):
+  // ln(c) is quantized ONCE per count value to scale-6 decimal, so
+  // Σ c·lnq(c) is an exact decimal sum (order-independent); the final
+  // H assembles from one division and one subtraction on identical
+  // doubles. Scale: explode + one (doc_id, tok) count agg + one
+  // doc_id agg riding the same partitioning — the standard two-level
+  // token aggregation, map-side combined, nothing quadratic.
+  private def txtEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+    tf.groupBy("doc_id", "lang")
+      .agg(sum(col("c")).as("n_toks"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum((col("c").cast(DecimalType(18, 6)) *
+          round(log(col("c").cast("double")), 6).cast(DecimalType(18, 6)))
+          .cast(DecimalType(18, 6))).as("s"))
+      .withColumn("entropy",
+        round(round(log(col("n_toks").cast("double")), 6) -
+          col("s").cast("double") / col("n_toks").cast("double"), 6))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("n_types"),
+        col("entropy"),
+        when(col("n_types") > 1,
+          round(col("entropy") /
+            round(log(col("n_types").cast("double")), 6), 6))
+          .as("efficiency"))
+      .orderBy("doc_id")
+  }
+
+  private val txtEntropySql =
+    s"""WITH tf AS (
+      |  SELECT doc_id, lang, tok, COUNT(*) AS c
+      |  FROM (SELECT doc_id, lang, unnest(${Tok.toksSql}) AS tok
+      |        FROM documents) u
+      |  GROUP BY 1, 2, 3),
+      |agg AS (
+      |  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_toks,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    SUM(CAST(CAST(c AS DECIMAL(18,6))
+      |      * CAST(ROUND(ln(c), 6) AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS s
+      |  FROM tf GROUP BY 1, 2),
+      |ent AS (
+      |  SELECT doc_id, lang, n_toks, n_types,
+      |    ROUND(ROUND(ln(n_toks), 6)
+      |      - CAST(s AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS entropy
+      |  FROM agg)
+      |SELECT doc_id, lang, n_toks, n_types, entropy,
+      |  CASE WHEN n_types > 1
+      |    THEN ROUND(entropy / ROUND(ln(n_types), 6), 6) END AS efficiency
+      |FROM ent ORDER BY doc_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -718,5 +777,6 @@ object TextOps extends Suite {
     Op("txt_lm_perplexity", txtLmPerplexity, Some(txtLmPerplexitySql)),
     Op("txt_line_dedup", txtLineDedup, Some(txtLineDedupSql)),
     Op("txt_tfidf", txtTfidf, Some(txtTfidfSql)),
+    Op("txt_entropy", txtEntropy, Some(txtEntropySql)),
   )
 }
