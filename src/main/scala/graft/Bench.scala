@@ -76,7 +76,18 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$raw,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$raw,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's artifact keeps only a tail of stdout, which has
+    // truncated per-query timings out of past rounds' records — also
+    // write the full JSON to a file the round snapshot commits, so
+    // regressions stay diagnosable from git history alone
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_latest.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_latest.json: $e") }
     spark.stop()
     // a failed query is visible in "errors" AND in the exit code, but
     // only after the full artifact is printed

@@ -367,7 +367,11 @@ object DedupOps extends Suite {
     * plane literals and the same left-fold double accumulation, so
     * the candidate set is bit-identical to hyperplane_buckets. The
     * CTE chain (through `emb_pairs`) is shared with the sweep oracle. */
-  private val embPairsCtes: String = {
+  /** planes→sgn→keys: the oracle-side replay of hyperplane_buckets
+    * (same dyadic integer plane weights, same left-fold double dot) —
+    * shared by the embedding-pair chain and dedup_semantic's
+    * within-cluster blocking. */
+  private val hyperKeysCtes: String = {
     val planeRows = (0 until HB.TABLES * HB.PLANES).map { tp =>
       s"(${tp / HB.PLANES},${tp % HB.PLANES},[${HB.weights(tp).mkString(",")}])"
     }.mkString(",\n")
@@ -382,7 +386,11 @@ object DedupOps extends Suite {
       |  FROM embeddings e, planes pl),
       |keys AS (
       |  SELECT vec_id, t, SUM(bit * (1 << (${HB.PLANES} - 1 - p))) AS key
-      |  FROM sgn GROUP BY vec_id, t),
+      |  FROM sgn GROUP BY vec_id, t)""".stripMargin
+  }
+
+  private val embPairsCtes: String = {
+    s"""$hyperKeysCtes,
       |cand AS (
       |  SELECT DISTINCT ea.vec_id AS a_id, eb.vec_id AS b_id
       |  FROM keys ka JOIN keys kb ON ka.t = kb.t AND ka.key = kb.key
@@ -696,52 +704,83 @@ object DedupOps extends Suite {
   // web-scale through semantic deduplication", 2023): cluster the
   // corpus embeddings with k-means, then compare pairs ONLY inside
   // each cluster — semantic near-duplicates (paraphrases, templated
-  // rewrites) land in the same cluster, so the quadratic pair work is
-  // bounded per cluster instead of corpus-global. Candidates here
-  // come from the TRAINED codebook (sim_kmeans' checkpointed
-  // assignment — the hash-verified training loop), unlike
-  // dedup_embedding's hyperplane LSH: LSH catches high-cosine pairs,
-  // SemDeDup's clusters catch the lower-τ semantic band LSH's p₁/p₂
-  // gap can't separate. Emits (cluster, a_id, b_id, cosine ≥ τ)
-  // pairs; the keeper convention is min vec_id, like dedup_exact.
-  // Scale: the paper runs k ≈ √n (100k clusters at web scale), so
-  // per-cluster membership — and the per-cluster pair fan-out — stays
-  // bounded as the corpus grows; the self-join shuffles narrow
-  // (id, cluster, dq) rows on the cluster key, and a hot cluster is
-  // exactly the skewed partition AQE splits. Vectors are dec_quant'd
-  // once scan-side; the pair loop runs only dec_dot's long multiplies.
-  // The oracle replays the FULL pipeline — k-means training via the
-  // shared CTE chain, then within-cluster exact-decimal cosines — so
-  // the hash gate verifies codebook, membership, and pair set end to
-  // end.
-  private val semTau = 0.3
+  // rewrites) land in the same cluster. Candidates come from the
+  // TRAINED codebook (sim_kmeans' checkpointed assignment — the
+  // hash-verified training loop) with dedup_embedding's 24×6-bit
+  // hyperplane LSH as the SECONDARY blocking key: the pair join is
+  // keyed on (cluster, tbl, key), never on bare cluster, so the
+  // within-cluster pair fan-out stays near-linear even though the
+  // codebook is a fixed kmK=8 (a bare-cluster self-join would be
+  // Θ(n²/k) — quadratic in corpus size; at SemDeDup's own scale the
+  // paper instead runs k ≈ √n ≈ 100k clusters, which this fixed-k
+  // demonstration codebook does not). Survivors get the exact
+  // decimal cosine. The dup DECISION follows the paper's band:
+  // is_dup cuts at τ = 0.9 (SemDeDup operates at high cosine —
+  // ~0.9+; this synthetic table's densest pairs sit at 0.40-0.51,
+  // so is_dup is honestly rare here); pairs down to the 0.3
+  // similarity floor are reported as the ranked within-cluster
+  // semantic-similarity band a curation team reads to pin τ. The
+  // keeper convention for is_dup pairs is min vec_id, like
+  // dedup_exact.
+  // Scale: bucket rows are narrow (vec_id, cluster, tbl, key) — the
+  // vector never rides the candidate shuffle; a hot (cluster,
+  // bucket) cell is exactly the skewed partition AQE splits.
+  // Vectors are dec_quant'd once scan-side; the pair loop runs only
+  // dec_dot's long multiplies. The oracle replays the FULL pipeline
+  // — k-means training via the shared CTE chain, the hyperplane
+  // keys via the shared planes→keys chain, then within-cluster
+  // exact-decimal cosines — so the hash gate verifies codebook,
+  // membership, blocking, and pair set end to end.
+  private val semTau = 0.9 // SemDeDup dup-decision band
+  private val semBand = 0.3 // reported similarity floor
 
   private def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     val m = SimilarityOps.kmeansTrain(spark, dir, SimilarityOps.kmIters)
       .select(col("vec_id"), col("dq"), col("cluster"))
       .withColumn("norm",
         graft.functions.VectorMath.dotQ(col("dq"), col("dq")))
-    m.as("a").join(m.as("b"),
-        col("a.cluster") === col("b.cluster") &&
-          col("a.vec_id") < col("b.vec_id"))
+    // narrow blocking rows: cluster from the trained assignment,
+    // (tbl, key) from the shared hyperplane LSH expression
+    val keyed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(expr("hyperplane_buckets(embedding)")).as(Seq("tbl", "key")))
+      .join(m.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.tbl") === col("y.tbl") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.cluster").as("cluster"), col("x.vec_id").as("a_id"),
+        col("y.vec_id").as("b_id"))
+      .distinct()
+    cand
+      .join(m.select(col("vec_id").as("a_id"), col("dq").as("adq"),
+        col("norm").as("an")), Seq("a_id"))
+      .join(m.select(col("vec_id").as("b_id"), col("dq").as("bdq"),
+        col("norm").as("bn")), Seq("b_id"))
       .withColumn("cosine", graft.functions.VectorMath.cosineQ(
-        col("a.dq"), col("b.dq"), col("a.norm"), col("b.norm")))
-      .filter(col("cosine") >= semTau)
-      .select(col("a.cluster").as("cluster"), col("a.vec_id").as("a_id"),
-        col("b.vec_id").as("b_id"), round(col("cosine"), 6).as("cosine"))
+        col("adq"), col("bdq"), col("an"), col("bn")))
+      .filter(col("cosine") >= semBand)
+      .select(col("cluster"), col("a_id"), col("b_id"),
+        round(col("cosine"), 6).as("cosine"),
+        (col("cosine") >= semTau).cast("int").as("is_dup"))
       .orderBy("cluster", "a_id", "b_id")
   }
 
   private val dedupSemanticSql: String = {
     val fin = s"assign${SimilarityOps.kmIters}"
     s"""WITH ${SimilarityOps.kmCtes},
+      |$hyperKeysCtes,
       |norms AS (
       |  SELECT vec_id, CAST(SUM(d * d) AS DOUBLE) AS norm
       |  FROM terms GROUP BY vec_id),
+      |blocked AS (
+      |  SELECT k.vec_id, a.cluster, k.t, k.key
+      |  FROM keys k JOIN $fin a USING (vec_id)),
       |cand AS (
-      |  SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id
-      |  FROM $fin a JOIN $fin b
-      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+      |  SELECT DISTINCT x.cluster, x.vec_id AS a_id, y.vec_id AS b_id
+      |  FROM blocked x JOIN blocked y
+      |    ON x.cluster = y.cluster AND x.t = y.t AND x.key = y.key
+      |    AND x.vec_id < y.vec_id),
       |dots AS (
       |  SELECT c.cluster, c.a_id, c.b_id,
       |    CAST(SUM(ta.d * tb.d) AS DOUBLE) AS dot
@@ -749,13 +788,15 @@ object DedupOps extends Suite {
       |  JOIN terms ta ON ta.vec_id = c.a_id
       |  JOIN terms tb ON tb.vec_id = c.b_id AND tb.i = ta.i
       |  GROUP BY 1, 2, 3)
-      |SELECT cluster, a_id, b_id, ROUND(cosine, 6) AS cosine FROM (
+      |SELECT cluster, a_id, b_id, ROUND(cosine, 6) AS cosine,
+      |  CAST(cosine >= $semTau AS INT) AS is_dup
+      |FROM (
       |  SELECT d.cluster, d.a_id, d.b_id,
       |    d.dot / (sqrt(na.norm) * sqrt(nb.norm)) AS cosine
       |  FROM dots d
       |  JOIN norms na ON d.a_id = na.vec_id
       |  JOIN norms nb ON d.b_id = nb.vec_id) t
-      |WHERE cosine >= $semTau
+      |WHERE cosine >= $semBand
       |ORDER BY cluster, a_id, b_id""".stripMargin
   }
 

@@ -674,7 +674,9 @@ object EventOps extends Suite {
   // centi-units; means divide back by 100 for display.
   // Scale: ONE conditional-aggregation pass (both arms' moments ride
   // the same scan — adding an arm adds zero scans), alphabet-sized
-  // output. At 100 TB the int64 moment sums widen to DECIMAL(38,0);
+  // output. The variance's n·ss − s² cross terms are formed in
+  // DECIMAL(38,0) (int64 would overflow near 10^7 rows/arm); at
+  // 100 TB the moment SUMs themselves widen to DECIMAL(38,0) too —
   // plan unchanged.
   private def evAbTest(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -690,8 +692,14 @@ object EventOps extends Suite {
       count(when(col("arm") === 1, lit(1))).as("n_b"),
       m(1, sum, "s_b"),
       sum(when(col("arm") === 1, col("q100") * col("q100"))).as("ss_b"))
-    def sampleVar(n: Column, s: Column, ss: Column): Column =
-      (n * ss - s * s).cast("double") / (n * (n - 1)).cast("double")
+    // n·ss and s² leave int64 around 10^6-10^7 rows per arm (q100 up
+    // to ~5.6e4): form the difference in DECIMAL(38,0) — exact, like
+    // DuckDB's int128 — and only the final quotient goes double
+    def sampleVar(n: Column, s: Column, ss: Column): Column = {
+      val d = DecimalType(38, 0)
+      (n.cast(d) * ss.cast(d) - s.cast(d) * s.cast(d)).cast("double") /
+        (n * (n - 1)).cast("double")
+    }
     stats
       .withColumn("se", sqrt(
         sampleVar(col("n_a"), col("s_a"), col("ss_a")) /

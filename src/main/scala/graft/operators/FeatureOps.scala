@@ -221,8 +221,8 @@ object FeatureOps extends Suite {
     val o = Tables.orders(spark, dir)
       .withColumn("q", col("o_totalprice").cast(DecimalType(18, 2)))
     val seg = o.join(
-        broadcast(Tables.customer(spark, dir)
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
     val stats = seg.groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
@@ -356,8 +356,8 @@ object FeatureOps extends Suite {
       .crossJoin(broadcast(maxDate))
       .withColumn("r_days",
         datediff(col("ref_date").cast("date"), col("last_order").cast("date")))
-      .join(broadcast(Tables.customer(spark, dir)
-        .select(col("c_custkey"), col("c_mktsegment"))),
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
     def q(order: Seq[org.apache.spark.sql.Column]) = ntile(4).over(
       Window.partitionBy("c_mktsegment").orderBy(order: _*))
@@ -451,12 +451,19 @@ object FeatureOps extends Suite {
     val edgesD = edges.join(deg, Seq("src")).checkpoint()
     val n = edgesD.select(col("src").as("node")).distinct()
       .agg(count(lit(1)).as("n"))
-    // r0 = 1/N, tp = 0.15/N, both half-up in pico-units
+    // r0 = 1/N, tp = 0.15/N, both half-up in pico-units. The
+    // teleport term is the SAME constant for every node, so it rides
+    // the loop as a 1-row scalar frame — never a node-keyed
+    // (vocabulary-sized) broadcast. Every dst in the symmetric edge
+    // list is also a src, so the contribution agg already lands on
+    // exactly the node set and no join-back filter is needed.
+    val tp1 = n
+      .select(expr(s"(2 * ${prUnit / 100 * 15}L + n) div (2 * n)").as("tp"))
+      .checkpoint() // 1 row, materialized once — rounds never replay the count
     val init = edgesD.select(col("src").as("node")).distinct()
       .crossJoin(broadcast(n))
       .select(col("node"),
-        expr(s"(2 * ${prUnit}L + n) div (2 * n)").as("r"),
-        expr(s"(2 * ${prUnit / 100 * 15}L + n) div (2 * n)").as("tp"))
+        expr(s"(2 * ${prUnit}L + n) div (2 * n)").as("r"))
       .checkpoint()
     val ranks = (1 to prIters).foldLeft(init) { (prev, _) =>
       edgesD
@@ -464,10 +471,9 @@ object FeatureOps extends Suite {
         .withColumn("c", expr("(2 * r + deg) div (2 * deg)"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("s"))
-        .join(broadcast(init.select("node", "tp")), Seq("node"))
+        .crossJoin(broadcast(tp1))
         .select(col("node"),
-          (col("tp") + expr("(2 * 85 * s + 100) div 200")).as("r"),
-          col("tp"))
+          (col("tp") + expr("(2 * 85 * s + 100) div 200")).as("r"))
         .checkpoint()
     }
     ranks

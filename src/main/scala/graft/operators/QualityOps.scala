@@ -117,14 +117,16 @@ object QualityOps extends Suite {
   // so the cross-bin sum is exact and order-independent; the drifted
   // flag cuts on the ROUND(…, 6) value both engines share.
   // Scale: one conditional-count pass to alphabet×bin cells (both
-  // slices ride the same scan), a broadcast-size per-type stats
-  // frame joins back, and the PSI sum is over ~dozens of rows —
-  // nothing here grows with the corpus except the first map-side-
-  // combined aggregation.
+  // slices ride the same scan); per-type totals are a window over the
+  // SAME event_type partitioning the final PSI aggregation then
+  // reuses, so the whole post-cells chain is one shuffle — the only
+  // thing that grows with the corpus is the first map-side-combined
+  // aggregation.
   private val driftSplit = "2024-01-16 00:00:00"
   private val driftBinWidth = 50
 
   private def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
       .select(col("event_type"),
         (col("ts") < lit(driftSplit).cast("timestamp")).as("is_base"),
@@ -132,10 +134,14 @@ object QualityOps extends Suite {
     val cells = ev.groupBy("event_type", "bucket")
       .agg(count(when(col("is_base"), lit(1))).as("cb"),
         count(when(!col("is_base"), lit(1))).as("cc"))
-    val stats = cells.groupBy("event_type")
-      .agg(count(lit(1)).as("n_bins"),
-        sum(col("cb")).as("nb"), sum(col("cc")).as("nc"))
-    val psi = cells.join(broadcast(stats), Seq("event_type"))
+    // per-type totals as a window: cells is alphabet×bins-sized, and
+    // the window's hashpartitioning(event_type) is exactly what the
+    // PSI groupBy below needs — no stats frame, no joins back
+    val w = Window.partitionBy("event_type")
+    cells
+      .withColumn("n_bins", count(lit(1)).over(w))
+      .withColumn("nb", sum(col("cb")).over(w))
+      .withColumn("nc", sum(col("cc")).over(w))
       .withColumn("pb", (col("cb") + 1).cast("double") /
         (col("nb") + col("n_bins")).cast("double"))
       .withColumn("pc", (col("cc") + 1).cast("double") /
@@ -143,11 +149,11 @@ object QualityOps extends Suite {
       .withColumn("term", ((col("pc") - col("pb")) *
         round(log(col("pc") / col("pb")), 6))
         .cast(org.apache.spark.sql.types.DecimalType(18, 12)))
-      .groupBy("event_type").agg(sum(col("term")).as("psum"))
-    stats.join(psi, Seq("event_type"))
-      .select(col("event_type"), col("nb").as("n_base"),
-        col("nc").as("n_cur"), col("n_bins"),
-        round(col("psum").cast("double"), 6).as("psi"))
+      .groupBy("event_type")
+      .agg(max(col("nb")).as("n_base"), max(col("nc")).as("n_cur"),
+        max(col("n_bins")).as("n_bins"), sum(col("term")).as("psum"))
+      .select(col("event_type"), col("n_base"), col("n_cur"),
+        col("n_bins"), round(col("psum").cast("double"), 6).as("psi"))
       .withColumn("drifted", (col("psi") >= 0.1).cast("int"))
       .orderBy("event_type")
   }

@@ -71,9 +71,10 @@ object Relational extends Suite {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    // customer (filtered, dim-sized) broadcasts; lineitem⋈orders is a
-    // fact-fact shuffle join — AQE coalesces/skew-splits at runtime.
-    li.join(ord.join(broadcast(cust),
+    // customer/orders/lineitem all grow with SF: no hard hints —
+    // AQE picks broadcast from runtime sizes at small SF and degrades
+    // to shuffle joins (coalesce/skew-split) at 100×.
+    li.join(ord.join(cust,
         col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -109,11 +110,12 @@ object Relational extends Suite {
     val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    // orders and customer are fact-sized: shuffle joins (AQE handles
-    // coalesce/skew). Only true dims (supplier/nation/region) broadcast.
+    // orders/customer/supplier are SF-scaled: shuffle joins (AQE
+    // handles coalesce/skew/broadcast-at-small-SF). Only true dims
+    // (nation/region) carry hints.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -168,7 +170,7 @@ object Relational extends Suite {
     // Global top-10 via orderBy+limit = TakeOrderedAndProject (per-
     // partition partial top-k, no single-partition window shuffle);
     // row_number then runs over just the 10 surviving rows.
-    val top10 = r.join(broadcast(Tables.supplier(spark, dir)),
+    val top10 = r.join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .orderBy(desc("total_rev"), col("s_suppkey"))
       .limit(10)
@@ -331,7 +333,7 @@ object Relational extends Suite {
   // window input is customers, not orders.
   private def qNtileSpend(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_mktsegment"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
@@ -430,7 +432,7 @@ object Relational extends Suite {
   // ---- q_window_topn: top-3 parts per brand -------------------------
   private def qWindowTopn(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "l_partkey")
       .agg(sum(rev()).cast("double").as("revenue"))
@@ -500,7 +502,7 @@ object Relational extends Suite {
         year(col("l_shipdate")).cast("long").as("l_year"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nationS), col("s_nationkey") === col("sn_key"))
       .join(broadcast(nationC), col("c_nationkey") === col("cn_key"))
       .filter(col("supp_nation") =!= col("cust_nation"))
@@ -570,7 +572,7 @@ object Relational extends Suite {
     Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"),
         date_trunc("month", col("l_shipdate")).as("ship_month"))
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .groupBy("ship_month")
       .agg(
         sum(when(col("p_type").startsWith("PROMO"), rev())
@@ -719,8 +721,8 @@ object Relational extends Suite {
       .filter(col("total_qty") > bigOrderQty)
     Tables.orders(spark, dir)
       .join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)
-        .select("c_custkey", "c_name")),
+      .join(Tables.customer(spark, dir)
+        .select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
         "o_totalprice", "total_qty")
@@ -751,7 +753,7 @@ object Relational extends Suite {
     val li = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
     val pt = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
-    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
           && col("l_quantity").between(1, 20)) ||
@@ -846,10 +848,10 @@ object Relational extends Suite {
       .join(Tables.orders(spark, dir)
         .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.part(spark, dir)
-        .select("p_partkey", "p_retailprice")),
+      .join(Tables.part(spark, dir)
+        .select("p_partkey", "p_retailprice"),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
       .groupBy("n_name", "o_year")
       .agg(sum(amount).cast("double").as("profit"))
       .orderBy("n_name", "o_year")
@@ -944,7 +946,7 @@ object Relational extends Suite {
         col("p_size").isin(1, 9, 19, 29, 39, 49))
       .select("p_partkey", "p_brand", "p_type")
     Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
-      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"))
@@ -968,31 +970,44 @@ object Relational extends Suite {
   // value against the min of the set it came from, so the equality is
   // exact within and across engines.
   private def q2(spark: SparkSession, dir: String): DataFrame = {
-    val eu = Tables.supplier(spark, dir)
-      .join(broadcast(Tables.nation(spark, dir)),
-        col("s_nationkey") === col("n_nationkey"))
+    // EUROPE nation keys first (a ≤25-row true-dim frame with
+    // accurate stats); suppliers qualify via a SEMI join so the
+    // frame's size estimate stays supplier-scan-sized — an inner
+    // supplier⋈nation⋈region chain multiplied the byte estimates and
+    // forced SMJ plans downstream even at toy SF (q11's finding)
+    val euN = Tables.nation(spark, dir)
       .join(broadcast(Tables.region(spark, dir)
         .filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
-      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      .select("n_nationkey", "n_name")
+    val euKeys = Tables.supplier(spark, dir)
+      .join(broadcast(euN.select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select("s_suppkey")
     val pt = Tables.part(spark, dir)
       .filter(col("p_size") === 15).select("p_partkey", "p_type")
     // part + supplier filters land BEFORE the (partkey, suppkey) agg —
     // at 100 TB the grouped frame holds only qualifying pairs.
     val ps = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_suppkey", "l_extendedprice")
-      .join(broadcast(pt.select("p_partkey")),
+      .join(pt.select("p_partkey"),
         col("l_partkey") === col("p_partkey"), "left_semi")
-      .join(broadcast(eu.select("s_suppkey")),
+      .join(euKeys,
         col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy("l_partkey", "l_suppkey")
       .agg(min(col("l_extendedprice")).as("supply_cost"))
     val m = ps.groupBy(col("l_partkey").as("mpk"))
       .agg(min(col("supply_cost")).as("min_cost"))
+    // join-back for names runs on the min-cost survivors only;
+    // supplier/part are unhinted (AQE/size-estimates broadcast them
+    // while they fit), nation keeps the true-dim hint
     ps.join(m, col("l_partkey") === col("mpk") &&
         col("supply_cost") === col("min_cost"))
-      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(euN), col("s_nationkey") === col("n_nationkey"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_type"), col("supply_cost"))
       .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"),
@@ -1038,16 +1053,25 @@ object Relational extends Suite {
   private val q11MeanMultiple = 2.0
 
   private def q11(spark: SparkSession, dir: String): DataFrame = {
-    val regSupp = Tables.supplier(spark, dir)
-      .join(broadcast(Tables.nation(spark, dir)),
-        col("s_nationkey") === col("n_nationkey"))
+    // region-qualifying nation keys first (a ≤25-row true-dim frame
+    // with accurate stats), then a SEMI join against supplier: the
+    // semi join's size estimate stays supplier-scan-sized, so
+    // Catalyst auto-broadcasts the unhinted regSupp below while it
+    // fits and degrades to a shuffle join at 100× (an inner-join
+    // chain here blew the estimate up and forced SMJ plans even at
+    // toy SF)
+    val q11Nations = Tables.nation(spark, dir)
       .join(broadcast(Tables.region(spark, dir)
         .filter(col("r_name") === q11Region)),
         col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val regSupp = Tables.supplier(spark, dir)
+      .join(broadcast(q11Nations),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
       .select("s_suppkey")
     val v = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-      .join(broadcast(regSupp), col("l_suppkey") === col("s_suppkey"),
+      .join(regSupp, col("l_suppkey") === col("s_suppkey"),
         "left_semi")
       .groupBy("l_partkey")
       .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
@@ -1085,9 +1109,9 @@ object Relational extends Suite {
   // ---- q20: promotion-candidate suppliers (TPC-H Q20 shape) ---------
   // Nested semi-join chain: suppliers in EUROPE who shipped more than
   // a threshold quantity of any 'small…' part in 1997. The quantity
-  // cut runs on an exact decimal sum; the supplier list is bounded by
-  // the supplier table, so it broadcasts into the final semi join at
-  // any corpus scale.
+  // cut runs on an exact decimal sum; the qualifying-supplier list is
+  // SF-scaled, so the final semi join carries no hint — AQE broadcasts
+  // it while it fits and shuffles it once it doesn't.
   private val q20Qty = 50
 
   private def q20(spark: SparkSession, dir: String): DataFrame = {
@@ -1097,7 +1121,7 @@ object Relational extends Suite {
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .select("l_partkey", "l_suppkey", "l_quantity")
-      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"),
+      .join(smallParts, col("l_partkey") === col("p_partkey"),
         "left_semi")
       .groupBy("l_partkey", "l_suppkey")
       .agg(dsum(col("l_quantity")).as("ship_qty"))
@@ -1109,7 +1133,7 @@ object Relational extends Suite {
       .join(broadcast(Tables.region(spark, dir)
         .filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
-      .join(broadcast(hot), col("s_suppkey") === col("l_suppkey"),
+      .join(hot, col("s_suppkey") === col("l_suppkey"),
         "left_semi")
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
       .orderBy("s_name")
@@ -1155,8 +1179,8 @@ object Relational extends Suite {
         .filter(col("o_orderstatus") === "F").select("o_orderkey"),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
       .join(ordStats, col("l_orderkey") === col("ok"), "left_semi")
-      .join(broadcast(Tables.supplier(spark, dir)
-        .select("s_suppkey", "s_name")),
+      .join(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))
@@ -1217,8 +1241,8 @@ object Relational extends Suite {
   // against the exact discrete quantiles.
   private def qApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)
-        .select("c_custkey", "c_mktsegment")),
+      .join(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment", "o_orderpriority")
       .agg(

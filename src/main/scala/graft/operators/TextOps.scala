@@ -720,19 +720,25 @@ object TextOps extends Suite {
   // doubles. Scale: explode + one (doc_id, tok) count agg + one
   // doc_id agg riding the same partitioning — the standard two-level
   // token aggregation, map-side combined, nothing quadratic.
+  // Zero-token documents — the degenerate docs a quality report most
+  // wants to surface — stay in the output (explode_outer emits their
+  // placeholder row; counts go conditional) as n_toks=0 / n_types=0 /
+  // NULL entropy, with no extra join.
   private def txtEntropy(spark: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
-      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("lang"), explode_outer(toks).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(col("tok")).as("c"))
     tf.groupBy("doc_id", "lang")
       .agg(sum(col("c")).as("n_toks"),
-        count(lit(1)).cast("long").as("n_types"),
-        sum((col("c").cast(DecimalType(18, 6)) *
-          round(log(col("c").cast("double")), 6).cast(DecimalType(18, 6)))
-          .cast(DecimalType(18, 6))).as("s"))
+        count(when(col("c") > 0, lit(1))).cast("long").as("n_types"),
+        sum(when(col("c") > 0,
+          (col("c").cast(DecimalType(18, 6)) *
+            round(log(col("c").cast("double")), 6).cast(DecimalType(18, 6)))
+            .cast(DecimalType(18, 6)))).as("s"))
       .withColumn("entropy",
-        round(round(log(col("n_toks").cast("double")), 6) -
-          col("s").cast("double") / col("n_toks").cast("double"), 6))
+        when(col("n_toks") > 0,
+          round(round(log(col("n_toks").cast("double")), 6) -
+            col("s").cast("double") / col("n_toks").cast("double"), 6)))
       .select(col("doc_id"), col("lang"), col("n_toks"), col("n_types"),
         col("entropy"),
         when(col("n_types") > 1,
@@ -755,10 +761,13 @@ object TextOps extends Suite {
       |      * CAST(ROUND(ln(c), 6) AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS s
       |  FROM tf GROUP BY 1, 2),
       |ent AS (
-      |  SELECT doc_id, lang, n_toks, n_types,
-      |    ROUND(ROUND(ln(n_toks), 6)
-      |      - CAST(s AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS entropy
-      |  FROM agg)
+      |  SELECT d.doc_id, d.lang,
+      |    COALESCE(a.n_toks, 0) AS n_toks,
+      |    COALESCE(a.n_types, 0) AS n_types,
+      |    CASE WHEN a.n_toks > 0 THEN ROUND(ROUND(ln(a.n_toks), 6)
+      |      - CAST(a.s AS DOUBLE) / CAST(a.n_toks AS DOUBLE), 6) END
+      |      AS entropy
+      |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id)
       |SELECT doc_id, lang, n_toks, n_types, entropy,
       |  CASE WHEN n_types > 1
       |    THEN ROUND(entropy / ROUND(ln(n_types), 6), 6) END AS efficiency

@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.TableCdcEvent
+
+/** Event-bus CDC ingest — the live-socket ingest surface
+  * (/root/reference/src/pipeline_manager.rs:1 consumes a PostgreSQL
+  * logical-replication socket; the Spark-native analog for "a stream
+  * of JSON change records in commit order" is a Kafka topic read by
+  * Structured Streaming, the shape BASELINE's approach names).
+  *
+  * Both entry points converge on ONE canonical decode — a
+  * `value STRING` column of JSON change records becomes typed
+  * [[TableCdcEvent]] rows — so everything downstream
+  * ([[graft.streaming.CdcStream.mergeInto]], [[graft.streaming.CdcDemux]],
+  * the breaker/lag/alert stack) is source-agnostic:
+  *
+  *   - [[readKafka]] — `spark.readStream.format("kafka")`, the
+  *     production path. It needs the spark-sql-kafka connector on the
+  *     classpath (shipped separately from Spark core by design); this
+  *     build environment has no connector and no broker, so the spec
+  *     asserts the dispatch fails with Spark's missing-data-source
+  *     error HERE while driving the identical decode plan through the
+  *     file branch end to end.
+  *   - [[readJsonFiles]] — the file-source stand-in (also the real
+  *     "CDC records landed as files" ingest): each line of each new
+  *     file in a watched directory is one wire record. Exactly-once
+  *     replay comes from the file source's offset log + the sink
+  *     checkpoint, the same contract Kafka offsets provide.
+  *
+  * Scale: decode is MAP-ONLY (from_json inside codegen — no shuffle
+  * until the per-key dedupe that the merge itself owns); a topic's
+  * partitions map 1:1 onto Spark input partitions, so ingest
+  * parallelism is the broker's partition count, and
+  * `maxOffsetsPerTrigger` bounds a micro-batch the way the
+  * reference's buffer-seal size does. Malformed records MUST NOT
+  * poison the merge: they are routed out by [[decode]]'s validity
+  * predicate, countable via [[invalidRecords]] (the reference
+  * logs-and-skips undecodable wal entries rather than halting the
+  * slot).
+  */
+object ChangeIngest {
+
+  /** Wire schema of one JSON change record (the pgoutput-decoded
+    * message shape: relation, sequence, op, payload). */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("table", StringType),
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def parsed(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), wireSchema).as("r"))
+
+  /** A record is mergeable iff its routing key, sequence, and PK all
+    * decoded — anything less and the guarded merge cannot place it. */
+  private val valid =
+    col("r.table").isNotNull && col("r.event_id").isNotNull &&
+      col("r.ts").isNotNull && col("r.user_id").isNotNull
+
+  /** Canonical decode: `value STRING` JSON records → typed change
+    * events. Undecodable lines are dropped here (count them with
+    * [[invalidRecords]] on the same raw frame — e.g. into a metrics
+    * sink — before composing the merge). */
+  def decode(raw: DataFrame): Dataset[TableCdcEvent] = {
+    import raw.sparkSession.implicits._
+    parsed(raw).filter(valid).select(col("r.*")).as[TableCdcEvent]
+  }
+
+  /** The rejects of [[decode]] over the same raw frame: the original
+    * wire text of every record that failed to decode, for a
+    * dead-letter sink / metrics counter. */
+  def invalidRecords(raw: DataFrame): DataFrame =
+    raw.select(col("value").cast("string").as("value"),
+        from_json(col("value").cast("string"), wireSchema).as("r"))
+      .where(!valid)
+      .select("value")
+
+  /** Kafka ingest: subscribe to `topics`, decode each message value
+    * as one wire record. Requires the spark-sql-kafka connector on
+    * the classpath. `maxOffsetsPerTrigger` caps records per
+    * micro-batch (the buffer-seal bound); offsets resume from the
+    * sink checkpoint — at-least-once delivery that the targets'
+    * (ts, event_id) sequence guard makes idempotent. */
+  def readKafka(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topics: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None): Dataset[TableCdcEvent] = {
+    val reader = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+    decode(maxOffsetsPerTrigger
+      .fold(reader)(n => reader.option("maxOffsetsPerTrigger", n))
+      .load())
+  }
+
+  /** File-source ingest of the same wire format: one JSON record per
+    * line, new files picked up per micro-batch (`maxFilesPerTrigger`
+    * is the buffer-seal bound). Identical decode plan to
+    * [[readKafka]] — swapping source is a one-line change at the
+    * composition site. */
+  def readJsonFiles(
+      spark: SparkSession,
+      path: String,
+      maxFilesPerTrigger: Option[Int] = None): Dataset[TableCdcEvent] = {
+    val reader = spark.readStream
+    decode(maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .text(path))
+  }
+
+  /** Batch twin of [[readJsonFiles]] for backfill/bootstrap: same
+    * decode over a static read (CdcBootstrap's snapshot-then-stream
+    * composition reads the historical landing this way). */
+  def readJsonFilesBatch(spark: SparkSession, path: String): Dataset[TableCdcEvent] =
+    decode(spark.read.text(path))
+}

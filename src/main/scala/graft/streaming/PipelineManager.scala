@@ -67,6 +67,10 @@ class PipelineManager(spark: SparkSession) {
 
   def get(name: String): Option[Pipeline] = pipelines.get(name)
 
+  /** Names of every registered pipeline (live or dead — pair with
+    * `get(_).exists(_.query.isActive)` for liveness). */
+  def names: Set[String] = pipelines.keySet.toSet
+
   /** Per-pipeline health, every registered pipeline included. */
   def health: Map[String, Health.Report] =
     pipelines.view.mapValues(p => Health.check(p.listener, p.breaker)).toMap

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import java.sql.{Connection, DriverManager, Timestamp}
+
+/** Desired pipeline state as one config row — the reference's
+  * `pipelines` table shape (migrations/001_create_tables.sql defines
+  * sources/destinations/pipelines; src/repository/pipeline_repository.rs
+  * reads it; src/main.rs polls and spawns/stops workers to match).
+  * `source` and `target` are opaque connection descriptors the
+  * reconciler's builder resolves (a path for the file/Kafka ingest, a
+  * JDBC url + table for a warehouse target) — the registry stores and
+  * diffs config, it never interprets it. */
+final case class PipelineSpec(
+    name: String,
+    source: String,
+    target: String,
+    checkpoint: String,
+    enabled: Boolean)
+
+/** Registry-driven pipeline provisioning: desired state lives in a
+  * database table, [[reconcile]] converges the running
+  * [[PipelineManager]] to it — the reference's config-poll loop
+  * (main.rs: every cycle, read the pipelines table, start workers for
+  * new/enabled rows, stop workers whose rows are gone/disabled).
+  *
+  * The table IS the API: an operator (or a control plane) INSERTs /
+  * UPDATEs rows and the next reconcile tick picks them up — no
+  * redeploy, no driver restart. Because desired state is durable and
+  * actual state is derived, a crashed driver reconverges from the
+  * table alone on restart (the spec kills and rebuilds the manager
+  * against the same registry and observes the same pipelines come
+  * back).
+  *
+  * Same embedded-JDBC durability pattern as [[ReplicationStateStore]]
+  * (Derby in tests; any JDBC database in production). Config
+  * validation runs at [[upsert]] time — reject bad rows BEFORE they
+  * land in the table (the reference's config_validation.rs gate:
+  * fail at registration, not at spawn). */
+class PipelineRegistry(url: String, table: String = "graft_pipelines") {
+
+  private def q(c: String) = "\"" + c + "\""
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  ensureSchema()
+
+  private def ensureSchema(): Unit = withConn { c =>
+    val ddl =
+      s"""CREATE TABLE ${q(table)} (
+         |${q("name")} VARCHAR(256) PRIMARY KEY,
+         |${q("source")} VARCHAR(1024) NOT NULL,
+         |${q("target")} VARCHAR(1024) NOT NULL,
+         |${q("checkpoint")} VARCHAR(1024) NOT NULL,
+         |${q("enabled")} INT NOT NULL,
+         |${q("updated_at")} TIMESTAMP NOT NULL)""".stripMargin
+    try { c.createStatement().execute(ddl) }
+    catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+  }
+
+  /** Reject obviously-broken config before it becomes desired state
+    * (the reference validates source/destination connectivity and
+    * names before a pipeline row is accepted). */
+  private[streaming] def validate(spec: PipelineSpec): Unit = {
+    require(spec.name.nonEmpty && spec.name.length <= 256 &&
+      spec.name.matches("[A-Za-z0-9_.-]+"),
+      s"invalid pipeline name '${spec.name}': use [A-Za-z0-9_.-]{1,256}")
+    require(spec.source.trim.nonEmpty, s"${spec.name}: empty source")
+    require(spec.target.trim.nonEmpty, s"${spec.name}: empty target")
+    require(spec.checkpoint.trim.nonEmpty, s"${spec.name}: empty checkpoint")
+  }
+
+  /** Create or update a pipeline's desired state. */
+  def upsert(spec: PipelineSpec): Unit = {
+    validate(spec)
+    withConn { c =>
+      val now = new Timestamp(System.currentTimeMillis())
+      val upd = c.prepareStatement(
+        s"UPDATE ${q(table)} SET ${q("source")} = ?, ${q("target")} = ?, " +
+          s"${q("checkpoint")} = ?, ${q("enabled")} = ?, " +
+          s"${q("updated_at")} = ? WHERE ${q("name")} = ?")
+      upd.setString(1, spec.source); upd.setString(2, spec.target)
+      upd.setString(3, spec.checkpoint)
+      upd.setInt(4, if (spec.enabled) 1 else 0)
+      upd.setTimestamp(5, now); upd.setString(6, spec.name)
+      if (upd.executeUpdate() == 0) {
+        val ins = c.prepareStatement(
+          s"INSERT INTO ${q(table)} (${q("name")}, ${q("source")}, " +
+            s"${q("target")}, ${q("checkpoint")}, ${q("enabled")}, " +
+            s"${q("updated_at")}) VALUES (?, ?, ?, ?, ?, ?)")
+        ins.setString(1, spec.name); ins.setString(2, spec.source)
+        ins.setString(3, spec.target); ins.setString(4, spec.checkpoint)
+        ins.setInt(5, if (spec.enabled) 1 else 0); ins.setTimestamp(6, now)
+        ins.executeUpdate()
+      }
+    }
+  }
+
+  /** Mark a pipeline disabled (kept in the table — history and
+    * re-enable stay one UPDATE away; the next reconcile stops it). */
+  def disable(name: String): Unit = setEnabled(name, enabled = false)
+
+  def enable(name: String): Unit = setEnabled(name, enabled = true)
+
+  private def setEnabled(name: String, enabled: Boolean): Unit =
+    withConn { c =>
+      val upd = c.prepareStatement(
+        s"UPDATE ${q(table)} SET ${q("enabled")} = ?, ${q("updated_at")} = ? " +
+          s"WHERE ${q("name")} = ?")
+      upd.setInt(1, if (enabled) 1 else 0)
+      upd.setTimestamp(2, new Timestamp(System.currentTimeMillis()))
+      upd.setString(3, name)
+      require(upd.executeUpdate() == 1, s"no pipeline '$name' registered")
+    }
+
+  /** Remove a pipeline row entirely (the next reconcile stops it). */
+  def remove(name: String): Unit = withConn { c =>
+    val del = c.prepareStatement(
+      s"DELETE FROM ${q(table)} WHERE ${q("name")} = ?")
+    del.setString(1, name); del.executeUpdate()
+  }
+
+  /** All desired state, enabled or not. */
+  def list(): Seq[PipelineSpec] = withConn { c =>
+    val rs = c.createStatement().executeQuery(
+      s"SELECT ${q("name")}, ${q("source")}, ${q("target")}, " +
+        s"${q("checkpoint")}, ${q("enabled")} FROM ${q(table)}")
+    val out = Seq.newBuilder[PipelineSpec]
+    while (rs.next()) out += PipelineSpec(rs.getString(1), rs.getString(2),
+      rs.getString(3), rs.getString(4), rs.getInt(5) == 1)
+    out.result()
+  }
+
+  final case class ReconcileReport(
+      started: Seq[String], stopped: Seq[String], failed: Map[String, String])
+
+  /** One reconcile tick: converge `mgr` to the table's desired state.
+    *   - desired-and-enabled but not running → build + start
+    *   - running but disabled/absent → stop
+    *   - running and desired → leave alone (config EDITS to a live
+    *     pipeline take effect via disable → reconcile → enable, the
+    *     reference's restart-on-change semantics made explicit)
+    * A spec whose builder/start throws lands in `failed` and does NOT
+    * abort the tick — one bad pipeline must not block the fleet's
+    * convergence (the breaker/alert stack owns ongoing failure). Call
+    * on the monitor cadence alongside [[PipelineManager.sweep]]. */
+  def reconcile(mgr: PipelineManager)(
+      build: PipelineSpec => (org.apache.spark.sql.Dataset[CdcEvent], CdcTarget))
+      : ReconcileReport = {
+    val desired = list().filter(_.enabled).map(s => s.name -> s).toMap
+    val running = mgr.names.filter(n => mgr.get(n).exists(_.query.isActive))
+    val toStop = running.filterNot(desired.contains)
+    toStop.foreach(mgr.stop)
+    val started = Seq.newBuilder[String]
+    val failed = Map.newBuilder[String, String]
+    desired.toSeq.sortBy(_._1).foreach { case (name, spec) =>
+      if (!running.contains(name))
+        try {
+          val (events, target) = build(spec)
+          mgr.startCdc(name, events, target, spec.checkpoint)
+          started += name
+        } catch { case scala.util.control.NonFatal(e) =>
+          failed += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+        }
+    }
+    ReconcileReport(started.result(), toStop.toSeq.sorted,
+      failed.result())
+  }
+}

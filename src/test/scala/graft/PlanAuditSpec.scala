@@ -298,6 +298,9 @@ class PlanAuditSpec extends SparkSpec {
       // two fused single-row agg passes (SinglePartition finals) + the
       // orphan join's agg + the 6-row stack's sort
       "dq_checks" -> 4,
+      // alphabet×bin cells agg + per-type stats window whose
+      // event_type partitioning the PSI agg reuses + sort
+      "dq_drift" -> 3,
       // conversions agg (the interval join broadcasts at this SF) +
       // hour-bucket ranking window + final agg reusing it + sort
       "ev_conversion_lag" -> 3,

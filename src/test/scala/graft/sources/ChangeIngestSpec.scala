@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.streaming.{CdcDemux, InMemoryCdcTarget}
+
+class ChangeIngestSpec extends SparkSpec {
+
+  private def rec(table: String, id: Long, ts: String, uid: Long,
+      tpe: String, v: Double): String =
+    s"""{"table":"$table","event_id":$id,"ts":"$ts","user_id":$uid,""" +
+      s""""event_type":"$tpe","value":$v}"""
+
+  private def writeLines(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+
+  test("file-source wire records drive the guarded merge end to end") {
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    writeLines(dir, "batch0.jsonl", Seq(
+      rec("events", 1, "2024-01-01 00:00:00", 1, "click", 1.0),
+      rec("events", 2, "2024-01-01 00:00:01", 1, "view", 2.0),
+      rec("events", 3, "2024-01-01 00:00:00", 2, "signup", 5.0),
+      rec("orders", 9, "2024-01-01 00:00:00", 3, "click", 7.0),
+      """{"this is": "not a change record"}""",
+      "not json at all"))
+
+    val target = new InMemoryCdcTarget
+    var unrouted = 0L
+    val q = CdcDemux.mergeInto(
+      ChangeIngest.readJsonFiles(spark, dir),
+      Map("events" -> target),
+      Files.createTempDirectory("graft_ingest_ckpt").toString,
+      Trigger.ProcessingTime("50 milliseconds"),
+      onUnrouted = unrouted += _)
+    try q.processAllAvailable() finally q.stop()
+
+    // latest-per-key via the (ts, event_id) sequence: uid 1 → event 2
+    assert(target.snapshot.keySet == Set(1L, 2L))
+    assert(target.snapshot(1L).event_id == 2 &&
+      target.snapshot(1L).value == 2.0)
+    assert(target.snapshot(2L).event_id == 3)
+    // the orders record is unrouted, not an error; junk lines are
+    // dropped by decode, not routed
+    assert(unrouted == 1L, s"unrouted=$unrouted")
+  }
+
+  test("decode drops exactly the undecodable records, invalidRecords catches them") {
+    val dir = Files.createTempDirectory("graft_ingest_inv").toString
+    writeLines(dir, "wire.jsonl", Seq(
+      rec("events", 1, "2024-01-01 00:00:00", 1, "click", 1.0),
+      "garbage",
+      """{"table":"events","event_id":null,"ts":"2024-01-01 00:00:00","user_id":5,"event_type":"x","value":1}""",
+      """{"table":"events","event_id":4,"ts":"2024-01-01 00:00:02","user_id":6,"event_type":"y","value":2}"""))
+    val raw = spark.read.text(dir)
+    val good = ChangeIngest.decode(raw).collect()
+    assert(good.map(_.event_id).sorted.toSeq == Seq(1L, 4L))
+    val bad = ChangeIngest.invalidRecords(raw).collect().map(_.getString(0))
+    assert(bad.length == 2 && bad.exists(_ == "garbage"),
+      s"invalid set wrong: ${bad.mkString("|")}")
+    // batch twin decodes identically
+    val batch = ChangeIngest.readJsonFilesBatch(spark, dir).collect()
+    assert(batch.map(_.event_id).sorted.toSeq == Seq(1L, 4L))
+  }
+
+  test("kafka dispatch builds the kafka source (absent in this sandbox)") {
+    // The connector (spark-sql-kafka) ships separately from Spark
+    // core and is not on this build's classpath, so the dispatch must
+    // fail with Spark's missing-data-source error naming kafka — the
+    // same call with the connector deployed returns the stream whose
+    // decode plan the file branch drives above.
+    val e = intercept[Exception] {
+      ChangeIngest.readKafka(spark, "localhost:9092", "cdc_events")
+    }
+    val msg = (e.getMessage + Option(e.getCause).fold("")(_.getMessage))
+      .toLowerCase
+    assert(msg.contains("kafka"), s"unexpected failure: $msg")
+  }
+}
