@@ -545,6 +545,86 @@ object EventOps extends Suite {
       |      / CAST(s.n * s.n AS DOUBLE)))) >= $anomalyZ
       |ORDER BY event_type, hr""".stripMargin
 
+  // ---- ev_forecast_baseline: seasonal-naive backtest ----------------
+  // The forecast-QA report every capacity/alerting pipeline starts
+  // from: per event_type, the seasonal-naive hourly forecast
+  // ŷ(t) = y(t − 24h) backtested over the type's own history —
+  // MAE/RMSE/bias of the daily-seasonality baseline are the floor a
+  // real model must beat (and the persistence error feeds alert
+  // thresholds the way ev_anomaly's σ does). The hour grid is DENSE
+  // per type (zero-event hours count as 0 — skipping them silently
+  // inflates the baseline), built by exploding each type's
+  // [first, last] hour span; the 24-row lag over that dense series
+  // IS t−24h exactly.
+  // Cross-engine determinism: counts and errors are integers, so
+  // Σ|e|, Σe, Σe² are exact; MAE/bias are one integer-over-integer
+  // double division each, RMSE one sqrt on an exactly-represented
+  // ratio — identical in both engines.
+  // Scale: the hourly series is time-bounded (~10⁴ rows per type per
+  // year — never corpus-sized), so the grid join broadcasts the
+  // aggregated series and the lag window partitions by type; the
+  // only corpus-sized stage is the first map-side-combined hour agg.
+  private def evForecastBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("hr"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    grid.join(broadcast(hourly), Seq("event_type", "hr"), "left")
+      .withColumn("actual", coalesce(col("c"), lit(0L)))
+      .withColumn("fc", lag(col("actual"), 24).over(w))
+      .filter(col("fc").isNotNull)
+      .withColumn("e", col("actual") - col("fc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("actual")).as("n_events"),
+        sum(abs(col("e"))).as("sae"),
+        sum(col("e")).as("se"),
+        sum(col("e") * col("e")).as("sse"))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        round(col("sae").cast("double") / col("n_hours").cast("double"), 6)
+          .as("mae"),
+        round(sqrt(col("sse").cast("double") / col("n_hours").cast("double")), 6)
+          .as("rmse"),
+        round(col("se").cast("double") / col("n_hours").cast("double"), 6)
+          .as("bias"))
+      .orderBy("event_type")
+  }
+
+  private val evForecastBaselineSql =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+      |  FROM hourly GROUP BY 1),
+      |grid AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      |  FROM span),
+      |dense AS (
+      |  SELECT g.event_type, g.hr, COALESCE(h.c, 0) AS actual
+      |  FROM grid g LEFT JOIN hourly h
+      |    ON g.event_type = h.event_type AND g.hr = h.hr),
+      |ev AS (
+      |  SELECT event_type, actual,
+      |    LAG(actual, 24) OVER (PARTITION BY event_type ORDER BY hr) AS fc
+      |  FROM dense),
+      |err AS (
+      |  SELECT event_type, actual, actual - fc AS e
+      |  FROM ev WHERE fc IS NOT NULL)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |  CAST(SUM(actual) AS BIGINT) AS n_events,
+      |  ROUND(CAST(SUM(abs(e)) AS DOUBLE) / COUNT(*), 6) AS mae,
+      |  ROUND(sqrt(CAST(SUM(e * e) AS DOUBLE) / COUNT(*)), 6) AS rmse,
+      |  ROUND(CAST(SUM(e) AS DOUBLE) / COUNT(*), 6) AS bias
+      |FROM err GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // ---- ev_dau_wau: daily/weekly actives + stickiness ----------------
   // The engagement counters every event pipeline reports: per day,
   // distinct users that day (DAU), distinct users over the trailing
@@ -773,5 +853,6 @@ object EventOps extends Suite {
     Op("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
     Op("ev_count_min", evCountMin, None),
     Op("ev_ab_test", evAbTest, Some(evAbTestSql)),
+    Op("ev_forecast_baseline", evForecastBaseline, Some(evForecastBaselineSql)),
   )
 }

@@ -515,6 +515,78 @@ object FeatureOps extends Suite {
       |ORDER BY r.r DESC, r.node LIMIT 20""".stripMargin
   }
 
+  // ---- ft_lag_features: previous-active-day lag features ------------
+  // The standard autoregressive feature block a tabular model trains
+  // on: per (user, active day), that day's count/value rollup plus
+  // the SAME metrics lagged 1 and 7 ACTIVE days back, the day-gap to
+  // the previous active day, and the day-over-day delta. Lags are by
+  // row offset over the user's active days (the feature-store
+  // convention for irregular streams — ft_daily_ffill is the dense-
+  // grid complement when a model needs calendar alignment), so a
+  // returning user's features say both "what did they do last time"
+  // and "how long ago was that". Leakage-safe by construction: every
+  // lagged value is strictly from earlier days. Cold-start rows are
+  // explicit, not NULL: is_first flags them and lag/gap features
+  // coalesce to 0 (models need a dense numeric block; the flag keeps
+  // "no history" distinguishable from "zero activity").
+  // Cross-engine determinism: counts are integers, day sums are
+  // exact DECIMAL(18,2) (centi-exact input values), gap is integer
+  // date arithmetic; doubles appear only in the final rounded
+  // projection.
+  // Scale: the daily rollup is a map-side-combined (user, day) agg
+  // (the shuffle carries compact partials, not raw events), then the
+  // lag windows re-exchange only the daily frame — orders of
+  // magnitude smaller than the corpus — on user_id; nothing else
+  // exchanges.
+  private def ftLagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("d_cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).as("d_sum"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    daily
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("lag1_cnt", coalesce(lag(col("d_cnt"), 1).over(w), lit(0L)))
+      .withColumn("lag1_sum", coalesce(lag(col("d_sum"), 1).over(w),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))))
+      .withColumn("lag7_cnt", coalesce(lag(col("d_cnt"), 7).over(w), lit(0L)))
+      .select(col("user_id"), col("day"), col("d_cnt"),
+        col("d_sum").cast("double").as("d_sum"),
+        col("prev_day").isNull.cast("int").as("is_first"),
+        coalesce(datediff(col("day"), col("prev_day")).cast("long"), lit(0L))
+          .as("gap_days"),
+        col("lag1_cnt"),
+        col("lag1_sum").cast("double").as("lag1_sum"),
+        (col("d_cnt") - col("lag1_cnt")).as("delta_cnt"),
+        col("lag7_cnt"))
+      .orderBy("user_id", "day")
+  }
+
+  private val ftLagFeaturesSql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    COUNT(*) AS d_cnt,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS d_sum
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT user_id, day, d_cnt, d_sum,
+      |    LAG(day, 1) OVER w AS prev_day,
+      |    COALESCE(LAG(d_cnt, 1) OVER w, 0) AS lag1_cnt,
+      |    COALESCE(LAG(d_sum, 1) OVER w, CAST(0 AS DECIMAL(18,2)))
+      |      AS lag1_sum,
+      |    COALESCE(LAG(d_cnt, 7) OVER w, 0) AS lag7_cnt
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day))
+      |SELECT user_id, day, d_cnt, CAST(d_sum AS DOUBLE) AS d_sum,
+      |  CAST(prev_day IS NULL AS INT) AS is_first,
+      |  COALESCE(CAST(date_diff('day', prev_day, day) AS BIGINT), 0)
+      |    AS gap_days,
+      |  CAST(lag1_cnt AS BIGINT) AS lag1_cnt,
+      |  CAST(lag1_sum AS DOUBLE) AS lag1_sum,
+      |  CAST(d_cnt - lag1_cnt AS BIGINT) AS delta_cnt,
+      |  CAST(lag7_cnt AS BIGINT) AS lag7_cnt
+      |FROM lagged ORDER BY user_id, day""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ft_rolling_24h", ftRolling, Some(ftRollingSql)),
     Op("ft_daily_ffill", ftDailyFfill, Some(ftDailyFfillSql)),
@@ -525,5 +597,6 @@ object FeatureOps extends Suite {
     Op("ft_cooccurrence", ftCooccurrence, Some(ftCooccurrenceSql)),
     Op("ft_rfm", ftRfm, Some(ftRfmSql)),
     Op("ft_item_pagerank", ftItemPagerank, Some(ftItemPagerankSql)),
+    Op("ft_lag_features", ftLagFeatures, Some(ftLagFeaturesSql)),
   )
 }

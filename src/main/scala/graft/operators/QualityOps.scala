@@ -187,8 +187,70 @@ object QualityOps extends Suite {
       |FROM stats s JOIN psi p USING (event_type)
       |ORDER BY s.event_type""".stripMargin
 
+  // ---- dq_freshness: per-stream freshness & completeness ------------
+  // The third leg of the DQ suite (dq_checks = constraints, dq_drift
+  // = distribution, THIS = arrival): per event_type, how stale is
+  // the newest data vs the corpus watermark, and how many of the
+  // hours in the type's own active span actually delivered events —
+  // the "is the feed alive and gapless" page an ingest operator
+  // reads first (the reference's wal/lag monitor answers the same
+  // question for the replication socket; this is its batch audit).
+  // All quantities are exact integers on epoch-hour arithmetic
+  // (timestamp→long is whole seconds in both engines); completeness
+  // is the single ROUND(observed/expected, 6) division.
+  // Scale: one conditional pass to per-type (count, min, max,
+  // distinct-hour) — the distinct rides the same (type, hour)
+  // pre-agg the drift/anomaly ops share — then a 1-row corpus
+  // watermark broadcasts back onto the alphabet-sized report.
+  private def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val perType = hourly.groupBy("event_type")
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("hours_observed"),
+        (min(col("hr").cast("long")) / 3600).cast("long").as("lo_h"),
+        (max(col("hr").cast("long")) / 3600).cast("long").as("hi_h"))
+    val watermark = hourly.agg(
+      (max(col("hr").cast("long")) / 3600).cast("long").as("wm_h"))
+    perType.crossJoin(broadcast(watermark))
+      .withColumn("hours_expected", col("hi_h") - col("lo_h") + 1)
+      .select(col("event_type"), col("n_events"),
+        (col("wm_h") - col("hi_h")).as("lag_hours"),
+        col("hours_expected"),
+        col("hours_observed"),
+        (col("hours_expected") - col("hours_observed")).as("hours_missing"),
+        round(col("hours_observed").cast("double") /
+          col("hours_expected").cast("double"), 6).as("completeness"))
+      .orderBy("event_type")
+  }
+
+  private val dqFreshnessSql =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |per_type AS (
+      |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+      |    CAST(COUNT(*) AS BIGINT) AS hours_observed,
+      |    CAST(floor(epoch(MIN(hr))) AS BIGINT) // 3600 AS lo_h,
+      |    CAST(floor(epoch(MAX(hr))) AS BIGINT) // 3600 AS hi_h
+      |  FROM hourly GROUP BY 1),
+      |wm AS (
+      |  SELECT CAST(floor(epoch(MAX(hr))) AS BIGINT) // 3600 AS wm_h
+      |  FROM hourly)
+      |SELECT event_type, n_events,
+      |  wm_h - hi_h AS lag_hours,
+      |  hi_h - lo_h + 1 AS hours_expected,
+      |  hours_observed,
+      |  (hi_h - lo_h + 1) - hours_observed AS hours_missing,
+      |  ROUND(CAST(hours_observed AS DOUBLE) /
+      |    CAST(hi_h - lo_h + 1 AS DOUBLE), 6) AS completeness
+      |FROM per_type, wm ORDER BY event_type""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("dq_checks", dqChecks, Some(dqChecksSql)),
     Op("dq_drift", dqDrift, Some(dqDriftSql)),
+    Op("dq_freshness", dqFreshness, Some(dqFreshnessSql)),
   )
 }

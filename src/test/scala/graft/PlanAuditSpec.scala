@@ -301,6 +301,18 @@ class PlanAuditSpec extends SparkSpec {
       // alphabet×bin cells agg + per-type stats window whose
       // event_type partitioning the PSI agg reuses + sort
       "dq_drift" -> 3,
+      // (type, hour) agg + per-type distinct-hour Expand pass + the
+      // 1-row watermark's SinglePartition agg + sort
+      "dq_freshness" -> 4,
+      // (type, hour) agg + the dense-grid lag window's event_type
+      // exchange (grid join broadcasts the time-bounded series;
+      // final agg reuses the window partitioning) + sort
+      "ev_forecast_baseline" -> 3,
+      // daily rollup's (user, day) agg (map-side-combined partials —
+      // cheaper at scale than repartitioning raw events by user) +
+      // the lag window's user_id exchange over the compact daily
+      // frame + sort
+      "ft_lag_features" -> 3,
       // conversions agg (the interval join broadcasts at this SF) +
       // hour-bucket ranking window + final agg reusing it + sort
       "ev_conversion_lag" -> 3,
