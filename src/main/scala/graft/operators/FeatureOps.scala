@@ -452,28 +452,30 @@ object FeatureOps extends Suite {
     val n = edgesD.select(col("src").as("node")).distinct()
       .agg(count(lit(1)).as("n"))
     // r0 = 1/N, tp = 0.15/N, both half-up in pico-units. The
-    // teleport term is the SAME constant for every node, so it rides
-    // the loop as a 1-row scalar frame — never a node-keyed
-    // (vocabulary-sized) broadcast. Every dst in the symmetric edge
-    // list is also a src, so the contribution agg already lands on
-    // exactly the node set and no join-back filter is needed.
-    val tp1 = n
-      .select(expr(s"(2 * ${prUnit / 100 * 15}L + n) div (2 * n)").as("tp"))
-      .checkpoint() // 1 row, materialized once — rounds never replay the count
+    // teleport term is the SAME constant for every node, so it RIDES
+    // the rank rows as a column and survives the dst aggregation as
+    // max(tp) — no per-iteration broadcast of anything (the r6 form
+    // broadcast a node-keyed (node, tp) frame every round, which
+    // scales with the item vocabulary), no extra frame in the loop.
+    // Every dst in the symmetric edge list is also a src, so the
+    // contribution agg already lands on exactly the node set and no
+    // join-back filter is needed.
     val init = edgesD.select(col("src").as("node")).distinct()
       .crossJoin(broadcast(n))
       .select(col("node"),
-        expr(s"(2 * ${prUnit}L + n) div (2 * n)").as("r"))
+        expr(s"(2 * ${prUnit}L + n) div (2 * n)").as("r"),
+        expr(s"(2 * ${prUnit / 100 * 15}L + n) div (2 * n)").as("tp"))
       .checkpoint()
     val ranks = (1 to prIters).foldLeft(init) { (prev, _) =>
       edgesD
-        .join(prev.select(col("node").as("src"), col("r")), Seq("src"))
+        .join(prev.select(col("node").as("src"), col("r"), col("tp")),
+          Seq("src"))
         .withColumn("c", expr("(2 * r + deg) div (2 * deg)"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("c")).as("s"))
-        .crossJoin(broadcast(tp1))
+        .agg(sum(col("c")).as("s"), max(col("tp")).as("tp"))
         .select(col("node"),
-          (col("tp") + expr("(2 * 85 * s + 100) div 200")).as("r"))
+          (col("tp") + expr("(2 * 85 * s + 100) div 200")).as("r"),
+          col("tp"))
         .checkpoint()
     }
     ranks

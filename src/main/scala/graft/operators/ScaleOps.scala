@@ -137,9 +137,67 @@ object ScaleOps extends Suite {
       |FROM orders WHERE year(o_orderdate) = $pruneYear
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q_skew_report: join-key skew diagnostics ---------------------
+  // The report that DECIDES the other two primitives: per candidate
+  // join key, how unbalanced is the key distribution — max/mean lift
+  // of the hottest key (the straggler multiplier a plain shuffle
+  // join eats) and the normalized second moment
+  // L = n_keys·Σc²/(Σc)² (expected load imbalance of hash
+  // partitioning; 1.0 = uniform). An operator reads this to pick
+  // salting (q_salted_join) or bucketing (q_bucketed_join) BEFORE
+  // the 100 TB run hits the hot key. Cross-engine: every moment is
+  // an exact integer sum (at 100 TB Σc² widens to DECIMAL(38,0) —
+  // ev_ab_test's rule); the three ratios are single rounded
+  // divisions.
+  // Scale: per key, one map-side-combined count agg (the only
+  // corpus-sized stage) then a single-row moment agg over the
+  // keys-sized frame; the report is 3 stacked rows.
+  private def qSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    def leg(name: String, keyed: DataFrame): DataFrame =
+      keyed.groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(lit(name).as("key_name"),
+          sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_cnt"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("key_name"), col("n_rows"), col("n_keys"), col("max_cnt"),
+          round(col("n_rows").cast("double") / col("n_keys").cast("double"), 6)
+            .as("mean_cnt"),
+          round((col("max_cnt") * col("n_keys")).cast("double") /
+            col("n_rows").cast("double"), 6).as("skew_ratio"),
+          round((col("n_keys") * col("ss")).cast("double") /
+            (col("n_rows") * col("n_rows")).cast("double"), 6).as("imbalance"))
+    val li = Tables.lineitem(spark, dir)
+    leg("lineitem.l_partkey", li.select(col("l_partkey").as("k")))
+      .unionAll(leg("lineitem.l_suppkey", li.select(col("l_suppkey").as("k"))))
+      .unionAll(leg("orders.o_custkey",
+        Tables.orders(spark, dir).select(col("o_custkey").as("k"))))
+      .orderBy("key_name")
+  }
+
+  private val qSkewReportSql = {
+    def leg(name: String, tbl: String, key: String) =
+      s"""SELECT '$name' AS key_name,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(MAX(c) AS BIGINT) AS max_cnt,
+        |  ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS mean_cnt,
+        |  ROUND(CAST(MAX(c) * COUNT(*) AS DOUBLE) / SUM(c), 6) AS skew_ratio,
+        |  ROUND(CAST(COUNT(*) * SUM(c * c) AS DOUBLE) /
+        |    (CAST(SUM(c) AS DOUBLE) * SUM(c)), 6) AS imbalance
+        |FROM (SELECT $key, COUNT(*) AS c FROM $tbl GROUP BY 1) x""".stripMargin
+    s"""${leg("lineitem.l_partkey", "lineitem", "l_partkey")}
+      |UNION ALL
+      |${leg("lineitem.l_suppkey", "lineitem", "l_suppkey")}
+      |UNION ALL
+      |${leg("orders.o_custkey", "orders", "o_custkey")}
+      |ORDER BY key_name""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinSql)),
     Op("q_salted_join", qSaltedJoin, Some(qSaltedJoinSql)),
     Op("q_partition_prune", qPartitionPrune, Some(qPartitionPruneSql)),
+    Op("q_skew_report", qSkewReport, Some(qSkewReportSql)),
   )
 }

@@ -301,6 +301,10 @@ class PlanAuditSpec extends SparkSpec {
       // alphabet×bin cells agg + per-type stats window whose
       // event_type partitioning the PSI agg reuses + sort
       "dq_drift" -> 3,
+      // 3 × (map-side-combined key-count agg + 1-row moment agg) —
+      // each leg's post-agg frames are keys-sized then single-row —
+      // + the 3-row stack's sort
+      "q_skew_report" -> 7,
       // (type, hour) agg + per-type distinct-hour Expand pass + the
       // 1-row watermark's SinglePartition agg + sort
       "dq_freshness" -> 4,
@@ -400,5 +404,11 @@ class PlanAuditSpec extends SparkSpec {
       assert(keys.exists(k => k.contains("key") && k.contains("tbl")),
         s"$name: no join keyed on (tbl, key) buckets — join keys were $keys")
     }
+    // dedup_semantic's pair join must block on the LSH bucket INSIDE
+    // the cluster — a bare-cluster join is Θ(n²/k) at corpus scale
+    val semKeys = joinKeyNames("dedup_semantic")
+    assert(semKeys.exists(k =>
+        k.contains("cluster") && k.contains("tbl") && k.contains("key")),
+      s"dedup_semantic: pair join not keyed on (cluster, tbl, key) — $semKeys")
   }
 }
