@@ -778,7 +778,7 @@ object EventOps extends Suite {
     def sampleVar(n: Column, s: Column, ss: Column): Column = {
       val d = DecimalType(38, 0)
       (n.cast(d) * ss.cast(d) - s.cast(d) * s.cast(d)).cast("double") /
-        (n * (n - 1)).cast("double")
+        (n.cast(d) * (n - 1).cast(d)).cast("double")
     }
     stats
       .withColumn("se", sqrt(

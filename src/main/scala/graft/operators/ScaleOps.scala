@@ -146,27 +146,32 @@ object ScaleOps extends Suite {
   // partitioning; 1.0 = uniform). An operator reads this to pick
   // salting (q_salted_join) or bucketing (q_bucketed_join) BEFORE
   // the 100 TB run hits the hot key. Cross-engine: every moment is
-  // an exact integer sum (at 100 TB Σc² widens to DECIMAL(38,0) —
-  // ev_ab_test's rule); the three ratios are single rounded
-  // divisions.
+  // an exact integer sum, and the cross terms (Σc², n_keys·Σc²,
+  // n_rows²) are formed in DECIMAL(38,0) — ev_ab_test's rule, applied
+  // here because int64 wraps silently exactly at the corpus sizes
+  // this diagnostic exists for while DuckDB's int128 stays exact;
+  // the three ratios are single rounded divisions.
   // Scale: per key, one map-side-combined count agg (the only
   // corpus-sized stage) then a single-row moment agg over the
   // keys-sized frame; the report is 3 stacked rows.
   private def qSkewReport(spark: SparkSession, dir: String): DataFrame = {
-    def leg(name: String, keyed: DataFrame): DataFrame =
+    def leg(name: String, keyed: DataFrame): DataFrame = {
+      val d = org.apache.spark.sql.types.DecimalType(38, 0)
       keyed.groupBy("k").agg(count(lit(1)).as("c"))
         .agg(lit(name).as("key_name"),
           sum(col("c")).as("n_rows"),
           count(lit(1)).as("n_keys"),
           max(col("c")).as("max_cnt"),
-          sum(col("c") * col("c")).as("ss"))
+          sum(col("c").cast(d) * col("c").cast(d)).as("ss"))
         .select(col("key_name"), col("n_rows"), col("n_keys"), col("max_cnt"),
           round(col("n_rows").cast("double") / col("n_keys").cast("double"), 6)
             .as("mean_cnt"),
-          round((col("max_cnt") * col("n_keys")).cast("double") /
+          round((col("max_cnt").cast(d) * col("n_keys").cast(d)).cast("double") /
             col("n_rows").cast("double"), 6).as("skew_ratio"),
-          round((col("n_keys") * col("ss")).cast("double") /
-            (col("n_rows") * col("n_rows")).cast("double"), 6).as("imbalance"))
+          round((col("n_keys").cast(d) * col("ss")).cast("double") /
+            (col("n_rows").cast(d) * col("n_rows").cast(d)).cast("double"), 6)
+            .as("imbalance"))
+    }
     val li = Tables.lineitem(spark, dir)
     leg("lineitem.l_partkey", li.select(col("l_partkey").as("k")))
       .unionAll(leg("lineitem.l_suppkey", li.select(col("l_suppkey").as("k"))))
@@ -184,7 +189,7 @@ object ScaleOps extends Suite {
         |  ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS mean_cnt,
         |  ROUND(CAST(MAX(c) * COUNT(*) AS DOUBLE) / SUM(c), 6) AS skew_ratio,
         |  ROUND(CAST(COUNT(*) * SUM(c * c) AS DOUBLE) /
-        |    (CAST(SUM(c) AS DOUBLE) * SUM(c)), 6) AS imbalance
+        |    CAST(SUM(c) * SUM(c) AS DOUBLE), 6) AS imbalance
         |FROM (SELECT $key, COUNT(*) AS c FROM $tbl GROUP BY 1) x""".stripMargin
     s"""${leg("lineitem.l_partkey", "lineitem", "l_partkey")}
       |UNION ALL

@@ -462,7 +462,7 @@ object SimilarityOps extends Suite {
   // concentrates on the driver. This is the same round shape MLlib's
   // distributed k-means runs at petabyte scale.
   private val kmK = 8
-  private[operators] val kmIters = 3
+  private[graft] val kmIters = 3
 
   private def simKmeans(spark: SparkSession, dir: String): DataFrame =
     kmeansStats(spark, dir, kmIters)

@@ -54,14 +54,23 @@ object ChangeIngest {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  // ONE decode expression feeds decode() and invalidRecords(), so the
+  // dead-letter set is the exact complement of the survivors by
+  // construction — a decode tweak applied to one but not the other
+  // could silently drop records into neither stream
   private def parsed(raw: DataFrame): DataFrame =
-    raw.select(from_json(col("value").cast("string"), wireSchema).as("r"))
+    raw.select(col("value").cast("string").as("value"),
+      from_json(col("value").cast("string"), wireSchema).as("r"))
 
-  /** A record is mergeable iff its routing key, sequence, and PK all
-    * decoded — anything less and the guarded merge cannot place it. */
+  /** A record is mergeable iff EVERY field decoded: routing key,
+    * sequence, PK, op, and payload — [[TableCdcEvent]]'s numeric
+    * fields are primitives, so a null reaching the typed Dataset
+    * would kill the streaming query at deserialization (exactly the
+    * halt-the-slot failure dead-lettering exists to prevent). */
   private val valid =
     col("r.table").isNotNull && col("r.event_id").isNotNull &&
-      col("r.ts").isNotNull && col("r.user_id").isNotNull
+      col("r.ts").isNotNull && col("r.user_id").isNotNull &&
+      col("r.event_type").isNotNull && col("r.value").isNotNull
 
   /** Canonical decode: `value STRING` JSON records → typed change
     * events. Undecodable lines are dropped here (count them with
@@ -76,10 +85,7 @@ object ChangeIngest {
     * wire text of every record that failed to decode, for a
     * dead-letter sink / metrics counter. */
   def invalidRecords(raw: DataFrame): DataFrame =
-    raw.select(col("value").cast("string").as("value"),
-        from_json(col("value").cast("string"), wireSchema).as("r"))
-      .where(!valid)
-      .select("value")
+    parsed(raw).where(!valid).select("value")
 
   /** Kafka ingest: subscribe to `topics`, decode each message value
     * as one wire record. Requires the spark-sql-kafka connector on

@@ -150,11 +150,26 @@ class PipelineRegistry(url: String, table: String = "graft_pipelines") {
       build: PipelineSpec => (org.apache.spark.sql.Dataset[CdcEvent], CdcTarget))
       : ReconcileReport = {
     val desired = list().filter(_.enabled).map(s => s.name -> s).toMap
-    val running = mgr.names.filter(n => mgr.get(n).exists(_.query.isActive))
-    val toStop = running.filterNot(desired.contains)
-    toStop.foreach(mgr.stop)
+    val registered = mgr.names
+    val running = registered.filter(n => mgr.get(n).exists(_.query.isActive))
+    // stop EVERY undesired registration, dead or alive — a crashed
+    // query that was then disabled must still release its manager
+    // entry and session-global listener, or it leaks for the
+    // driver's lifetime
+    val toStop = registered.filterNot(desired.contains)
     val started = Seq.newBuilder[String]
     val failed = Map.newBuilder[String, String]
+    // each stop is guarded like each start: StreamingQuery.stop can
+    // throw on timeout, and one refusing pipeline must not abort the
+    // rest of the tick's convergence
+    toStop.toSeq.sorted.foreach { name =>
+      try mgr.stop(name)
+      catch { case scala.util.control.NonFatal(e) =>
+        failed += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+      }
+    }
+    // desired-but-dead registrations restart: startCdc replaces a
+    // non-active registration, releasing its stale listener first
     desired.toSeq.sortBy(_._1).foreach { case (name, spec) =>
       if (!running.contains(name))
         try {

@@ -610,6 +610,41 @@ class OperatorInvariantSpec extends SparkSpec {
       "at most nShards rows, one per shard")
   }
 
+  test("dedup_semantic is precise within clusters and recall is bounded") {
+    // exact all-pairs WITHIN each trained cluster at sf0.001 — the
+    // blocked op's output must be a SUBSET with identical cosines
+    // (precision 1.0), and the LSH secondary blocking must hold the
+    // documented recall floor over the reported >= 0.3 band (sign-LSH
+    // collision odds at cosine 0.3-0.5 give ~0.67-0.85 per-pair
+    // recall; the is_dup >= 0.9 band is where the construction is
+    // near-exhaustive)
+    import graft.functions.VectorMath.{dotQ, cosineQ}
+    val m = operators.SimilarityOps
+      .kmeansTrain(spark, sf, operators.SimilarityOps.kmIters)
+      .select(col("vec_id"), col("dq"), col("cluster"))
+      .withColumn("norm", dotQ(col("dq"), col("dq")))
+    val a = m.select(col("vec_id").as("a_id"), col("cluster"),
+      col("dq").as("adq"), col("norm").as("an"))
+    val b = m.select(col("vec_id").as("b_id"), col("cluster"),
+      col("dq").as("bdq"), col("norm").as("bn"))
+    val exact = a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        cosineQ(col("adq"), col("bdq"), col("an"), col("bn")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("cluster"), col("a_id"), col("b_id"),
+        round(col("cosine"), 6).as("cosine"),
+        (col("cosine") >= 0.9).cast("int").as("is_dup"))
+    val got = run("dedup_semantic")
+    assert(got.exceptAll(exact).isEmpty,
+      "blocked output contained a pair the exact within-cluster " +
+        "computation rejects")
+    val nExact = exact.count()
+    val nGot = got.count()
+    assert(nExact > 0 && nGot.toDouble / nExact >= 0.55,
+      s"recall $nGot/$nExact under the 0.55 floor")
+    info(s"dedup_semantic band recall: $nGot/$nExact")
+  }
+
   test("sim_recall_report measures every ANN path with recalls in [0,1]") {
     val rows = run("sim_recall_report")
       .select("method", "k", "n_queries", "recall", "min_recall").collect()

@@ -26,6 +26,10 @@ class ChangeIngestSpec extends SparkSpec {
       rec("events", 3, "2024-01-01 00:00:00", 2, "signup", 5.0),
       rec("orders", 9, "2024-01-01 00:00:00", 3, "click", 7.0),
       """{"this is": "not a change record"}""",
+      // null payload: TableCdcEvent.value is a primitive Double, so
+      // letting this through decode would kill the query at
+      // deserialization — it must dead-letter instead
+      """{"table":"events","event_id":8,"ts":"2024-01-01 00:00:09","user_id":9,"event_type":"x","value":null}""",
       "not json at all"))
 
     val target = new InMemoryCdcTarget
@@ -61,6 +65,9 @@ class ChangeIngestSpec extends SparkSpec {
     val bad = ChangeIngest.invalidRecords(raw).collect().map(_.getString(0))
     assert(bad.length == 2 && bad.exists(_ == "garbage"),
       s"invalid set wrong: ${bad.mkString("|")}")
+    // decode ∪ invalidRecords must partition the wire exactly
+    assert(good.length + bad.length == raw.count(),
+      "a record fell into neither decode nor the dead letter")
     // batch twin decodes identically
     val batch = ChangeIngest.readJsonFilesBatch(spark, dir).collect()
     assert(batch.map(_.event_id).sorted.toSeq == Seq(1L, 4L))
