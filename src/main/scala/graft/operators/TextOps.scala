@@ -773,6 +773,111 @@ object TextOps extends Suite {
       |    THEN ROUND(entropy / ROUND(ln(n_types), 6), 6) END AS efficiency
       |FROM ent ORDER BY doc_id""".stripMargin
 
+  // ---- txt_bpe_train: byte-pair-encoding merge-rule training --------
+  // The tokenizer-training step of an LLM data pipeline (Sennrich et
+  // al. 2016 "Neural Machine Translation of Rare Words with Subword
+  // Units"; the GPT-2 trainer runs the same loop over a
+  // word-frequency table): start from characters, repeatedly find
+  // the corpus-wide most frequent ADJACENT symbol pair and merge it
+  // into one symbol, emitting the ordered merge-rule table a
+  // tokenizer then applies. Done Spark-first the way the paper's own
+  // implementation works: the corpus collapses ONCE to the
+  // (word, count) vocabulary — all further rounds are vocab-sized,
+  // never corpus-sized — and each round is (a) one weighted pair
+  // aggregation over the symbolized vocab, (b) a global top-1 via
+  // TakeOrdered (count DESC, then lexicographic (p1, p2) so the
+  // argmax is a total order), (c) a map-only merge of the winning
+  // pair back into every word, with the new vocab eagerly
+  // checkpointed so no round replays earlier rounds' lineage
+  // (sim_kmeans' loop pattern).
+  // Cross-engine exactness: symbols ride as a '<a><b><c>'-delimited
+  // string — adjacent symbols share no delimiter, so the round's
+  // merge is ONE literal replace() whose left-to-right
+  // non-overlapping semantics agree between Java and DuckDB ('aaa'
+  // merging (a,a) gives (aa,a) in both); the documents' charset is
+  // [a-y ] so '<'/'>' can never collide with token text. Pair
+  // counts are exact integer sums; there is no floating point
+  // anywhere. The oracle unrolls all rounds as CTEs (kmCtes' form),
+  // replaying symbolization, pair counting, argmax, and merge —
+  // the hash gate verifies the whole training loop.
+  // Scale: the only corpus-sized stage is the initial token count;
+  // each round shuffles the vocab-sized pair frame once, the 1-row
+  // winner broadcasts back, and the merge is map-only. This is
+  // exactly how production BPE trainers stay tractable at 100 TB —
+  // they train on the frequency table, not the corpus.
+  private val bpeRounds = 8
+
+  private def txtBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val vocab0 = Tables.documents(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("w"))
+      .withColumn("s",
+        concat(lit("<"), expr("array_join(split(word, ''), '><')"), lit(">")))
+      .checkpoint()
+    def pairs(vocab: DataFrame): DataFrame = vocab
+      .withColumn("a", split(expr("trim(BOTH '<>' FROM s)"), "><"))
+      .select(col("w"),
+        explode(expr("arrays_zip(slice(a, 1, size(a) - 1), " +
+          "slice(a, 2, size(a) - 1))")).as("pr"))
+      .groupBy(col("pr.0").as("p1"), col("pr.1").as("p2"))
+      .agg(sum(col("w")).as("cnt"))
+    val (_, merges) =
+      (1 to bpeRounds).foldLeft((vocab0, List.empty[DataFrame])) {
+        case ((vocab, acc), round) =>
+          val best = pairs(vocab)
+            .orderBy(desc("cnt"), col("p1"), col("p2")).limit(1)
+            .select(lit(round.toLong).as("round"), col("p1"), col("p2"),
+              col("cnt"))
+            .checkpoint()
+          val next = vocab.crossJoin(broadcast(best))
+            .withColumn("s", expr(
+              "replace(s, concat('<', p1, '><', p2, '>'), " +
+                "concat('<', p1, p2, '>'))"))
+            .select("word", "w", "s")
+            .checkpoint()
+          (next, best :: acc)
+      }
+    merges.reverse.reduce(_ unionAll _)
+      .select(col("round").cast(LongType).as("round"), col("p1"), col("p2"),
+        col("cnt"))
+      .orderBy("round")
+  }
+
+  private val txtBpeTrainSql: String = {
+    def round(r: Int) =
+      s"""e$r AS (
+        |  SELECT w, a, unnest(generate_series(1, len(a) - 1)) AS i
+        |  FROM (SELECT w, string_split(trim(s, '<>'), '><') AS a
+        |        FROM v${r - 1}) x),
+        |b$r AS (
+        |  SELECT $r AS round, a[i] AS p1, a[i + 1] AS p2,
+        |    CAST(SUM(w) AS BIGINT) AS cnt
+        |  FROM e$r GROUP BY 2, 3
+        |  ORDER BY cnt DESC, p1, p2 LIMIT 1),
+        |v$r AS (
+        |  SELECT word, w,
+        |    replace(s, '<' || b.p1 || '><' || b.p2 || '>',
+        |      '<' || b.p1 || b.p2 || '>') AS s
+        |  FROM v${r - 1}, b$r b)""".stripMargin
+    s"""WITH vocab AS (
+      |  SELECT tok AS word, COUNT(*) AS w
+      |  FROM (SELECT unnest($toksSql) AS tok FROM documents) t
+      |  GROUP BY 1),
+      |v0 AS (
+      |  SELECT word, w,
+      |    '<' || array_to_string(string_split(word, ''), '><') || '>' AS s
+      |  FROM vocab),
+      |${(1 to bpeRounds).map(round).mkString(",\n")}
+      |SELECT CAST(round AS BIGINT) AS round, p1, p2, cnt
+      |FROM (${(1 to bpeRounds).map(r => s"SELECT * FROM b$r")
+        .mkString("\nUNION ALL\n")}) u
+      |ORDER BY round""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -787,5 +892,6 @@ object TextOps extends Suite {
     Op("txt_line_dedup", txtLineDedup, Some(txtLineDedupSql)),
     Op("txt_tfidf", txtTfidf, Some(txtTfidfSql)),
     Op("txt_entropy", txtEntropy, Some(txtEntropySql)),
+    Op("txt_bpe_train", txtBpeTrain, Some(txtBpeTrainSql)),
   )
 }

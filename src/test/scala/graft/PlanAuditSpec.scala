@@ -301,6 +301,10 @@ class PlanAuditSpec extends SparkSpec {
       // alphabet×bin cells agg + per-type stats window whose
       // event_type partitioning the PSI agg reuses + sort
       "dq_drift" -> 3,
+      // the final plan reads 8 checkpointed 1-row merge frames: the
+      // one exchange is the output sort (per-round pair aggs run
+      // inside the training loop's checkpoint jobs)
+      "txt_bpe_train" -> 1,
       // 3 × (map-side-combined key-count agg + 1-row moment agg) —
       // each leg's post-agg frames are keys-sized then single-row —
       // + the 3-row stack's sort
