@@ -807,8 +807,13 @@ object TextOps extends Suite {
   // they train on the frequency table, not the corpus.
   private val bpeRounds = 8
 
-  private def txtBpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+  /** Run the training loop once: returns (final symbolized vocab
+    * after all merges, per-round 1-row merge frames). Shared by
+    * txt_bpe_train (emits the rules) and txt_bpe_apply (encodes with
+    * the final vocab — in BPE, applying all merges to the vocabulary
+    * IS the encoder for every word in it). */
+  private def bpeTrainLoop(
+      spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
@@ -825,7 +830,7 @@ object TextOps extends Suite {
           "slice(a, 2, size(a) - 1))")).as("pr"))
       .groupBy(col("pr.0").as("p1"), col("pr.1").as("p2"))
       .agg(sum(col("w")).as("cnt"))
-    val (_, merges) =
+    val (vocabN, merges) =
       (1 to bpeRounds).foldLeft((vocab0, List.empty[DataFrame])) {
         case ((vocab, acc), round) =>
           val best = pairs(vocab)
@@ -841,13 +846,21 @@ object TextOps extends Suite {
             .checkpoint()
           (next, best :: acc)
       }
-    merges.reverse.reduce(_ unionAll _)
+    (vocabN, merges.reverse)
+  }
+
+  private def txtBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val (_, merges) = bpeTrainLoop(spark, dir)
+    merges.reduce(_ unionAll _)
       .select(col("round").cast(LongType).as("round"), col("p1"), col("p2"),
         col("cnt"))
       .orderBy("round")
   }
 
-  private val txtBpeTrainSql: String = {
+  /** The unrolled training CTE chain (v0..v8, b1..b8) shared by the
+    * train and apply oracles. */
+  private val bpeCtes: String = {
     def round(r: Int) =
       s"""e$r AS (
         |  SELECT w, a, unnest(generate_series(1, len(a) - 1)) AS i
@@ -863,7 +876,7 @@ object TextOps extends Suite {
         |    replace(s, '<' || b.p1 || '><' || b.p2 || '>',
         |      '<' || b.p1 || b.p2 || '>') AS s
         |  FROM v${r - 1}, b$r b)""".stripMargin
-    s"""WITH vocab AS (
+    s"""vocab AS (
       |  SELECT tok AS word, COUNT(*) AS w
       |  FROM (SELECT unnest($toksSql) AS tok FROM documents) t
       |  GROUP BY 1),
@@ -871,12 +884,66 @@ object TextOps extends Suite {
       |  SELECT word, w,
       |    '<' || array_to_string(string_split(word, ''), '><') || '>' AS s
       |  FROM vocab),
-      |${(1 to bpeRounds).map(round).mkString(",\n")}
+      |${(1 to bpeRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  // ---- txt_bpe_apply: encode the corpus with the trained merges -----
+  // The encode step a trained tokenizer performs, and the report that
+  // evaluates the training: per document, whitespace-token count,
+  // character count (the symbol count before any merge), BPE symbol
+  // count after all merges, and the chars-per-symbol compression the
+  // merge table bought. In BPE the fully-merged VOCABULARY is the
+  // encoder for every word in it (training applies each rule
+  // corpus-wide), so the encode is a broadcast join of the
+  // vocab-sized symbol table onto the exploded corpus — no per-doc
+  // reprocessing of the merge rules. Symbol counts are exact
+  // integers derived from the delimited string; the ratio is one
+  // ROUND(…, 6) division.
+  // Scale: one corpus explode + one doc_id agg (map-side combined) —
+  // the trained vocab broadcasts (it is KBs at any corpus scale the
+  // way merge tables are) and everything else rides the token
+  // explode the text suite already pays.
+  private def txtBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val (vocabN, _) = bpeTrainLoop(spark, dir)
+    val symtab = vocabN
+      .withColumn("n_sym",
+        size(split(expr("trim(BOTH '<>' FROM s)"), "><")).cast("long"))
+      .select(col("word"), col("n_sym"), length(col("word")).cast("long").as("n_chr"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .join(broadcast(symtab), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chr")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") / col("n_bpe").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  private val txtBpeApplySql: String =
+    s"""WITH $bpeCtes,
+      |symtab AS (
+      |  SELECT word, CAST(len(string_split(trim(s, '<>'), '><')) AS BIGINT)
+      |      AS n_sym,
+      |    CAST(len(word) AS BIGINT) AS n_chr
+      |  FROM v$bpeRounds),
+      |corpus AS (
+      |  SELECT doc_id, unnest($toksSql) AS word FROM documents)
+      |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(st.n_chr) AS BIGINT) AS n_chars,
+      |  CAST(SUM(st.n_sym) AS BIGINT) AS n_bpe,
+      |  ROUND(CAST(SUM(st.n_chr) AS DOUBLE) / CAST(SUM(st.n_sym) AS DOUBLE), 6)
+      |    AS compression
+      |FROM corpus c JOIN symtab st USING (word)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  private val txtBpeTrainSql: String =
+    s"""WITH $bpeCtes
       |SELECT CAST(round AS BIGINT) AS round, p1, p2, cnt
       |FROM (${(1 to bpeRounds).map(r => s"SELECT * FROM b$r")
         .mkString("\nUNION ALL\n")}) u
       |ORDER BY round""".stripMargin
-  }
 
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
@@ -893,5 +960,6 @@ object TextOps extends Suite {
     Op("txt_tfidf", txtTfidf, Some(txtTfidfSql)),
     Op("txt_entropy", txtEntropy, Some(txtEntropySql)),
     Op("txt_bpe_train", txtBpeTrain, Some(txtBpeTrainSql)),
+    Op("txt_bpe_apply", txtBpeApply, Some(txtBpeApplySql)),
   )
 }

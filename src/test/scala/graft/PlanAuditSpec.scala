@@ -305,6 +305,8 @@ class PlanAuditSpec extends SparkSpec {
       // one exchange is the output sort (per-round pair aggs run
       // inside the training loop's checkpoint jobs)
       "txt_bpe_train" -> 1,
+      // symtab broadcasts onto the corpus explode: doc_id agg + sort
+      "txt_bpe_apply" -> 2,
       // 3 × (map-side-combined key-count agg + 1-row moment agg) —
       // each leg's post-agg frames are keys-sized then single-row —
       // + the 3-row stack's sort
