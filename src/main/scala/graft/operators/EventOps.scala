@@ -545,6 +545,77 @@ object EventOps extends Suite {
       |      / CAST(s.n * s.n AS DOUBLE)))) >= $anomalyZ
       |ORDER BY event_type, hr""".stripMargin
 
+  // ---- ev_cohort_ltv: cohort revenue / LTV curves -------------------
+  // The value complement of ev_retention_cohort: users grouped by
+  // first-seen day, and per (cohort, day-offset) the active-user
+  // count, the period revenue, the cohort's cumulative revenue, and
+  // LTV per cohort user — the payback-curve table a growth/finance
+  // team reads next to the retention matrix. Cross-engine exactness:
+  // revenue sums and the cumulative window run in DECIMAL(18,2)
+  // (order-independent, exact), cohort sizes and distinct actives
+  // are integers; the only doubles are the final ROUND(…, 6)
+  // projections.
+  // Scale: NO joins anywhere — first-seen is a user-partitioned
+  // window over the event scan (one corpus shuffle), cells collapse
+  // to cohort×offset (time-bounded, never corpus-sized), and the
+  // cohort SIZE is recovered from the cells themselves (every cohort
+  // user is active at offset 0, so cohort_users = n_active@0 via a
+  // cohort window) — the cumsum and size windows ride one tiny-frame
+  // exchange together.
+  private def evCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy("user_id")))
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+    val cells = ev.groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("v")).as("rev"))
+    val wCum = Window.partitionBy("cohort_day").orderBy("day_offset")
+    val wAll = Window.partitionBy("cohort_day")
+    cells
+      .withColumn("cum_rev", sum(col("rev")).over(wCum))
+      .withColumn("cohort_users",
+        max(when(col("day_offset") === 0, col("n_active"))).over(wAll))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_users"),
+        round(col("rev").cast("double"), 6).as("revenue"),
+        round(col("cum_rev").cast("double"), 6).as("cum_revenue"),
+        round(col("cum_rev").cast("double") /
+          col("cohort_users").cast("double"), 6).as("ltv_per_user"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val evCohortLtvSql =
+    """WITH ev AS (
+      |  SELECT user_id, day,
+      |    CAST(date_diff('day', MIN(day) OVER (PARTITION BY user_id), day)
+      |      AS BIGINT) AS day_offset,
+      |    MIN(day) OVER (PARTITION BY user_id) AS cohort_day, v
+      |  FROM (SELECT user_id,
+      |          CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |          CAST(value AS DECIMAL(18,2)) AS v
+      |        FROM events) x),
+      |cells AS (
+      |  SELECT cohort_day, day_offset,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+      |    SUM(v) AS rev
+      |  FROM ev GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort_day, day_offset, n_active, rev,
+      |    SUM(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset)
+      |      AS cum_rev,
+      |    MAX(CASE WHEN day_offset = 0 THEN n_active END)
+      |      OVER (PARTITION BY cohort_day) AS cohort_users
+      |  FROM cells)
+      |SELECT cohort_day, day_offset, n_active, cohort_users,
+      |  ROUND(CAST(rev AS DOUBLE), 6) AS revenue,
+      |  ROUND(CAST(cum_rev AS DOUBLE), 6) AS cum_revenue,
+      |  ROUND(CAST(cum_rev AS DOUBLE) / cohort_users, 6) AS ltv_per_user
+      |FROM cum ORDER BY cohort_day, day_offset""".stripMargin
+
   // ---- ev_forecast_baseline: seasonal-naive backtest ----------------
   // The forecast-QA report every capacity/alerting pipeline starts
   // from: per event_type, the seasonal-naive hourly forecast
@@ -854,5 +925,6 @@ object EventOps extends Suite {
     Op("ev_count_min", evCountMin, None),
     Op("ev_ab_test", evAbTest, Some(evAbTestSql)),
     Op("ev_forecast_baseline", evForecastBaseline, Some(evForecastBaselineSql)),
+    Op("ev_cohort_ltv", evCohortLtv, Some(evCohortLtvSql)),
   )
 }

@@ -301,6 +301,10 @@ class PlanAuditSpec extends SparkSpec {
       // alphabet×bin cells agg + per-type stats window whose
       // event_type partitioning the PSI agg reuses + sort
       "dq_drift" -> 3,
+      // first-seen window's user exchange + the distinct-actives
+      // Expand pair + the cohort windows' shared tiny-frame exchange
+      // (sort rides it)
+      "ev_cohort_ltv" -> 4,
       // the final plan reads 8 checkpointed 1-row merge frames: the
       // one exchange is the output sort (per-round pair aggs run
       // inside the training loop's checkpoint jobs)
