@@ -37,6 +37,11 @@ object Bench {
         operators.SimilarityOps.invalidateKmMemo()
       if (name == "sim_pq_topk")
         operators.SimilarityOps.invalidatePqMemo()
+      // same contract for the BPE training loop: txt_bpe_train pays
+      // (and reports) full training; txt_bpe_apply times the encode
+      // against the materialized vocab, the reuse a real pipeline gets
+      if (name == "txt_bpe_train")
+        operators.TextOps.invalidateBpeMemo()
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {

@@ -553,8 +553,11 @@ object EventOps extends Suite {
   // team reads next to the retention matrix. Cross-engine exactness:
   // revenue sums and the cumulative window run in DECIMAL(18,2)
   // (order-independent, exact), cohort sizes and distinct actives
-  // are integers; the only doubles are the final ROUND(…, 6)
-  // projections.
+  // are integers; revenue projections round exact 2-decimal values
+  // (lossless), and the per-user LTV quotient rounds in INTEGER
+  // micro-units ((2m+n) div (2n), txt_lm_perplexity's contract) —
+  // cents over a user count lands on exact .5e-7 ties that double
+  // rounding breaks differently per engine.
   // Scale: NO joins anywhere — first-seen is a user-partitioned
   // window over the event scan (one corpus shuffle), cells collapse
   // to cohort×offset (time-bounded, never corpus-sized), and the
@@ -583,8 +586,9 @@ object EventOps extends Suite {
         col("cohort_users"),
         round(col("rev").cast("double"), 6).as("revenue"),
         round(col("cum_rev").cast("double"), 6).as("cum_revenue"),
-        round(col("cum_rev").cast("double") /
-          col("cohort_users").cast("double"), 6).as("ltv_per_user"))
+        (expr("(2 * cast(cum_rev * 100 as bigint) * 10000L + cohort_users) " +
+          "div (2 * cohort_users)").cast("double") / lit(1000000.0))
+          .as("ltv_per_user"))
       .orderBy("cohort_day", "day_offset")
   }
 
@@ -613,7 +617,8 @@ object EventOps extends Suite {
       |SELECT cohort_day, day_offset, n_active, cohort_users,
       |  ROUND(CAST(rev AS DOUBLE), 6) AS revenue,
       |  ROUND(CAST(cum_rev AS DOUBLE), 6) AS cum_revenue,
-      |  ROUND(CAST(cum_rev AS DOUBLE) / cohort_users, 6) AS ltv_per_user
+      |  CAST((2 * CAST(cum_rev * 100 AS BIGINT) * 10000 + cohort_users)
+      |    // (2 * cohort_users) AS DOUBLE) / 1000000.0 AS ltv_per_user
       |FROM cum ORDER BY cohort_day, day_offset""".stripMargin
 
   // ---- ev_forecast_baseline: seasonal-naive backtest ----------------

@@ -807,12 +807,25 @@ object TextOps extends Suite {
   // they train on the frequency table, not the corpus.
   private val bpeRounds = 8
 
-  /** Run the training loop once: returns (final symbolized vocab
-    * after all merges, per-round 1-row merge frames). Shared by
-    * txt_bpe_train (emits the rules) and txt_bpe_apply (encodes with
-    * the final vocab — in BPE, applying all merges to the vocabulary
-    * IS the encoder for every word in it). */
+  /** Run the training loop once per (session, dataset): returns
+    * (final symbolized vocab after all merges, per-round 1-row merge
+    * frames). Shared by txt_bpe_train (emits the rules) and
+    * txt_bpe_apply (encodes with the final vocab — in BPE, applying
+    * all merges to the vocabulary IS the encoder for every word in
+    * it). Memoized like sim_kmeans' trained frames: the frames are
+    * checkpoint-backed, so reuse is a file read, and the bench
+    * invalidates before timing the PRODUCER so txt_bpe_train still
+    * records the full training cost. */
+  private[graft] def invalidateBpeMemo(): Unit = bpeMemo.clear()
+
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Seq[DataFrame])]
+
   private def bpeTrainLoop(
+      spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) =
+    bpeMemo.getOrElseUpdate((spark, dir), bpeTrainCompute(spark, dir))
+
+  private def bpeTrainCompute(
       spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
@@ -830,13 +843,24 @@ object TextOps extends Suite {
           "slice(a, 2, size(a) - 1))")).as("pr"))
       .groupBy(col("pr.0").as("p1"), col("pr.1").as("p2"))
       .agg(sum(col("w")).as("cnt"))
+    // a zero-count sentinel pair keeps `best` at EXACTLY one row even
+    // if the pair table runs dry (fully-merged vocab before the last
+    // round): its '<><>' pattern can never match (symbols are
+    // non-empty), so the merge is a no-op instead of an empty
+    // crossJoin annihilating the vocabulary; sentinel rounds are
+    // filtered out of the emitted rule table (cnt > 0)
+    def sentinel(round: Int): DataFrame = {
+      import spark.implicits._
+      Seq((round.toLong, "", "", 0L)).toDF("round", "p1", "p2", "cnt")
+    }
     val (vocabN, merges) =
       (1 to bpeRounds).foldLeft((vocab0, List.empty[DataFrame])) {
         case ((vocab, acc), round) =>
           val best = pairs(vocab)
-            .orderBy(desc("cnt"), col("p1"), col("p2")).limit(1)
             .select(lit(round.toLong).as("round"), col("p1"), col("p2"),
               col("cnt"))
+            .unionAll(sentinel(round))
+            .orderBy(desc("cnt"), col("p1"), col("p2")).limit(1)
             .checkpoint()
           val next = vocab.crossJoin(broadcast(best))
             .withColumn("s", expr(
@@ -850,11 +874,10 @@ object TextOps extends Suite {
   }
 
   private def txtBpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
     val (_, merges) = bpeTrainLoop(spark, dir)
     merges.reduce(_ unionAll _)
-      .select(col("round").cast(LongType).as("round"), col("p1"), col("p2"),
-        col("cnt"))
+      .filter(col("cnt") > 0)
+      .select("round", "p1", "p2", "cnt")
       .orderBy("round")
   }
 
@@ -867,9 +890,11 @@ object TextOps extends Suite {
         |  FROM (SELECT w, string_split(trim(s, '<>'), '><') AS a
         |        FROM v${r - 1}) x),
         |b$r AS (
-        |  SELECT $r AS round, a[i] AS p1, a[i + 1] AS p2,
-        |    CAST(SUM(w) AS BIGINT) AS cnt
-        |  FROM e$r GROUP BY 2, 3
+        |  SELECT round, p1, p2, cnt FROM (
+        |    SELECT $r AS round, a[i] AS p1, a[i + 1] AS p2,
+        |      CAST(SUM(w) AS BIGINT) AS cnt
+        |    FROM e$r GROUP BY 2, 3
+        |    UNION ALL SELECT $r, '', '', CAST(0 AS BIGINT)) u
         |  ORDER BY cnt DESC, p1, p2 LIMIT 1),
         |v$r AS (
         |  SELECT word, w,
@@ -897,8 +922,14 @@ object TextOps extends Suite {
   // corpus-wide), so the encode is a broadcast join of the
   // vocab-sized symbol table onto the exploded corpus — no per-doc
   // reprocessing of the merge rules. Symbol counts are exact
-  // integers derived from the delimited string; the ratio is one
-  // ROUND(…, 6) division.
+  // integers derived from the delimited string; the chars-per-symbol
+  // ratio rounds in INTEGER micro-units ((2m+n) div (2n), the
+  // txt_lm_perplexity contract — integer/integer quotients DO land
+  // on exact .5e-7 ties that double rounding breaks differently per
+  // engine). Zero-token documents stay in the report (explode_outer
+  // + conditional counts, txt_entropy's convention) as n_words=0 /
+  // NULL compression — the degenerate rows a tokenization-coverage
+  // audit exists to surface.
   // Scale: one corpus explode + one doc_id agg (map-side combined) —
   // the trained vocab broadcasts (it is KBs at any corpus scale the
   // way merge tables are) and everything else rides the token
@@ -910,14 +941,16 @@ object TextOps extends Suite {
         size(split(expr("trim(BOTH '<>' FROM s)"), "><")).cast("long"))
       .select(col("word"), col("n_sym"), length(col("word")).cast("long").as("n_chr"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks).as("word"))
-      .join(broadcast(symtab), Seq("word"))
+      .select(col("doc_id"), explode_outer(toks).as("word"))
+      .join(broadcast(symtab), Seq("word"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("n_chr")).as("n_chars"),
-        sum(col("n_sym")).as("n_bpe"))
+      .agg(count(col("word")).as("n_words"),
+        coalesce(sum(col("n_chr")), lit(0L)).as("n_chars"),
+        coalesce(sum(col("n_sym")), lit(0L)).as("n_bpe"))
       .withColumn("compression",
-        round(col("n_chars").cast("double") / col("n_bpe").cast("double"), 6))
+        when(col("n_bpe") > 0,
+          expr("(2 * n_chars * 1000000L + n_bpe) div (2 * n_bpe)")
+            .cast("double") / lit(1000000.0)))
       .orderBy("doc_id")
   }
 
@@ -929,20 +962,29 @@ object TextOps extends Suite {
       |    CAST(len(word) AS BIGINT) AS n_chr
       |  FROM v$bpeRounds),
       |corpus AS (
-      |  SELECT doc_id, unnest($toksSql) AS word FROM documents)
-      |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-      |  CAST(SUM(st.n_chr) AS BIGINT) AS n_chars,
-      |  CAST(SUM(st.n_sym) AS BIGINT) AS n_bpe,
-      |  ROUND(CAST(SUM(st.n_chr) AS DOUBLE) / CAST(SUM(st.n_sym) AS DOUBLE), 6)
-      |    AS compression
-      |FROM corpus c JOIN symtab st USING (word)
-      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+      |  SELECT doc_id, unnest($toksSql) AS word FROM documents),
+      |agg AS (
+      |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |    CAST(SUM(st.n_chr) AS BIGINT) AS n_chars,
+      |    CAST(SUM(st.n_sym) AS BIGINT) AS n_bpe
+      |  FROM corpus c JOIN symtab st USING (word)
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(a.n_words, 0) AS n_words,
+      |  COALESCE(a.n_chars, 0) AS n_chars,
+      |  COALESCE(a.n_bpe, 0) AS n_bpe,
+      |  CASE WHEN a.n_bpe > 0 THEN
+      |    CAST((2 * a.n_chars * 1000000 + a.n_bpe) // (2 * a.n_bpe)
+      |      AS DOUBLE) / 1000000.0 END AS compression
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   private val txtBpeTrainSql: String =
     s"""WITH $bpeCtes
       |SELECT CAST(round AS BIGINT) AS round, p1, p2, cnt
       |FROM (${(1 to bpeRounds).map(r => s"SELECT * FROM b$r")
         .mkString("\nUNION ALL\n")}) u
+      |WHERE cnt > 0
       |ORDER BY round""".stripMargin
 
   override val ops: Seq[Op] = Seq(
