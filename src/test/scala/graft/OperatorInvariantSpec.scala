@@ -645,6 +645,34 @@ class OperatorInvariantSpec extends SparkSpec {
     info(s"dedup_semantic band recall: $nGot/$nExact")
   }
 
+  test("txt_bpe_train survives a vocabulary that runs dry before the last round") {
+    // a corpus whose whole vocabulary collapses to single symbols
+    // after 2 merges: the sentinel no-op must carry the remaining
+    // rounds without annihilating the vocab, the rule table must
+    // contain only the real merges, and the encode report must show
+    // the fully-merged symbol counts
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_dry").toString
+    Seq(
+      (1L, "ab ab ab", "en", "crawl", 8L),
+      (2L, "ab", "en", "crawl", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rules = SparkEntry.queries("txt_bpe_train")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // one real merge: (a, b) weighted 4 (3 + 1 occurrences of 'ab');
+    // afterwards every word is one symbol — no sentinel rows emitted
+    assert(rules.toSeq == Seq((1L, "a", "b", 4L)), rules.mkString("|"))
+    val enc = SparkEntry.queries("txt_bpe_apply")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // doc 1: 3 words, 6 chars, 3 fully-merged symbols, compression 2.0
+    assert(enc.toSeq == Seq((1L, 3L, 6L, 3L, 2.0), (2L, 1L, 2L, 1L, 2.0)),
+      enc.mkString("|"))
+  }
+
   test("sim_recall_report measures every ANN path with recalls in [0,1]") {
     val rows = run("sim_recall_report")
       .select("method", "k", "n_queries", "recall", "min_recall").collect()
