@@ -715,9 +715,16 @@ object TextOps extends Suite {
   // whole-distribution number.
   // Cross-engine exactness (txt_tfidf's ln-quantization contract):
   // ln(c) is quantized ONCE per count value to scale-6 decimal, so
-  // Σ c·lnq(c) is an exact decimal sum (order-independent); the final
-  // H assembles from one division and one subtraction on identical
-  // doubles. Scale: explode + one (doc_id, tok) count agg + one
+  // Σ c·lnq(c) is an exact decimal sum (order-independent); H and
+  // the efficiency ratio then assemble ENTIRELY in integer
+  // micro-units with half-up division ((2m+n) div (2n),
+  // txt_lm_perplexity's contract) — the double form
+  // ROUND(lnq(n) − s/n, 6) landed on a real .5e-7 tie at sf0.1
+  // (doc 1328: 2.962292 vs 2.962293) because Spark rounds the
+  // shortest repr while DuckDB rounds the exact binary value. The
+  // numerator lnq(n)·n − Σc·lnq(c) is ≥ 0 by concavity (exactly 0
+  // for single-type docs, where both sides share one quantized ln),
+  // so the positive-operand half-up identity holds. Scale: explode + one (doc_id, tok) count agg + one
   // doc_id agg riding the same partitioning — the standard two-level
   // token aggregation, map-side combined, nothing quadratic.
   // Zero-token documents — the degenerate docs a quality report most
@@ -735,15 +742,23 @@ object TextOps extends Suite {
           (col("c").cast(DecimalType(18, 6)) *
             round(log(col("c").cast("double")), 6).cast(DecimalType(18, 6)))
             .cast(DecimalType(18, 6)))).as("s"))
-      .withColumn("entropy",
-        when(col("n_toks") > 0,
-          round(round(log(col("n_toks").cast("double")), 6) -
-            col("s").cast("double") / col("n_toks").cast("double"), 6)))
+      // all integer micro-units from here: lnn_u = lnq(n)·10⁶,
+      // s_u = s·10⁶ (exact: s is scale-6 decimal), numerator ≥ 0
+      .withColumn("lnn_u",
+        (round(log(col("n_toks").cast("double")), 6).cast(DecimalType(12, 6))
+          * 1000000).cast("long"))
+      .withColumn("s_u", (col("s") * 1000000L).cast("long"))
+      .withColumn("e_u",
+        when(col("n_toks") > 0, expr(
+          "(2 * (lnn_u * n_toks - s_u) + n_toks) div (2 * n_toks)")))
+      .withColumn("lnt_u",
+        (round(log(col("n_types").cast("double")), 6).cast(DecimalType(12, 6))
+          * 1000000).cast("long"))
       .select(col("doc_id"), col("lang"), col("n_toks"), col("n_types"),
-        col("entropy"),
+        (col("e_u").cast("double") / lit(1000000.0)).as("entropy"),
         when(col("n_types") > 1,
-          round(col("entropy") /
-            round(log(col("n_types").cast("double")), 6), 6))
+          expr("(2 * e_u * 1000000L + lnt_u) div (2 * lnt_u)")
+            .cast("double") / lit(1000000.0))
           .as("efficiency"))
       .orderBy("doc_id")
   }
@@ -764,13 +779,22 @@ object TextOps extends Suite {
       |  SELECT d.doc_id, d.lang,
       |    COALESCE(a.n_toks, 0) AS n_toks,
       |    COALESCE(a.n_types, 0) AS n_types,
-      |    CASE WHEN a.n_toks > 0 THEN ROUND(ROUND(ln(a.n_toks), 6)
-      |      - CAST(a.s AS DOUBLE) / CAST(a.n_toks AS DOUBLE), 6) END
-      |      AS entropy
+      |    CASE WHEN a.n_toks > 0 THEN
+      |      (2 * (CAST(CAST(ROUND(ln(a.n_toks), 6) AS DECIMAL(12,6))
+      |              * 1000000 AS BIGINT)
+      |            * a.n_toks
+      |            - CAST(a.s * 1000000 AS BIGINT))
+      |       + a.n_toks) // (2 * a.n_toks) END AS e_u
       |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id)
-      |SELECT doc_id, lang, n_toks, n_types, entropy,
-      |  CASE WHEN n_types > 1
-      |    THEN ROUND(entropy / ROUND(ln(n_types), 6), 6) END AS efficiency
+      |SELECT doc_id, lang, n_toks, n_types,
+      |  CAST(e_u AS DOUBLE) / 1000000.0 AS entropy,
+      |  CASE WHEN n_types > 1 THEN
+      |    CAST((2 * e_u * 1000000
+      |          + CAST(CAST(ROUND(ln(n_types), 6) AS DECIMAL(12,6))
+      |              * 1000000 AS BIGINT))
+      |      // (2 * CAST(CAST(ROUND(ln(n_types), 6) AS DECIMAL(12,6))
+      |              * 1000000 AS BIGINT))
+      |      AS DOUBLE) / 1000000.0 END AS efficiency
       |FROM ent ORDER BY doc_id""".stripMargin
 
   // ---- txt_bpe_train: byte-pair-encoding merge-rule training --------
