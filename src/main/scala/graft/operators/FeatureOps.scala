@@ -589,6 +589,79 @@ object FeatureOps extends Suite {
       |  CAST(lag7_cnt AS BIGINT) AS lag7_cnt
       |FROM lagged ORDER BY user_id, day""".stripMargin
 
+  // ---- ft_time_to_event: survival labels with horizon censoring -----
+  // The churn/conversion-model label op: for each (user, active day),
+  // whole days until the user's NEXT purchase strictly after that day
+  // (same exclusive-of-the-label-day convention as ft_label_next7d,
+  // so same-day outcomes cannot leak into same-day features), capped
+  // at a 30-day horizon with the standard survival-analysis
+  // convention — censored observations carry tte_days = horizon and
+  // event_observed = 0, so the label block is dense integers (no
+  // NULLs, the driver-compare convention).
+  // Implemented as ONE forward-looking window over a unioned
+  // (activity-boundary ∪ purchase) timeline per user: activity rows
+  // sort at their day boundary before any purchase at the same
+  // instant, and MIN(purchase ts) over ROWS CURRENT..UNBOUNDED
+  // FOLLOWING is the next-purchase lookup — the reverse of
+  // ev_asof_join's carry-forward, riding the SAME single user_id
+  // shuffle; no self-join, no per-row subquery.
+  private val tteHorizonDays = 30
+
+  private def ftTimeToEvent(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val acts = ev
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .select(col("user_id"), col("day"),
+        (col("day") + expr("INTERVAL 1 DAY")).as("t"),
+        lit(0).as("kind"), lit(null).cast("timestamp").as("p_ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), lit(null).cast("timestamp").as("day"),
+        col("ts").as("t"), lit(1).as("kind"), col("ts").as("p_ts"))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    acts.unionAll(purch)
+      .withColumn("next_p", min(col("p_ts")).over(w))
+      .filter(col("kind") === 0)
+      .withColumn("raw_days",
+        datediff(date_trunc("day", col("next_p")), col("day")).cast("long"))
+      .select(col("user_id"), col("day"),
+        least(coalesce(col("raw_days"), lit(tteHorizonDays.toLong + 1)),
+          lit(tteHorizonDays.toLong)).as("tte_days"),
+        (coalesce(col("raw_days"), lit(tteHorizonDays.toLong + 1))
+          <= tteHorizonDays).cast("int").as("event_observed"))
+      .orderBy("user_id", "day")
+  }
+
+  private val ftTimeToEventSql =
+    s"""WITH acts AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      |  FROM events),
+      |timeline AS (
+      |  SELECT user_id, day, day + INTERVAL 1 DAY AS t, 0 AS kind,
+      |    CAST(NULL AS TIMESTAMP) AS p_ts
+      |  FROM acts
+      |  UNION ALL
+      |  SELECT user_id, CAST(NULL AS TIMESTAMP), ts, 1, ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |nxt AS (
+      |  SELECT user_id, day, kind,
+      |    MIN(p_ts) OVER (PARTITION BY user_id ORDER BY t, kind
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+      |  FROM timeline),
+      |lab AS (
+      |  SELECT user_id, day,
+      |    CAST(date_diff('day', day, CAST(date_trunc('day', next_p)
+      |      AS TIMESTAMP)) AS BIGINT) AS raw_days
+      |  FROM nxt WHERE kind = 0)
+      |SELECT user_id, day,
+      |  LEAST(COALESCE(raw_days, ${tteHorizonDays + 1}), $tteHorizonDays)
+      |    AS tte_days,
+      |  CAST(COALESCE(raw_days, ${tteHorizonDays + 1}) <= $tteHorizonDays
+      |    AS INT) AS event_observed
+      |FROM lab ORDER BY user_id, day""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ft_rolling_24h", ftRolling, Some(ftRollingSql)),
     Op("ft_daily_ffill", ftDailyFfill, Some(ftDailyFfillSql)),
@@ -600,5 +673,6 @@ object FeatureOps extends Suite {
     Op("ft_rfm", ftRfm, Some(ftRfmSql)),
     Op("ft_item_pagerank", ftItemPagerank, Some(ftItemPagerankSql)),
     Op("ft_lag_features", ftLagFeatures, Some(ftLagFeaturesSql)),
+    Op("ft_time_to_event", ftTimeToEvent, Some(ftTimeToEventSql)),
   )
 }

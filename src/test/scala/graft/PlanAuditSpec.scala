@@ -301,6 +301,9 @@ class PlanAuditSpec extends SparkSpec {
       // alphabet×bin cells agg + per-type stats window whose
       // event_type partitioning the PSI agg reuses + sort
       "dq_drift" -> 3,
+      // activity-day distinct agg + the unioned timeline's user_id
+      // window exchange + sort; purchases ride the union map-side
+      "ft_time_to_event" -> 3,
       // first-seen window's user exchange + the distinct-actives
       // Expand pair + the cohort windows' shared tiny-frame exchange
       // (sort rides it)
