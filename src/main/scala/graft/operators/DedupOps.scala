@@ -363,10 +363,6 @@ object DedupOps extends Suite {
       .orderBy("tau")
   }
 
-  /** The oracle replays the hyperplane buckets with the same integer
-    * plane literals and the same left-fold double accumulation, so
-    * the candidate set is bit-identical to hyperplane_buckets. The
-    * CTE chain (through `emb_pairs`) is shared with the sweep oracle. */
   /** planes→sgn→keys: the oracle-side replay of hyperplane_buckets
     * (same dyadic integer plane weights, same left-fold double dot) —
     * shared by the embedding-pair chain and dedup_semantic's
@@ -389,6 +385,10 @@ object DedupOps extends Suite {
       |  FROM sgn GROUP BY vec_id, t)""".stripMargin
   }
 
+  /** Candidate pairs → exact cosines: the oracle replays the bucket
+    * join bit-for-bit on the `keys` CTE above, so candidate sets and
+    * cosines are identical to the Spark path. The chain (through
+    * `emb_pairs`) is shared with the dedup_embedding_sweep oracle. */
   private val embPairsCtes: String = {
     s"""$hyperKeysCtes,
       |cand AS (

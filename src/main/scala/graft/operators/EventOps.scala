@@ -555,9 +555,14 @@ object EventOps extends Suite {
   // (order-independent, exact), cohort sizes and distinct actives
   // are integers; revenue projections round exact 2-decimal values
   // (lossless), and the per-user LTV quotient rounds in INTEGER
-  // micro-units ((2m+n) div (2n), txt_lm_perplexity's contract) —
+  // micro-units (txt_lm_perplexity's (2m+n) div (2n) contract) —
   // cents over a user count lands on exact .5e-7 ties that double
-  // rounding breaks differently per engine.
+  // rounding breaks differently per engine. The quotient is SIGN-SAFE:
+  // it rounds half-away-from-zero via sign(m)·((2·|m|+n) div (2n)),
+  // because for negative m the bare identity breaks twice (Spark div
+  // truncates toward zero, DuckDB // floors — they disagree on every
+  // negative inexact quotient) — so a refund/adjustment batch driving
+  // a cohort's cum_rev negative still hashes identically cross-engine.
   // Scale: NO joins anywhere — first-seen is a user-partitioned
   // window over the event scan (one corpus shuffle), cells collapse
   // to cohort×offset (time-bounded, never corpus-sized), and the
@@ -586,8 +591,9 @@ object EventOps extends Suite {
         col("cohort_users"),
         round(col("rev").cast("double"), 6).as("revenue"),
         round(col("cum_rev").cast("double"), 6).as("cum_revenue"),
-        (expr("(2 * cast(cum_rev * 100 as bigint) * 10000L + cohort_users) " +
-          "div (2 * cohort_users)").cast("double") / lit(1000000.0))
+        (expr("(case when cum_rev < 0 then -1L else 1L end) * " +
+          "((2 * abs(cast(cum_rev * 100 as bigint) * 10000L) + cohort_users) " +
+          "div (2 * cohort_users))").cast("double") / lit(1000000.0))
           .as("ltv_per_user"))
       .orderBy("cohort_day", "day_offset")
   }
@@ -617,8 +623,9 @@ object EventOps extends Suite {
       |SELECT cohort_day, day_offset, n_active, cohort_users,
       |  ROUND(CAST(rev AS DOUBLE), 6) AS revenue,
       |  ROUND(CAST(cum_rev AS DOUBLE), 6) AS cum_revenue,
-      |  CAST((2 * CAST(cum_rev * 100 AS BIGINT) * 10000 + cohort_users)
-      |    // (2 * cohort_users) AS DOUBLE) / 1000000.0 AS ltv_per_user
+      |  CAST((CASE WHEN cum_rev < 0 THEN -1 ELSE 1 END) *
+      |    ((2 * ABS(CAST(cum_rev * 100 AS BIGINT) * 10000) + cohort_users)
+      |      // (2 * cohort_users)) AS DOUBLE) / 1000000.0 AS ltv_per_user
       |FROM cum ORDER BY cohort_day, day_offset""".stripMargin
 
   // ---- ev_forecast_baseline: seasonal-naive backtest ----------------
@@ -636,10 +643,13 @@ object EventOps extends Suite {
   // Σ|e|, Σe, Σe² are exact; MAE/bias are one integer-over-integer
   // double division each, RMSE one sqrt on an exactly-represented
   // ratio — identical in both engines.
-  // Scale: the hourly series is time-bounded (~10⁴ rows per type per
-  // year — never corpus-sized), so the grid join broadcasts the
-  // aggregated series and the lag window partitions by type; the
-  // only corpus-sized stage is the first map-side-combined hour agg.
+  // Scale: the hourly series is alphabet×span-sized (~10⁴ rows per
+  // type per year — never corpus-sized) but DOES grow with the type
+  // alphabet and the time span, so it carries NO broadcast hint (the
+  // §5 rule: hints only on frames bounded at any scale); AQE
+  // broadcasts it while it fits and degrades to a shuffle join on a
+  // wide-alphabet multi-year feed. The only corpus-sized stage is the
+  // first map-side-combined hour agg.
   private def evForecastBaseline(spark: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
@@ -650,7 +660,7 @@ object EventOps extends Suite {
         explode(sequence(col("lo"), col("hi"),
           expr("interval 1 hour"))).as("hr"))
     val w = Window.partitionBy("event_type").orderBy("hr")
-    grid.join(broadcast(hourly), Seq("event_type", "hr"), "left")
+    grid.join(hourly, Seq("event_type", "hr"), "left")
       .withColumn("actual", coalesce(col("c"), lit(0L)))
       .withColumn("fc", lag(col("actual"), 24).over(w))
       .filter(col("fc").isNotNull)

@@ -18,7 +18,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * per-pipeline listeners are bound to their query id because Spark
   * listeners are session-global.
   */
-class PipelineManager(spark: SparkSession) {
+class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
+
+  // Bound query.stop(): the default stopTimeout=0 waits indefinitely,
+  // which would let one wedged pipeline block a whole reconcile tick.
+  // A timed-out stop throws, and `stop` below keeps the registration
+  // so the next tick retries instead of orphaning a running query.
+  spark.conf.set("spark.sql.streaming.stopTimeout", s"${stopTimeoutMillis}ms")
 
   final case class Pipeline(
       name: String,
@@ -82,11 +88,21 @@ class PipelineManager(spark: SparkSession) {
   def sweep(alerts: AlertManager): Unit =
     pipelines.foreach { case (name, p) => alerts.update(name, p.listener.health) }
 
-  /** Stop one pipeline and release its listener. */
-  def stop(name: String): Unit = pipelines.remove(name).foreach { p =>
+  /** Stop one pipeline and release its listener. The registration is
+    * removed only AFTER `query.stop()` succeeds: if stop throws (e.g.
+    * the bounded stopTimeout fires), the still-running query must stay
+    * in the manager so a later reconcile tick retries it — removing
+    * first would orphan a live query and leak its session-global
+    * listener for the driver's lifetime. */
+  def stop(name: String): Unit = pipelines.get(name).foreach { p =>
     p.query.stop()
+    pipelines.remove(name)
     spark.streams.removeListener(p.listener)
   }
 
-  def stopAll(): Unit = pipelines.keys.foreach(stop)
+  /** Best-effort shutdown: one refusing query must not leave the
+    * rest running; failed stops keep their registrations (see stop). */
+  def stopAll(): Unit = pipelines.keys.foreach { n =>
+    try stop(n) catch { case scala.util.control.NonFatal(_) => () }
+  }
 }

@@ -47,17 +47,37 @@ class PipelineRegistry(url: String, table: String = "graft_pipelines") {
 
   ensureSchema()
 
+  /** Vendor-portable existence check: DatabaseMetaData instead of a
+    * vendor SQLState list (Derby X0Y32, Postgres 42P07, MySQL 42S01
+    * all differ). Quoted DDL creates a case-sensitive name, so probe
+    * the exact table string; re-catch a create race below. */
+  private def tableExists(c: Connection): Boolean = {
+    val md = c.getMetaData
+    // the table-name argument is a JDBC search PATTERN: a bare '_'
+    // matches any character, so escape it or "graft_pipelines" also
+    // matches a hypothetical "graftXpipelines"
+    val esc = md.getSearchStringEscape
+    val pat = table.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
+    val rs = md.getTables(null, null, pat, null)
+    try rs.next() finally rs.close()
+  }
+
   private def ensureSchema(): Unit = withConn { c =>
-    val ddl =
-      s"""CREATE TABLE ${q(table)} (
-         |${q("name")} VARCHAR(256) PRIMARY KEY,
-         |${q("source")} VARCHAR(1024) NOT NULL,
-         |${q("target")} VARCHAR(1024) NOT NULL,
-         |${q("checkpoint")} VARCHAR(1024) NOT NULL,
-         |${q("enabled")} INT NOT NULL,
-         |${q("updated_at")} TIMESTAMP NOT NULL)""".stripMargin
-    try { c.createStatement().execute(ddl) }
-    catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+    if (!tableExists(c)) {
+      val ddl =
+        s"""CREATE TABLE ${q(table)} (
+           |${q("name")} VARCHAR(256) PRIMARY KEY,
+           |${q("source")} VARCHAR(1024) NOT NULL,
+           |${q("target")} VARCHAR(1024) NOT NULL,
+           |${q("checkpoint")} VARCHAR(1024) NOT NULL,
+           |${q("enabled")} INT NOT NULL,
+           |${q("updated_at")} TIMESTAMP NOT NULL)""".stripMargin
+      // two registrars can both see "absent" — the loser's duplicate
+      // CREATE is fine as long as the table now exists
+      try { c.createStatement().execute(ddl) }
+      catch { case e: java.sql.SQLException if tableExists(c) => () }
+    }
   }
 
   /** Reject obviously-broken config before it becomes desired state
@@ -72,20 +92,26 @@ class PipelineRegistry(url: String, table: String = "graft_pipelines") {
     require(spec.checkpoint.trim.nonEmpty, s"${spec.name}: empty checkpoint")
   }
 
-  /** Create or update a pipeline's desired state. */
+  /** Create or update a pipeline's desired state. UPDATE-then-INSERT
+    * with a duplicate-key retry: two registrars racing the INSERT are
+    * serialized by the PK — the loser's violation downgrades to an
+    * UPDATE (vendor-neutral MERGE is not in the common dialect). */
   def upsert(spec: PipelineSpec): Unit = {
     validate(spec)
     withConn { c =>
       val now = new Timestamp(System.currentTimeMillis())
-      val upd = c.prepareStatement(
-        s"UPDATE ${q(table)} SET ${q("source")} = ?, ${q("target")} = ?, " +
-          s"${q("checkpoint")} = ?, ${q("enabled")} = ?, " +
-          s"${q("updated_at")} = ? WHERE ${q("name")} = ?")
-      upd.setString(1, spec.source); upd.setString(2, spec.target)
-      upd.setString(3, spec.checkpoint)
-      upd.setInt(4, if (spec.enabled) 1 else 0)
-      upd.setTimestamp(5, now); upd.setString(6, spec.name)
-      if (upd.executeUpdate() == 0) {
+      def update(): Int = {
+        val upd = c.prepareStatement(
+          s"UPDATE ${q(table)} SET ${q("source")} = ?, ${q("target")} = ?, " +
+            s"${q("checkpoint")} = ?, ${q("enabled")} = ?, " +
+            s"${q("updated_at")} = ? WHERE ${q("name")} = ?")
+        upd.setString(1, spec.source); upd.setString(2, spec.target)
+        upd.setString(3, spec.checkpoint)
+        upd.setInt(4, if (spec.enabled) 1 else 0)
+        upd.setTimestamp(5, now); upd.setString(6, spec.name)
+        upd.executeUpdate()
+      }
+      if (update() == 0) {
         val ins = c.prepareStatement(
           s"INSERT INTO ${q(table)} (${q("name")}, ${q("source")}, " +
             s"${q("target")}, ${q("checkpoint")}, ${q("enabled")}, " +
@@ -93,7 +119,15 @@ class PipelineRegistry(url: String, table: String = "graft_pipelines") {
         ins.setString(1, spec.name); ins.setString(2, spec.source)
         ins.setString(3, spec.target); ins.setString(4, spec.checkpoint)
         ins.setInt(5, if (spec.enabled) 1 else 0); ins.setTimestamp(6, now)
-        ins.executeUpdate()
+        try ins.executeUpdate()
+        catch {
+          // SQLState class 23 = integrity-constraint violation on every
+          // vendor; the racing row now exists, so overwrite it
+          case e: java.sql.SQLException
+              if Option(e.getSQLState).exists(_.startsWith("23")) =>
+            require(update() == 1,
+              s"${spec.name}: lost upsert race and retry UPDATE matched no row")
+        }
       }
     }
   }
@@ -158,12 +192,16 @@ class PipelineRegistry(url: String, table: String = "graft_pipelines") {
     // driver's lifetime
     val toStop = registered.filterNot(desired.contains)
     val started = Seq.newBuilder[String]
+    val stopped = Seq.newBuilder[String]
     val failed = Map.newBuilder[String, String]
     // each stop is guarded like each start: StreamingQuery.stop can
     // throw on timeout, and one refusing pipeline must not abort the
-    // rest of the tick's convergence
+    // rest of the tick's convergence. A failed stop keeps its manager
+    // registration (PipelineManager.stop removes only on success), so
+    // the NEXT tick sees it still registered-but-undesired and
+    // retries — `stopped` reports only stops that actually landed.
     toStop.toSeq.sorted.foreach { name =>
-      try mgr.stop(name)
+      try { mgr.stop(name); stopped += name }
       catch { case scala.util.control.NonFatal(e) =>
         failed += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
       }
@@ -180,7 +218,6 @@ class PipelineRegistry(url: String, table: String = "graft_pipelines") {
           failed += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
         }
     }
-    ReconcileReport(started.result(), toStop.toSeq.sorted,
-      failed.result())
+    ReconcileReport(started.result(), stopped.result(), failed.result())
   }
 }
