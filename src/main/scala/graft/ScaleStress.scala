@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic 10× scale-stress harness — the only way, with the driver
+  * data capped at sf0.1, to observe which plans FLIP as the data
+  * outgrows broadcast thresholds and AQE boundaries (the question the
+  * 100 TB design claims in SURVEY §5 are about).
+  *
+  * Phase 1 materializes two derived datasets under /tmp from the
+  * sf0.1 parquet:
+  *   - `b1x`: factor-1 (the comparison baseline)
+  *   - `sfN`: factor-N (default 10), every SF-scaled table replicated
+  *     with per-replica key shifts that PRESERVE referential
+  *     integrity (orders.o_custkey of replica i joins customer keys
+  *     of replica i, both shifted by i·10¹²); `region`/`nation` stay
+  *     1× — dimensions don't grow with the corpus.
+  *
+  * Replica isolation keeps the stress measuring SCALE, not a
+  * dup-storm: a naive 10× copy makes every document 10-way
+  * duplicated, which blows pairwise candidate counts up ~100×
+  * (C(10,2) per shingle group) and would measure a 90%-duplicate
+  * corpus instead of a 10× corpus. So
+  *   - `documents.text` gets a replica tag token injected after every
+  *     2nd word — no 3-token window (shingle, 5-gram) survives
+  *     untagged, so shingle/census blocking keys never collide across
+  *     replicas and the dup RATE stays scale-invariant. The tag
+  *     dilutes token stats identically in every replica, which is why
+  *     the baseline is the TAGGED 1× copy, not raw sf0.1 — ratios
+  *     then measure pure scale.
+  *   - `embeddings.embedding` gets a per-replica dimension rotation
+  *     (j → j+7i mod 64; gcd(7,64)=1): an orthogonal transform, so
+  *     within-replica geometry (cosines, LSH bucket balance, cluster
+  *     structure) is EXACTLY preserved while cross-replica cosines
+  *     stay at the isotropic background level.
+  *
+  * Phase 2 times each stress query on both datasets (fresh logical
+  * plan per sample so no shuffle-stage reuse fakes the numbers; memo
+  * invalidation follows Bench's producer-pays convention) and records
+  * the final AQE physical-plan signature (join strategies, exchanges,
+  * skew splits) so a broadcast→SMJ flip at 10× is visible in the
+  * committed artifact, not just a timing delta.
+  *
+  * Usage: runMain graft.ScaleStress [factor] [q1,q2,...]
+  * Writes SCALE_r08.json + SCALE.md in the repo root.
+  */
+object ScaleStress {
+
+  /** Key offset between replicas — far above any sf0.1 key. */
+  private val OFF = 1000000000000L
+
+  private val defaultQueries = Seq(
+    // the 15 most expensive rows of bench_latest.json (r7)
+    "ft_item_pagerank", "pipe_dup_clusters", "sim_pq_topk",
+    "pipe_dedup_report", "sim_kmeans", "txt_bpe_train",
+    "q9_profit_nation", "ft_cooccurrence", "txt_line_dedup",
+    "dedup_substring_scrub", "dedup_embedding", "q7_volume_shipping",
+    "pipe_curate", "dedup_edit", "sim_recall_report",
+    // plus headline scan/join/window shapes whose plan flips matter
+    "q1_pricing_summary", "q3_shipping_priority", "q18_big_orders",
+    "ev_sessionize", "dedup_minhash", "ft_rolling_24h")
+
+  private def shift(df: DataFrame, keys: Seq[String]): DataFrame =
+    keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + col("rep") * OFF))
+
+  /** Replicate `factor`× with shifted keys; `rep` column dropped. */
+  private def replicate(spark: SparkSession, df: DataFrame, factor: Int)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val reps = spark.range(factor).select(col("id").cast("long").as("rep"))
+    transform(df.crossJoin(broadcast(reps))).drop("rep")
+  }
+
+  private def materialize(
+      spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/_GRAFT_SCALE_${factor}x")
+    if (marker.exists()) { println(s"[scale] reuse $outDir (${factor}x)"); return }
+    println(s"[scale] materializing ${factor}x into $outDir")
+    def read(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
+    def write(t: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    // dimensions stay fixed-size at any corpus scale
+    write("region", read("region"))
+    write("nation", read("nation"))
+
+    write("customer", replicate(spark, read("customer"), factor)(
+      shift(_, Seq("c_custkey"))))
+    write("supplier", replicate(spark, read("supplier"), factor)(
+      shift(_, Seq("s_suppkey"))))
+    write("part", replicate(spark, read("part"), factor)(
+      shift(_, Seq("p_partkey"))))
+    write("orders", replicate(spark, read("orders"), factor)(
+      shift(_, Seq("o_orderkey", "o_custkey"))))
+    write("lineitem", replicate(spark, read("lineitem"), factor)(
+      shift(_, Seq("l_orderkey", "l_partkey", "l_suppkey"))))
+    write("events", replicate(spark, sources.Tables.events(spark, baseDir),
+      factor)(shift(_, Seq("event_id", "user_id"))))
+
+    // documents: tag after every 2nd word so no ≥3-token window is
+    // shared across replicas (see header); n_chars tracks the new text
+    write("documents", replicate(spark, read("documents"), factor) { d =>
+      shift(d, Seq("doc_id"))
+        .withColumn("text", regexp_replace(col("text"),
+          lit("((?:\\S+\\s+){2})"),
+          concat(lit("$1zq"), col("rep"), lit("z "))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    })
+
+    // embeddings: per-replica orthogonal dimension rotation
+    write("embeddings", replicate(spark, read("embeddings"), factor) { d =>
+      shift(d, Seq("vec_id"))
+        .withColumn("embedding",
+          expr("transform(sequence(0, 63), j -> element_at(embedding, " +
+            "cast(pmod(j + 7 * rep, 64) as int) + 1))"))
+    })
+    marker.getParentFile.mkdirs(); marker.createNewFile(); ()
+  }
+
+  /** Count strategy markers in the final (post-AQE) plan string.
+    * AdaptiveSparkPlanExec.toString prints BOTH "== Final Plan ==" and
+    * "== Initial Plan ==" — keep only the final section, or every
+    * marker double-counts and pre-AQE strategies show as false flips. */
+  private def signature(planFull: String): Map[String, Int] = {
+    val plan = planFull.indexOf("== Initial Plan ==") match {
+      case -1 => planFull
+      case i => planFull.substring(0, i)
+    }
+    def n(m: String) = m.r.findAllIn(plan).length
+    Map(
+      "broadcastHashJoin" -> n("BroadcastHashJoin"),
+      "sortMergeJoin" -> n("SortMergeJoin"),
+      "shuffledHashJoin" -> n("ShuffledHashJoin"),
+      "nestedLoopJoin" -> n("BroadcastNestedLoopJoin"),
+      "cartesian" -> n("CartesianProduct"),
+      "shuffleHash" -> n("Exchange hashpartitioning"),
+      "shuffleRange" -> n("Exchange rangepartitioning"),
+      "shuffleSingle" -> n("Exchange SinglePartition"),
+      "broadcastExchange" -> n("BroadcastExchange"),
+      "skewSplit" -> n("skewed=true"))
+  }
+
+  /** One fresh execution: rebuilt logical plan (no stage reuse),
+    * InternalRow-level run of the adaptive plan, final plan string. */
+  private def runOnce(spark: SparkSession, name: String, dir: String)
+      : (Double, String) = {
+    spark.catalog.clearCache()
+    if (name == "pipe_dup_clusters") operators.PipelineOps.invalidateClusterMemo()
+    if (name == "sim_kmeans") operators.SimilarityOps.invalidateKmMemo()
+    if (name == "sim_pq_topk") operators.SimilarityOps.invalidatePqMemo()
+    if (name == "txt_bpe_train") operators.TextOps.invalidateBpeMemo()
+    // t0 BEFORE construction: iterative ops (pagerank, k-means, CC,
+    // BPE) run their checkpointed loops eagerly while the DataFrame
+    // is being built — Bench times them the same way
+    val t0 = System.nanoTime()
+    val df = SparkEntry.queries(name)(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    plan.execute().foreachPartition(_ => ())
+    val secs = (System.nanoTime() - t0) / 1e9
+    (secs, plan.toString)
+  }
+
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val queries = args.drop(1).headOption
+      .map(_.split(",").toSeq).getOrElse(defaultQueries)
+    val baseDir = "/root/testdata/sf0.1"
+    val root = "/tmp/graft_scale"
+    val oneDir = s"$root/b1x"
+    val bigDir = s"$root/sf$factor"
+    val spark = Engine.session("graft-scale-stress")
+
+    materialize(spark, baseDir, oneDir, 1)
+    materialize(spark, baseDir, bigDir, factor)
+
+    final case class Row(name: String, t1: Seq[Double], tN: Seq[Double],
+        sig1: Map[String, Int], sigN: Map[String, Int])
+    val rows = queries.flatMap { q =>
+      try {
+        runOnce(spark, q, oneDir) // warmup at 1× (JIT + codegen cache)
+        val r1 = Seq.fill(2)(runOnce(spark, q, oneDir))
+        val rN = Seq.fill(2)(runOnce(spark, q, bigDir))
+        val row = Row(q, r1.map(_._1), rN.map(_._1),
+          signature(r1.last._2), signature(rN.last._2))
+        println(s"[scale] $q  1x=${num(row.t1.min)}s  ${factor}x=" +
+          s"${num(row.tN.min)}s  ratio=${num(row.tN.min / row.t1.min)}")
+        Some(row)
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] FAILED $q: ${e.getMessage}")
+        None
+      }
+    }
+
+    def jmap(m: Map[String, Int]) = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val items = rows.map { r =>
+      val flips = (r.sig1.keySet ++ r.sigN.keySet).toSeq.sorted
+        .filter(k => r.sig1.getOrElse(k, 0) != r.sigN.getOrElse(k, 0))
+        .map(k => s""""$k":[${r.sig1.getOrElse(k, 0)},${r.sigN.getOrElse(k, 0)}]""")
+        .mkString("{", ",", "}")
+      s"""{"query":"${r.name}","t_1x":${num(r.t1.min)},"t_${factor}x":${num(r.tN.min)},""" +
+        s""""ratio":${num(r.tN.min / r.t1.min)},""" +
+        s""""samples_1x":[${r.t1.map(num).mkString(",")}],""" +
+        s""""samples_${factor}x":[${r.tN.map(num).mkString(",")}],""" +
+        s""""sig_1x":${jmap(r.sig1)},"sig_${factor}x":${jmap(r.sigN)},""" +
+        s""""plan_flips":$flips}"""
+    }.mkString("[", ",\n", "]")
+    val json = s"""{"factor":$factor,"base":"$baseDir","queries":$items}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_r08.json"),
+      (json + "\n").getBytes("UTF-8"))
+
+    val md = new StringBuilder
+    md ++= s"# Scale stress — ${factor}× synthetic (derived from sf0.1)\n\n"
+    md ++= "Baseline `1x` is the TAGGED/ROTATED factor-1 copy (same "
+    md ++= "transform pipeline), so ratios measure pure scale. Linear "
+    md ++= s"scaling at ${factor}× parallel work on fixed local cores "
+    md ++= s"predicts ratio ≈ $factor; below that = fixed job overhead "
+    md ++= "amortizing, far above = a superlinear stage (the thing this "
+    md ++= "harness exists to catch).\n\n"
+    md ++= s"| query | 1× s | ${factor}× s | ratio | plan flips (1×→${factor}×) |\n"
+    md ++= "| --- | --- | --- | --- | --- |\n"
+    rows.sortBy(r => -(r.tN.min / r.t1.min)).foreach { r =>
+      val flips = (r.sig1.keySet ++ r.sigN.keySet).toSeq.sorted
+        .filter(k => r.sig1.getOrElse(k, 0) != r.sigN.getOrElse(k, 0))
+        .map(k => s"$k ${r.sig1.getOrElse(k, 0)}→${r.sigN.getOrElse(k, 0)}")
+        .mkString(", ")
+      md ++= s"| ${r.name} | ${num(r.t1.min)} | ${num(r.tN.min)} | " +
+        s"${num(r.tN.min / r.t1.min)} | ${if (flips.isEmpty) "none" else flips} |\n"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.md"),
+      md.toString.getBytes("UTF-8"))
+    println(s"[scale] wrote SCALE_r08.json + SCALE.md (${rows.size} queries)")
+    spark.stop()
+  }
+}

@@ -808,12 +808,26 @@ object TextOps extends Suite {
   // implementation works: the corpus collapses ONCE to the
   // (word, count) vocabulary — all further rounds are vocab-sized,
   // never corpus-sized — and each round is (a) one weighted pair
-  // aggregation over the symbolized vocab, (b) a global top-1 via
-  // TakeOrdered (count DESC, then lexicographic (p1, p2) so the
-  // argmax is a total order), (c) a map-only merge of the winning
-  // pair back into every word, with the new vocab eagerly
-  // checkpointed so no round replays earlier rounds' lineage
-  // (sim_kmeans' loop pattern).
+  // aggregation over the symbolized vocab, (b) a deterministic
+  // top-K candidate cut via TakeOrdered (count DESC, then
+  // lexicographic (p1, p2) — a total order), (c) a map-only merge of
+  // the round's ADMITTED pairs back into every word, with the new
+  // vocab eagerly checkpointed so no round replays earlier rounds'
+  // lineage (sim_kmeans' loop pattern).
+  // BATCHED merges (the standard production trick — one Spark job
+  // per merge RULE would be a 50k-sequential-job driver wall at a
+  // real vocabulary size): each round admits every top-K candidate
+  // that shares NO symbol with any higher-ranked candidate.
+  // Symbol-disjoint merges commute — an occurrence of '<p><q>' and
+  // one of '<r><s>' with {p,q}∩{r,s}=∅ can never overlap in the
+  // delimited string, and a merged '<pq>' can't create or destroy a
+  // '<r><s>' boundary — so applying the batch as one fold is
+  // order-independent, and the rule a tokenizer applies is the same
+  // as K classic rounds would emit whenever their winners are
+  // disjoint. Admission is a pure predicate over the candidate set
+  // (conflict-with-higher-ranked, NOT greedy-sequential), so both
+  // engines evaluate it as a relational anti-join with identical
+  // results. Merge count demonstrated: up to rounds×K = 64 rules.
   // Cross-engine exactness: symbols ride as a '<a><b><c>'-delimited
   // string — adjacent symbols share no delimiter, so the round's
   // merge is ONE literal replace() whose left-to-right
@@ -825,11 +839,13 @@ object TextOps extends Suite {
   // replaying symbolization, pair counting, argmax, and merge —
   // the hash gate verifies the whole training loop.
   // Scale: the only corpus-sized stage is the initial token count;
-  // each round shuffles the vocab-sized pair frame once, the 1-row
-  // winner broadcasts back, and the merge is map-only. This is
-  // exactly how production BPE trainers stay tractable at 100 TB —
-  // they train on the frequency table, not the corpus.
+  // each round shuffles the vocab-sized pair frame once, the ≤K-row
+  // admitted batch broadcasts back, and the merge is map-only. This
+  // is exactly how production BPE trainers stay tractable at 100 TB —
+  // they train on the frequency table, not the corpus — and batching
+  // bounds the sequential-round count at vocab_size/K jobs.
   private val bpeRounds = 8
+  private val bpeBatchK = 16
 
   /** Run the training loop once per (session, dataset): returns
     * (final symbolized vocab after all merges, per-round 1-row merge
@@ -867,32 +883,44 @@ object TextOps extends Suite {
           "slice(a, 2, size(a) - 1))")).as("pr"))
       .groupBy(col("pr.0").as("p1"), col("pr.1").as("p2"))
       .agg(sum(col("w")).as("cnt"))
-    // a zero-count sentinel pair keeps `best` at EXACTLY one row even
-    // if the pair table runs dry (fully-merged vocab before the last
-    // round): its '<><>' pattern can never match (symbols are
-    // non-empty), so the merge is a no-op instead of an empty
-    // crossJoin annihilating the vocabulary; sentinel rounds are
-    // filtered out of the emitted rule table (cnt > 0)
-    def sentinel(round: Int): DataFrame = {
-      import spark.implicits._
-      Seq((round.toLong, "", "", 0L)).toDF("round", "p1", "p2", "cnt")
-    }
+    // per round: top-K candidates by the (cnt DESC, p1, p2) total
+    // order, then admit a candidate iff NO higher-ranked candidate
+    // shares a symbol with it (anti-join over the ≤K-row frame —
+    // slightly more conservative than greedy admission, but a pure
+    // set predicate both engines evaluate identically). A dry round
+    // (fully-merged vocab) admits zero pairs: the global collect_list
+    // still yields its one empty-array row, so the fold is a no-op
+    // rather than an empty crossJoin annihilating the vocabulary.
     val (vocabN, merges) =
       (1 to bpeRounds).foldLeft((vocab0, List.empty[DataFrame])) {
         case ((vocab, acc), round) =>
-          val best = pairs(vocab)
+          val cand = pairs(vocab)
+            .orderBy(desc("cnt"), col("p1"), col("p2")).limit(bpeBatchK)
+          val higher = (col("y.cnt") > col("x.cnt")) ||
+            (col("y.cnt") === col("x.cnt") &&
+              ((col("y.p1") < col("x.p1")) ||
+                (col("y.p1") === col("x.p1") && col("y.p2") < col("x.p2"))))
+          val shares =
+            col("y.p1") === col("x.p1") || col("y.p1") === col("x.p2") ||
+              col("y.p2") === col("x.p1") || col("y.p2") === col("x.p2")
+          val admitted = cand.as("x")
+            .join(broadcast(cand.as("y")), higher && shares, "left_anti")
             .select(lit(round.toLong).as("round"), col("p1"), col("p2"),
               col("cnt"))
-            .unionAll(sentinel(round))
-            .orderBy(desc("cnt"), col("p1"), col("p2")).limit(1)
             .checkpoint()
-          val next = vocab.crossJoin(broadcast(best))
+          // symbol-disjoint merges commute (header proof), but both
+          // engines fold in the same lexicographic (p1, p2) order
+          // anyway so the contract doesn't rest on that argument
+          val rules = admitted.agg(
+            sort_array(collect_list(struct(col("p1"), col("p2")))).as("rs"))
+          val next = vocab.crossJoin(broadcast(rules))
             .withColumn("s", expr(
-              "replace(s, concat('<', p1, '><', p2, '>'), " +
-                "concat('<', p1, p2, '>'))"))
+              "aggregate(rs, s, (acc, r) -> replace(acc, " +
+                "concat('<', r.p1, '><', r.p2, '>'), " +
+                "concat('<', r.p1, r.p2, '>')))"))
             .select("word", "w", "s")
             .checkpoint()
-          (next, best :: acc)
+          (next, admitted :: acc)
       }
     (vocabN, merges.reverse)
   }
@@ -900,36 +928,54 @@ object TextOps extends Suite {
   private def txtBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     val (_, merges) = bpeTrainLoop(spark, dir)
     merges.reduce(_ unionAll _)
-      .filter(col("cnt") > 0)
       .select("round", "p1", "p2", "cnt")
-      .orderBy("round")
+      .orderBy(col("round"), desc("cnt"), col("p1"), col("p2"))
   }
 
-  /** The unrolled training CTE chain (v0..v8, b1..b8) shared by the
-    * train and apply oracles. */
+  /** The unrolled training CTE chain (v0..v8, c1..c8, b1..b8) shared
+    * by the train and apply oracles — candidate cut, conflict
+    * admission, and the lexicographic batch fold all replayed
+    * relationally, so the hash gate verifies the batched loop end to
+    * end. Rules fold as chr(1)-delimited strings (the corpus charset
+    * is [a-y ] + the <> delimiters, so chr(1) can't collide);
+    * list_prepend seeds the fold with the word's own symbol string.
+    * Every round CTE is MATERIALIZED: c$r/b$r/v$r are each referenced
+    * more than once, and DuckDB's default inlining re-expands the
+    * whole v-chain per reference — ~3 expansions per round compounds
+    * to 3^8 over 8 rounds, which turned the sf0.01 oracle from 0.1 s
+    * into minutes. */
   private val bpeCtes: String = {
     def round(r: Int) =
-      s"""e$r AS (
+      s"""e$r AS MATERIALIZED (
         |  SELECT w, a, unnest(generate_series(1, len(a) - 1)) AS i
         |  FROM (SELECT w, string_split(trim(s, '<>'), '><') AS a
         |        FROM v${r - 1}) x),
-        |b$r AS (
-        |  SELECT round, p1, p2, cnt FROM (
-        |    SELECT $r AS round, a[i] AS p1, a[i + 1] AS p2,
-        |      CAST(SUM(w) AS BIGINT) AS cnt
-        |    FROM e$r GROUP BY 2, 3
-        |    UNION ALL SELECT $r, '', '', CAST(0 AS BIGINT)) u
-        |  ORDER BY cnt DESC, p1, p2 LIMIT 1),
-        |v$r AS (
+        |c$r AS MATERIALIZED (
+        |  SELECT a[i] AS p1, a[i + 1] AS p2, CAST(SUM(w) AS BIGINT) AS cnt
+        |  FROM e$r GROUP BY 1, 2
+        |  ORDER BY cnt DESC, p1, p2 LIMIT $bpeBatchK),
+        |b$r AS MATERIALIZED (
+        |  SELECT $r AS round, x.p1, x.p2, x.cnt FROM c$r x
+        |  WHERE NOT EXISTS (SELECT 1 FROM c$r y
+        |    WHERE (y.cnt > x.cnt OR (y.cnt = x.cnt AND (y.p1 < x.p1
+        |        OR (y.p1 = x.p1 AND y.p2 < x.p2))))
+        |      AND (y.p1 IN (x.p1, x.p2) OR y.p2 IN (x.p1, x.p2)))),
+        |v$r AS MATERIALIZED (
         |  SELECT word, w,
-        |    replace(s, '<' || b.p1 || '><' || b.p2 || '>',
-        |      '<' || b.p1 || b.p2 || '>') AS s
-        |  FROM v${r - 1}, b$r b)""".stripMargin
-    s"""vocab AS (
+        |    list_reduce(list_prepend(s, r.rules), (acc, x) ->
+        |      replace(acc,
+        |        '<' || split_part(x, chr(1), 1) || '><' ||
+        |          split_part(x, chr(1), 2) || '>',
+        |        '<' || split_part(x, chr(1), 1) ||
+        |          split_part(x, chr(1), 2) || '>')) AS s
+        |  FROM v${r - 1}, (SELECT COALESCE(
+        |      list(p1 || chr(1) || p2 ORDER BY p1, p2),
+        |      CAST([] AS VARCHAR[])) AS rules FROM b$r) r)""".stripMargin
+    s"""vocab AS MATERIALIZED (
       |  SELECT tok AS word, COUNT(*) AS w
       |  FROM (SELECT unnest($toksSql) AS tok FROM documents) t
       |  GROUP BY 1),
-      |v0 AS (
+      |v0 AS MATERIALIZED (
       |  SELECT word, w,
       |    '<' || array_to_string(string_split(word, ''), '><') || '>' AS s
       |  FROM vocab),
@@ -1008,8 +1054,7 @@ object TextOps extends Suite {
       |SELECT CAST(round AS BIGINT) AS round, p1, p2, cnt
       |FROM (${(1 to bpeRounds).map(r => s"SELECT * FROM b$r")
         .mkString("\nUNION ALL\n")}) u
-      |WHERE cnt > 0
-      |ORDER BY round""".stripMargin
+      |ORDER BY round, cnt DESC, p1, p2""".stripMargin
 
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),

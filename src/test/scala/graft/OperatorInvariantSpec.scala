@@ -647,10 +647,10 @@ class OperatorInvariantSpec extends SparkSpec {
 
   test("txt_bpe_train survives a vocabulary that runs dry before the last round") {
     // a corpus whose whole vocabulary collapses to single symbols
-    // after 2 merges: the sentinel no-op must carry the remaining
-    // rounds without annihilating the vocab, the rule table must
-    // contain only the real merges, and the encode report must show
-    // the fully-merged symbol counts
+    // after one batched round: the empty-batch fold must carry the
+    // remaining dry rounds without annihilating the vocab, the rule
+    // table must contain only the real merges, and the encode report
+    // must show the fully-merged symbol counts
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe_dry").toString
@@ -663,7 +663,7 @@ class OperatorInvariantSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getLong(3)))
     // one real merge: (a, b) weighted 4 (3 + 1 occurrences of 'ab');
-    // afterwards every word is one symbol — no sentinel rows emitted
+    // afterwards every word is one symbol — the dry rounds emit nothing
     assert(rules.toSeq == Seq((1L, "a", "b", 4L)), rules.mkString("|"))
     val enc = SparkEntry.queries("txt_bpe_apply")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -671,6 +671,25 @@ class OperatorInvariantSpec extends SparkSpec {
     // doc 1: 3 words, 6 chars, 3 fully-merged symbols, compression 2.0
     assert(enc.toSeq == Seq((1L, 3L, 6L, 3L, 2.0), (2L, 1L, 2L, 1L, 2.0)),
       enc.mkString("|"))
+  }
+
+  test("txt_bpe_train batches disjoint merges and rejects conflicts") {
+    // crafted pair counts (a,b)=5 > (c,d)=4 > (b,c)=3: one round must
+    // admit BOTH disjoint winners (a,b) and (c,d) together, reject
+    // (b,c) for sharing a symbol with each, then pick it up in round 2
+    // once the conflict is gone — the batched-admission semantics
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_batch").toString
+    Seq((1L, "ab ab ab ab ab cd cd cd cd bc bc bc", "en", "crawl", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rules = SparkEntry.queries("txt_bpe_train")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(rules.toSeq == Seq(
+      (1L, "a", "b", 5L), (1L, "c", "d", 4L), (2L, "b", "c", 3L)),
+      rules.mkString("|"))
   }
 
   test("sim_recall_report measures every ANN path with recalls in [0,1]") {
