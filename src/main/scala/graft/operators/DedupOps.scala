@@ -286,6 +286,16 @@ object DedupOps extends Suite {
   // pairs (OperatorInvariantSpec pins the recall floor). At a
   // production near-dup threshold (τ ≥ 0.8, p₁ ≥ 0.86) the same
   // construction reaches recall ≈ 1 with 10-30× pruning.
+  //
+  // SCALE KNOB (measured, SCALE.md r8): 6-bit keys = 64 buckets per
+  // (label, table), and the within-bucket pair stage is quadratic in
+  // bucket size — the 10× stress run measured 21.8× cost from
+  // keyspace saturation alone. PLANES must scale ≈ log2(N / target
+  // bucket size) with the corpus; the weights are LCG-generated from
+  // (TABLES, PLANES) and the oracle replays the generated literals,
+  // so raising PLANES is a one-constant change that stays
+  // hash-verified end to end (dedup_simhash's ~32-bit Manku keys are
+  // the same principle already applied).
   import graft.functions.VectorMath.dotDec
   import graft.functions.{HyperplaneBuckets => HB}
 
@@ -452,25 +462,34 @@ object DedupOps extends Suite {
   // window, no per-doc sort); the only shuffles are the gram census
   // and the narrow (doc, pos) span merge. At 100 TB the census/join
   // key becomes xxhash64(gram) (8-byte shuffle rows; a collision can
-  // only over-mark one gram-length span) — same plan shape. The
+  // only over-mark one gram-length span) — IMPLEMENTED behind
+  // `hashCensus` (SURVEY §5): the registered query keeps the string
+  // census so the oracle stays replayable, and an identity spec pins
+  // the hashed variant to byte-identical span output at bench SF. The
   // oracle replays grams from the shared tokenizer via list slicing.
   private val subK = 5 // span resolution: duplicated runs of ≥5 tokens
 
   /** Maximal duplicated spans (doc_id, span_start, span_end,
     * span_tokens) — shared by dedup_substring (its direct output) and
-    * dedup_substring_scrub (its removal mask). */
-  private def dupSpanFrame(spark: SparkSession, dir: String): DataFrame = {
+    * dedup_substring_scrub (its removal mask). With `hashCensus` the
+    * census/probe key is xxhash64(gram) — the declared 100 TB form:
+    * the census shuffle and the site-probe join carry 8-byte keys
+    * instead of ~30-byte gram strings, identical plan shape. */
+  private def dupSpanFrame(spark: SparkSession, dir: String,
+      hashCensus: Boolean = false): DataFrame = {
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= subK) // sequence(0, n<0) would descend
     // persisted: the census aggregate AND the site-probe side of the
     // join both consume the exploded gram frame — without the persist
     // the tokenize+slice pass runs twice per query
+    val gramStr =
+      array_join(slice(col("t"), col("pos") + 1, lit(subK)), " ")
     val grams = t
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), size(col("t")) - lit(subK))).as("pos"))
       .select(col("doc_id"), col("pos"),
-        array_join(slice(col("t"), col("pos") + 1, lit(subK)), " ").as("gram"))
+        (if (hashCensus) xxhash64(gramStr) else gramStr).as("gram"))
       .persist()
     val census = grams.groupBy("gram")
       .agg(count(lit(1)).as("n_sites"))
@@ -495,6 +514,12 @@ object DedupOps extends Suite {
 
   private def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
     dupSpanFrame(spark, dir).orderBy("doc_id", "span_start")
+
+  /** The xxhash64-census variant, exposed for the identity spec that
+    * proves it span-equivalent to the string census on real data. */
+  private[graft] def dupSpansHashed(spark: SparkSession, dir: String): DataFrame =
+    dupSpanFrame(spark, dir, hashCensus = true)
+      .orderBy("doc_id", "span_start")
 
   /** CTE chain through `spans` — shared by the span listing and the
     * scrub oracle, so both replay the identical mask. */

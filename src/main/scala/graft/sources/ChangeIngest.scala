@@ -45,14 +45,18 @@ import graft.streaming.TableCdcEvent
 object ChangeIngest {
 
   /** Wire schema of one JSON change record (the pgoutput-decoded
-    * message shape: relation, sequence, op, payload). */
+    * message shape: relation, sequence, op, payload). `trace_id` is
+    * the OPTIONAL upstream correlation id (Debezium-style source
+    * metadata; the reference's tracing_context.rs carries the same id
+    * across its rust→python hop) — records without one still decode. */
   val wireSchema: StructType = StructType(Seq(
     StructField("table", StringType),
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
-    StructField("value", DoubleType)))
+    StructField("value", DoubleType),
+    StructField("trace_id", StringType)))
 
   // ONE decode expression feeds decode() and invalidRecords(), so the
   // dead-letter set is the exact complement of the survivors by
@@ -86,6 +90,24 @@ object ChangeIngest {
     * dead-letter sink / metrics counter. */
   def invalidRecords(raw: DataFrame): DataFrame =
     parsed(raw).where(!valid).select("value")
+
+  /** [[decode]] with the correlation id kept: the wire record's
+    * `trace_id` when present, else a DETERMINISTIC derived id
+    * `w-<table>-<event_id>-<ts µs>` — replay-stable, so a
+    * checkpoint-redelivered batch reports the same ids (a uuid()
+    * minted here would break the exactly-once audit trail). Map-only
+    * like [[decode]]; the id is one narrow column riding the rows. */
+  def decodeTraced(raw: DataFrame): Dataset[graft.streaming.TracedCdcEvent] = {
+    import raw.sparkSession.implicits._
+    parsed(raw).filter(valid)
+      .select(
+        coalesce(col("r.trace_id"),
+          concat_ws("-", lit("w"), col("r.table"), col("r.event_id"),
+            unix_micros(col("r.ts")))).as("trace_id"),
+        col("r.table"), col("r.event_id"), col("r.ts"), col("r.user_id"),
+        col("r.event_type"), col("r.value"))
+      .as[graft.streaming.TracedCdcEvent]
+  }
 
   /** Kafka ingest: subscribe to `topics`, decode each message value
     * as one wire record. Requires the spark-sql-kafka connector on

@@ -46,29 +46,38 @@ class AlertManager(
     * after each micro-batch; emission is driven purely by observations
     * (no background thread), like the reference's periodic
     * update_status sweep. */
-  def update(pipeline: String, tier: Tier): Unit = synchronized {
-    val now = clock()
-    tier match {
-      case Ok =>
-        // recovery notifies only if the episode actually alerted —
-        // a sub-threshold blip that never paged has nothing to recover
-        episodes.remove(pipeline).foreach { ep =>
-          if (ep.alertedTier.isDefined)
-            pending.add(Alert(pipeline, Recovered, Ok, now))
-        }
-      case t =>
-        val ep = episodes.getOrElse(pipeline, Episode(now, None))
-        val sustained = now - ep.since >= sustainMillis
-        val escalated = ep.alertedTier.exists(a => severity(t) > severity(a))
-        val next =
-          if (sustained && (ep.alertedTier.isEmpty || escalated)) {
-            pending.add(Alert(pipeline, Triggered, t, now))
-            ep.copy(alertedTier = Some(t))
-          } else ep
-        episodes.update(pipeline, next)
+  def update(pipeline: String, tier: Tier): Unit =
+    update(pipeline, tier, None)
+
+  /** As [[update]], with the correlation id of the failure behind the
+    * observation (tracing_context.rs's contract: the page carries the
+    * trace, so the responder can walk back to the wire record). The
+    * id rides the alert payload when THIS observation triggers or
+    * escalates one. */
+  def update(pipeline: String, tier: Tier, trace: Option[String]): Unit =
+    synchronized {
+      val now = clock()
+      tier match {
+        case Ok =>
+          // recovery notifies only if the episode actually alerted —
+          // a sub-threshold blip that never paged has nothing to recover
+          episodes.remove(pipeline).foreach { ep =>
+            if (ep.alertedTier.isDefined)
+              pending.add(Alert(pipeline, Recovered, Ok, now))
+          }
+        case t =>
+          val ep = episodes.getOrElse(pipeline, Episode(now, None))
+          val sustained = now - ep.since >= sustainMillis
+          val escalated = ep.alertedTier.exists(a => severity(t) > severity(a))
+          val next =
+            if (sustained && (ep.alertedTier.isEmpty || escalated)) {
+              pending.add(Alert(pipeline, Triggered, t, now, trace))
+              ep.copy(alertedTier = Some(t))
+            } else ep
+          episodes.update(pipeline, next)
+      }
+      drainPending()
     }
-    drainPending()
-  }
 
   /** Convenience: observe a pipeline through its lag monitor. */
   def observe(pipeline: String, listener: LagListener): Unit =
@@ -98,7 +107,10 @@ object AlertManager {
   case object Triggered extends Kind
   case object Recovered extends Kind
 
-  /** One dispatched alert record (webhook payload analog). */
+  /** One dispatched alert record (webhook payload analog). `traceId`
+    * is the correlation id of the failure that raised it, when the
+    * observer knows one (see [[TraceRegistry]]). */
   case class Alert(
-      pipeline: String, kind: Kind, tier: LagListener.Tier, at: Long)
+      pipeline: String, kind: Kind, tier: LagListener.Tier, at: Long,
+      traceId: Option[String] = None)
 }

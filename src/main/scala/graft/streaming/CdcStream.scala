@@ -90,6 +90,54 @@ object CdcStream {
       }
       .start()
   }
+
+  /** [[mergeInto]] with trace propagation (tracing_context.rs's
+    * per-operation spans made Spark-shaped): the pipeline's root
+    * context spawns a child span per micro-batch merge, and when a
+    * batch's merge fails past its retries/breaker, the span — plus
+    * the batch's smallest record correlation id, the deterministic
+    * representative — lands in `traces` under the pipeline name,
+    * where the alert sweep ([[PipelineManager.sweep]]) and the
+    * metrics scrape ([[Metrics.failureSample]]) pick it up. The
+    * record-id reduction runs ONLY on the failure path (one
+    * metadata-sized min/agg job against the already-computed batch);
+    * the success path pays nothing beyond mergeInto. */
+  def mergeIntoTraced(
+      pipeline: String,
+      events: Dataset[TracedCdcEvent],
+      target: CdcTarget,
+      checkpoint: String,
+      tracing: Tracing,
+      rootCtx: TraceContext,
+      traces: TraceRegistry,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      breaker: Option[CircuitBreaker] = None,
+      mergeAttempts: Int = 1): StreamingQuery = {
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[TracedCdcEvent], batchId: Long) =>
+        import batch.sparkSession.implicits._
+        val span = tracing.child(rootCtx, s"merge batch=$batchId")
+        val deduped = batch.map(_.event).groupByKey(_.user_id)
+          .reduceGroups(newer _).map(_._2).map(applied)
+        def run(): Unit = Retry.withBackoff(mergeAttempts) {
+          target.merge(batchId, deduped)
+        }
+        try breaker.fold(run())(_.protect(run()))
+        catch { case e: Throwable =>
+          val firstRec =
+            try Option(batch.agg(
+              org.apache.spark.sql.functions.min("trace_id")).head.getString(0))
+            catch { case scala.util.control.NonFatal(_) => None }
+          traces.recordFailure(pipeline, FailureTrace(
+            span, firstRec, batchId, System.currentTimeMillis()))
+          throw e
+        }
+      }
+      .start()
+  }
 }
 
 /** One decoded CDC event tagged with its source table — the shape of
@@ -99,6 +147,15 @@ object CdcStream {
 case class TableCdcEvent(
     table: String, event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
+
+/** [[TableCdcEvent]] carrying its wire correlation id (see
+  * [[graft.sources.ChangeIngest.decodeTraced]]) — the per-record leg
+  * of the tracing_context.rs contract. */
+case class TracedCdcEvent(
+    trace_id: String, table: String, event_id: Long, ts: Timestamp,
+    user_id: Long, event_type: String, value: Double) {
+  def event: CdcEvent = CdcEvent(event_id, ts, user_id, event_type, value)
+}
 
 object CdcDemux {
   import CdcStream.{applied, newer}
@@ -123,7 +180,8 @@ object CdcDemux {
       targets: Map[String, CdcTarget],
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
-      onUnrouted: Long => Unit = _ => ()): StreamingQuery =
+      onUnrouted: Long => Unit = _ => (),
+      breaker: Option[CircuitBreaker] = None): StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -133,14 +191,20 @@ object CdcDemux {
         val known = targets.keySet // closure-capture the names only
         val cached = batch.persist()
         try {
-          targets.toSeq.sortBy(_._1).foreach { case (tbl, target) =>
-            val deduped = cached.filter(_.table == tbl)
-              .map(e => CdcEvent(e.event_id, e.ts, e.user_id,
-                e.event_type, e.value))
-              .groupByKey(_.user_id)
-              .reduceGroups(newer _).map(_._2).map(applied)
-            target.merge(batchId, deduped)
-          }
+          // the breaker wraps the whole routing pass (one slot = one
+          // circuit, as in mergeInto): a failing table target fails
+          // the batch, and redelivery is per-table idempotent via
+          // each target's txn/sequence guard
+          def route(): Unit =
+            targets.toSeq.sortBy(_._1).foreach { case (tbl, target) =>
+              val deduped = cached.filter(_.table == tbl)
+                .map(e => CdcEvent(e.event_id, e.ts, e.user_id,
+                  e.event_type, e.value))
+                .groupByKey(_.user_id)
+                .reduceGroups(newer _).map(_._2).map(applied)
+              target.merge(batchId, deduped)
+            }
+          breaker.fold(route())(_.protect(route()))
           val unrouted = cached.filter(e => !known.contains(e.table)).count()
           if (unrouted > 0) onUnrouted(unrouted)
         } finally cached.unpersist()

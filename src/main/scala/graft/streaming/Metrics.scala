@@ -58,6 +58,21 @@ object Metrics {
     names.flatMap(n => manager.get(n).toSeq.flatMap(p =>
       snapshot(p.name, p.listener, p.breaker)))
 
+  /** Info-style gauge carrying the pipeline's last merge-failure
+    * correlation id as a label (`graft_last_failure_info{pipeline,
+    * trace_id, batch_id} 1`) — the metrics leg of the trace contract.
+    * Cardinality stays bounded: ONE series per pipeline (the label
+    * value is overwritten by the next failure, like a build_info
+    * gauge), never one per failure. */
+  def failureSample(pipeline: String, traces: TraceRegistry): Seq[Sample] =
+    traces.lastFailure(pipeline).toSeq.map { f =>
+      Sample("graft_last_failure_info",
+        Map("pipeline" -> pipeline,
+          "trace_id" -> f.firstRecordTrace.getOrElse(f.ctx.traceId),
+          "batch_id" -> f.batchId.toString),
+        1.0, "gauge")
+    }
+
   /** Render samples in Prometheus text exposition format: `# TYPE`
     * headers grouped per metric, `name{label="v"} value` lines.
     * Label values are escaped per the exposition spec. */

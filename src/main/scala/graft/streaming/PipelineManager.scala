@@ -71,6 +71,38 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
     p
   }
 
+  /** Start a named MULTI-TABLE demux pipeline (one replication slot →
+    * many table targets, the reference's per-source worker shape) —
+    * same listener/breaker scoping as [[startCdc]], routed through
+    * [[CdcDemux.mergeInto]]. */
+  def startDemux(
+      name: String,
+      events: Dataset[TableCdcEvent],
+      targets: Map[String, CdcTarget],
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      breaker: CircuitBreaker = new CircuitBreaker(),
+      onUnrouted: Long => Unit = _ => (),
+      warnBatchMillis: Long = 10000,
+      dangerBatchMillis: Long = 30000): Pipeline = synchronized {
+    require(!pipelines.get(name).exists(_.query.isActive),
+      s"pipeline '$name' is already running")
+    pipelines.remove(name).foreach(old =>
+      spark.streams.removeListener(old.listener))
+    val listener = new LagListener(warnBatchMillis, dangerBatchMillis)
+    spark.streams.addListener(listener)
+    val query =
+      try CdcDemux.mergeInto(events, targets, checkpoint, trigger,
+        onUnrouted, breaker = Some(breaker))
+      catch { case e: Throwable =>
+        spark.streams.removeListener(listener); throw e
+      }
+    listener.bindTo(query.id)
+    val p = Pipeline(name, query, listener, breaker)
+    pipelines.put(name, p)
+    p
+  }
+
   def get(name: String): Option[Pipeline] = pipelines.get(name)
 
   /** Names of every registered pipeline (live or dead — pair with
@@ -87,6 +119,25 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
     * windows, escalation, and recovery live in [[AlertManager]]. */
   def sweep(alerts: AlertManager): Unit =
     pipelines.foreach { case (name, p) => alerts.update(name, p.listener.health) }
+
+  /** [[sweep]] over the full health status (not just lag): an Open
+    * breaker pages as Danger and a HalfOpen one as Warning even when
+    * the lag tier is clean — the sink-down case — and each non-Ok
+    * observation carries the correlation id of the pipeline's last
+    * recorded merge failure, so the page names the wire record that
+    * induced it (tracing_context.rs's promise, alert-side). */
+  def sweep(alerts: AlertManager, traces: TraceRegistry): Unit =
+    pipelines.foreach { case (name, p) =>
+      val tier = Health.check(p.listener, p.breaker).status match {
+        case Health.Healthy => LagListener.Ok
+        case Health.Degraded => LagListener.Warning
+        case Health.Unhealthy => LagListener.Danger
+      }
+      val trace =
+        if (tier == LagListener.Ok) None
+        else traces.lastFailure(name).flatMap(_.firstRecordTrace)
+      alerts.update(name, tier, trace)
+    }
 
   /** Stop one pipeline and release its listener. The registration is
     * removed only AFTER `query.stop()` succeeds: if stop throws (e.g.

@@ -182,7 +182,28 @@ class PipelineRegistry(url: String, table: String = "graft_pipelines") {
     * on the monitor cadence alongside [[PipelineManager.sweep]]. */
   def reconcile(mgr: PipelineManager)(
       build: PipelineSpec => (org.apache.spark.sql.Dataset[CdcEvent], CdcTarget))
-      : ReconcileReport = {
+      : ReconcileReport =
+    reconcileCore(mgr) { spec =>
+      val (events, target) = build(spec)
+      mgr.startCdc(spec.name, events, target, spec.checkpoint); ()
+    }
+
+  /** [[reconcile]] for MULTI-TABLE demux pipelines: the builder
+    * resolves a spec to one multiplexed change stream plus its
+    * per-table targets, started through [[PipelineManager.startDemux]]
+    * — the reference's per-source worker (one replication slot, many
+    * table buffers) provisioned from the same desired-state table. */
+  def reconcileDemux(mgr: PipelineManager)(
+      build: PipelineSpec =>
+        (org.apache.spark.sql.Dataset[TableCdcEvent], Map[String, CdcTarget]))
+      : ReconcileReport =
+    reconcileCore(mgr) { spec =>
+      val (events, targets) = build(spec)
+      mgr.startDemux(spec.name, events, targets, spec.checkpoint); ()
+    }
+
+  private def reconcileCore(mgr: PipelineManager)(
+      start: PipelineSpec => Unit): ReconcileReport = {
     val desired = list().filter(_.enabled).map(s => s.name -> s).toMap
     val registered = mgr.names
     val running = registered.filter(n => mgr.get(n).exists(_.query.isActive))
@@ -206,15 +227,13 @@ class PipelineRegistry(url: String, table: String = "graft_pipelines") {
         failed += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
-    // desired-but-dead registrations restart: startCdc replaces a
-    // non-active registration, releasing its stale listener first
+    // desired-but-dead registrations restart: the manager's start
+    // replaces a non-active registration, releasing its stale
+    // listener first
     desired.toSeq.sortBy(_._1).foreach { case (name, spec) =>
       if (!running.contains(name))
-        try {
-          val (events, target) = build(spec)
-          mgr.startCdc(name, events, target, spec.checkpoint)
-          started += name
-        } catch { case scala.util.control.NonFatal(e) =>
+        try { start(spec); started += name }
+        catch { case scala.util.control.NonFatal(e) =>
           failed += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
         }
     }

@@ -673,6 +673,18 @@ class OperatorInvariantSpec extends SparkSpec {
       enc.mkString("|"))
   }
 
+  test("dedup_substring's xxhash64 census is span-identical to strings") {
+    // the documented 100 TB census form (8-byte shuffle keys instead
+    // of gram strings) must emit the exact same maximal spans — a
+    // hash collision could only over-mark, and none occurs here
+    val strings = run("dedup_substring")
+    val hashed = operators.DedupOps.dupSpansHashed(spark, sf)
+    assert(strings.exceptAll(hashed).isEmpty &&
+      hashed.exceptAll(strings).isEmpty,
+      "hashed census diverged from the string census")
+    assert(strings.count() > 0, "vacuous identity: no spans at this SF")
+  }
+
   test("txt_bpe_train batches disjoint merges and rejects conflicts") {
     // crafted pair counts (a,b)=5 > (c,d)=4 > (b,c)=3: one round must
     // admit BOTH disjoint winners (a,b) and (c,d) together, reject
