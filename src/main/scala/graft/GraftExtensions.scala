@@ -36,7 +36,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
-      unary("hyperplane_buckets")(HyperplaneBuckets.apply)))
+      { children =>
+        children match {
+          case Seq(c) => HyperplaneBuckets(c)
+          case Seq(c, p) if p.foldable =>
+            HyperplaneBuckets(c, p.eval() match {
+              case i: Int => i
+              case l: Long => l.toInt
+              case other => throw new IllegalArgumentException(
+                s"hyperplane_buckets planes must be an integer literal, got $other")
+            })
+          case _ => throw new IllegalArgumentException(
+            "hyperplane_buckets expects (array<float>) or " +
+              "(array<float>, planes literal)")
+        }
+      }))
     ext.injectFunction((
       FunctionIdentifier("dec_quant"),
       new ExpressionInfo(classOf[DecQuant].getName, "dec_quant"),

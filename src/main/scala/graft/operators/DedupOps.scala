@@ -302,11 +302,25 @@ object DedupOps extends Suite {
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     embeddingPairs(spark, dir).orderBy("a_id", "b_id")
 
+  /** Width-scaled variant for the keyspace-growth spec: wider keys
+    * must shrink the candidate set while every emitted pair stays a
+    * true τ-pair (precision 1.0 holds at ANY width — candidates are
+    * exact-verified — so the only quality axis a width change moves
+    * is recall, which multi-table amplification buys back). */
+  private[graft] def embeddingPairsAt(spark: SparkSession, dir: String,
+      planes: Int): DataFrame = embeddingPairs(spark, dir, planes)
+
   /** The (a_id, b_id, cosine) near-dup pair frame at the 0.4 floor —
     * shared by dedup_embedding (its direct output) and
     * dedup_embedding_sweep (its aggregation input), so the sweep's
-    * counts are over exactly the hash-verified pairs. */
-  private def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
+    * counts are over exactly the hash-verified pairs. `planes` is the
+    * corpus-growth knob (header + HyperplaneBuckets scaladoc): the
+    * registered query pins the default so its oracle replay and
+    * measured recall stay fixed; a 10×-grown corpus runs the SAME
+    * frame at planes+3 or so and keeps bucket sizes — and therefore
+    * the pair stage — constant-per-vector. */
+  private def embeddingPairs(spark: SparkSession, dir: String,
+      planes: Int = HB.PLANES): DataFrame = {
     val dims = 0 until 64
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
@@ -315,7 +329,8 @@ object DedupOps extends Suite {
     // rides the candidate shuffle
     val keyed = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
-        posexplode(expr("hyperplane_buckets(embedding)")).as(Seq("tbl", "key")))
+        posexplode(expr(s"hyperplane_buckets(embedding, $planes)"))
+          .as(Seq("tbl", "key")))
     val candPairs = keyed.as("x").join(keyed.as("y"),
         col("x.label") === col("y.label") && col("x.tbl") === col("y.tbl") &&
           col("x.key") === col("y.key") && col("x.vec_id") < col("y.vec_id"))

@@ -673,6 +673,50 @@ class OperatorInvariantSpec extends SparkSpec {
       enc.mkString("|"))
   }
 
+  test("hyperplane key width shrinks candidates without breaking precision") {
+    // the LSH scale knob (SCALE.md r8: fixed 6-bit keys saturate at
+    // 10x and go quadratic): widening planes must (a) stay
+    // deterministic from the same seeded LCG, (b) cut the candidate
+    // set, (c) keep precision 1.0 — every emitted pair is
+    // exact-verified, so width only moves recall
+    import graft.functions.{HyperplaneBuckets => HB}
+    assert(HB.weightsFor(HB.PLANES).zip(HB.weights)
+      .forall { case (a, b) => a.sameElements(b) },
+      "weightsFor(PLANES) must reproduce the registered table")
+
+    def candCount(planes: Int): Long = {
+      val keyed = sources.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("label"),
+          posexplode(expr(s"hyperplane_buckets(embedding, $planes)"))
+            .as(Seq("tbl", "key")))
+      keyed.as("x").join(keyed.as("y"),
+          col("x.label") === col("y.label") && col("x.tbl") === col("y.tbl") &&
+            col("x.key") === col("y.key") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+    }
+    val c6 = candCount(6); val c10 = candCount(10)
+    assert(c6 > 0 && c10 > 0, s"vacuous: c6=$c6 c10=$c10")
+    assert(c10 < c6, s"wider keys must prune candidates: c6=$c6 c10=$c10")
+
+    // precision at the wider width: every emitted pair appears in the
+    // exact label-blocked all-pairs set with the identical cosine
+    import graft.functions.VectorMath.{cosineQ, dotQ, quantized}
+    val m = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("q"))
+      .withColumn("n", dotQ(col("q"), col("q")))
+    val exact = m.as("a").join(m.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        cosineQ(col("a.q"), col("b.q"), col("a.n"), col("b.n")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(col("cosine"), 6).as("cosine"))
+    val wide = operators.DedupOps.embeddingPairsAt(spark, sf, planes = 10)
+    assert(wide.exceptAll(exact).isEmpty,
+      "wider-key output contained a pair the exact computation rejects")
+  }
+
   test("dedup_substring's xxhash64 census is span-identical to strings") {
     // the documented 100 TB census form (8-byte shuffle keys instead
     // of gram strings) must emit the exact same maximal spans — a

@@ -20,7 +20,8 @@ class HyperplaneBucketsSpec extends SparkSpec {
     vecs.foreach { case (id, v) =>
       // pure twin: same loop the generated code calls into
       val expect = HyperplaneBuckets.compute(
-        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v))
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v),
+        HyperplaneBuckets.PLANES)
         .toLongArray.toSeq
       assert(got(id) == expect, s"codegen/eval divergence for vec $id")
       assert(got(id).size == HyperplaneBuckets.TABLES)
