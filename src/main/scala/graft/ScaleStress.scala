@@ -164,7 +164,98 @@ object ScaleStress {
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  // ---- skew mode -----------------------------------------------------
+  // `runMain graft.ScaleStress skew [factor]`: the replica scheme above
+  // is deliberately skew-FREE, so the main run exercises growth but
+  // never AQE's skew splitting. Skew mode derives a second Nx dataset
+  // where 20% of orders collapse onto ONE hot customer and 20% of
+  // events onto one hot user (FK-valid: the hot keys are replica 0's
+  // key 1), then times the customer/user-keyed queries against the
+  // unskewed Nx twin and records whether AQE split the hot partition
+  // ("skewed=true" in the final plan). The skew thresholds are lowered
+  // for the demonstration — at 10x toy SF the hot partition is ~30 MB,
+  // under the 256 MB default that a real corpus would trip.
+  private val skewQueries = Seq("q3_shipping_priority", "q10_returned_items",
+    "q13_custdist", "q18_big_orders", "ev_sessionize", "ft_rolling_24h")
+
+  private def materializeSkewed(
+      spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/_GRAFT_SCALE_SKEW_${factor}x")
+    if (marker.exists()) { println(s"[scale] reuse $outDir (skew ${factor}x)"); return }
+    println(s"[scale] materializing skewed ${factor}x into $outDir")
+    def read(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
+    def write(t: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    write("region", read("region"))
+    write("nation", read("nation"))
+    write("customer", replicate(spark, read("customer"), factor)(
+      shift(_, Seq("c_custkey"))))
+    write("supplier", replicate(spark, read("supplier"), factor)(
+      shift(_, Seq("s_suppkey"))))
+    write("part", replicate(spark, read("part"), factor)(
+      shift(_, Seq("p_partkey"))))
+    write("orders", replicate(spark, read("orders"), factor) { d =>
+      shift(d, Seq("o_orderkey", "o_custkey"))
+        .withColumn("o_custkey",
+          when(col("o_custkey") % 5 === 0, lit(1L)).otherwise(col("o_custkey")))
+    })
+    write("lineitem", replicate(spark, read("lineitem"), factor)(
+      shift(_, Seq("l_orderkey", "l_partkey", "l_suppkey"))))
+    write("events", replicate(spark, sources.Tables.events(spark, baseDir),
+      factor) { d =>
+      shift(d, Seq("event_id", "user_id"))
+        .withColumn("user_id",
+          when(col("user_id") % 5 === 0, lit(1L)).otherwise(col("user_id")))
+    })
+    write("documents", replicate(spark, read("documents"), factor)(
+      shift(_, Seq("doc_id"))))
+    write("embeddings", replicate(spark, read("embeddings"), factor)(
+      shift(_, Seq("vec_id"))))
+    marker.getParentFile.mkdirs(); marker.createNewFile(); ()
+  }
+
+  private def runSkew(spark: SparkSession, factor: Int): Unit = {
+    val baseDir = "/root/testdata/sf0.1"
+    val root = "/tmp/graft_scale"
+    val evenDir = s"$root/sf$factor"
+    val skewDir = s"$root/skew$factor"
+    materialize(spark, baseDir, evenDir, factor)
+    materializeSkewed(spark, baseDir, skewDir, factor)
+    // demonstration thresholds (defaults only trip past ~256 MB/task)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+    val rows = skewQueries.flatMap { q =>
+      try {
+        runOnce(spark, q, evenDir) // warmup
+        val even = Seq.fill(2)(runOnce(spark, q, evenDir))
+        val skewed = Seq.fill(2)(runOnce(spark, q, skewDir))
+        val sigE = signature(even.last._2); val sigS = signature(skewed.last._2)
+        println(s"[scale] skew:$q  even=${num(even.map(_._1).min)}s  " +
+          s"skew=${num(skewed.map(_._1).min)}s  splits=${sigS("skewSplit")}")
+        Some((q, even.map(_._1).min, skewed.map(_._1).min, sigE, sigS))
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] skew FAILED $q: ${e.getMessage}"); None
+      }
+    }
+    val items = rows.map { case (q, te, ts, sigE, sigS) =>
+      s"""{"query":"$q","t_even":${num(te)},"t_skew":${num(ts)},""" +
+        s""""splits_even":${sigE("skewSplit")},"splits_skew":${sigS("skewSplit")}}"""
+    }.mkString("[", ",\n", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_SKEW_r08.json"),
+      (s"""{"factor":$factor,"hot_share":0.2,"queries":$items}""" + "\n")
+        .getBytes("UTF-8"))
+    println(s"[scale] wrote SCALE_SKEW_r08.json (${rows.size} queries)")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) {
+      val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+      val spark = Engine.session("graft-scale-skew")
+      runSkew(spark, factor)
+      spark.stop()
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val queries = args.drop(1).headOption
       .map(_.split(",").toSeq).getOrElse(defaultQueries)

@@ -17,8 +17,11 @@ import graft.sources.Tables
   * only (no leakage from the future).
   *
   * Scale notes: everything here shuffles at most once by user_id.
-  * Rolling windows are RANGE frames over a per-user sort (Spark
-  * maintains running aggregates incrementally — no per-row rescan);
+  * Only RUNNING (unbounded-preceding) window frames appear in hot
+  * paths — Spark maintains those incrementally, while a SLIDING
+  * frame re-aggregates its buffer per frame move, which is quadratic
+  * on a hot key and has no AQE escape (see ft_rolling_24h's
+  * interval-delta form and SCALE_SKEW_r08.json for the measurement);
   * the time grid is a bounded explode (days-active per user); the
   * point-in-time join is an equi-join on user_id whose range
   * predicate bounds the match set by the lookback horizon, so the
@@ -29,22 +32,49 @@ object FeatureOps extends Suite {
   // ---- ft_rolling_24h: trailing-24h rolling features per event ------
   // For every event: how many events (and how much value) did this
   // user generate in the 24 hours ending at — and including — this
-  // event. The RANGE frame is on epoch micros, so the window is
-  // time-based, not row-based; ties (equal ts) are frame peers in
-  // both engines by RANGE semantics. Count is integer-exact; the
-  // value sum runs in fixed-scale decimal (order-independent) and
-  // casts to double only at the end, so both engines emit identical
-  // bits.
+  // event. Count is integer-exact; the value sum runs in fixed-scale
+  // decimal (order-independent, so the delta cancellations below are
+  // bit-exact) and casts to double only at the end, so both engines
+  // emit identical bits.
+  //
+  // SKEW-PROOF FORM (measured, SCALE_SKEW_r08.json): the obvious
+  // sliding RANGE frame is NOT what runs here. Spark re-aggregates a
+  // sliding frame's buffer every time the frame moves (no retract
+  // path), so a hot user's partition is O(rows × frame) — a 20%-hot
+  // user at 10× took the RANGE form from 1.7 s to 17.3 s, and window
+  // skew has no AQE escape (skew-join splits joins, never windows).
+  // Instead each event emits an arrival delta (+1, +v) at ts and an
+  // expiry delta (−1, −v) at ts + 24h, and ONE running cumulative
+  // frame over the per-user (t, kind) timeline — Spark's running
+  // frame IS incremental — reconstructs the trailing aggregate in
+  // O(rows) per user (q_orders_backlog's interval-delta trick at
+  // per-event grain). Expiries sort AFTER arrivals at the same
+  // instant (kind 0 < 1) because an event 24h old is still inside
+  // the closed [t−24h, t] window; arrivals tied on ts are RANGE
+  // peers of the default cumulative frame, exactly the tie semantics
+  // of the plain RANGE form the oracle replays. 2n narrow rows, the
+  // same single user_id shuffle.
   private val dayUs = 86400000000L // 24h in microseconds
 
   private def ftRolling(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
-      .rangeBetween(-dayUs, 0L)
-    Tables.events(spark, dir)
-      .withColumn("ts_us", unix_micros(col("ts")))
-      .withColumn("n_24h", count(lit(1)).over(w))
-      .withColumn("sum_24h",
-        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    val arrivals = base.select(col("event_id"), col("user_id"), col("ts"),
+      col("ts_us").as("t"), lit(0).as("k"),
+      lit(1L).as("dn"), col("v").as("dv"))
+    val expiries = base.select(col("event_id"), col("user_id"), col("ts"),
+      (col("ts_us") + dayUs).as("t"), lit(1).as("k"),
+      lit(-1L).as("dn"), (-col("v")).as("dv"))
+    // default frame of an ordered window = RANGE UNBOUNDED PRECEDING
+    // .. CURRENT ROW, peers included — the running, truly-incremental
+    // frame shape
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("k"))
+    arrivals.unionAll(expiries)
+      .withColumn("n_24h", sum(col("dn")).over(w))
+      .withColumn("sum_24h", sum(col("dv")).over(w).cast("double"))
+      .filter(col("k") === 0)
       .select(col("event_id"), col("user_id"), col("ts"),
         col("n_24h"), col("sum_24h"))
       .orderBy("event_id")
