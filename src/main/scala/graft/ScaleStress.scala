@@ -259,6 +259,8 @@ object ScaleStress {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val queries = args.drop(1).headOption
       .map(_.split(",").toSeq).getOrElse(defaultQueries)
+    // artifact suffix so a follow-up sweep doesn't clobber the main one
+    val tag = args.drop(2).headOption.getOrElse("")
     val baseDir = "/root/testdata/sf0.1"
     val root = "/tmp/graft_scale"
     val oneDir = s"$root/b1x"
@@ -301,7 +303,7 @@ object ScaleStress {
         s""""plan_flips":$flips}"""
     }.mkString("[", ",\n", "]")
     val json = s"""{"factor":$factor,"base":"$baseDir","queries":$items}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_r08.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"SCALE_r08$tag.json"),
       (json + "\n").getBytes("UTF-8"))
 
     val md = new StringBuilder
@@ -322,9 +324,9 @@ object ScaleStress {
       md ++= s"| ${r.name} | ${num(r.t1.min)} | ${num(r.tN.min)} | " +
         s"${num(r.tN.min / r.t1.min)} | ${if (flips.isEmpty) "none" else flips} |\n"
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.md"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"SCALE$tag.md"),
       md.toString.getBytes("UTF-8"))
-    println(s"[scale] wrote SCALE_r08.json + SCALE.md (${rows.size} queries)")
+    println(s"[scale] wrote SCALE_r08$tag.json + SCALE$tag.md (${rows.size} queries)")
     spark.stop()
   }
 }
