@@ -692,8 +692,84 @@ object FeatureOps extends Suite {
       |    AS INT) AS event_observed
       |FROM lab ORDER BY user_id, day""".stripMargin
 
+  // ---- ft_session_features: per-user session-behavior block ---------
+  // The user-level engagement features a churn/propensity model
+  // consumes: session count, event volume, events-per-session, mean
+  // session duration, and the longest session — computed from the
+  // SAME 30-min-gap sessionization ev_sessionize pins (here via the
+  // lag-gap-flag construction, whose equivalence to session_window is
+  // what ev_sessionize's oracle verifies). Counts and durations are
+  // exact integers (µs); the two ratios round via the half-up integer
+  // micro-division contract (events/sessions and µs/sessions both
+  // land on exact .5e-7 ties under double division).
+  // Scale: session flags + ids ride ONE user_id shuffle (two RUNNING
+  // frames — the incremental kind, see the header note); the session
+  // and user rollups reuse that partitioning, so nothing re-exchanges
+  // and no stage grows superlinearly on a hot user.
+  private def ftSessionFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapped = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("new_s",
+        when(col("ts") <
+          lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTE"), 0)
+          .otherwise(1))
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val sess = gapped.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_ev"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+    sess.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        max(col("n_ev")).as("max_session_events"),
+        sum(col("dur_us")).as("dur_us"))
+      .withColumn("events_per_session",
+        expr("(2 * n_events * 1000000L + n_sessions) div (2 * n_sessions)")
+          .cast("double") / lit(1000000.0))
+      .withColumn("mean_session_secs",
+        expr("(2 * dur_us + n_sessions) div (2 * n_sessions)")
+          .cast("double") / lit(1000000.0))
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+        col("max_session_events"), col("events_per_session"),
+        col("mean_session_secs"))
+      .orderBy("user_id")
+  }
+
+  private val ftSessionFeaturesSql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) < 1800000000
+      |      THEN 0 ELSE 1 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |per_sess AS (
+      |  SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+      |    MAX(ts_us) - MIN(ts_us) AS dur_us
+      |  FROM sess GROUP BY 1, 2),
+      |per_user AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |    CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      |    CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+      |    CAST(SUM(dur_us) AS BIGINT) AS dur_us
+      |  FROM per_sess GROUP BY 1)
+      |SELECT user_id, n_sessions, n_events, max_session_events,
+      |  CAST((2 * n_events * 1000000 + n_sessions) // (2 * n_sessions)
+      |    AS DOUBLE) / 1000000.0 AS events_per_session,
+      |  CAST((2 * dur_us + n_sessions) // (2 * n_sessions)
+      |    AS DOUBLE) / 1000000.0 AS mean_session_secs
+      |FROM per_user ORDER BY user_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ft_rolling_24h", ftRolling, Some(ftRollingSql)),
+    Op("ft_session_features", ftSessionFeatures, Some(ftSessionFeaturesSql)),
     Op("ft_daily_ffill", ftDailyFfill, Some(ftDailyFfillSql)),
     Op("ft_point_in_time", ftPointInTime, Some(ftPointInTimeSql)),
     Op("ft_label_next7d", ftLabelNext7d, Some(ftLabelNext7dSql)),

@@ -163,7 +163,9 @@ object TextOps extends Suite {
     "zh" -> Seq("的", "是", "了", "在", "和"),
   )
 
-  private def txtLangid(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, lang, s_*, pred_lang) — shared by txt_langid (the
+    * per-doc listing) and txt_langid_eval (the calibration report). */
+  private def langScored(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(spark, dir)
       .select(Seq(col("doc_id"), col("lang")) ++ langMarkers.map {
         case (code, words) =>
@@ -176,9 +178,12 @@ object TextOps extends Suite {
         .otherwise(when(col(s"s_$c") === m, lit(c)))
     }
     scored.withColumn("pred_lang", pred)
+  }
+
+  private def txtLangid(spark: SparkSession, dir: String): DataFrame =
+    langScored(spark, dir)
       .withColumn("is_match", col("lang") === col("pred_lang"))
       .orderBy("doc_id")
-  }
 
   private val txtLangidSql = {
     val scoreCols = langMarkers.map { case (c, words) =>
@@ -199,6 +204,101 @@ object TextOps extends Suite {
       |    $scoreCols
       |  FROM (SELECT doc_id, lang, $toksSql AS t FROM documents) x) y) z
       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- txt_langid_eval: classifier calibration report ---------------
+  // Per-language precision/recall/F1 of the langid heuristic against
+  // the labeled `lang` column — the calibration report a curation
+  // team reads before trusting a language gate (a filter with 0.6
+  // recall on a tail language silently deletes that language from
+  // the corpus). Counts are exact integers from two alphabet-sized
+  // aggregates over the shared prediction frame (n_actual per true
+  // lang + n_correct, n_predicted per predicted lang) full-outer
+  // joined on the code; the ratios round via the half-up integer
+  // micro-division contract, with F1 computed from the integer
+  // identity F1 = 2·correct/(actual+predicted) — no compounding of
+  // two rounded ratios.
+  // Scale: one corpus pass (the map-only scorer), two tiny aggs, a
+  // ≤alphabet² join — nothing after the first agg grows with the
+  // corpus.
+  /** Half-up integer micro-division (the txt_lm_perplexity rounding
+    * contract) over non-negative integer SQL fragments. */
+  private def microDiv(num: String, den: String): Column =
+    (expr(s"(2 * ($num) * 1000000L + ($den)) div (2 * ($den))")
+      .cast("double") / lit(1000000.0))
+
+  private def txtLangidEval(spark: SparkSession, dir: String): DataFrame = {
+    val p = langScored(spark, dir).select(col("lang"), col("pred_lang"))
+    val act = p.groupBy(col("lang").as("code"))
+      .agg(count(lit(1)).as("n_actual"),
+        count(when(col("pred_lang") === col("lang"), lit(1))).as("n_correct"))
+    val prd = p.groupBy(col("pred_lang").as("code"))
+      .agg(count(lit(1)).as("n_predicted"))
+    act.join(prd, Seq("code"), "full_outer")
+      .select(col("code"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      // undefined ratios (nothing predicted / nothing actual) emit an
+      // explicit 0.0, NOT NULL — a NULL double materializes as NaN on
+      // one engine and None on the other and breaks the hash compare
+      // (the NULLable-numeric trap); the zero counts disambiguate
+      .withColumn("prec",
+        when(col("n_predicted") > 0, microDiv("n_correct", "n_predicted"))
+          .otherwise(lit(0.0)))
+      .withColumn("rec",
+        when(col("n_actual") > 0, microDiv("n_correct", "n_actual"))
+          .otherwise(lit(0.0)))
+      .withColumn("f1",
+        when(col("n_actual") + col("n_predicted") > 0,
+          microDiv("n_correct * 2", "n_actual + n_predicted"))
+          .otherwise(lit(0.0)))
+      .orderBy("code")
+  }
+
+  private val txtLangidEvalSql = {
+    val scoreCols = langMarkers.map { case (c, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(t, x -> x IN ($inList))) AS BIGINT) AS s_$c"
+    }.mkString(",\n      |    ")
+    val m = langMarkers.map { case (c, _) => s"s_$c" }
+      .mkString("GREATEST(", ", ", ")")
+    val caseChain = langMarkers.map { case (c, _) =>
+      s"WHEN s_$c = m THEN '$c'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+      |  SELECT lang, CASE $caseChain END AS pred_lang
+      |  FROM (
+      |    SELECT lang, s_de, s_en, s_es, s_fr, s_zh, $m AS m
+      |    FROM (SELECT lang,
+      |      $scoreCols
+      |    FROM (SELECT lang, $toksSql AS t FROM documents) x) y) z),
+      |act AS (
+      |  SELECT lang AS code, CAST(COUNT(*) AS BIGINT) AS n_actual,
+      |    CAST(COUNT(CASE WHEN pred_lang = lang THEN 1 END) AS BIGINT)
+      |      AS n_correct
+      |  FROM scored GROUP BY 1),
+      |prd AS (
+      |  SELECT pred_lang AS code, CAST(COUNT(*) AS BIGINT) AS n_predicted
+      |  FROM scored GROUP BY 1),
+      |j AS (
+      |  SELECT COALESCE(a.code, p.code) AS code,
+      |    COALESCE(n_actual, 0) AS n_actual,
+      |    COALESCE(n_predicted, 0) AS n_predicted,
+      |    COALESCE(n_correct, 0) AS n_correct
+      |  FROM act a FULL OUTER JOIN prd p ON a.code = p.code)
+      |SELECT code, n_actual, n_predicted, n_correct,
+      |  CASE WHEN n_predicted > 0 THEN
+      |    CAST((2 * n_correct * 1000000 + n_predicted) // (2 * n_predicted)
+      |      AS DOUBLE) / 1000000.0 ELSE 0.0 END AS prec,
+      |  CASE WHEN n_actual > 0 THEN
+      |    CAST((2 * n_correct * 1000000 + n_actual) // (2 * n_actual)
+      |      AS DOUBLE) / 1000000.0 ELSE 0.0 END AS rec,
+      |  CASE WHEN n_actual + n_predicted > 0 THEN
+      |    CAST((2 * n_correct * 2 * 1000000 + n_actual + n_predicted)
+      |      // (2 * (n_actual + n_predicted)) AS DOUBLE) / 1000000.0
+      |  END AS f1
+      |FROM j ORDER BY code""".stripMargin
   }
 
   // ---- txt_fingerprint: canonical content fingerprint ---------------
@@ -1060,6 +1160,7 @@ object TextOps extends Suite {
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
     Op("txt_langid", txtLangid, Some(txtLangidSql)),
+    Op("txt_langid_eval", txtLangidEval, Some(txtLangidEvalSql)),
     Op("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
     Op("txt_ngram_topk", txtNgramTopk, Some(txtNgramTopkSql)),
     Op("txt_repetition", txtRepetition, Some(txtRepetitionSql)),
