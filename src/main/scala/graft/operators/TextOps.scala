@@ -1156,6 +1156,184 @@ object TextOps extends Suite {
         .mkString("\nUNION ALL\n")}) u
       |ORDER BY round, cnt DESC, p1, p2""".stripMargin
 
+  // ---- txt_quality_distill: train a linear quality gate in-engine ---
+  // The distillation step every 100 TB curation pipeline ends up
+  // needing (CCNet's fastText gate, GPT-3's LR-over-features quality
+  // classifier): an expensive teacher signal — here the
+  // distinct-token-ratio rule 2·n_distinct ≥ n_tokens, observed with
+  // 5% deterministic label noise (doc_id % 20 flips, the teacher's
+  // disagreement rate) — is distilled into a LINEAR scorer over cheap
+  // per-doc counts so the full-corpus pass is one map-only dot
+  // product. Training is full-batch gradient descent run INSIDE the
+  // engine, and every step is exact integer arithmetic so the DuckDB
+  // oracle replays all 8 rounds bit-for-bit:
+  //   · features min-max scale to milli-units via the half-up integer
+  //     contract (ft_scaler's trick — raw distinct/token counts are
+  //     collinear and condition GD badly);
+  //   · the sigmoid is the HARD sigmoid p = clamp(½ + z/4, 0, 1) kept
+  //     in quarter-nano units (4e9·p = clamp(2e9 + z_nano, 0, 4e9)) —
+  //     piecewise-linear, so no transcendental ever enters the hash
+  //     compare (exp() differs in ulps across engines);
+  //   · gradients Σ err·x accumulate in DECIMAL(38,0) (int64 dies
+  //     near 3e9 docs: |err·x| ≤ 4e12/row) and the update
+  //     Δw = η_r·G/(4N) rounds via the SIGN-SAFE half-up micro
+  //     contract (Spark div truncates, DuckDB // floors — they only
+  //     agree on non-negative operands, so divide |G| and reapply the
+  //     sign);
+  //   · the learning rate is the 1/t schedule η_r = 32/r — the
+  //     standard convex-descent rate, and deterministic.
+  // Output: one row per round (0 = untrained baseline) with the
+  // post-update micro-weights and that round's training accuracy —
+  // the descent curve itself is what the hash gate verifies
+  // (0.56 majority baseline → ~0.89 at round 8 against the 0.95
+  // noise ceiling, stable across sf0.001/0.01/0.1).
+  // Scale: the corpus is touched once per round by a map-only
+  // crossJoin with the ONE-ROW broadcast weight frame followed by a
+  // d+1-column aggregate (map-side combined — each task emits one
+  // partial row); weights checkpoint per round like sim_kmeans'
+  // centroids, so no round replays prior lineage. Nothing that
+  // shuffles grows with the corpus; 8 rounds = 16 tiny jobs.
+  private val qdRounds = 8
+  private val qdEta = 32 // η_r = qdEta / r
+
+  /** (doc_id, y, x1s, x2s): noisy teacher label + milli-scaled
+    * features, checkpointed once per (session, dir). */
+  private def qdFeatures(spark: SparkSession, dir: String): DataFrame =
+    qdMemo.getOrElseUpdate((spark, dir), {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      val feat = Tables.documents(spark, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"),
+          abs(when(lit(2) * size(array_distinct(col("t"))) >=
+              size(col("t")), lit(1L)).otherwise(lit(0L)) -
+            when(col("doc_id") % 20 === 0, lit(1L)).otherwise(lit(0L)))
+            .as("y"),
+          size(array_distinct(col("t"))).cast("long").as("x1"),
+          size(col("t")).cast("long").as("x2"))
+      val st = feat.agg(
+        min("x1").as("mn1"), max("x1").as("mx1"),
+        min("x2").as("mn2"), max("x2").as("mx2"))
+      def sc(x: String, mn: String, mx: String): Column =
+        when(col(mx) === col(mn), lit(0L)).otherwise(expr(
+          s"(2 * ($x - $mn) * 1000 + ($mx - $mn)) div (2 * ($mx - $mn))"))
+      feat.crossJoin(broadcast(st))
+        .select(col("doc_id"), col("y"),
+          sc("x1", "mn1", "mx1").as("x1s"), sc("x2", "mn2", "mx2").as("x2s"))
+        .checkpoint()
+    })
+
+  private val qdMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def txtQualityDistill(spark: SparkSession, dir: String): DataFrame = {
+    val fs = qdFeatures(spark, dir)
+    val d = DecimalType(38, 0)
+    def scored(w: DataFrame): DataFrame = fs.crossJoin(broadcast(w))
+      .withColumn("zn", col("wb") * 1000L +
+        col("w1") * col("x1s") + col("w2") * col("x2s"))
+      .withColumn("pq",
+        least(greatest(lit(2000000000L) + col("zn"), lit(0L)),
+          lit(4000000000L)))
+    def metricsRow(r: Int, w: DataFrame): DataFrame = {
+      val m = scored(w).agg(
+        count(when((col("pq") >= 2000000000L) === (col("y") === 1L),
+          lit(1))).as("n_correct"),
+        count(lit(1)).as("n"))
+      w.crossJoin(m).select(lit(r.toLong).as("round"),
+        col("wb"), col("w1"), col("w2"), col("n_correct"), col("n"),
+        microDiv("n_correct", "n").as("acc"))
+    }
+    var w = spark.range(1).select(lit(0L).as("wb"), lit(0L).as("w1"),
+      lit(0L).as("w2"))
+    val rows = List.newBuilder[DataFrame]
+    rows += metricsRow(0, w)
+    for (r <- 1 to qdRounds) {
+      val g = scored(w)
+        .withColumn("err", col("y") * 4000000000L - col("pq"))
+        .agg(sum((col("err") * 1000L).cast(d)).as("gb"),
+          sum((col("err") * col("x1s")).cast(d)).as("g1"),
+          sum((col("err") * col("x2s")).cast(d)).as("g2"),
+          count(lit(1)).as("n"))
+      // D = 4·r·N·1e6 converts the quarter-nano gradient sum to a
+      // micro-weight step at rate η_r = qdEta/r (units in the header)
+      val den = s"(4 * $r * CAST(n AS DECIMAL(38, 0)) * 1000000)"
+      def u(gc: String, wc: String) =
+        s"""CAST($wc + (CASE WHEN $gc >= 0
+           |  THEN (2 * $qdEta * $gc + $den) div (2 * $den)
+           |  ELSE -((2 * $qdEta * (- $gc) + $den) div (2 * $den))
+           |END) AS BIGINT) AS $wc""".stripMargin
+      w = g.crossJoin(w)
+        .selectExpr(u("gb", "wb"), u("g1", "w1"), u("g2", "w2"))
+        .checkpoint()
+      rows += metricsRow(r, w)
+    }
+    rows.result().reduce(_ unionAll _).orderBy("round")
+  }
+
+  private val txtQualityDistillSql: String = {
+    def round(r: Int) = {
+      val den = s"(CAST(4 * $r AS BIGINT) * n * 1000000)"
+      def u(gc: String, wc: String) =
+        s"""CAST($wc + (CASE WHEN $gc >= 0
+           |      THEN (2 * $qdEta * $gc + $den) // (2 * $den)
+           |      ELSE -((2 * $qdEta * (- $gc) + $den) // (2 * $den))
+           |    END) AS BIGINT) AS $wc""".stripMargin
+      s"""g$r AS MATERIALIZED (
+        |  SELECT SUM(err * 1000) AS gb, SUM(err * x1s) AS g1,
+        |    SUM(err * x2s) AS g2, COUNT(*) AS n
+        |  FROM (SELECT x1s, x2s, y * 4000000000 - LEAST(GREATEST(
+        |      2000000000 + wb * 1000 + w1 * x1s + w2 * x2s, 0),
+        |      4000000000) AS err
+        |    FROM fs, w${r - 1}) e),
+        |w$r AS MATERIALIZED (
+        |  SELECT ${u("gb", "wb")},
+        |    ${u("g1", "w1")},
+        |    ${u("g2", "w2")}
+        |  FROM g$r, w${r - 1}),
+        |m$r AS MATERIALIZED (
+        |  SELECT COUNT(CASE WHEN (pq >= 2000000000) = (y = 1)
+        |      THEN 1 END) AS n_correct, COUNT(*) AS n
+        |  FROM (SELECT y, LEAST(GREATEST(2000000000 + wb * 1000 +
+        |      w1 * x1s + w2 * x2s, 0), 4000000000) AS pq
+        |    FROM fs, w$r) p)""".stripMargin
+    }
+    def row(r: Int) =
+      s"""SELECT CAST($r AS BIGINT) AS round, wb, w1, w2, n_correct, n,
+        |  CAST((2 * n_correct * 1000000 + n) // (2 * n) AS DOUBLE)
+        |    / 1000000.0 AS acc
+        |FROM w$r, m$r""".stripMargin
+    s"""WITH feat AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(abs((CASE WHEN 2 * len(list_distinct(t)) >= len(t)
+      |        THEN 1 ELSE 0 END) -
+      |      (CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS y,
+      |    CAST(len(list_distinct(t)) AS BIGINT) AS x1,
+      |    CAST(len(t) AS BIGINT) AS x2
+      |  FROM (SELECT doc_id, $toksSql AS t FROM documents) d
+      |  WHERE len(t) > 0),
+      |fs AS MATERIALIZED (
+      |  SELECT doc_id, y,
+      |    CASE WHEN mx1 = mn1 THEN 0
+      |      ELSE (2 * (x1 - mn1) * 1000 + (mx1 - mn1))
+      |        // (2 * (mx1 - mn1)) END AS x1s,
+      |    CASE WHEN mx2 = mn2 THEN 0
+      |      ELSE (2 * (x2 - mn2) * 1000 + (mx2 - mn2))
+      |        // (2 * (mx2 - mn2)) END AS x2s
+      |  FROM feat, (SELECT min(x1) AS mn1, max(x1) AS mx1,
+      |      min(x2) AS mn2, max(x2) AS mx2 FROM feat) st),
+      |w0 AS (SELECT CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS w1,
+      |  CAST(0 AS BIGINT) AS w2),
+      |m0 AS (
+      |  SELECT COUNT(CASE WHEN y = 1 THEN 1 END) AS n_correct,
+      |    COUNT(*) AS n FROM fs),
+      |${(1 to qdRounds).map(round).mkString(",\n")}
+      |${(0 to qdRounds).map(row).mkString("\nUNION ALL\n")}
+      |ORDER BY round""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -1173,5 +1351,6 @@ object TextOps extends Suite {
     Op("txt_entropy", txtEntropy, Some(txtEntropySql)),
     Op("txt_bpe_train", txtBpeTrain, Some(txtBpeTrainSql)),
     Op("txt_bpe_apply", txtBpeApply, Some(txtBpeApplySql)),
+    Op("txt_quality_distill", txtQualityDistill, Some(txtQualityDistillSql)),
   )
 }

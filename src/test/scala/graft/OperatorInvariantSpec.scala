@@ -780,6 +780,28 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).forall(_ >= 1L), "degrees >= 1")
   }
 
+  test("txt_quality_distill descends from the majority prior toward the teacher") {
+    val rows = run("txt_quality_distill").orderBy("round").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 8L),
+      "one report row per round, 0 = untrained baseline")
+    val acc = rows.map(r => r.getDouble(r.fieldIndex("acc")))
+    val n = rows.head.getLong(rows.head.fieldIndex("n"))
+    // untrained w=0 scores every doc at p=0.5 → predicts all-positive,
+    // so round 0's accuracy IS the teacher's positive rate
+    val nCorrect0 = rows.head.getLong(rows.head.fieldIndex("n_correct"))
+    assert(math.abs(acc(0) - nCorrect0.toDouble / n) < 1e-6)
+    assert(acc(0) < 0.6, s"baseline should be near the ~0.56 prior: ${acc(0)}")
+    // trained gate must clear the prior decisively and stay under the
+    // 5% label-noise ceiling (the teacher disagrees with itself on
+    // doc_id % 20 == 0 — no linear scorer can exceed ~0.95)
+    assert(acc.last > 0.8 && acc.last <= 0.96,
+      s"final accuracy ${acc.last} out of the learnable band")
+    // descent actually moved the weights off the origin
+    val last = rows.last
+    assert(Seq("wb", "w1", "w2").exists(c =>
+      last.getLong(last.fieldIndex(c)) != 0L))
+  }
+
   test("sim_recall_report agrees with a hand-computed lsh recall") {
     val exact = run("sim_topk_exact").select("q_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

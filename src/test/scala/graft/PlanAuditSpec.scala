@@ -314,6 +314,13 @@ class PlanAuditSpec extends SparkSpec {
       "txt_bpe_train" -> 1,
       // symtab broadcasts onto the corpus explode: doc_id agg + sort
       "txt_bpe_apply" -> 2,
+      // 9 SinglePartition finals of the per-round accuracy aggregates
+      // (each a d+1-column map-side-combined pass over the
+      // checkpointed feature frame — the partial rows are one per
+      // task, so each exchange moves ~task-count rows at any corpus
+      // size) + the 9-row output sort; the gradient aggs run inside
+      // the training loop's checkpoint jobs like txt_bpe_train's
+      "txt_quality_distill" -> 10,
       // 3 × (map-side-combined key-count agg + 1-row moment agg) —
       // each leg's post-agg frames are keys-sized then single-row —
       // + the 3-row stack's sort
