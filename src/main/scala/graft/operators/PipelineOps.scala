@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1023,7 +1023,115 @@ object PipelineOps extends Suite {
       |  UNION ALL SELECT 'p90_tokens', CAST(p90 AS DOUBLE) FROM pcts
       |) u ORDER BY metric""".stripMargin
 
+  // ---- pipe_dsir: importance-resampling data selection --------------
+  // Data Selection via Importance Resampling (Xie et al. 2023, arXiv
+  // 2302.03169 — the published recipe behind domain-targeted
+  // pretraining mixes): score every raw document by how much more
+  // likely its hashed-bigram profile is under a TARGET domain's
+  // n-gram distribution than under the raw corpus's, then keep the
+  // docs the ratio favors. Here the target domain is the corpus's
+  // `lang = 'en'` slice (DSIR's Wikipedia stand-in); both
+  // distributions are add-1-smoothed bags over B=256 hashed-bigram
+  // buckets (the paper's hashed n-gram generative model; B is the
+  // production knob — 10k+ buckets at 100 TB, same plan). The log
+  // importance weight
+  //   log w(doc) = Σ_bigram [ln p_target(bucket) − ln p_raw(bucket)]
+  // decomposes per bucket, so each ln is quantized ONCE per integer
+  // count to scale-6 decimal (txt_tfidf's ln-quantization contract)
+  // and the per-doc sum is exact integer micro-nats — no float ever
+  // accumulates, and the DuckDB oracle replays the model bit-for-bit.
+  // The bucket hash is the engine-portable md5 first byte
+  // (pipe_split's idiom). `selected` = log w > 0 (the doc is more
+  // target-like than raw-like); zero/one-token docs stay in the
+  // report with n_bigrams=0, log w = 0, unselected.
+  // Scale: one bigram explode feeds (a) a B-row bucket aggregate
+  // (map-side combined; B is a constant, so the post-agg frame never
+  // grows with the corpus) and (b) a broadcast join of the B-row
+  // log-ratio table back onto the exploded rows + ONE doc_id
+  // aggregate — the corpus shuffles once, keyed by doc_id, carrying
+  // 8-byte partial sums. Per-doc int64 bound: |lr_u| ≲ 4·ln(N)·10⁶
+  // micro-nats, so overflow needs a single document of ~10¹¹ tokens.
+  private val dsirBuckets = 256
+  private val dsirTargetLang = "en"
+
+  /** Quantized ln in integer micro-units: round(ln(x), 6)·10⁶. */
+  private def lnqU(x: Column): Column =
+    (round(log(x.cast("double")), 6).cast(DecimalType(12, 6)) * 1000000)
+      .cast("long")
+
+  private def pipeDsir(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), Tok.toks.as("t"))
+      .filter(size(col("t")) > 1)
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .withColumn("bucket",
+        conv(substring(md5(col("bigram")), 1, 2), 16, 10).cast("long"))
+    val stats = bg.groupBy("bucket").agg(
+      count(lit(1)).as("c_r"),
+      count(when(col("lang") === dsirTargetLang, lit(1))).as("c_t"))
+    val tot = stats.agg(
+      sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
+    val lr = stats.crossJoin(broadcast(tot)).select(col("bucket"),
+      (lnqU(col("c_t") + 1) - lnqU(col("n_t") + dsirBuckets)
+        - lnqU(col("c_r") + 1) + lnqU(col("n_r") + dsirBuckets)).as("lr_u"))
+    val scores = bg.join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lr_u")).as("w"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (coalesce(col("w"), lit(0L)).cast("double") / lit(1000000.0))
+          .as("logw"),
+        when(coalesce(col("w"), lit(0L)) > 0, lit(1L)).otherwise(lit(0L))
+          .as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[lnqU]]. */
+  private def lnqUSql(x: String): String =
+    s"CAST(CAST(ROUND(ln($x), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT)"
+
+  private val pipeDsirSql =
+    s"""WITH d AS (SELECT doc_id, lang, ${Tok.toksSql} AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang,
+      |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+      |  FROM d WHERE len(t) > 1),
+      |bk AS (
+      |  SELECT doc_id, lang,
+      |    (strpos('0123456789abcdef', substr(md5(bigram), 1, 1)) - 1) * 16 +
+      |    strpos('0123456789abcdef', substr(md5(bigram), 2, 1)) - 1 AS bucket
+      |  FROM bg),
+      |st AS (
+      |  SELECT bucket, COUNT(*) AS c_r,
+      |    COUNT(CASE WHEN lang = '$dsirTargetLang' THEN 1 END) AS c_t
+      |  FROM bk GROUP BY bucket),
+      |tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+      |  CAST(SUM(c_t) AS BIGINT) AS n_t FROM st),
+      |lr AS (
+      |  SELECT bucket,
+      |    ${lnqUSql("c_t + 1")} - ${lnqUSql(s"n_t + $dsirBuckets")}
+      |    - ${lnqUSql("c_r + 1")} + ${lnqUSql(s"n_r + $dsirBuckets")} AS lr_u
+      |  FROM st, tot),
+      |sc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(lr_u) AS BIGINT) AS w
+      |  FROM bk JOIN lr USING (bucket) GROUP BY doc_id)
+      |SELECT doc.doc_id, doc.lang,
+      |  COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+      |  CAST(COALESCE(sc.w, 0) AS DOUBLE) / 1000000.0 AS logw,
+      |  CAST(CASE WHEN COALESCE(sc.w, 0) > 0 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS selected
+      |FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
+      |ORDER BY doc.doc_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
+    Op("pipe_dsir", pipeDsir, Some(pipeDsirSql)),
     Op("pipe_dataset_card", pipeDatasetCard, Some(pipeDatasetCardSql)),
     Op("pipe_curate", pipeCurate, Some(pipeCurateSql)),
     Op("pipe_domain_cap", pipeDomainCap, Some(pipeDomainCapSql)),

@@ -802,6 +802,32 @@ class OperatorInvariantSpec extends SparkSpec {
       last.getLong(last.fieldIndex(c)) != 0L))
   }
 
+  test("pipe_dsir recovers the target domain from hashed-bigram weights") {
+    val rows = run("pipe_dsir").collect()
+    val docs = rows.length
+    // every document stays in the report, zero-bigram ones at w=0
+    assert(rows.forall(r => r.getLong(r.fieldIndex("n_bigrams")) >= 0L))
+    assert(rows.forall { r =>
+      r.getLong(r.fieldIndex("n_bigrams")) > 0L ||
+        (r.getDouble(r.fieldIndex("logw")) == 0.0 &&
+          r.getLong(r.fieldIndex("selected")) == 0L)
+    }, "bigram-free docs must score 0 and stay unselected")
+    // selected = logw > 0, exactly
+    assert(rows.forall { r =>
+      (r.getDouble(r.fieldIndex("logw")) > 0.0) ==
+        (r.getLong(r.fieldIndex("selected")) == 1L)
+    })
+    // the importance weights must RECOVER the hidden target domain:
+    // selected docs are 'en' far above the corpus base rate, and the
+    // majority of 'en' docs make the cut (256 buckets over 5 langs)
+    val en = rows.count(_.getString(1) == "en").toDouble
+    val sel = rows.filter(_.getLong(rows.head.fieldIndex("selected")) == 1L)
+    val selEn = sel.count(_.getString(1) == "en").toDouble
+    assert(sel.nonEmpty && selEn / sel.length > (en / docs) + 0.15,
+      s"precision ${selEn / sel.length} should beat base rate ${en / docs}")
+    assert(selEn / en > 0.5, s"recall ${selEn / en} should exceed half")
+  }
+
   test("sim_recall_report agrees with a hand-computed lsh recall") {
     val exact = run("sim_topk_exact").select("q_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -83,6 +83,11 @@ class PlanAuditSpec extends SparkSpec {
       // same shape as token_budget: lang-partitioned cumsum window +
       // bin agg reusing the partitioning; sort
       "pipe_pack_sequences" -> 2,
+      // B-row bucket agg (map-side combined, constant-size result) +
+      // 1-row totals agg + the doc_id score agg off the broadcast
+      // log-ratio join + the docs⋈scores doc_id join (2 exchanges) +
+      // the final sort — nothing post-agg outgrows B or the doc count
+      "pipe_dsir" -> 6,
       // final plan reads the loop's checkpointed labels: sort only
       "pipe_dup_clusters" -> 2,
       // keeper semi-join broadcasts; the one exchange is the final sort
