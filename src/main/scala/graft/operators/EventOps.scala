@@ -921,6 +921,91 @@ object EventOps extends Suite {
       |WHERE n_a > 1 AND n_b > 1 AND se > 0
       |ORDER BY event_type""".stripMargin
 
+  // ---- ev_interval_join: bucketed point-in-interval join ------------
+  // The range-join shape Spark has no native operator for (vendors
+  // ship it as a "range join hint"): join point events to every
+  // INTERVAL covering them — here, each purchase to all OTHER users'
+  // 30-min-gap sessions active at that instant, i.e. "how busy was
+  // the site when this purchase happened". A naive formulation is a
+  // non-equi theta join → CartesianProduct at any scale. This one is
+  // the standard bucket-replication decomposition: time is cut into
+  // fixed W=1h buckets, each session is replicated to the ⌈span/W⌉
+  // buckets it overlaps (sequence + explode on integer bucket ids),
+  // each point joins its single bucket with an EQUI key, and the
+  // range predicate filters locally inside the bucket. Every
+  // (session, point) pair co-occurs in exactly the point's bucket, so
+  // no post-join dedup is needed. The DuckDB oracle runs the plain
+  // theta join (its IEJoin handles it), proving the bucketed plan
+  // semantics-preserving — txt_ngram_topk's two-phase-vs-one-window
+  // pattern applied to joins.
+  // Scale: cost = |sessions|·(span/W) replicas + |points|, shuffled
+  // on the bucket key (corpus-lifetime hours — tens of thousands of
+  // distinct keys at any SF; add minute-salting inside a hot hour if
+  // one bucket dominates). W is the knob: pick it near the typical
+  // interval span so per-bucket work tracks output size. Session
+  // derivation rides the ONE user_id shuffle ev_sessionize audited.
+  private val ivjBucketUs = 3600L * 1000000L // 1h in epoch micros
+
+  private def evIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id").as("s_user"),
+        unix_micros(col("w.start")).as("s_start"),
+        unix_micros(col("w.end")).as("s_end"))
+    val repl = sess.select(col("s_user"), col("s_start"), col("s_end"),
+      explode(sequence(
+        col("s_start") divide lit(ivjBucketUs) cast "long",
+        col("s_end") divide lit(ivjBucketUs) cast "long")).as("bucket"))
+    val points = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("p_us"),
+        (unix_micros(col("ts")) divide lit(ivjBucketUs) cast "long")
+          .as("bucket"))
+    val hits = points.join(repl,
+        points("bucket") === repl("bucket") &&
+          col("p_us") >= col("s_start") && col("p_us") < col("s_end") &&
+          col("s_user") =!= col("user_id"))
+      .groupBy(points("event_id").as("event_id"))
+      .agg(count(lit(1)).as("n"))
+    points.select(col("event_id"), col("user_id"), col("ts"))
+      .join(hits, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("n"), lit(0L)).as("n_concurrent"))
+      .orderBy("event_id")
+  }
+
+  private val evIntervalJoinSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) < 1800000000
+      |      THEN 0 ELSE 1 END AS new_s
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id AS s_user, epoch_us(MIN(ts)) AS s_start,
+      |    epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS s_end
+      |  FROM numbered GROUP BY user_id, session_id),
+      |p AS (
+      |  SELECT event_id, user_id, ts, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |hits AS (
+      |  SELECT p.event_id, COUNT(*) AS n
+      |  FROM p JOIN sess s
+      |    ON p.p_us >= s.s_start AND p.p_us < s.s_end
+      |      AND s.s_user <> p.user_id
+      |  GROUP BY p.event_id)
+      |SELECT p.event_id, p.user_id, p.ts,
+      |  CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_concurrent
+      |FROM p LEFT JOIN hits ON p.event_id = hits.event_id
+      |ORDER BY p.event_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
@@ -941,5 +1026,6 @@ object EventOps extends Suite {
     Op("ev_ab_test", evAbTest, Some(evAbTestSql)),
     Op("ev_forecast_baseline", evForecastBaseline, Some(evForecastBaselineSql)),
     Op("ev_cohort_ltv", evCohortLtv, Some(evCohortLtvSql)),
+    Op("ev_interval_join", evIntervalJoin, Some(evIntervalJoinSql)),
   )
 }

@@ -88,6 +88,12 @@ class PlanAuditSpec extends SparkSpec {
       // log-ratio join + the docs⋈scores doc_id join (2 exchanges) +
       // the final sort — nothing post-agg outgrows B or the doc count
       "pipe_dsir" -> 6,
+      // session agg (user_id) + one bucket-join exchange (the
+      // session-replica side broadcasts at spec SF; at scale AQE
+      // promotes it to the second bucket exchange) + event_id count
+      // agg + sort — the points⋈counts join reuses the count agg's
+      // event_id partitioning
+      "ev_interval_join" -> 4,
       // final plan reads the loop's checkpointed labels: sort only
       "pipe_dup_clusters" -> 2,
       // keeper semi-join broadcasts; the one exchange is the final sort
@@ -435,5 +441,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(semKeys.exists(k =>
         k.contains("cluster") && k.contains("tbl") && k.contains("key")),
       s"dedup_semantic: pair join not keyed on (cluster, tbl, key) — $semKeys")
+  }
+
+  test("ev_interval_join's range join is an equi join on the time bucket") {
+    // the point-in-interval theta join must reach the executor as an
+    // EQUI join on the replicated hour bucket with the range predicate
+    // demoted to a residual condition — a plain theta formulation
+    // plans BroadcastNestedLoopJoin (which the CartesianProduct audit
+    // does not catch) and is Θ(points × sessions) at corpus scale
+    val plan = physical("ev_interval_join")
+    val nlj = collectAll(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nlj.isEmpty, "ev_interval_join plans a nested-loop join")
+    val bucketKeyed = collectAll(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.nonEmpty =>
+        j.leftKeys.flatMap(_.references.map(_.name)).toSet
+    }
+    assert(bucketKeyed.exists(_.contains("bucket")),
+      s"no equi join keyed on the time bucket — keys were $bucketKeyed")
   }
 }
