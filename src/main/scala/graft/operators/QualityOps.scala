@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -248,9 +249,94 @@ object QualityOps extends Suite {
       |    CAST(hi_h - lo_h + 1 AS DOUBLE), 6) AS completeness
       |FROM per_type, wm ORDER BY event_type""".stripMargin
 
+  // ---- dq_reconcile: header-vs-detail financial reconciliation ------
+  // The audit every warehouse runs between fact tables that SHOULD
+  // agree: order headers (o_totalprice) against the total derived
+  // from their lineitems (Σ price·(1−disc)·(1+tax), TPC-H Q1's
+  // charge formula in the proven decimal-exact structure). The report
+  // is per header status plus one ORPHAN_DETAIL row: header/detail
+  // row counts, childless headers, both money totals, and the signed
+  // drift — the numbers a close-of-books job pages on. On this
+  // synthetic corpus headers and details genuinely disagree (drift
+  // ≠ 0, 257 childless headers at sf0.01) — exactly what the audit
+  // exists to surface.
+  // Scale: ONE per-order detail aggregate (map-side combined on the
+  // orderkey the tables already shuffle on) + one full-outer join on
+  // that same key — orphans on BOTH sides fall out of the join for
+  // free — + a statuses-sized final agg. Money stays decimal-exact
+  // end to end; no double ever aggregates.
+  private def dqReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val charge = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)) *
+      (lit(1.0) + col("l_tax")).cast(DecimalType(4, 2))
+    val d = Tables.lineitem(spark, dir).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_li"), sum(charge).as("detail_dec"))
+    val j = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .join(d, col("o_orderkey") === col("l_orderkey"), "full_outer")
+    j.groupBy(coalesce(col("o_orderstatus"), lit("ORPHAN_DETAIL"))
+        .as("status"))
+      .agg(
+        count(col("o_orderkey")).as("n_headers"),
+        count(when(col("o_orderkey").isNotNull && col("n_li").isNull,
+          lit(1))).as("n_childless"),
+        sum(coalesce(col("n_li"), lit(0L))).as("n_details"),
+        sum(coalesce(col("o_totalprice").cast(DecimalType(18, 2)),
+          lit(0).cast(DecimalType(18, 2)))).as("h_dec"),
+        sum(coalesce(col("detail_dec"),
+          lit(0).cast(DecimalType(22, 6)))).as("d_dec"))
+      // report money at cents via the half-up INTEGER contract: the
+      // scale-6 charge total's unscaled value exceeds 2^53 at sf0.1
+      // (decimal→double casts then differ by an ulp across engines)
+      // and a decimal downscale is no better (Spark rounds HALF_UP,
+      // DuckDB truncates) — so both engines compute cents as
+      // (2u+10⁴) div 2·10⁴ on the exact non-negative micro total.
+      // int64 bound: ×10⁶ overflows past ~9·10¹² currency units per
+      // status — report by finer strata long before that corpus
+      .withColumn("h_cents", (col("h_dec") * 100).cast("long"))
+      .withColumn("d_u6", (col("d_dec") * 1000000L).cast("long"))
+      .withColumn("d_cents", expr("(2 * d_u6 + 10000) div 20000"))
+      .select(col("status"), col("n_headers"), col("n_childless"),
+        col("n_details"),
+        (col("h_cents").cast("double") / lit(100.0)).as("header_sum"),
+        (col("d_cents").cast("double") / lit(100.0)).as("detail_sum"),
+        ((col("h_cents") - col("d_cents")).cast("double") / lit(100.0))
+          .as("delta_sum"))
+      .orderBy("status")
+  }
+
+  private val dqReconcileSql =
+    """WITH d AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_li,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * CAST(1.0 - l_discount AS DECIMAL(4,2))
+      |      * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS detail_dec
+      |  FROM lineitem GROUP BY l_orderkey),
+      |j AS (
+      |  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+      |    d.n_li, d.detail_dec
+      |  FROM orders o FULL OUTER JOIN d ON o.o_orderkey = d.l_orderkey),
+      |g AS (
+      |  SELECT COALESCE(o_orderstatus, 'ORPHAN_DETAIL') AS status,
+      |    COUNT(o_orderkey) AS n_headers,
+      |    COUNT(CASE WHEN o_orderkey IS NOT NULL AND n_li IS NULL
+      |      THEN 1 END) AS n_childless,
+      |    CAST(SUM(COALESCE(n_li, 0)) AS BIGINT) AS n_details,
+      |    CAST(SUM(COALESCE(CAST(o_totalprice AS DECIMAL(18,2)),
+      |      CAST(0 AS DECIMAL(18,2)))) * 100 AS BIGINT) AS h_cents,
+      |    (2 * CAST(SUM(COALESCE(detail_dec, CAST(0 AS DECIMAL(22,6))))
+      |      * 1000000 AS BIGINT) + 10000) // 20000 AS d_cents
+      |  FROM j GROUP BY 1)
+      |SELECT status, n_headers, n_childless, n_details,
+      |  CAST(h_cents AS DOUBLE) / 100.0 AS header_sum,
+      |  CAST(d_cents AS DOUBLE) / 100.0 AS detail_sum,
+      |  CAST(h_cents - d_cents AS DOUBLE) / 100.0 AS delta_sum
+      |FROM g ORDER BY status""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("dq_checks", dqChecks, Some(dqChecksSql)),
     Op("dq_drift", dqDrift, Some(dqDriftSql)),
     Op("dq_freshness", dqFreshness, Some(dqFreshnessSql)),
+    Op("dq_reconcile", dqReconcile, Some(dqReconcileSql)),
   )
 }

@@ -833,6 +833,82 @@ object SimilarityOps extends Suite {
       .orderBy("method")
   }
 
+  // ---- sim_silhouette: cluster-quality report over the trained model
+  // The evaluation step the clustering family was missing: per-cluster
+  // simplified silhouette (Hruschka et al. 2004 — the centroid-based
+  // O(n·k) form; the classic pairwise silhouette is Θ(n²) and dies
+  // first at scale) over kmeansTrain's final model, on SQUARED
+  // distances: s = (b − a) / max(a, b) with a = dist²(x, own final
+  // centroid), b = min over other clusters. Both distances come from
+  // the SAME km_assign kernel as training — a over the centroid array
+  // filtered to the own cluster, b over its complement (array-HOF
+  // filter on the broadcast codebook, so assignment stays map-only) —
+  // and the oracle replays them through the shared kmDistExpr chain,
+  // hash-verifying model, distances, and the report end to end.
+  // Negative s marks points better explained by a neighboring
+  // cluster; n_neg surfaces them as an integer-exact diagnostic.
+  // Per-cluster mean: each s is bit-identical double arithmetic over
+  // hash-proven dist² values (subtract / max / divide are all
+  // correctly-rounded IEEE ops, no transcendental), summed exactly as
+  // DECIMAL(18,8) (sim_kmeans' wss contract) and divided by the
+  // SIGN-SAFE half-up contract (s can be negative).
+  // Scale: one broadcast of the k-row codebook + a map-only pass +
+  // one k-row map-side-combined agg — nothing corpus-sized shuffles;
+  // training amortizes via kmeansTrain's memoized checkpoint.
+  private def simSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val assign = kmeansTrain(spark, dir, kmIters)
+    val trained = nestCentroids(centroidSums(assign)).checkpoint()
+    val scored = assign.select(col("vec_id"), col("dq"),
+        col("cluster").as("own_c"))
+      .crossJoin(broadcast(trained))
+      .withColumn("a_sq",
+        expr("km_assign(dq, filter(cs, c -> c.cluster = own_c)).dist_sq"))
+      .withColumn("b_sq",
+        expr("km_assign(dq, filter(cs, c -> c.cluster != own_c)).dist_sq"))
+      .withColumn("s", when(greatest(col("a_sq"), col("b_sq")) > 0,
+        (col("b_sq") - col("a_sq")) / greatest(col("a_sq"), col("b_sq")))
+        .otherwise(lit(0.0)))
+    scored.groupBy(col("own_c").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("s") < 0, lit(1))).as("n_neg"),
+        sum(col("s").cast(DecimalType(18, 8))).as("ssum"))
+      .withColumn("sum_u", (col("ssum") * 100000000L).cast("long"))
+      .select(col("cluster"), col("n_vecs"), col("n_neg"),
+        (expr("(case when sum_u < 0 then -1L else 1L end) * " +
+          "((2 * abs(sum_u) + n_vecs) div (2 * n_vecs))").cast("double")
+          / lit(100000000.0)).as("mean_sil"))
+      .orderBy("cluster")
+  }
+
+  private val simSilhouetteSql: String =
+    s"""WITH $kmCtes,
+      |dists AS (
+      |  SELECT vec_id, cluster, dist_sq FROM (
+      |    SELECT t.vec_id, s.cluster, $kmDistExpr AS dist_sq
+      |    FROM terms t JOIN sums$kmIters s ON t.i = s.i
+      |    GROUP BY t.vec_id, s.cluster) x),
+      |ab AS (
+      |  SELECT d.vec_id, a.cluster AS own_c,
+      |    MAX(CASE WHEN d.cluster = a.cluster THEN d.dist_sq END) AS a_sq,
+      |    MIN(CASE WHEN d.cluster <> a.cluster THEN d.dist_sq END) AS b_sq
+      |  FROM dists d JOIN assign$kmIters a USING (vec_id)
+      |  GROUP BY d.vec_id, a.cluster),
+      |sil AS (
+      |  SELECT own_c,
+      |    CASE WHEN greatest(a_sq, b_sq) > 0
+      |      THEN (b_sq - a_sq) / greatest(a_sq, b_sq) ELSE 0.0 END AS s
+      |  FROM ab),
+      |agg AS (
+      |  SELECT own_c AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    CAST(COUNT(CASE WHEN s < 0 THEN 1 END) AS BIGINT) AS n_neg,
+      |    CAST(SUM(CAST(s AS DECIMAL(18,8))) * 100000000 AS BIGINT) AS sum_u
+      |  FROM sil GROUP BY own_c)
+      |SELECT cluster, n_vecs, n_neg,
+      |  CAST((CASE WHEN sum_u < 0 THEN -1 ELSE 1 END) *
+      |    ((2 * abs(sum_u) + n_vecs) // (2 * n_vecs)) AS DOUBLE)
+      |    / 100000000.0 AS mean_sil
+      |FROM agg ORDER BY cluster""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
     Op("sim_ann_lsh", simAnnLsh, None),
@@ -844,5 +920,6 @@ object SimilarityOps extends Suite {
     Op("sim_kmeans", simKmeans, Some(simKmeansSql)),
     Op("sim_ivf_kmeans", simIvfKmeans, Some(simIvfKmeansSql)),
     Op("sim_ivfpq", simIvfpq, Some(simIvfpqSql)),
+    Op("sim_silhouette", simSilhouette, Some(simSilhouetteSql)),
   )
 }

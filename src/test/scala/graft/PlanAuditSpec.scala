@@ -94,6 +94,14 @@ class PlanAuditSpec extends SparkSpec {
       // agg + sort — the points⋈counts join reuses the count agg's
       // event_id partitioning
       "ev_interval_join" -> 4,
+      // final plan reads kmeansTrain's checkpointed assignment: the
+      // k-row cluster agg (map-side combined) + the 8-row sort; the
+      // codebook rides one broadcast and scoring is map-only
+      "sim_silhouette" -> 2,
+      // per-order detail agg + full-outer join on the same orderkey
+      // (orphans on both sides fall out free) + statuses-sized final
+      // agg + the 4-row sort
+      "dq_reconcile" -> 4,
       // final plan reads the loop's checkpointed labels: sort only
       "pipe_dup_clusters" -> 2,
       // keeper semi-join broadcasts; the one exchange is the final sort
