@@ -921,6 +921,84 @@ object EventOps extends Suite {
       |WHERE n_a > 1 AND n_b > 1 AND se > 0
       |ORDER BY event_type""".stripMargin
 
+  // ---- ev_audience_overlap: exact segment-intersection matrix -------
+  // The "audience overlap" table every activation/analytics stack
+  // exposes (vendors run it on Theta/MinHash sketches; at this
+  // cardinality the EXACT answer is one aggregation cheaper): for
+  // every unordered event-type pair, how many users are in BOTH
+  // ENGAGED audiences (≥ 15 events of the type — a bare any-event
+  // membership saturates: on this corpus every user touches every
+  // type), with Jaccard |A∩B| / |A∪B| via the half-up micro
+  // contract. The sketch path stays available through
+  // ev_count_min/q_approx_distinct; this op is their exact ground
+  // truth at segment counts where exactness is affordable.
+  // Scale: the corpus is touched ONCE — a (user, type) count
+  // aggregate (map-side combined), a per-user sorted type-set agg,
+  // then ONE explode emitting each user's singles ('' sentinel) AND
+  // C(k,2) ordered pairs (k = type alphabet, bounded — never
+  // corpus-scaled) into an alphabet²-sized count, eagerly
+  // checkpointed so the three downstream reads (pairs + two
+  // broadcast self-joins for the per-type totals) never replay the
+  // corpus lineage. Nothing after the first agg grows with the
+  // event count.
+  private val aoMinEvents = 15
+
+  private def evAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val tagged = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= aoMinEvents)
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (x, i) -> concat(
+          |  array(struct(x AS a, '' AS b)),
+          |  transform(slice(ts, i + 2, size(ts)), y ->
+          |    struct(x AS a, y AS b)))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .checkpoint()
+    val singles = tagged.filter(col("b") === lit(""))
+    tagged.filter(col("b") =!= lit(""))
+      .select(col("a").as("type_a"), col("b").as("type_b"),
+        col("n").as("n_both"))
+      .join(broadcast(singles.select(col("a").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(singles.select(col("a").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_both"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"), col("n_union"),
+        (expr("(2 * n_both * 1000000 + n_union) div (2 * n_union)")
+          .cast("double") / lit(1000000.0)).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val evAudienceOverlapSql =
+    s"""WITH ut AS (
+      |  SELECT user_id, event_type FROM events
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $aoMinEvents),
+      |tot AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ut GROUP BY event_type),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+      |  ta.n + tb.n - n_both AS n_union,
+      |  CAST((2 * n_both * 1000000 + (ta.n + tb.n - n_both))
+      |    // (2 * (ta.n + tb.n - n_both)) AS DOUBLE) / 1000000.0
+      |    AS jaccard
+      |FROM pairs
+      |JOIN tot ta ON ta.event_type = type_a
+      |JOIN tot tb ON tb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   // ---- ev_interval_join: bucketed point-in-interval join ------------
   // The range-join shape Spark has no native operator for (vendors
   // ship it as a "range join hint"): join point events to every
@@ -1027,5 +1105,6 @@ object EventOps extends Suite {
     Op("ev_forecast_baseline", evForecastBaseline, Some(evForecastBaselineSql)),
     Op("ev_cohort_ltv", evCohortLtv, Some(evCohortLtvSql)),
     Op("ev_interval_join", evIntervalJoin, Some(evIntervalJoinSql)),
+    Op("ev_audience_overlap", evAudienceOverlap, Some(evAudienceOverlapSql)),
   )
 }

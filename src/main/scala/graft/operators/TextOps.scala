@@ -1334,6 +1334,113 @@ object TextOps extends Suite {
       |ORDER BY round""".stripMargin
   }
 
+  // ---- txt_keyphrases: RAKE keyphrase extraction --------------------
+  // Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+  // phrases are the maximal token runs between stopword delimiters,
+  // each word scores deg(w)/freq(w) over the corpus-wide phrase set
+  // (freq = phrase instances containing w; deg = Σ instance length,
+  // self included), and a phrase scores the sum of its member words —
+  // phrases built from words that co-occur in long, frequent runs
+  // win. This is the corpus-level variant (per-doc RAKE shares the
+  // same stats pass); runs longer than 4 tokens are discarded as
+  // non-phrases, the paper's usual cap. Scoring is exact: deg/freq
+  // goes through the half-up micro contract (both positive) and a
+  // phrase's score is an integer sum of member micro-scores, so the
+  // top-20 ranking (score, count, text — fully deterministic) is
+  // hash-stable cross-engine.
+  // Scale: one posexplode pass; the run-id window rides the doc_id
+  // partitioning; phrase assembly aggs on (doc_id, run); word stats
+  // collapse to the vocabulary (map-side combined) and join back by
+  // broadcast; the final top-20 is a distributed TakeOrdered, not a
+  // global window.
+  private val rakeStops = Seq("a", "the")
+  private val rakeMaxLen = 4
+  private val rakeK = 20
+
+  private def txtKeyphrases(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val toksPos = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("is_stop",
+        col("tok").isin(rakeStops.map(x => x: Any): _*))
+      .withColumn("run",
+        sum(when(col("is_stop"), 1).otherwise(0)).over(byDoc))
+    val phrases = toksPos.filter(!col("is_stop"))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok"))).as("phrase"),
+        count(lit(1)).as("len"))
+      .filter(col("len") <= rakeMaxLen)
+    val words = phrases.select(col("len"),
+      explode(split(col("phrase"), " ")).as("w"))
+    val wordStats = words.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .withColumn("wscore_u",
+        expr("(2 * deg * 1000000 + freq) div (2 * freq)"))
+    // every instance of a phrase text carries the same member words,
+    // so score once per DISTINCT text (explode the counted phrase,
+    // not each instance) and let the instance count ride along
+    val phraseCounts = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"))
+    phraseCounts
+      .withColumn("w", explode(split(col("phrase"), " ")))
+      .join(broadcast(wordStats.select("w", "wscore_u")), Seq("w"))
+      .groupBy("phrase", "n_occurrences")
+      .agg(sum(col("wscore_u")).as("score_u"))
+      .select(col("phrase"), col("n_occurrences"),
+        (col("score_u").cast("double") / lit(1000000.0)).as("score"))
+      .orderBy(desc("score"), desc("n_occurrences"), col("phrase"))
+      .limit(rakeK)
+      .orderBy(desc("score"), desc("n_occurrences"), col("phrase"))
+  }
+
+  private val txtKeyphrasesSql =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |tp0 AS (
+      |  SELECT doc_id,
+      |    unnest([{'pos': i, 'tok': t[i]}
+      |            for i in range(1, len(t) + 1)]) AS s
+      |  FROM d),
+      |tp AS (
+      |  SELECT doc_id, s.pos AS pos, s.tok AS tok,
+      |    s.tok IN ('${rakeStops.mkString("','")}') AS is_stop
+      |  FROM tp0),
+      |runs AS (
+      |  SELECT doc_id, pos, tok, is_stop,
+      |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY doc_id ORDER BY pos
+      |       ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM tp),
+      |phrases AS (
+      |  SELECT doc_id, run, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+      |    COUNT(*) AS len
+      |  FROM runs WHERE NOT is_stop
+      |  GROUP BY doc_id, run HAVING COUNT(*) <= $rakeMaxLen),
+      |words AS (
+      |  SELECT len, unnest(string_split(phrase, ' ')) AS w FROM phrases),
+      |ws AS (
+      |  SELECT w, COUNT(*) AS freq, SUM(len) AS deg FROM words GROUP BY w),
+      |wsu AS (
+      |  SELECT w, (2 * deg * 1000000 + freq) // (2 * freq) AS wscore_u
+      |  FROM ws),
+      |pc AS (
+      |  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      |  FROM phrases GROUP BY phrase),
+      |pw AS (
+      |  SELECT phrase, n_occurrences,
+      |    unnest(string_split(phrase, ' ')) AS w
+      |  FROM pc),
+      |sc AS (
+      |  SELECT phrase, n_occurrences,
+      |    CAST(SUM(wscore_u) AS BIGINT) AS score_u
+      |  FROM pw JOIN wsu USING (w) GROUP BY phrase, n_occurrences)
+      |SELECT phrase, n_occurrences,
+      |  CAST(score_u AS DOUBLE) / 1000000.0 AS score
+      |FROM sc
+      |ORDER BY score DESC, n_occurrences DESC, phrase
+      |LIMIT $rakeK""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -1352,5 +1459,6 @@ object TextOps extends Suite {
     Op("txt_bpe_train", txtBpeTrain, Some(txtBpeTrainSql)),
     Op("txt_bpe_apply", txtBpeApply, Some(txtBpeApplySql)),
     Op("txt_quality_distill", txtQualityDistill, Some(txtQualityDistillSql)),
+    Op("txt_keyphrases", txtKeyphrases, Some(txtKeyphrasesSql)),
   )
 }

@@ -102,6 +102,16 @@ class PlanAuditSpec extends SparkSpec {
       // (orphans on both sides fall out free) + statuses-sized final
       // agg + the 4-row sort
       "dq_reconcile" -> 4,
+      // run-id window's doc_id exchange + the (doc_id, run) phrase
+      // agg + phrase-count agg + the distinct-text score agg; the
+      // vocab-sized word stats ride a broadcast and the top-20 is a
+      // TakeOrdered, not a global window
+      "txt_keyphrases" -> 4,
+      // final plan reads the checkpointed alphabet²-sized tagged
+      // counts (producer: (user,type) agg + per-user set agg + pair
+      // agg, ONE corpus pass); totals ride broadcast self-joins, the
+      // 1 exchange is the 10-row sort
+      "ev_audience_overlap" -> 1,
       // final plan reads the loop's checkpointed labels: sort only
       "pipe_dup_clusters" -> 2,
       // keeper semi-join broadcasts; the one exchange is the final sort
