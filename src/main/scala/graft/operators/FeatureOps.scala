@@ -767,6 +767,118 @@ object FeatureOps extends Suite {
       |    AS DOUBLE) / 1000000.0 AS mean_session_secs
       |FROM per_user ORDER BY user_id""".stripMargin
 
+  // ---- ft_woe_iv: weight-of-evidence / information-value screen -----
+  // The credit-scoring-standard categorical screen (Siddiqi 2006;
+  // what a feature platform runs before committing an encoder): per
+  // category c of a candidate feature, WoE_c = ln((g_c/g_t)/(b_c/b_t))
+  // and the information-value term (g_c/g_t − b_c/b_t)·WoE_c whose
+  // sum grades the feature (<0.02 useless, >0.3 strong). Unit here =
+  // user; label = "engaged purchaser" (≥15 purchase events); feature
+  // = the user's dominant event type (deterministic argmax: count
+  // desc, type asc — a row_number window riding the user_id
+  // shuffle). Cells are Laplace-smoothed (+1 per cell, +K per total)
+  // so WoE is finite on empty cells, and everything is exact: WoE =
+  // lnq(g'_c·b'_t) − lnq(b'_c·g'_t) on integer products (the
+  // ln-quantization contract), the IV term = num·woe_u/den on
+  // integers via the SIGN-SAFE half-up contract (num < 0 when the
+  // category skews bad), and the TOTAL row is an exact integer sum.
+  // int64 bound: num·woe_u ≲ users²·2·10⁷ — overflows past ~2·10⁷
+  // users per cell product; the DECIMAL(38,0) widening ev_ab_test
+  // uses applies verbatim when a deployment gets there.
+  // Scale: one (user, type) count agg + the argmax window riding the
+  // user shuffle + an alphabet-sized cell agg + broadcast 1-row
+  // totals. Nothing post-agg grows with the corpus.
+  private val woeMinPurchases = 15
+
+  private def ftWoeIv(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(desc("cnt"), col("event_type"))
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        count(when(col("event_type") === "purchase", lit(1)))
+          .as("n_purch"))
+      .withColumn("rk", row_number().over(byUser))
+      .groupBy("user_id")
+      .agg(max(when(col("rk") === 1, col("event_type"))).as("category"),
+        (sum(col("n_purch")) >= woeMinPurchases).as("good"))
+    val cells = users.groupBy("category")
+      .agg(count(when(col("good"), lit(1))).as("g"),
+        count(when(!col("good"), lit(1))).as("b"))
+    val totals = cells.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt"),
+      count(lit(1)).as("k"))
+    val scored = cells.crossJoin(broadcast(totals))
+      .withColumn("gp", col("g") + 1).withColumn("bp", col("b") + 1)
+      .withColumn("gtp", col("gt") + col("k"))
+      .withColumn("btp", col("bt") + col("k"))
+      .withColumn("woe_u",
+        Num.lnqU(col("gp") * col("btp")) - Num.lnqU(col("bp") * col("gtp")))
+      .withColumn("num", col("gp") * col("btp") - col("bp") * col("gtp"))
+      .withColumn("den", col("gtp") * col("btp"))
+      .withColumn("iv_u", expr(
+        """(case when num * woe_u < 0 then -1L else 1L end) *
+          |((2 * abs(num * woe_u) + den) div (2 * den))""".stripMargin))
+      // the alphabet-sized cell report feeds BOTH the per-category
+      // output and the TOTAL row — eager-checkpoint it so the fan-out
+      // reads k rows instead of replaying the corpus lineage twice
+      .checkpoint()
+    val perCat = scored.select(col("category"), col("g").as("n_good"),
+      col("b").as("n_bad"),
+      (col("woe_u").cast("double") / lit(1000000.0)).as("woe"),
+      (col("iv_u").cast("double") / lit(1000000.0)).as("iv_term"))
+    val total = scored.agg(sum(col("g")).as("n_good"),
+        sum(col("b")).as("n_bad"), sum(col("iv_u")).as("iv_u"))
+      .select(lit("__TOTAL__").as("category"), col("n_good"),
+        col("n_bad"), lit(0.0).as("woe"),
+        (col("iv_u").cast("double") / lit(1000000.0)).as("iv_term"))
+    perCat.unionAll(total).orderBy("category")
+  }
+
+  private val ftWoeIvSql =
+    s"""WITH uc AS (
+      |  SELECT user_id, event_type, COUNT(*) AS cnt,
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purch
+      |  FROM events GROUP BY 1, 2),
+      |users AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN rk = 1 THEN event_type END) AS category,
+      |    SUM(n_purch) >= $woeMinPurchases AS good
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY cnt DESC, event_type) AS rk FROM uc) r
+      |  GROUP BY user_id),
+      |cells AS (
+      |  SELECT category,
+      |    CAST(COUNT(CASE WHEN good THEN 1 END) AS BIGINT) AS g,
+      |    CAST(COUNT(CASE WHEN NOT good THEN 1 END) AS BIGINT) AS b
+      |  FROM users GROUP BY category),
+      |tot AS (
+      |  SELECT CAST(SUM(g) AS BIGINT) AS gt, CAST(SUM(b) AS BIGINT) AS bt,
+      |    CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM cells),
+      |sc AS (
+      |  SELECT category, g, b,
+      |    ${Num.lnqUSql("(g + 1) * (bt + k)")}
+      |      - ${Num.lnqUSql("(b + 1) * (gt + k)")} AS woe_u,
+      |    (g + 1) * (bt + k) - (b + 1) * (gt + k) AS num,
+      |    (gt + k) * (bt + k) AS den
+      |  FROM cells, tot),
+      |sc2 AS (
+      |  SELECT *, (CASE WHEN num * woe_u < 0 THEN -1 ELSE 1 END) *
+      |    ((2 * abs(num * woe_u) + den) // (2 * den)) AS iv_u
+      |  FROM sc)
+      |SELECT category, g AS n_good, b AS n_bad,
+      |  CAST(woe_u AS DOUBLE) / 1000000.0 AS woe,
+      |  CAST(iv_u AS DOUBLE) / 1000000.0 AS iv_term
+      |FROM sc2
+      |UNION ALL
+      |SELECT '__TOTAL__', CAST(SUM(g) AS BIGINT), CAST(SUM(b) AS BIGINT),
+      |  0.0, CAST(SUM(iv_u) AS DOUBLE) / 1000000.0
+      |FROM sc2
+      |ORDER BY category""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ft_rolling_24h", ftRolling, Some(ftRollingSql)),
     Op("ft_session_features", ftSessionFeatures, Some(ftSessionFeaturesSql)),
@@ -780,5 +892,6 @@ object FeatureOps extends Suite {
     Op("ft_item_pagerank", ftItemPagerank, Some(ftItemPagerankSql)),
     Op("ft_lag_features", ftLagFeatures, Some(ftLagFeaturesSql)),
     Op("ft_time_to_event", ftTimeToEvent, Some(ftTimeToEventSql)),
+    Op("ft_woe_iv", ftWoeIv, Some(ftWoeIvSql)),
   )
 }

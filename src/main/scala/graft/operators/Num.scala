@@ -27,4 +27,16 @@ object Num {
 
   /** Round a per-row double expression for output. */
   def r(c: Column, digits: Int = 6): Column = round(c, digits)
+
+  /** Quantized ln in integer micro-units: round(ln(x), 6)·10⁶ — the
+    * ln-quantization contract (ln is the one non-correctly-rounded
+    * IEEE op, so it enters exact integer arithmetic through ONE
+    * per-value rounding both engines replay identically). */
+  def lnqU(x: Column): Column =
+    (round(log(x.cast("double")), 6).cast(DecimalType(12, 6)) * 1000000)
+      .cast("long")
+
+  /** DuckDB twin of [[lnqU]]. */
+  def lnqUSql(x: String): String =
+    s"CAST(CAST(ROUND(ln($x), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT)"
 }

@@ -1054,11 +1054,6 @@ object PipelineOps extends Suite {
   private val dsirBuckets = 256
   private val dsirTargetLang = "en"
 
-  /** Quantized ln in integer micro-units: round(ln(x), 6)·10⁶. */
-  private def lnqU(x: Column): Column =
-    (round(log(x.cast("double")), 6).cast(DecimalType(12, 6)) * 1000000)
-      .cast("long")
-
   private def pipeDsir(spark: SparkSession, dir: String): DataFrame = {
     val bg = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), Tok.toks.as("t"))
@@ -1076,8 +1071,8 @@ object PipelineOps extends Suite {
     val tot = stats.agg(
       sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
     val lr = stats.crossJoin(broadcast(tot)).select(col("bucket"),
-      (lnqU(col("c_t") + 1) - lnqU(col("n_t") + dsirBuckets)
-        - lnqU(col("c_r") + 1) + lnqU(col("n_r") + dsirBuckets)).as("lr_u"))
+      (Num.lnqU(col("c_t") + 1) - Num.lnqU(col("n_t") + dsirBuckets)
+        - Num.lnqU(col("c_r") + 1) + Num.lnqU(col("n_r") + dsirBuckets)).as("lr_u"))
     val scores = bg.join(broadcast(lr), Seq("bucket"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lr_u")).as("w"))
@@ -1091,10 +1086,6 @@ object PipelineOps extends Suite {
           .as("selected"))
       .orderBy("doc_id")
   }
-
-  /** DuckDB twin of [[lnqU]]. */
-  private def lnqUSql(x: String): String =
-    s"CAST(CAST(ROUND(ln($x), 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT)"
 
   private val pipeDsirSql =
     s"""WITH d AS (SELECT doc_id, lang, ${Tok.toksSql} AS t FROM documents),
@@ -1115,8 +1106,8 @@ object PipelineOps extends Suite {
       |  CAST(SUM(c_t) AS BIGINT) AS n_t FROM st),
       |lr AS (
       |  SELECT bucket,
-      |    ${lnqUSql("c_t + 1")} - ${lnqUSql(s"n_t + $dsirBuckets")}
-      |    - ${lnqUSql("c_r + 1")} + ${lnqUSql(s"n_r + $dsirBuckets")} AS lr_u
+      |    ${Num.lnqUSql("c_t + 1")} - ${Num.lnqUSql(s"n_t + $dsirBuckets")}
+      |    - ${Num.lnqUSql("c_r + 1")} + ${Num.lnqUSql(s"n_r + $dsirBuckets")} AS lr_u
       |  FROM st, tot),
       |sc AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,

@@ -102,6 +102,11 @@ class PlanAuditSpec extends SparkSpec {
       // (orphans on both sides fall out free) + statuses-sized final
       // agg + the 4-row sort
       "dq_reconcile" -> 4,
+      // final plan reads the checkpointed alphabet-sized cell report
+      // (producer: (user,type) agg + argmax window + per-user agg +
+      // cell agg + 1-row totals, ONE corpus pass); remaining: the
+      // TOTAL row's SinglePartition agg + the 6-row sort
+      "ft_woe_iv" -> 2,
       // run-id window's doc_id exchange + the (doc_id, run) phrase
       // agg + phrase-count agg + the distinct-text score agg; the
       // vocab-sized word stats ride a broadcast and the top-20 is a
