@@ -999,6 +999,74 @@ object EventOps extends Suite {
       |JOIN tot tb ON tb.event_type = type_b
       |ORDER BY type_a, type_b""".stripMargin
 
+  // ---- ev_engagement_gini: exact inequality of engagement -----------
+  // The concentration metric behind "does 1% of the audience generate
+  // 90% of the events": per event type, the Gini coefficient of
+  // per-user event counts, EXACT — not the usual sampled/sorted
+  // approximation. The trick that makes exactness scale: Gini's
+  // mean-absolute-difference numerator only depends on the COUNT
+  // HISTOGRAM, N = Σ_{v,w} h_v·h_w·|v−w| over distinct count values,
+  // so after the (type, user) aggregate the corpus collapses to a
+  // histogram whose width is bounded by the max per-user count — the
+  // self-join is histogram², never users². G = N / (2·n·S) and the
+  // mean S/n go through the half-up micro contract (all terms
+  // non-negative integers). int64 bound: a term h_v·h_w·|v−w| tops
+  // out at ~(users/width)²·width — past ~3·10⁸ users per type,
+  // widen the term sums to DECIMAL(38,0) (ev_ab_test's pattern).
+  // Scale: one corpus-sized (type, user) agg (map-side combined),
+  // then histogram-sized everything; the pair join keys on
+  // event_type — alphabet-bounded, never corpus-keyed.
+  private def evEngagementGini(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    // both pair-join sides read the histogram: eager-checkpoint it so
+    // the self-join reads histogram-sized rows, not the corpus twice
+    val hist = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("v"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("h"))
+      .checkpoint()
+    val a = hist.select(col("event_type"), col("v").as("va"),
+      col("h").as("ha"))
+    val b = hist.select(col("event_type"), col("v").as("vb"),
+      col("h").as("hb"))
+    a.join(b, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("vb") === col("va"), col("ha"))).as("n_users"),
+        sum(when(col("vb") === col("va"), col("ha") * col("va"))).as("s"),
+        sum(col("ha") * col("hb") * abs(col("va") - col("vb"))).as("nad"))
+      .select(col("event_type"), col("n_users"), col("s").as("n_events"),
+        (expr("(2 * s * 1000000 + n_users) div (2 * n_users)")
+          .cast("double") / lit(1000000.0)).as("mean_per_user"),
+        (expr("(2 * nad * 1000000 + 2 * n_users * s) div (4 * n_users * s)")
+          .cast("double") / lit(1000000.0)).as("gini"))
+      .orderBy("event_type")
+  }
+
+  private val evEngagementGiniSql =
+    """WITH uc AS (
+      |  SELECT event_type, user_id, COUNT(*) AS v
+      |  FROM events GROUP BY 1, 2),
+      |hist AS (
+      |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS h
+      |  FROM uc GROUP BY 1, 2),
+      |g AS (
+      |  SELECT a.event_type,
+      |    CAST(SUM(CASE WHEN a.v = b.v THEN a.h END) AS BIGINT) AS n_users,
+      |    CAST(SUM(CASE WHEN a.v = b.v THEN a.h * a.v END) AS BIGINT) AS s,
+      |    CAST(SUM(a.h * b.h * abs(a.v - b.v)) AS BIGINT) AS nad
+      |  FROM hist a JOIN hist b ON a.event_type = b.event_type
+      |  GROUP BY 1)
+      |SELECT event_type, n_users, s AS n_events,
+      |  CAST((2 * s * 1000000 + n_users) // (2 * n_users) AS DOUBLE)
+      |    / 1000000.0 AS mean_per_user,
+      |  CAST((2 * nad * 1000000 + 2 * n_users * s)
+      |    // (4 * n_users * s) AS DOUBLE) / 1000000.0 AS gini
+      |FROM g ORDER BY event_type""".stripMargin
+
   // ---- ev_interval_join: bucketed point-in-interval join ------------
   // The range-join shape Spark has no native operator for (vendors
   // ship it as a "range join hint"): join point events to every
@@ -1106,5 +1174,6 @@ object EventOps extends Suite {
     Op("ev_cohort_ltv", evCohortLtv, Some(evCohortLtvSql)),
     Op("ev_interval_join", evIntervalJoin, Some(evIntervalJoinSql)),
     Op("ev_audience_overlap", evAudienceOverlap, Some(evAudienceOverlapSql)),
+    Op("ev_engagement_gini", evEngagementGini, Some(evEngagementGiniSql)),
   )
 }

@@ -107,6 +107,11 @@ class PlanAuditSpec extends SparkSpec {
       // cell agg + 1-row totals, ONE corpus pass); remaining: the
       // TOTAL row's SinglePartition agg + the 6-row sort
       "ft_woe_iv" -> 2,
+      // final plan reads the checkpointed histogram twice (producer:
+      // (type,user) agg + histogram agg, ONE corpus pass); the
+      // histogram-sized pair join broadcasts, the per-type agg and the
+      // 5-row sort are the two exchanges
+      "ev_engagement_gini" -> 2,
       // run-id window's doc_id exchange + the (doc_id, run) phrase
       // agg + phrase-count agg + the distinct-text score agg; the
       // vocab-sized word stats ride a broadcast and the top-20 is a
