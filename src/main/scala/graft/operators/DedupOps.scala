@@ -414,7 +414,7 @@ object DedupOps extends Suite {
     * join bit-for-bit on the `keys` CTE above, so candidate sets and
     * cosines are identical to the Spark path. The chain (through
     * `emb_pairs`) is shared with the dedup_embedding_sweep oracle. */
-  private val embPairsCtes: String = {
+  private[operators] val embPairsCtes: String = {
     s"""$hyperKeysCtes,
       |cand AS (
       |  SELECT DISTINCT ea.vec_id AS a_id, eb.vec_id AS b_id

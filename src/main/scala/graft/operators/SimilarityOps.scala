@@ -833,6 +833,65 @@ object SimilarityOps extends Suite {
       .orderBy("method")
   }
 
+  // ---- sim_hard_negatives: contrastive hard-negative mining ---------
+  // The training-pair miner contrastive/embedding fine-tuning needs
+  // (the "hard negatives matter" recipe of DPR/SimCSE-era pipelines):
+  // for every vector, its hardest NON-duplicate neighbor — the
+  // highest-cosine candidate below the τ=0.9 near-dup band, i.e.
+  // similar enough to be informative, distinct enough to be a true
+  // negative. Candidates come from dedup_embedding's hash-verified
+  // LSH pair frame (cosine ≥ 0.4 floor, exact decimal cosines,
+  // bucket-blocked — never all-pairs), so this op is pure
+  // composition: symmetrize each surviving pair with ONE explode
+  // (not a self-union, which would replay the pair producer twice),
+  // rank per vector by (cosine desc, id), keep rank 1, and report the
+  // per-vector candidate count. Vectors with no sub-band neighbor
+  // have no hard negative and drop out — exactly the semantics a
+  // pair-sampling dataloader wants.
+  // Scale: inherits the pair frame's blocked plan; adds one
+  // vec_id-partitioned window (rank + count share it) and a sort.
+  private val hnTauDup = 0.9
+
+  private def simHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.embeddingPairsAt(spark, dir,
+      graft.functions.HyperplaneBuckets.PLANES)
+    val sym = pairs.filter(col("cosine") < hnTauDup)
+      .select(explode(array(
+        struct(col("a_id").as("vec_id"), col("b_id").as("neg_id"),
+          col("cosine")),
+        struct(col("b_id").as("vec_id"), col("a_id").as("neg_id"),
+          col("cosine")))).as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.neg_id").as("neg_id"),
+        col("p.cosine").as("cosine"))
+    val byVec = Window.partitionBy("vec_id")
+    sym
+      .withColumn("rk", row_number().over(
+        byVec.orderBy(desc("cosine"), col("neg_id"))))
+      .withColumn("n_candidates", count(lit(1)).over(byVec))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("neg_id"), col("cosine"),
+        col("n_candidates"))
+      .orderBy("vec_id")
+  }
+
+  private val simHardNegativesSql: String =
+    s"""WITH ${DedupOps.embPairsCtes},
+      |sym AS (
+      |  SELECT a_id AS vec_id, b_id AS neg_id, cosine FROM emb_pairs
+      |  WHERE cosine < $hnTauDup
+      |  UNION ALL
+      |  SELECT b_id, a_id, cosine FROM emb_pairs
+      |  WHERE cosine < $hnTauDup),
+      |r AS (
+      |  SELECT vec_id, neg_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cosine DESC, neg_id) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY vec_id) AS BIGINT)
+      |      AS n_candidates
+      |  FROM sym)
+      |SELECT vec_id, neg_id, cosine, n_candidates
+      |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   // ---- sim_silhouette: cluster-quality report over the trained model
   // The evaluation step the clustering family was missing: per-cluster
   // simplified silhouette (Hruschka et al. 2004 — the centroid-based
@@ -921,5 +980,6 @@ object SimilarityOps extends Suite {
     Op("sim_ivf_kmeans", simIvfKmeans, Some(simIvfKmeansSql)),
     Op("sim_ivfpq", simIvfpq, Some(simIvfpqSql)),
     Op("sim_silhouette", simSilhouette, Some(simSilhouetteSql)),
+    Op("sim_hard_negatives", simHardNegatives, Some(simHardNegativesSql)),
   )
 }

@@ -112,6 +112,10 @@ class PlanAuditSpec extends SparkSpec {
       // histogram-sized pair join broadcasts, the per-type agg and the
       // 5-row sort are the two exchanges
       "ev_engagement_gini" -> 2,
+      // inherits dedup_embedding's blocked pair plan (its 2 audited
+      // exchanges) + the symmetrize explode's vec_id window exchange
+      // + the output sort
+      "sim_hard_negatives" -> 3,
       // run-id window's doc_id exchange + the (doc_id, run) phrase
       // agg + phrase-count agg + the distinct-text score agg; the
       // vocab-sized word stats ride a broadcast and the top-20 is a
