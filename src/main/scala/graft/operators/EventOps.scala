@@ -999,6 +999,66 @@ object EventOps extends Suite {
       |JOIN tot tb ON tb.event_type = type_b
       |ORDER BY type_a, type_b""".stripMargin
 
+  // ---- ev_markov_entropy: behavioral predictability per user --------
+  // The information-theoretic "how predictable is this user" score
+  // (Song et al. 2010's predictability-limit framing, on the
+  // first-order behavior chain): the conditional entropy of the
+  // user's event-type transition process, H(next|cur) =
+  // Σ_{c,n} (cnt_cn/T)·ln(cnt_c/cnt_cn) — 0 for a user who always
+  // follows c with the same n, ln(k) for uniform transitions. Exact
+  // cross-engine: each term is cnt_cn·(lnq(cnt_c) − lnq(cnt_cn)) in
+  // integer micro-nats (ln-quantization contract; numerator ≥ 0 by
+  // cnt_c ≥ cnt_cn), summed exactly and divided by T via the
+  // half-up contract. Output also carries the transition count and
+  // the user's distinct (cur, next) support size.
+  // Scale: ONE user_id shuffle — the lead window, the (user, cur,
+  // next) count agg, the (user, cur) re-agg, and the per-user sum
+  // all ride the same partitioning; per-user state is alphabet²-
+  // bounded. int64: T·lnq ≲ 2·10⁷·T — overflow needs ~4·10¹¹
+  // transitions in ONE user.
+  private def evMarkovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("user_id"), col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("cnt_cn"))
+    val withCur = trans.withColumn("cnt_c",
+      sum(col("cnt_cn")).over(Window.partitionBy("user_id", "cur")))
+    withCur.groupBy("user_id")
+      .agg(sum(col("cnt_cn")).as("t"),
+        count(lit(1)).as("support"),
+        sum(col("cnt_cn") *
+          (Num.lnqU(col("cnt_c")) - Num.lnqU(col("cnt_cn")))).as("h_sum_u"))
+      .select(col("user_id"), col("t").as("n_transitions"), col("support"),
+        (expr("(2 * h_sum_u + t) div (2 * t)").cast("double")
+          / lit(1000000.0)).as("cond_entropy"))
+      .orderBy("user_id")
+  }
+
+  private val evMarkovEntropySql =
+    s"""WITH seq AS (
+      |  SELECT user_id, event_type AS cur,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |tc AS (
+      |  SELECT user_id, cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt_cn
+      |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+      |wc AS (
+      |  SELECT *, SUM(cnt_cn) OVER (PARTITION BY user_id, cur) AS cnt_c
+      |  FROM tc)
+      |SELECT user_id, CAST(SUM(cnt_cn) AS BIGINT) AS n_transitions,
+      |  CAST(COUNT(*) AS BIGINT) AS support,
+      |  CAST((2 * CAST(SUM(cnt_cn * (${Num.lnqUSql("cnt_c")}
+      |      - ${Num.lnqUSql("cnt_cn")})) AS BIGINT)
+      |    + SUM(cnt_cn)) // (2 * SUM(cnt_cn)) AS DOUBLE) / 1000000.0
+      |    AS cond_entropy
+      |FROM wc GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- ev_engagement_gini: exact inequality of engagement -----------
   // The concentration metric behind "does 1% of the audience generate
   // 90% of the events": per event type, the Gini coefficient of
@@ -1175,5 +1235,6 @@ object EventOps extends Suite {
     Op("ev_interval_join", evIntervalJoin, Some(evIntervalJoinSql)),
     Op("ev_audience_overlap", evAudienceOverlap, Some(evAudienceOverlapSql)),
     Op("ev_engagement_gini", evEngagementGini, Some(evEngagementGiniSql)),
+    Op("ev_markov_entropy", evMarkovEntropy, Some(evMarkovEntropySql)),
   )
 }

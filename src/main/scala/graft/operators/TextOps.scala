@@ -1228,6 +1228,59 @@ object TextOps extends Suite {
   private val qdMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Frozen distillation artifact: the trained micro-weights plus the
+    * train-time min-max scaler bounds — what a production gate ships
+    * to its serving/streaming side (the scaler freezes at train time;
+    * a stream re-fitting it on live data would shift every score). */
+  final case class DistillModel(wb: Long, w1: Long, w2: Long,
+      mn1: Long, mx1: Long, mn2: Long, mx2: Long)
+
+  /** Train on `dir` and freeze the artifact: last-round weights from
+    * the SAME loop the registered query hash-verifies, plus the raw
+    * feature bounds the scaler was fit on. The two collects pull back
+    * one row each — the model, never data. */
+  private[graft] def distillTrain(spark: SparkSession, dir: String)
+      : DistillModel = {
+    val last = txtQualityDistill(spark, dir)
+      .filter(col("round") === qdRounds).select("wb", "w1", "w2").head()
+    val st = Tables.documents(spark, dir)
+      .select(toks.as("t")).filter(size(col("t")) > 0)
+      .select(size(array_distinct(col("t"))).cast("long").as("x1"),
+        size(col("t")).cast("long").as("x2"))
+      .agg(min("x1"), max("x1"), min("x2"), max("x2")).head()
+    DistillModel(last.getLong(0), last.getLong(1), last.getLong(2),
+      st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+  }
+
+  /** Map-only scoring against a frozen [[DistillModel]] — the
+    * serving-side twin of the training loop's `scored` frame. `docs`
+    * must carry `text`; raw features are CLAMPED to the train-time
+    * scaler range (so the non-negative half-up identity holds and an
+    * outlier stream doc can't extrapolate past the hard sigmoid's
+    * design range — standard frozen-scaler serving semantics). Emits
+    * the quarter-nano score `pq`, probability `p`, and `admitted`
+    * (p ≥ ½). Stateless: safe on any micro-batch plan. */
+  private[graft] def distillScore(docs: DataFrame, m: DistillModel)
+      : DataFrame = {
+    def scl(raw: String, mn: Long, mx: Long): String =
+      if (mx == mn) "0L"
+      else s"(2 * (least(greatest($raw, ${mn}L), ${mx}L) - ${mn}L)" +
+        s" * 1000 + ${mx - mn}L) div ${2 * (mx - mn)}L"
+    docs
+      .withColumn("x1", size(array_distinct(toks)).cast("long"))
+      .withColumn("x2", size(toks).cast("long"))
+      .filter(col("x2") > 0)
+      .withColumn("zn", expr(
+        s"${m.wb}L * 1000 + ${m.w1}L * (${scl("x1", m.mn1, m.mx1)})" +
+          s" + ${m.w2}L * (${scl("x2", m.mn2, m.mx2)})"))
+      .withColumn("pq",
+        least(greatest(lit(2000000000L) + col("zn"), lit(0L)),
+          lit(4000000000L)))
+      .withColumn("p", col("pq").cast("double") / lit(4.0e9))
+      .withColumn("admitted", col("pq") >= 2000000000L)
+      .drop("zn")
+  }
+
   private def txtQualityDistill(spark: SparkSession, dir: String): DataFrame = {
     val fs = qdFeatures(spark, dir)
     val d = DecimalType(38, 0)

@@ -116,6 +116,10 @@ class PlanAuditSpec extends SparkSpec {
       // exchanges) + the symmetrize explode's vec_id window exchange
       // + the output sort
       "sim_hard_negatives" -> 3,
+      // ONE user_id exchange feeds the lead window; the (user,cur,nxt)
+      // agg, the (user,cur) window and the per-user agg all ride the
+      // same partitioning; + the output sort
+      "ev_markov_entropy" -> 2,
       // run-id window's doc_id exchange + the (doc_id, run) phrase
       // agg + phrase-count agg + the distinct-text score agg; the
       // vocab-sized word stats ride a broadcast and the top-20 is a
