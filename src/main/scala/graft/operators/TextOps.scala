@@ -1411,6 +1411,9 @@ object TextOps extends Suite {
   private val rakeK = 20
 
   private def txtKeyphrases(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val toksPos = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
@@ -1418,6 +1421,9 @@ object TextOps extends Suite {
         col("tok").isin(rakeStops.map(x => x: Any): _*))
       .withColumn("run",
         sum(when(col("is_stop"), 1).otherwise(0)).over(byDoc))
+    // the phrase frame feeds BOTH the word-stats leg and the
+    // phrase-count leg: eager-checkpoint it so the corpus explode +
+    // run window run once, not once per leg
     val phrases = toksPos.filter(!col("is_stop"))
       .groupBy(col("doc_id"), col("run"))
       .agg(concat_ws(" ", transform(
@@ -1425,6 +1431,7 @@ object TextOps extends Suite {
         s => s.getField("tok"))).as("phrase"),
         count(lit(1)).as("len"))
       .filter(col("len") <= rakeMaxLen)
+      .checkpoint()
     val words = phrases.select(col("len"),
       explode(split(col("phrase"), " ")).as("w"))
     val wordStats = words.groupBy("w")

@@ -120,10 +120,11 @@ class PlanAuditSpec extends SparkSpec {
       // agg, the (user,cur) window and the per-user agg all ride the
       // same partitioning; + the output sort
       "ev_markov_entropy" -> 2,
-      // run-id window's doc_id exchange + the (doc_id, run) phrase
-      // agg + phrase-count agg + the distinct-text score agg; the
-      // vocab-sized word stats ride a broadcast and the top-20 is a
-      // TakeOrdered, not a global window
+      // final plan reads the checkpointed phrase frame (producer:
+      // posexplode + run-id window + (doc_id,run) agg, ONE corpus
+      // pass); remaining: vocab word-stats agg, phrase-count agg,
+      // score agg + the 20-row sort — the top-20 is a TakeOrdered,
+      // not a global window
       "txt_keyphrases" -> 4,
       // final plan reads the checkpointed alphabet²-sized tagged
       // counts (producer: (user,type) agg + per-user set agg + pair
