@@ -1212,6 +1212,245 @@ object EventOps extends Suite {
       |FROM p LEFT JOIN hits ON p.event_id = hits.event_id
       |ORDER BY p.event_id""".stripMargin
 
+  // ---- ev_seasonality: hour-of-day / day-of-week activity profile ---
+  // The traffic-shape diagnostic every capacity planner and
+  // bot-triage queue starts from: per event type, WHEN does activity
+  // concentrate — peak hour-of-day and day-of-week with their load
+  // shares, plus the entropy of each marginal profile (ln 24 /
+  // ln 7 for perfectly flat traffic, 0 for a single-slot spike).
+  // Exactness: shares and entropies run the established integer
+  // contracts — counts are exact, entropy terms are
+  // c·(lnq(T)−lnq(c)) micro-nats (ev_markov_entropy's identity),
+  // quotients take the half-up micro division. dow is normalized to
+  // Sunday=0 on both engines (Spark dayofweek()−1 = DuckDB dow).
+  // Scale: ONE corpus pass collapses to the (type, hod, dow) cell
+  // frame — ≤ 168·alphabet rows at ANY corpus size — which is
+  // eager-checkpointed (the fan-out lesson: two marginal branches
+  // would otherwise replay the corpus agg twice); everything after
+  // is alphabet-sized window/agg work. int64: c·lnq ≤ 2·10⁷·T.
+  private def evSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).as("hod"),
+        (dayofweek(col("ts")) - 1).as("dow"))
+      .groupBy("event_type", "hod", "dow")
+      .agg(count(lit(1)).as("c"))
+      .checkpoint()
+    // one marginal profile: peak slot (count desc, slot asc) + share
+    // + entropy over the given dimension, all alphabet-sized
+    def marginal(dim: String, peak: String, share: String,
+        ent: String): DataFrame = {
+      val byType = Window.partitionBy("event_type")
+      cells.groupBy(col("event_type"), col(dim).as("k"))
+        .agg(sum(col("c")).as("c"))
+        .withColumn("t", sum(col("c")).over(byType))
+        .withColumn("rn", row_number().over(
+          byType.orderBy(col("c").desc, col("k").asc)))
+        .groupBy("event_type")
+        .agg(max(col("t")).as("t"),
+          max(when(col("rn") === 1, col("k"))).as(peak),
+          max(when(col("rn") === 1, col("c"))).as("peak_c"),
+          sum(col("c") * (Num.lnqU(col("t")) - Num.lnqU(col("c"))))
+            .as("h_sum"))
+        .select(col("event_type"), col("t"), col(peak),
+          (expr("(2 * peak_c * 1000000 + t) div (2 * t)").cast("double")
+            / lit(1000000.0)).as(share),
+          (expr("(2 * h_sum + t) div (2 * t)").cast("double")
+            / lit(1000000.0)).as(ent))
+    }
+    val hod = marginal("hod", "peak_hod", "peak_hod_share", "hod_entropy")
+    val dow = marginal("dow", "peak_dow", "peak_dow_share", "dow_entropy")
+      .drop("t")
+    hod.join(dow, Seq("event_type"))
+      .select(col("event_type"), col("t").as("n_events"),
+        col("peak_hod"), col("peak_hod_share"), col("hod_entropy"),
+        col("peak_dow"), col("peak_dow_share"), col("dow_entropy"))
+      .orderBy("event_type")
+  }
+
+  private val evSeasonalitySql = {
+    def marginal(dimExpr: String, cte: String) =
+      s"""${cte}p AS (
+        |  SELECT event_type, $dimExpr AS k, CAST(SUM(c) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1, 2),
+        |${cte}w AS (
+        |  SELECT *, SUM(c) OVER (PARTITION BY event_type) AS t,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY c DESC, k ASC) AS rn
+        |  FROM ${cte}p),
+        |${cte}r AS (
+        |  SELECT event_type, CAST(MAX(t) AS BIGINT) AS t,
+        |    MAX(CASE WHEN rn = 1 THEN k END) AS peak,
+        |    CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS peak_c,
+        |    CAST(SUM(c * (${Num.lnqUSql("t")} - ${Num.lnqUSql("c")}))
+        |      AS BIGINT) AS h_sum
+        |  FROM ${cte}w GROUP BY 1)""".stripMargin
+    s"""WITH cells AS MATERIALIZED (
+      |  SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+      |    CAST(dayofweek(ts) AS INT) AS dow, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |${marginal("hod", "h")},
+      |${marginal("dow", "d")}
+      |SELECT h.event_type, h.t AS n_events,
+      |  h.peak AS peak_hod,
+      |  CAST((2 * h.peak_c * 1000000 + h.t) // (2 * h.t) AS DOUBLE)
+      |    / 1000000.0 AS peak_hod_share,
+      |  CAST((2 * h.h_sum + h.t) // (2 * h.t) AS DOUBLE)
+      |    / 1000000.0 AS hod_entropy,
+      |  d.peak AS peak_dow,
+      |  CAST((2 * d.peak_c * 1000000 + d.t) // (2 * d.t) AS DOUBLE)
+      |    / 1000000.0 AS peak_dow_share,
+      |  CAST((2 * d.h_sum + d.t) // (2 * d.t) AS DOUBLE)
+      |    / 1000000.0 AS dow_entropy
+      |FROM hr h JOIN dr d ON h.event_type = d.event_type
+      |ORDER BY h.event_type""".stripMargin
+  }
+
+  // ---- ev_changepoint: exact-integer CUSUM level-shift detection ----
+  // Where did the series change level? Page's CUSUM statistic over
+  // the hourly count series per event type, kept EXACT by clearing
+  // the mean's denominator: S_t = H·(Σ_{i≤t} c_i) − t·T is H times
+  // the classic Σ(c_i − mean) partial sum, so argmax|S_t| is the
+  // same changepoint with pure int64 arithmetic (no per-step double
+  // drift, unlike the usual streaming CUSUM). The report carries the
+  // peak hour, the normalized peak, and the level estimate on each
+  // side of the split — the before/after means a capacity alert
+  // shows. Ties in |S| break to the earliest hour; S_H ≡ 0, so with
+  // H ≥ 2 the argmax never lands on the final point and the
+  // post-split mean's denominator H−t* stays ≥ 1.
+  // Scale: hourly collapse is one map-side-combined agg; everything
+  // after is series-sized (corpus-lifetime hours — tens of
+  // thousands of rows at any SF) and rides one event_type-keyed
+  // exchange. int64: H·T ≲ 10⁵·corpus — widen to DECIMAL(38,0)
+  // past ~10¹³ events per type (ev_ab_test's pattern).
+  private def evChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val ord = byType.orderBy("hr")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("t_idx", row_number().over(ord))
+      .withColumn("cum", sum(col("c")).over(ord))
+      .withColumn("h", count(lit(1)).over(byType))
+      .withColumn("tot", sum(col("c")).over(byType))
+      .withColumn("s", col("h") * col("cum") - col("t_idx") * col("tot"))
+      .withColumn("rn", row_number().over(
+        byType.orderBy(abs(col("s")).desc, col("hr").asc)))
+      .filter(col("rn") === 1 && col("h") >= 2)
+      .select(col("event_type"), col("h").as("n_hours"),
+        col("tot").as("n_events"), col("hr").as("cp_ts"),
+        abs(col("s")).as("cusum_abs_peak"),
+        (expr("(2 * cum * 1000000 + t_idx) div (2 * t_idx)")
+          .cast("double") / lit(1000000.0)).as("pre_mean"),
+        (expr("(2 * (tot - cum) * 1000000 + (h - t_idx)) " +
+          "div (2 * (h - t_idx))").cast("double") / lit(1000000.0))
+          .as("post_mean"))
+      .withColumn("shift", col("post_mean") - col("pre_mean"))
+      .orderBy("event_type")
+  }
+
+  private val evChangepointSql =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type, hr, c,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS t_idx,
+      |    CAST(SUM(c) OVER w AS BIGINT) AS cum,
+      |    CAST(COUNT(*) OVER p AS BIGINT) AS h,
+      |    CAST(SUM(c) OVER p AS BIGINT) AS tot
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+      |      ROWS UNBOUNDED PRECEDING),
+      |    p AS (PARTITION BY event_type)),
+      |cusum AS (
+      |  SELECT *, h * cum - t_idx * tot AS s,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY abs(h * cum - t_idx * tot) DESC, hr ASC) AS rn
+      |  FROM scored)
+      |SELECT event_type, h AS n_hours, tot AS n_events, hr AS cp_ts,
+      |  abs(s) AS cusum_abs_peak,
+      |  CAST((2 * cum * 1000000 + t_idx) // (2 * t_idx) AS DOUBLE)
+      |    / 1000000.0 AS pre_mean,
+      |  CAST((2 * (tot - cum) * 1000000 + (h - t_idx))
+      |    // (2 * (h - t_idx)) AS DOUBLE) / 1000000.0 AS post_mean,
+      |  CAST((2 * (tot - cum) * 1000000 + (h - t_idx))
+      |      // (2 * (h - t_idx)) AS DOUBLE) / 1000000.0
+      |    - CAST((2 * cum * 1000000 + t_idx) // (2 * t_idx) AS DOUBLE)
+      |      / 1000000.0 AS shift
+      |FROM cusum WHERE rn = 1 AND h >= 2
+      |ORDER BY event_type""".stripMargin
+
+  // ---- ev_bot_detect: inter-event-gap regularity screen -------------
+  // The timing-regularity bot heuristic (humans are bursty;
+  // schedulers tick): per user with ≥ 20 inter-event gaps, the
+  // squared coefficient of variation of the gap series — cv² → 0 for
+  // a metronome, ~1 for Poisson arrivals — with the bot flag decided
+  // by the EXACT integer inequality 100·(n·Σg² − (Σg)²) < (Σg)²
+  // (cv < 0.1), no floating point anywhere near the decision
+  // boundary. Gaps are epoch-µs int64 deltas; Σg² runs in
+  // DECIMAL(38,0) (a day-long gap squared is ~10²² — past int64;
+  // DuckDB side uses HUGEINT), the population-variance identity
+  // n·Σg² − (Σg)² ≥ 0 by Cauchy–Schwarz so the half-up micro
+  // quotients stay in the non-negative contract. Users whose every
+  // event shares one timestamp (Σg = 0 — no timing signal) are
+  // excluded, documented, rather than divided by zero.
+  // Scale: ONE user_id shuffle carries the lag window and the
+  // moment agg; per-user state is three integers. The n ≥ 20
+  // support cut bounds output by active users.
+  private def evBotDetect(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val d38 = DecimalType(38, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("g", col("us") - lag(col("us"), 1).over(byUser))
+      .filter(col("g").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sum_g"),
+        sum(col("g").cast(d38) * col("g").cast(d38)).as("sum_g2"))
+      .filter(col("n_gaps") >= 20 && col("sum_g") > 0)
+      .withColumn("v", col("n_gaps").cast(d38) * col("sum_g2") -
+        col("sum_g").cast(d38) * col("sum_g").cast(d38))
+      .withColumn("sg2", col("sum_g").cast(d38) * col("sum_g").cast(d38))
+      .select(col("user_id"), col("n_gaps"),
+        (expr("(2 * sum_g + n_gaps) div (2 * n_gaps)").cast("double")
+          / lit(1000000.0)).as("mean_gap_s"),
+        (expr("(2 * v * 1000000 + sg2) div (2 * sg2)").cast("double")
+          / lit(1000000.0)).as("cv2"),
+        (col("v") * 100 < col("sg2")).cast("int").as("is_bot"))
+      .orderBy("user_id")
+  }
+
+  private val evBotDetectSql =
+    """WITH gaps AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS g
+      |  FROM events),
+      |mom AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(SUM(g) AS BIGINT) AS sum_g,
+      |    SUM(CAST(g AS HUGEINT) * g) AS sum_g2
+      |  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+      |  HAVING COUNT(*) >= 20 AND SUM(g) > 0),
+      |vv AS (
+      |  SELECT *, n_gaps * sum_g2 - CAST(sum_g AS HUGEINT) * sum_g AS v,
+      |    CAST(sum_g AS HUGEINT) * sum_g AS sg2
+      |  FROM mom)
+      |SELECT user_id, n_gaps,
+      |  CAST((2 * sum_g + n_gaps) // (2 * n_gaps) AS DOUBLE)
+      |    / 1000000.0 AS mean_gap_s,
+      |  CAST((2 * v * 1000000 + sg2) // (2 * sg2) AS DOUBLE)
+      |    / 1000000.0 AS cv2,
+      |  CAST(v * 100 < sg2 AS INT) AS is_bot
+      |FROM vv ORDER BY user_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
@@ -1236,5 +1475,8 @@ object EventOps extends Suite {
     Op("ev_audience_overlap", evAudienceOverlap, Some(evAudienceOverlapSql)),
     Op("ev_engagement_gini", evEngagementGini, Some(evEngagementGiniSql)),
     Op("ev_markov_entropy", evMarkovEntropy, Some(evMarkovEntropySql)),
+    Op("ev_seasonality", evSeasonality, Some(evSeasonalitySql)),
+    Op("ev_changepoint", evChangepoint, Some(evChangepointSql)),
+    Op("ev_bot_detect", evBotDetect, Some(evBotDetectSql)),
   )
 }

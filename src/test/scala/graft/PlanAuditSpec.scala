@@ -120,6 +120,17 @@ class PlanAuditSpec extends SparkSpec {
       // agg, the (user,cur) window and the per-user agg all ride the
       // same partitioning; + the output sort
       "ev_markov_entropy" -> 2,
+      // final plan reads the checkpointed ≤168·alphabet cell frame
+      // (producer: ONE corpus pass); per marginal a (type,k) agg +
+      // a type-window exchange (all alphabet-sized), the hod⋈dow
+      // join broadcasts, + the output sort
+      "ev_seasonality" -> 5,
+      // hourly (type,hr) agg + the type-keyed series window exchange
+      // (series-sized: corpus-lifetime hours) + the output sort
+      "ev_changepoint" -> 3,
+      // ONE user_id exchange feeds the lag window; the moment agg
+      // rides the same partitioning; + the output sort
+      "ev_bot_detect" -> 2,
       // final plan reads the checkpointed phrase frame (producer:
       // posexplode + run-id window + (doc_id,run) agg, ONE corpus
       // pass); remaining: vocab word-stats agg, phrase-count agg,
