@@ -879,6 +879,159 @@ object FeatureOps extends Suite {
       |FROM sc2
       |ORDER BY category""".stripMargin
 
+  // ---- ft_assoc_rules: brand-level association rules ----------------
+  // The market-basket rule mining step on top of ft_cooccurrence's
+  // raw pair counts (Agrawal 1993's support/confidence frame plus
+  // lift): per unordered brand pair co-purchased in an order, the
+  // support share, both directed confidences, and the lift
+  // N·n_ab/(n_a·n_b) — the >1/<1 signal an item-item recommender
+  // thresholds on. Brand level keeps the rule table
+  // alphabet²-bounded (the part-level pair table stays available
+  // through ft_cooccurrence).
+  // Exactness: all counts are integers; every ratio runs the
+  // half-up micro contract; lift's N·n_ab·10⁶ cross term runs in
+  // DECIMAL(38,0)/HUGEINT from the start (at 10¹¹ baskets it is
+  // ~10²⁸ — int64 dies at toy-adjacent scale here, unlike the other
+  // micro quotients).
+  // Scale: the corpus is touched ONCE — basket = per-order sorted
+  // distinct-brand set (one orderkey shuffle, fan-out C(k,2) with
+  // k ≤ brands-per-order, bounded like ft_cooccurrence), and ONE
+  // explode emits a per-basket sentinel (total-basket count), each
+  // basket's singles, and its pairs into one alphabet²-sized
+  // checkpointed count frame; totals ride broadcast self-joins.
+  private def ftAssocRules(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val tagged = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .groupBy("okey")
+      .agg(sort_array(collect_set(col("brand"))).as("bs"))
+      .select(explode(expr(
+        """concat(array(struct('#' AS a, '#' AS b)),
+          |  flatten(transform(bs, (x, i) -> concat(
+          |    array(struct(x AS a, '' AS b)),
+          |    transform(slice(bs, i + 2, size(bs)), y ->
+          |      struct(x AS a, y AS b))))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .checkpoint()
+    val singles = tagged.filter(col("a") =!= lit("#") && col("b") === lit(""))
+    val baskets = tagged.filter(col("a") === lit("#"))
+      .select(col("n").as("n_orders"))
+    tagged.filter(col("a") =!= lit("#") && col("b") =!= lit(""))
+      .select(col("a").as("brand_a"), col("b").as("brand_b"),
+        col("n").as("n_both"))
+      .join(broadcast(singles.select(col("a").as("brand_a"),
+        col("n").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(singles.select(col("a").as("brand_b"),
+        col("n").as("n_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(baskets))
+      .select(col("brand_a"), col("brand_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (expr("(2 * n_both * 1000000 + n_orders) div (2 * n_orders)")
+          .cast("double") / lit(1000000.0)).as("support"),
+        (expr("(2 * n_both * 1000000 + n_a) div (2 * n_a)")
+          .cast("double") / lit(1000000.0)).as("conf_a_b"),
+        (expr("(2 * n_both * 1000000 + n_b) div (2 * n_b)")
+          .cast("double") / lit(1000000.0)).as("conf_b_a"),
+        (expr("""(2 * cast(n_orders as decimal(38,0)) * n_both * 1000000
+          |  + cast(n_a as decimal(38,0)) * n_b)
+          |  div (2 * cast(n_a as decimal(38,0)) * n_b)""".stripMargin)
+          .cast("double") / lit(1000000.0)).as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+
+  // Oracle: the plain self-join formulation (pairs via ob⋈ob on the
+  // order key) — semantically identical to the one-explode plan, so
+  // the hash gate proves the set-explode decomposition.
+  private val ftAssocRulesSql =
+    """WITH ob AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |nb AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
+      |  FROM ob),
+      |tot AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ob GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, ta.n AS n_a, tb.n AS n_b, n_both,
+      |  CAST((2 * n_both * 1000000 + n_orders) // (2 * n_orders)
+      |    AS DOUBLE) / 1000000.0 AS support,
+      |  CAST((2 * n_both * 1000000 + ta.n) // (2 * ta.n)
+      |    AS DOUBLE) / 1000000.0 AS conf_a_b,
+      |  CAST((2 * n_both * 1000000 + tb.n) // (2 * tb.n)
+      |    AS DOUBLE) / 1000000.0 AS conf_b_a,
+      |  CAST((2 * CAST(n_orders AS HUGEINT) * n_both * 1000000
+      |      + CAST(ta.n AS HUGEINT) * tb.n)
+      |    // (2 * CAST(ta.n AS HUGEINT) * tb.n) AS DOUBLE)
+      |    / 1000000.0 AS lift
+      |FROM pairs
+      |JOIN tot ta ON ta.brand = brand_a
+      |JOIN tot tb ON tb.brand = brand_b
+      |CROSS JOIN nb
+      |ORDER BY brand_a, brand_b""".stripMargin
+
+  // ---- ft_quantile_bins: equal-frequency discretizer fit ------------
+  // The quantile-binning "fit" step of a feature pipeline (the
+  // report a QuantileDiscretizer persists): per event type, `value`
+  // cut into 10 equal-frequency bins — per bin the row count, the
+  // exact [lo, hi] value range, and the exact mean. Bin assignment
+  // is NTILE over (value, event_id) — the secondary key makes the
+  // split cross-engine deterministic when a value straddles a bin
+  // boundary, and both engines give the first n mod 10 bins the
+  // extra row. Values quantize to exact centi-units (ft_scaler's
+  // contract) so bin sums are exact int64 and the mean takes the
+  // half-up micro division; lo/hi are raw doubles (min/max compare
+  // exactly).
+  // Scale: one event_type shuffle carries the NTILE sort and the
+  // (type, bin) agg. The per-type sort is the exact-correctness
+  // baseline (q_percentiles' posture); at 100 TB the production
+  // path fits bins from q_approx_percentiles' mergeable digest
+  // edges instead — same output schema. int64: Σq100·10⁴ ≤
+  // 5.6·10¹⁰·rows-per-bin — widen past ~10⁸ rows per (type, bin).
+  private def ftQuantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("q100"))
+      .withColumn("bin",
+        ntile(10).over(w.orderBy(col("q100"), col("event_id"))))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"),
+        sum(col("q100")).as("sq"))
+      .select(col("event_type"), col("bin"), col("n"), col("lo"),
+        col("hi"),
+        (expr("(2 * sq * 10000 + n) div (2 * n)").cast("double")
+          / lit(1000000.0)).as("mean"))
+      .orderBy("event_type", "bin")
+  }
+
+  private val ftQuantileBinsSql =
+    """WITH q AS (
+      |  SELECT event_type, event_id, value,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS q100
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (
+      |  SELECT *, NTILE(10) OVER (PARTITION BY event_type
+      |    ORDER BY q100, event_id) AS bin
+      |  FROM q)
+      |SELECT event_type, CAST(bin AS INT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(value) AS lo, MAX(value) AS hi,
+      |  CAST((2 * CAST(SUM(q100) AS BIGINT) * 10000 + COUNT(*))
+      |    // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS mean
+      |FROM b GROUP BY 1, 2
+      |ORDER BY event_type, bin""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ft_rolling_24h", ftRolling, Some(ftRollingSql)),
     Op("ft_session_features", ftSessionFeatures, Some(ftSessionFeaturesSql)),
@@ -893,5 +1046,7 @@ object FeatureOps extends Suite {
     Op("ft_lag_features", ftLagFeatures, Some(ftLagFeaturesSql)),
     Op("ft_time_to_event", ftTimeToEvent, Some(ftTimeToEventSql)),
     Op("ft_woe_iv", ftWoeIv, Some(ftWoeIvSql)),
+    Op("ft_assoc_rules", ftAssocRules, Some(ftAssocRulesSql)),
+    Op("ft_quantile_bins", ftQuantileBins, Some(ftQuantileBinsSql)),
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -333,10 +334,107 @@ object QualityOps extends Suite {
       |  CAST(h_cents - d_cents AS DOUBLE) / 100.0 AS delta_sum
       |FROM g ORDER BY status""".stripMargin
 
+  // ---- dq_outliers: robust MAD outlier gate -------------------------
+  // The fifth DQ leg — distributional health of a measure column:
+  // per event type the median and MAD (median absolute deviation) of
+  // `value`, and how many rows fall outside the robust fence
+  // |x − med| > 3·1.4826·MAD (the robust-z screen that, unlike
+  // dq_drift's mean/std, a few wild rows cannot drag). Medians are
+  // DISCRETE (the value at rank ⌈n/2⌉ — q_percentiles' posture:
+  // interpolation is cross-engine-unstable, a ranked value is
+  // exact), values quantize to centi-units so deviations are int64,
+  // and the fence DECISION is the exact integer inequality
+  // dev·10⁴ > 44478·mad100 — no float near the boundary.
+  // Scale: two ranked windows (value, then deviation) and the final
+  // conditional agg all ride the event_type shuffle; the two
+  // alphabet-sized median frames broadcast back. The per-type sort
+  // is the exact baseline; at 100 TB the fences come from
+  // q_approx_percentiles' mergeable digests instead — same report.
+  // n_outliers COALESCEs to 0 (the NULLable-int cross-engine trap).
+  private def dqOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("q100"))
+    val med = ev
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("q100"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rn") === greatest(lit(1L), ceil(lit(0.5) * col("n"))))
+      .select(col("event_type"), col("q100").as("med100"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("q100") - col("med100")))
+    val mad = dev
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("dev"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rn") === greatest(lit(1L), ceil(lit(0.5) * col("n"))))
+      .select(col("event_type"), col("dev").as("mad100"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med100")).as("med100"),
+        max(col("mad100")).as("m100"),
+        coalesce(sum(when(col("dev") * 10000 > col("mad100") * 44478,
+          lit(1))), lit(0L)).as("n_outliers"),
+        max(col("dev")).as("maxdev"))
+      .select(col("event_type"), col("n_events"),
+        (col("med100").cast("double") / 100.0).as("median"),
+        (col("m100").cast("double") / 100.0).as("mad"),
+        col("n_outliers"),
+        (expr("(2 * n_outliers * 1000000 + n_events) div (2 * n_events)")
+          .cast("double") / lit(1000000.0)).as("outlier_share"),
+        (col("maxdev").cast("double") / 100.0).as("max_abs_dev"))
+      .orderBy("event_type")
+  }
+
+  private val dqOutliersSql =
+    """WITH q AS (
+      |  SELECT event_type, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS q100
+      |  FROM events WHERE value IS NOT NULL),
+      |r1 AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY q100, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM q),
+      |med AS (
+      |  SELECT event_type, q100 AS med100 FROM r1
+      |  WHERE rn = greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n)
+      |    AS BIGINT))),
+      |d AS (
+      |  SELECT q.event_type, q.event_id, q.q100, med100,
+      |    abs(q100 - med100) AS dev
+      |  FROM q JOIN med ON q.event_type = med.event_type),
+      |r2 AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY dev, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM d),
+      |mad AS (
+      |  SELECT event_type, dev AS mad100 FROM r2
+      |  WHERE rn = greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n)
+      |    AS BIGINT)))
+      |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MAX(med100) AS DOUBLE) / 100.0 AS median,
+      |  CAST(MAX(mad100) AS DOUBLE) / 100.0 AS mad,
+      |  CAST(COALESCE(SUM(CASE WHEN dev * 10000 > mad100 * 44478
+      |    THEN 1 END), 0) AS BIGINT) AS n_outliers,
+      |  CAST((2 * CAST(COALESCE(SUM(CASE WHEN dev * 10000 >
+      |      mad100 * 44478 THEN 1 END), 0) AS BIGINT) * 1000000
+      |    + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0
+      |    AS outlier_share,
+      |  CAST(MAX(dev) AS DOUBLE) / 100.0 AS max_abs_dev
+      |FROM d JOIN mad ON d.event_type = mad.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("dq_checks", dqChecks, Some(dqChecksSql)),
     Op("dq_drift", dqDrift, Some(dqDriftSql)),
     Op("dq_freshness", dqFreshness, Some(dqFreshnessSql)),
     Op("dq_reconcile", dqReconcile, Some(dqReconcileSql)),
+    Op("dq_outliers", dqOutliers, Some(dqOutliersSql)),
   )
 }

@@ -131,6 +131,18 @@ class PlanAuditSpec extends SparkSpec {
       // ONE user_id exchange feeds the lag window; the moment agg
       // rides the same partitioning; + the output sort
       "ev_bot_detect" -> 2,
+      // final plan reads the checkpointed alphabet²-sized rule counts
+      // (producer: ONE orderkey shuffle + pair explode); totals ride
+      // broadcast self-joins, the 1 exchange is the 300-row sort
+      "ft_assoc_rules" -> 1,
+      // ONE event_type exchange feeds the NTILE sort; the (type,bin)
+      // agg rides the same partitioning (subset-key clustering);
+      // + the output sort
+      "ft_quantile_bins" -> 2,
+      // two ranked type-keyed windows (value, then deviation), the
+      // alphabet-sized median/MAD frames broadcast back, the final
+      // conditional agg's exchange + the 5-row sort
+      "dq_outliers" -> 5,
       // final plan reads the checkpointed phrase frame (producer:
       // posexplode + run-id window + (doc_id,run) agg, ONE corpus
       // pass); remaining: vocab word-stats agg, phrase-count agg,
