@@ -968,6 +968,163 @@ object SimilarityOps extends Suite {
       |    / 100000000.0 AS mean_sil
       |FROM agg ORDER BY cluster""".stripMargin
 
+  // ---- sim_mmr: maximal-marginal-relevance diversified top-k --------
+  // Carbonell & Goldstein 1998's MMR re-ranking — the
+  // retrieval-diversification step RAG stacks and dataset-sampling
+  // pipelines both run after a similarity search: per query, greedily
+  // select k results maximizing λ·rel(c) − (1−λ)·max_{s∈selected}
+  // sim(c, s), so each pick is relevant but NOT redundant with what's
+  // already chosen. λ = 0.5, where the objective reduces to
+  // (rel − pen)/2 and the 0.5 multiplies are exact IEEE (powers of
+  // two) — the argmax and the reported score are cross-engine
+  // deterministic given the quantized-dot cosine contract; ties break
+  // on cand_id.
+  // Scale: relevance is ONE broadcast-query pass over the corpus
+  // (sim_topk_exact's plan); the greedy loop never touches the
+  // corpus again — it runs on the checkpointed top-`mmrPool`
+  // candidate frame and its pool²-sized pair-similarity frame, both
+  // CONSTANT-sized at any corpus scale. k driver rounds of
+  // pool-sized argmax jobs (sim_kmeans' loop posture). The oracle
+  // unrolls all k rounds as CTEs, so the hash gate verifies the
+  // whole greedy trajectory.
+  private val mmrQueries = 3
+  private val mmrPool = 50
+  private val mmrK = 8
+
+  private def simMmr(spark: SparkSession, dir: String): DataFrame = {
+    ensureCkptDir(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantized(col("embedding")).as("v"))
+      .withColumn("norm", dotQ(col("v"), col("v")))
+    val q = e.filter(col("vec_id") < mmrQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+    val byQ = Window.partitionBy("q_id")
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("rel", cosineQ(col("qv"), col("v"), col("qn"), col("norm")))
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(desc("rel"), col("vec_id"))))
+      .filter(col("rk") <= mmrPool)
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("v"),
+        col("norm"), col("rel"))
+      .checkpoint()
+    val psim = cand.select(col("q_id"), col("cand_id").as("a_id"),
+        col("v").as("av"), col("norm").as("an"))
+      .join(cand.select(col("q_id"), col("cand_id").as("b_id"),
+        col("v").as("bv"), col("norm").as("bn")), Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim", cosineQ(col("av"), col("bv"), col("an"), col("bn")))
+      .select(col("q_id"), col("a_id"), col("b_id"), col("sim"))
+      .checkpoint()
+    val pool = cand.select(col("q_id"), col("cand_id"), col("rel"))
+    var selected = pool
+      .withColumn("rn", row_number().over(
+        byQ.orderBy(desc("rel"), col("cand_id"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("cand_id"), col("rel"),
+        lit(0.0).as("pen"), (lit(0.5) * col("rel")).as("mmr"),
+        lit(1).as("rank"))
+      .checkpoint()
+    for (k <- 2 to mmrK) {
+      val pen = psim
+        .join(selected.select(col("q_id"), col("cand_id").as("b_id")),
+          Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id").as("cand_id"))
+        .agg(max(col("sim")).as("pen"))
+      val pick = pool
+        .join(selected.select("q_id", "cand_id"), Seq("q_id", "cand_id"),
+          "left_anti")
+        .join(pen, Seq("q_id", "cand_id"))
+        .withColumn("mmr", lit(0.5) * col("rel") - lit(0.5) * col("pen"))
+        .withColumn("rn", row_number().over(
+          byQ.orderBy(desc("mmr"), col("cand_id"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("cand_id"), col("rel"), col("pen"),
+          col("mmr"), lit(k).as("rank"))
+      selected = selected.union(pick).checkpoint()
+    }
+    selected.select(col("q_id"), col("rank"), col("cand_id"),
+        round(col("rel"), 6).as("rel"),
+        round(col("pen"), 6).as("penalty"),
+        round(col("mmr"), 6).as("mmr"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val simMmrSql = {
+    // rounds 2..k unroll as CTE pairs (pick_k, sel_k); multi-referenced
+    // chains MUST be MATERIALIZED or DuckDB re-inlines the whole
+    // prefix per reference (the BPE-oracle 3^n blowup)
+    val rounds = (2 to mmrK).map { k =>
+      s"""cand_$k AS MATERIALIZED (
+        |  SELECT c.q_id, c.cand_id, c.rel, MAX(p.sim) AS pen
+        |  FROM cand c
+        |  JOIN psim p ON p.q_id = c.q_id AND p.a_id = c.cand_id
+        |  JOIN sel_${k - 1} s ON s.q_id = p.q_id AND s.cand_id = p.b_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel_${k - 1} x
+        |    WHERE x.q_id = c.q_id AND x.cand_id = c.cand_id)
+        |  GROUP BY 1, 2, 3),
+        |pick_$k AS MATERIALIZED (
+        |  SELECT q_id, cand_id, rel, pen, 0.5 * rel - 0.5 * pen AS mmr,
+        |    $k AS rank
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY 0.5 * rel - 0.5 * pen DESC, cand_id) AS rn
+        |    FROM cand_$k) WHERE rn = 1),
+        |sel_$k AS MATERIALIZED (
+        |  SELECT q_id, cand_id, rel, pen, mmr, rank FROM sel_${k - 1}
+        |  UNION ALL SELECT * FROM pick_$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH terms AS MATERIALIZED (
+      |  SELECT vec_id, i,
+      |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS d
+      |  FROM embeddings, range(1, 65) r(i)),
+      |norms AS MATERIALIZED (
+      |  SELECT vec_id, CAST(SUM(d * d) AS DOUBLE) AS norm
+      |  FROM terms GROUP BY vec_id),
+      |cand AS MATERIALIZED (
+      |  SELECT q_id, cand_id, rel FROM (
+      |    SELECT d.q_id, d.cand_id,
+      |      d.dot / (sqrt(nq.norm) * sqrt(nc.norm)) AS rel,
+      |      ROW_NUMBER() OVER (PARTITION BY d.q_id
+      |        ORDER BY d.dot / (sqrt(nq.norm) * sqrt(nc.norm)) DESC,
+      |          d.cand_id) AS rk
+      |    FROM (
+      |      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+      |        CAST(SUM(q.d * c.d) AS DOUBLE) AS dot
+      |      FROM terms q JOIN terms c ON q.i = c.i
+      |      WHERE q.vec_id < $mmrQueries AND c.vec_id <> q.vec_id
+      |      GROUP BY 1, 2) d
+      |    JOIN norms nq ON d.q_id = nq.vec_id
+      |    JOIN norms nc ON d.cand_id = nc.vec_id)
+      |  WHERE rk <= $mmrPool),
+      |cids AS MATERIALIZED (SELECT DISTINCT cand_id FROM cand),
+      |pdots AS MATERIALIZED (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    CAST(SUM(a.d * b.d) AS DOUBLE) AS dot
+      |  FROM terms a
+      |  JOIN cids ca ON ca.cand_id = a.vec_id
+      |  JOIN terms b ON a.i = b.i
+      |  JOIN cids cb ON cb.cand_id = b.vec_id
+      |  WHERE a.vec_id <> b.vec_id
+      |  GROUP BY 1, 2),
+      |psim AS MATERIALIZED (
+      |  SELECT c1.q_id, c1.cand_id AS a_id, c2.cand_id AS b_id,
+      |    pd.dot / (sqrt(na.norm) * sqrt(nb.norm)) AS sim
+      |  FROM cand c1
+      |  JOIN cand c2 ON c1.q_id = c2.q_id AND c1.cand_id <> c2.cand_id
+      |  JOIN pdots pd ON pd.a_id = c1.cand_id AND pd.b_id = c2.cand_id
+      |  JOIN norms na ON na.vec_id = c1.cand_id
+      |  JOIN norms nb ON nb.vec_id = c2.cand_id),
+      |sel_1 AS MATERIALIZED (
+      |  SELECT q_id, cand_id, rel, CAST(0 AS DOUBLE) AS pen,
+      |    0.5 * rel AS mmr, 1 AS rank
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY rel DESC, cand_id) AS rn FROM cand) WHERE rn = 1),
+      |$rounds
+      |SELECT q_id, rank, cand_id, ROUND(rel, 6) AS rel,
+      |  ROUND(pen, 6) AS penalty, ROUND(mmr, 6) AS mmr
+      |FROM sel_$mmrK ORDER BY q_id, rank""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
     Op("sim_ann_lsh", simAnnLsh, None),
@@ -981,5 +1138,6 @@ object SimilarityOps extends Suite {
     Op("sim_ivfpq", simIvfpq, Some(simIvfpqSql)),
     Op("sim_silhouette", simSilhouette, Some(simSilhouetteSql)),
     Op("sim_hard_negatives", simHardNegatives, Some(simHardNegativesSql)),
+    Op("sim_mmr", simMmr, Some(simMmrSql)),
   )
 }

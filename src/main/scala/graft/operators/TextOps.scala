@@ -1501,6 +1501,121 @@ object TextOps extends Suite {
       |ORDER BY score DESC, n_occurrences DESC, phrase
       |LIMIT $rakeK""".stripMargin
 
+  // ---- txt_zipf: rank-frequency power-law fit ------------------------
+  // The corpus-statistics sanity check (Zipf 1949; Piantadosi 2014's
+  // review): fit log f = a + s·log r over the top `zipfRanks` vocab
+  // ranks by EXACT least squares on ln-quantized integers — natural
+  // text lands s ≈ −1; a corpus of boilerplate, template spam, or
+  // synthetic junk visibly doesn't. One row out: type/token counts
+  // (the Heaps'-law inputs), the top token, the fitted slope and
+  // intercept (micro-nats).
+  // Exactness: x = lnq(rank), y = lnq(freq) are integer micro-nats;
+  // the normal-equation sums Σx², Σxy run in DECIMAL(38,0)/HUGEINT
+  // (n·Σxy·10⁶ ≈ 10²⁷ at 1000 ranks); slope = (nΣxy − ΣxΣy)/(nΣx² −
+  // (Σx)²) and intercept = (Σy·den − num·Σx)/(n·den) take the
+  // SIGN-SAFE half-up division (slope is negative; Spark div
+  // truncates, DuckDB // floors — the abs-then-reapply-sign form is
+  // the established dodge). den > 0 because the 1..n ranks are
+  // distinct.
+  // Scale: the corpus collapses ONCE to the (token, freq) vocabulary
+  // (map-side combined), checkpointed for its two readers; the
+  // top-1000 cut is a distributed TakeOrdered (freq DESC, token — no
+  // global window, deterministic under ties), and rank assignment is
+  // a count-of-greater self-join on the CONSTANT-sized top frame —
+  // never a single-partition sort of anything corpus-scaled.
+  private val zipfRanks = 1000
+
+  private def txtZipf(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val d38 = DecimalType(38, 0)
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(Tok.toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .checkpoint()
+    val top = vocab.orderBy(col("freq").desc, col("tok").asc)
+      .limit(zipfRanks).checkpoint()
+    val ranked = top
+      .join(broadcast(top.select(col("tok").as("btok"),
+          col("freq").as("bfreq"))),
+        col("bfreq") > col("freq") ||
+          (col("bfreq") === col("freq") && col("btok") < col("tok")),
+        "left")
+      .groupBy("tok", "freq")
+      .agg((count(col("btok")) + 1).as("rnk"))
+    val sums = ranked.select(Num.lnqU(col("rnk")).as("x"),
+        Num.lnqU(col("freq")).as("y"), col("rnk"), col("tok"),
+        col("freq"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+        max(when(col("rnk") === 1, col("tok"))).as("top_token"),
+        max(when(col("rnk") === 1, col("freq"))).as("top_freq"))
+    val tot = vocab.agg(count(lit(1)).as("n_types"),
+      sum(col("freq")).as("n_tokens"))
+    sums.crossJoin(broadcast(tot))
+      .withColumn("num", col("n").cast(d38) * col("sxy") -
+        col("sx").cast(d38) * col("sy").cast(d38))
+      .withColumn("den", col("n").cast(d38) * col("sxx") -
+        col("sx").cast(d38) * col("sx").cast(d38))
+      .withColumn("bnum", col("sy").cast(d38) * col("den") -
+        col("num") * col("sx").cast(d38))
+      .select(col("n_types"), col("n_tokens"), col("n").as("n_ranks"),
+        col("top_token"), col("top_freq"),
+        (expr("""(case when num < 0 then -1 else 1 end) *
+          |  ((2 * abs(num) * 1000000 + den) div (2 * den))"""
+          .stripMargin).cast("double") / lit(1000000.0)).as("zipf_slope"),
+        (expr("""(case when bnum < 0 then -1 else 1 end) *
+          |  ((2 * abs(bnum) + n * den) div (2 * n * den))"""
+          .stripMargin).cast("double") / lit(1000000.0))
+          .as("zipf_intercept"))
+  }
+
+  private val txtZipfSql =
+    s"""WITH toks AS (
+      |  SELECT unnest(${Tok.toksSql}) AS tok FROM documents),
+      |vocab AS MATERIALIZED (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM toks GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(freq) AS BIGINT) AS n_tokens FROM vocab),
+      |top AS MATERIALIZED (
+      |  SELECT tok, freq FROM vocab
+      |  ORDER BY freq DESC, tok ASC LIMIT $zipfRanks),
+      |ranked AS (
+      |  SELECT a.tok, a.freq,
+      |    CAST(1 + COUNT(b.btok) AS BIGINT) AS rnk
+      |  FROM top a LEFT JOIN (SELECT tok AS btok, freq AS bfreq
+      |      FROM top) b
+      |    ON b.bfreq > a.freq OR (b.bfreq = a.freq AND b.btok < a.tok)
+      |  GROUP BY 1, 2),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(${Num.lnqUSql("rnk")}) AS BIGINT) AS sx,
+      |    CAST(SUM(${Num.lnqUSql("freq")}) AS BIGINT) AS sy,
+      |    SUM(CAST(${Num.lnqUSql("rnk")} AS HUGEINT)
+      |      * ${Num.lnqUSql("rnk")}) AS sxx,
+      |    SUM(CAST(${Num.lnqUSql("rnk")} AS HUGEINT)
+      |      * ${Num.lnqUSql("freq")}) AS sxy,
+      |    MAX(CASE WHEN rnk = 1 THEN tok END) AS top_token,
+      |    MAX(CASE WHEN rnk = 1 THEN freq END) AS top_freq
+      |  FROM ranked),
+      |fit AS (
+      |  SELECT *, n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    n * sxx - CAST(sx AS HUGEINT) * sx AS den
+      |  FROM sums)
+      |SELECT n_types, n_tokens, n AS n_ranks, top_token, top_freq,
+      |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+      |    ((2 * abs(num) * 1000000 + den) // (2 * den)) AS DOUBLE)
+      |    / 1000000.0 AS zipf_slope,
+      |  CAST((CASE WHEN sy * den - num * sx < 0 THEN -1 ELSE 1 END) *
+      |    ((2 * abs(sy * den - num * sx) + n * den) // (2 * n * den))
+      |    AS DOUBLE) / 1000000.0 AS zipf_intercept
+      |FROM fit CROSS JOIN tot""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -1520,5 +1635,6 @@ object TextOps extends Suite {
     Op("txt_bpe_apply", txtBpeApply, Some(txtBpeApplySql)),
     Op("txt_quality_distill", txtQualityDistill, Some(txtQualityDistillSql)),
     Op("txt_keyphrases", txtKeyphrases, Some(txtKeyphrasesSql)),
+    Op("txt_zipf", txtZipf, Some(txtZipfSql)),
   )
 }

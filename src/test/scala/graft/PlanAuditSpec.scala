@@ -143,6 +143,21 @@ class PlanAuditSpec extends SparkSpec {
       // alphabet-sized median/MAD frames broadcast back, the final
       // conditional agg's exchange + the 5-row sort
       "dq_outliers" -> 5,
+      // final plan reads the checkpointed vocab + constant top-1000
+      // frames (producer: ONE corpus token agg + a TakeOrdered cut);
+      // the rank self-join broadcasts, the 1 exchange is the
+      // rank-frame agg's SinglePartition (constant-sized input)
+      "txt_zipf" -> 1,
+      // final plan reads the checkpointed greedy-selection frames
+      // (producer: one broadcast-query corpus pass + pool²-sized
+      // pair frame, all checkpointed); the 1 exchange is the 24-row
+      // output sort
+      "sim_mmr" -> 1,
+      // checkpointed edges/degrees/oriented frames: the orderkey
+      // pair join + two distincts + degree agg + two orient joins
+      // feed the checkpoints; final plan = the src-keyed wedge join
+      // + the (v,w) semi-join closure + constant-frame aggs
+      "ft_graph_triangles" -> 7,
       // final plan reads the checkpointed phrase frame (producer:
       // posexplode + run-id window + (doc_id,run) agg, ONE corpus
       // pass); remaining: vocab word-stats agg, phrase-count agg,
