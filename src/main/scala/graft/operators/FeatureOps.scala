@@ -984,13 +984,16 @@ object FeatureOps extends Suite {
   // over the same edges an item-item recommender consumes). The
   // algorithm is the distributed standard (Suri & Vassilvitskii
   // 2011's MR adaptation of Schank's degree ordering): orient every
-  // edge from its (degree, id)-smaller endpoint, enumerate wedges at
-  // each source, and close them with a semi-join — each triangle
-  // u≺v≺w is counted exactly once at u. Degree ordering caps
-  // out-degree near √(2m), so the wedge frame is O(m^{3/2}) instead
-  // of Σd² — the reason this runs where a naive wedge join dies on
-  // hub nodes (41M oriented wedges vs 148M open wedges on this graph
-  // at sf0.1).
+  // edge from its (degree, id)-smaller endpoint, then per ORIENTED
+  // edge (u,v) count the common out-neighborhood |N⁺(u) ∩ N⁺(v)| —
+  // each triangle u≺v≺w is counted exactly once, at its (u,v) edge.
+  // Degree ordering caps out-degree near √(2m), so total
+  // intersection work is O(m^{3/2}) instead of Σd² (41M oriented vs
+  // 148M open wedges on this graph at sf0.1) — and the edge-iterator
+  // form keeps that work INSIDE a map-side array_intersect over two
+  // bounded adjacency arrays instead of materializing a wedge-sized
+  // shuffle (the explicit wedge join moved 41M rows and ran 4×
+  // slower).
   // Exactness: all counts integer; clustering = 3T/Σ C(d,2) via the
   // half-up micro contract in DECIMAL(38,0)/HUGEINT. The DuckDB
   // oracle counts by the INDEPENDENT id-ordered triple join — the
@@ -1023,19 +1026,24 @@ object FeatureOps extends Suite {
       .join(deg.select(col("node").as("pa"), col("d").as("da")), Seq("pa"))
       .join(deg.select(col("node").as("pb"), col("d").as("db")), Seq("pb"))
       .select(when(lower, col("pa")).otherwise(col("pb")).as("src"),
-        when(lower, col("pb")).otherwise(col("pa")).as("dst"),
-        when(lower, col("db")).otherwise(col("da")).as("ddst"))
+        when(lower, col("pb")).otherwise(col("pa")).as("dst"))
       .checkpoint()
-    val wedges = oriented
-      .select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
-      .join(oriented.select(col("src"), col("dst").as("w"),
-        col("ddst").as("dw")), Seq("src"))
-      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
-      .select(col("v"), col("w"))
-    val tri = wedges
-      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v", "w"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    // edge-iterator form: per oriented edge (u,v), triangles closing
+    // above both endpoints = |N⁺(u) ∩ N⁺(v)| — the intersection runs
+    // map-side over two ≤√(2m) adjacency arrays, so nothing
+    // wedge-sized is ever materialized as rows (the explicit wedge
+    // join shuffled 41M rows at sf0.1 and took 4× longer)
+    val adj = oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+      .checkpoint()
+    val tri = oriented.select(col("src"), col("dst"))
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
+        Seq("dst"), "left")
+      .select(when(col("nv").isNull, lit(0L))
+        .otherwise(size(array_intersect(col("nu"), col("nv"))).cast("long"))
+        .as("closed"))
+      .agg(sum(col("closed")).as("n_triangles"))
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
       max(col("d")).as("max_deg"),
       sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
@@ -1074,6 +1082,93 @@ object FeatureOps extends Suite {
       |    // (2 * CAST(n_wedges AS HUGEINT)) AS DOUBLE)
       |    / 1000000.0 AS clustering
       |FROM tri, st, ne""".stripMargin
+
+  // ---- ft_kaplan_meier: survival curve over the tte labels ----------
+  // The Kaplan–Meier estimator (1958) on ft_time_to_event's label
+  // block — the curve a churn/conversion analyst reads before
+  // trusting any survival model: per day t, the number at risk,
+  // events, censored, the discrete hazard d_t/n_t, and the
+  // LOG-survival ln S(t) = Σ_{s≤t} (ln(n_s−d_s) − ln(n_s)).
+  // Survival is reported in LN SPACE deliberately: each factor's log
+  // is exact in integer micro-nats (lnq of two integers — the lnq
+  // contract), the running sum is exact, while exp() is not
+  // correctly-rounded IEEE and would diverge cross-engine (consumers
+  // exp() client-side). If a day exhausts everyone at risk
+  // (n_s = d_s), survival is 0 from then on: ln_survival pins the
+  // 0.0 sentinel with is_defined = 0 (the NULL-double repr trap).
+  // Scale: the label block (one user_id shuffle, inherited from
+  // ft_time_to_event) collapses to a ≤ horizon+1-row day-cell frame
+  // in one agg; n-at-risk and the running log-sum are
+  // count-of-prior triangle joins on the CONSTANT checkpointed cell
+  // frame — no unpartitioned window anywhere.
+  private def ftKaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val cells = ftTimeToEvent(spark, dir)
+      .groupBy(col("tte_days").as("t"))
+      .agg(
+        coalesce(sum(when(col("event_observed") === 1, lit(1L))), lit(0L))
+          .as("d"),
+        coalesce(sum(when(col("event_observed") === 0, lit(1L))), lit(0L))
+          .as("c"))
+      .checkpoint()
+    val total = cells.agg(sum(col("d") + col("c")).as("total"))
+    val risk = cells.crossJoin(broadcast(total))
+      .join(broadcast(cells.select(col("t").as("bt"),
+        (col("d") + col("c")).as("bdc"))), col("bt") < col("t"), "left")
+      .groupBy("t", "d", "c", "total")
+      .agg(coalesce(sum(col("bdc")), lit(0L)).as("prior"))
+      .withColumn("n_risk", col("total") - col("prior"))
+      .checkpoint()
+    risk
+      .join(broadcast(risk.select(col("t").as("bt"),
+        col("n_risk").as("bn"), col("d").as("bd"))), col("bt") <= col("t"))
+      .groupBy(col("t"), col("d"), col("c"), col("n_risk"))
+      .agg(
+        sum(when(col("bn") > col("bd"),
+          Num.lnqU(col("bn") - col("bd")) - Num.lnqU(col("bn")))
+          .otherwise(lit(0L))).as("ls"),
+        min(col("bn") - col("bd")).as("mindiff"))
+      .select(col("t").as("tte_day"), col("n_risk"),
+        col("d").as("n_events"), col("c").as("n_censored"),
+        (expr("(2 * d * 1000000 + n_risk) div (2 * n_risk)")
+          .cast("double") / lit(1000000.0)).as("hazard"),
+        when(col("mindiff") > 0, col("ls").cast("double") / lit(1000000.0))
+          .otherwise(lit(0.0)).as("ln_survival"),
+        (col("mindiff") > 0).cast("int").as("is_defined"))
+      .orderBy("tte_day")
+  }
+
+  private val ftKaplanMeierSql =
+    s"""WITH tte AS MATERIALIZED ($ftTimeToEventSql),
+      |cells AS MATERIALIZED (
+      |  SELECT tte_days AS t,
+      |    CAST(COALESCE(SUM(CASE WHEN event_observed = 1 THEN 1 END), 0)
+      |      AS BIGINT) AS d,
+      |    CAST(COALESCE(SUM(CASE WHEN event_observed = 0 THEN 1 END), 0)
+      |      AS BIGINT) AS c
+      |  FROM tte GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS total FROM cells),
+      |risk AS MATERIALIZED (
+      |  SELECT a.t, a.d, a.c,
+      |    total - CAST(COALESCE(SUM(b.d + b.c), 0) AS BIGINT) AS n_risk
+      |  FROM cells a CROSS JOIN tot
+      |  LEFT JOIN cells b ON b.t < a.t
+      |  GROUP BY a.t, a.d, a.c, total)
+      |SELECT a.t AS tte_day, a.n_risk, a.d AS n_events,
+      |  a.c AS n_censored,
+      |  CAST((2 * a.d * 1000000 + a.n_risk) // (2 * a.n_risk) AS DOUBLE)
+      |    / 1000000.0 AS hazard,
+      |  CASE WHEN MIN(b.n_risk - b.d) > 0 THEN
+      |    CAST(SUM(CASE WHEN b.n_risk > b.d THEN
+      |      ${Num.lnqUSql("b.n_risk - b.d")} - ${Num.lnqUSql("b.n_risk")}
+      |      ELSE 0 END) AS DOUBLE) / 1000000.0
+      |    ELSE 0.0 END AS ln_survival,
+      |  CAST(MIN(b.n_risk - b.d) > 0 AS INT) AS is_defined
+      |FROM risk a JOIN risk b ON b.t <= a.t
+      |GROUP BY a.t, a.n_risk, a.d, a.c
+      |ORDER BY tte_day""".stripMargin
 
   // ---- ft_quantile_bins: equal-frequency discretizer fit ------------
   // The quantile-binning "fit" step of a feature pipeline (the
@@ -1147,5 +1242,6 @@ object FeatureOps extends Suite {
     Op("ft_assoc_rules", ftAssocRules, Some(ftAssocRulesSql)),
     Op("ft_quantile_bins", ftQuantileBins, Some(ftQuantileBinsSql)),
     Op("ft_graph_triangles", ftGraphTriangles, Some(ftGraphTrianglesSql)),
+    Op("ft_kaplan_meier", ftKaplanMeier, Some(ftKaplanMeierSql)),
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -91,6 +92,10 @@ object MultimodalOps extends Suite {
     * the digest of the REAL byte slice. */
   case class Frame(
       doc_id: Long, frame_idx: Long, off: Long, n_bytes: Long, fp: String)
+
+  /** One full-stride frame reduced to its scalar "luma" (byte sum —
+    * the decode stub's stand-in for mean pixel luminance). */
+  case class ShotFrame(doc_id: Long, frame_idx: Long, luma: Long)
 
   private def md5hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -193,11 +198,106 @@ object MultimodalOps extends Suite {
       .select(col("doc_id"),
         expr("simhash64(regexp_extract_all(hex(blob), '.{8}', 0))").as("sh")))
 
+  // ---- mm_shot_boundary: frame-delta shot segmentation --------------
+  // The video shot-boundary pass (the cut detector every
+  // frame-sampling pipeline runs before sampling WITHIN shots
+  // instead of blindly every k frames): a blob is a frame sequence
+  // (mm_frame_sample's geometry, stride 1), each frame reduces to a
+  // scalar "luma" (here the byte sum — a real pipeline computes mean
+  // pixel luminance from DECODED frames at this exact mapPartitions
+  // boundary), and a cut is declared where the inter-frame luma jump
+  // exceeds the threshold. Per video: frame count, shot count, mean
+  // shot length (half-up micro), and the largest jump. max_jump and
+  // the cut count COALESCE to 0 for single-frame blobs (the
+  // NULLable-int trap). Luma sums are exact integers on both engines
+  // (pure-ascii corpus ⇒ byte value == code point, pinned by the
+  // mm_features spec).
+  // Scale: frame expansion is map-only (1→N flatMap inside
+  // mapPartitions); the lag window and per-doc agg ride ONE doc_id
+  // shuffle; per-doc state is the frame sequence — bounded by blob
+  // size, never corpus-scaled.
+  private val shotFrameBytes = 64L
+  private val shotJump = 320L
+
+  private def mmShotBoundary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[MediaBlob]
+      .mapPartitions { batch =>
+        // per-partition init point for a real frame decoder
+        batch.flatMap { m =>
+          val n = m.blob.length.toLong
+          val nFrames = (n + shotFrameBytes - 1) / shotFrameBytes
+          (0L until nFrames).iterator.map { i =>
+            val off = (i * shotFrameBytes).toInt
+            val end = math.min(off + shotFrameBytes, n).toInt
+            var s = 0L
+            var j = off
+            while (j < end) { s += (m.blob(j) & 0xff); j += 1 }
+            ShotFrame(m.doc_id, i, s)
+          }
+        }
+      }.toDF()
+    val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("jump",
+        abs(col("luma") - lag(col("luma"), 1).over(byDoc)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        coalesce(sum(when(col("jump") > shotJump, lit(1L))), lit(0L))
+          .as("n_cuts"),
+        coalesce(max(col("jump")), lit(0L)).as("max_jump"))
+      .withColumn("n_shots", col("n_cuts") + 1)
+      .select(col("doc_id"), col("n_frames"), col("n_shots"),
+        (expr("(2 * n_frames * 1000000 + n_shots) div (2 * n_shots)")
+          .cast("double") / lit(1000000.0)).as("mean_shot_frames"),
+        col("max_jump"))
+      .orderBy("doc_id")
+  }
+
+  private val mmShotBoundarySql =
+    s"""WITH fr AS (
+      |  SELECT doc_id,
+      |    UNNEST(generate_series(0,
+      |      (octet_length(encode(text)) + ${shotFrameBytes - 1})
+      |        // $shotFrameBytes - 1, 1)) AS i,
+      |    text
+      |  FROM documents),
+      |lum AS (
+      |  SELECT doc_id, i,
+      |    CAST(list_sum(list_transform(
+      |      range(1, length(substr(text,
+      |        CAST(i * $shotFrameBytes + 1 AS BIGINT),
+      |        $shotFrameBytes)) + 1),
+      |      j -> unicode(substr(substr(text,
+      |        CAST(i * $shotFrameBytes + 1 AS BIGINT),
+      |        $shotFrameBytes), CAST(j AS BIGINT), 1))))
+      |      AS BIGINT) AS luma
+      |  FROM fr),
+      |jmp AS (
+      |  SELECT doc_id, i,
+      |    abs(luma - LAG(luma) OVER (PARTITION BY doc_id ORDER BY i))
+      |      AS jump
+      |  FROM lum),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |    CAST(COALESCE(SUM(CASE WHEN jump > $shotJump THEN 1 END), 0)
+      |      AS BIGINT) + 1 AS n_shots,
+      |    CAST(COALESCE(MAX(jump), 0) AS BIGINT) AS max_jump
+      |  FROM jmp GROUP BY 1)
+      |SELECT doc_id, n_frames, n_shots,
+      |  CAST((2 * n_frames * 1000000 + n_shots) // (2 * n_shots)
+      |    AS DOUBLE) / 1000000.0 AS mean_shot_frames,
+      |  max_jump
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("mm_features", mmFeatures, Some(mmFeaturesSql)),
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
     Op("mm_resize", mmResize, Some(mmResizeSql)),
     Op("mm_phash_dedup", mmPhashDedup, None),
+    Op("mm_shot_boundary", mmShotBoundary, Some(mmShotBoundarySql)),
   )
 }

@@ -153,11 +153,19 @@ class PlanAuditSpec extends SparkSpec {
       // pair frame, all checkpointed); the 1 exchange is the 24-row
       // output sort
       "sim_mmr" -> 1,
-      // checkpointed edges/degrees/oriented frames: the orderkey
-      // pair join + two distincts + degree agg + two orient joins
-      // feed the checkpoints; final plan = the src-keyed wedge join
-      // + the (v,w) semi-join closure + constant-frame aggs
+      // checkpointed edges/degrees/oriented/adjacency frames: the
+      // orderkey pair join + two distincts + degree agg + two orient
+      // joins + the adjacency agg feed the checkpoints; final plan =
+      // the two src/dst-keyed adjacency joins (intersection is
+      // map-side) + constant-frame aggs
       "ft_graph_triangles" -> 7,
+      // label block inherits ft_time_to_event's ONE user_id shuffle;
+      // day-cell agg + constant triangle joins (broadcast) + the
+      // ≤31-row sort
+      "ft_kaplan_meier" -> 2,
+      // ONE doc_id exchange feeds the lag window; the per-doc agg
+      // rides the same partitioning; + the output sort
+      "mm_shot_boundary" -> 2,
       // final plan reads the checkpointed phrase frame (producer:
       // posexplode + run-id window + (doc_id,run) agg, ONE corpus
       // pass); remaining: vocab word-stats agg, phrase-count agg,
