@@ -828,6 +828,119 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(selEn / en > 0.5, s"recall ${selEn / en} should exceed half")
   }
 
+  test("ft_kaplan_meier: survival non-increasing, risk set strictly shrinking") {
+    val km = run("ft_kaplan_meier").orderBy("tte_day").collect()
+    assert(km.nonEmpty)
+    // n_risk at the first day equals the whole label block
+    val total = run("ft_time_to_event").count()
+    assert(km.head.getLong(km.head.fieldIndex("n_risk")) == total,
+      "first at-risk count must equal the observation count")
+    km.sliding(2).withFilter(_.length == 2).foreach { case Array(a, b) =>
+      assert(b.getLong(b.fieldIndex("n_risk")) <
+        a.getLong(a.fieldIndex("n_risk")), "risk set must shrink")
+      assert(b.getDouble(b.fieldIndex("ln_survival")) <=
+        a.getDouble(a.fieldIndex("ln_survival")) + 1e-12,
+        "ln-survival must be non-increasing")
+    }
+    km.foreach { r =>
+      val h = r.getDouble(r.fieldIndex("hazard"))
+      assert(h >= 0.0 && h <= 1.0, s"hazard $h out of [0,1]")
+      assert(r.getDouble(r.fieldIndex("ln_survival")) <= 0.0)
+    }
+  }
+
+  test("sim_mmr: picks distinct, first pick is the exact top-1, scores shrink") {
+    val mmr = run("sim_mmr").collect()
+    val byQ = mmr.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      val ids = rows.map(_.getLong(rows.head.fieldIndex("cand_id")))
+      assert(ids.distinct.length == ids.length, "duplicate selection")
+      // best-achievable mmr can only fall as the penalty set grows —
+      // but only from rank 2 on: rank 1's pen is DEFINED as 0 (empty
+      // selected set), so a negative-similarity pool can legally score
+      // rank 2 above rank 1
+      val scores = rows.sortBy(_.getInt(rows.head.fieldIndex("rank")))
+        .map(_.getDouble(rows.head.fieldIndex("mmr"))).drop(1)
+      scores.sliding(2).withFilter(_.length == 2).foreach {
+        case Array(a, b) =>
+          assert(b <= a + 1e-12, "mmr objective must be non-increasing")
+      }
+    }
+    val top1 = run("sim_topk_exact").filter(col("rank") === 1)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    mmr.filter(_.getInt(1) == 1).foreach { r =>
+      assert(top1(r.getLong(0)) == r.getLong(2),
+        "rank-1 MMR pick must be the plain exact top-1")
+    }
+  }
+
+  test("ft_quantile_bins: bins contiguous and balanced within each type") {
+    run("ft_quantile_bins").collect().groupBy(_.getString(0))
+      .foreach { case (t, rows) =>
+        val sorted = rows.sortBy(_.getInt(1))
+        assert(sorted.map(_.getInt(1)).toSeq == (1 to 10),
+          s"$t: bins must be 1..10")
+        sorted.sliding(2).withFilter(_.length == 2).foreach {
+          case Array(a, b) =>
+            assert(a.getDouble(a.fieldIndex("hi")) <=
+              b.getDouble(b.fieldIndex("lo")) + 1e-12,
+              s"$t: bin ranges must not overlap")
+        }
+        val ns = sorted.map(_.getLong(sorted.head.fieldIndex("n")))
+        assert(ns.max - ns.min <= 1, s"$t: equal-frequency bins must " +
+          s"differ by at most one row, got ${ns.toSeq}")
+      }
+  }
+
+  test("ft_assoc_rules: counts consistent, intersection bounded") {
+    run("ft_assoc_rules").collect().foreach { r =>
+      val (na, nb, nboth) = (r.getLong(r.fieldIndex("n_a")),
+        r.getLong(r.fieldIndex("n_b")), r.getLong(r.fieldIndex("n_both")))
+      assert(nboth <= math.min(na, nb), "intersection exceeds a side")
+      val lift = r.getDouble(r.fieldIndex("lift"))
+      val confAB = r.getDouble(r.fieldIndex("conf_a_b"))
+      assert(lift >= 0.0 && confAB >= 0.0 && confAB <= 1.0)
+    }
+  }
+
+  test("mm_shot_boundary: frame geometry matches byte lengths, shots bounded") {
+    val docs = run("mm_shot_boundary")
+      .join(SparkEntry.queries("txt_stats")(spark, sf)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
+        Seq("doc_id"))
+      .collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val frames = r.getLong(r.fieldIndex("n_frames"))
+      val shots = r.getLong(r.fieldIndex("n_shots"))
+      val chars = r.getLong(r.fieldIndex("n_chars"))
+      assert(frames == (chars + 63) / 64,
+        s"doc ${r.getLong(0)}: frames $frames != ceil($chars/64)")
+      assert(shots >= 1 && shots <= frames, "shot count out of bounds")
+    }
+  }
+
+  test("ev_bot_detect: flag agrees with the reported cv2 at the 0.1 cut") {
+    val rows = run("ev_bot_detect").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cv2 = r.getDouble(r.fieldIndex("cv2"))
+      val bot = r.getInt(r.fieldIndex("is_bot"))
+      if (bot == 1) assert(cv2 <= 0.1 + 1e-6, s"flagged at cv2=$cv2")
+      else assert(cv2 >= 0.1 - 1e-6, s"unflagged at cv2=$cv2")
+    }
+  }
+
+  test("txt_zipf: negative slope, rank frame is the min(1000, vocab) cut") {
+    val r = run("txt_zipf").collect().head
+    assert(r.getDouble(r.fieldIndex("zipf_slope")) < 0.0,
+      "rank-frequency slope must be negative")
+    val nTypes = r.getLong(r.fieldIndex("n_types"))
+    assert(r.getLong(r.fieldIndex("n_ranks")) == math.min(1000L, nTypes))
+    assert(r.getLong(r.fieldIndex("n_tokens")) >= nTypes)
+  }
+
   test("sim_recall_report agrees with a hand-computed lsh recall") {
     val exact = run("sim_topk_exact").select("q_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
