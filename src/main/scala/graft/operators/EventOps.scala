@@ -1451,6 +1451,199 @@ object EventOps extends Suite {
       |  CAST(v * 100 < sg2 AS INT) AS is_bot
       |FROM vv ORDER BY user_id""".stripMargin
 
+  // ---- ev_attribution_markov: removal-effect channel attribution ----
+  // Markov-chain attribution (Anderl et al. 2014 — the data-driven
+  // model vendors sell next to the positional rules ev_attribution
+  // implements): sessions become absorbing-chain paths
+  // START → touches → CONV (first purchase) | NULL (session dies),
+  // conversion probability is the chain's absorption mass at CONV,
+  // and a channel's credit is its REMOVAL EFFECT — how much
+  // conversion drops when the channel is knocked out (made absorbing
+  // to NULL). All variants (full + one per channel) iterate
+  // TOGETHER: the value vector is keyed (variant, node), so 12
+  // fixed-point rounds are 12 tiny checkpointed jobs over an
+  // (alphabet+3)·variants frame — never one chain per channel.
+  // Exactness: transition weights stay integer COUNTS (never
+  // pre-divided probabilities); each round's value update is the
+  // half-up micro quotient of Σcnt·v / Σcnt, so the oracle's 12
+  // unrolled CTE rounds replay the trajectory bit-for-bit — the
+  // hash gate verifies the whole fixed-point computation, the
+  // sim_kmeans/txt_quality_distill loop contract. Removal effects
+  // clamp at 0 (quantization can wobble ±1µ around a no-op removal)
+  // and the share denominator guards the all-zero case with the 0.0
+  // sentinel.
+  // Scale: path derivation rides ONE user_id shuffle (the
+  // ev_transitions session windows + a prior-purchase truncation
+  // window on the same key); each kept event emits its transitions
+  // via ONE explode (no union fan-out of the corpus lineage); the
+  // count frame checkpoints at alphabet²+3 rows and everything
+  // after is alphabet-sized.
+  private val markovIters = 12
+
+  private def evAttributionMarkov(spark: SparkSession,
+      dir: String): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val bySess = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts"), col("event_id"))
+    val kept = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(col("ts") <
+          lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTE"), 0)
+          .otherwise(1))
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("pp", coalesce(
+        sum(when(col("event_type") === "purchase", 1L)).over(
+          bySess.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("pp") === 0)
+      .withColumn("node", when(col("event_type") === "purchase", "CONV")
+        .otherwise(col("event_type")))
+    val counts = kept
+      .withColumn("src", coalesce(lag(col("node"), 1).over(bySess),
+        lit("START")))
+      .withColumn("is_last", lead(col("node"), 1).over(bySess).isNull)
+      .select(expr(
+        """explode(concat(
+          |  array(struct(src AS s, node AS d)),
+          |  CASE WHEN is_last AND node <> 'CONV'
+          |    THEN array(struct(node AS s, 'NULL' AS d))
+          |    ELSE slice(array(struct(node AS s, 'NULL' AS d)), 1, 0)
+          |  END)) AS tr""".stripMargin))
+      .groupBy(col("tr.s").as("s"), col("tr.d").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .checkpoint()
+    val channels = counts.select(col("s")).distinct()
+      .filter(col("s") =!= "START")
+    val trans = counts
+      .select(lit("full").as("variant"), col("s"), col("d"), col("cnt"))
+      .unionAll(counts
+        .crossJoin(broadcast(channels.select(col("s").as("variant"))))
+        .withColumn("d",
+          when(col("s") === col("variant"), lit("NULL")).otherwise(col("d")))
+        .groupBy("variant", "s", "d").agg(sum(col("cnt")).as("cnt"))
+        .select(col("variant"), col("s"), col("d"), col("cnt")))
+      .checkpoint()
+    var v = trans.select(col("variant"), col("d").as("node")).distinct()
+      .withColumn("v",
+        when(col("node") === "CONV", lit(1000000L)).otherwise(lit(0L)))
+      .checkpoint()
+    for (_ <- 1 to markovIters) {
+      v = trans
+        .join(v.select(col("variant"), col("node").as("d"), col("v")),
+          Seq("variant", "d"))
+        .groupBy(col("variant"), col("s").as("node"))
+        .agg(expr("cast((2 * sum(cnt * v) + sum(cnt)) " +
+          "div (2 * sum(cnt)) as bigint)").as("v"))
+        .unionAll(v.filter(col("node").isin("CONV", "NULL")))
+        .checkpoint()
+    }
+    val conv = v.filter(col("node") === "START")
+      .select(col("variant"), col("v"))
+    val base = conv.filter(col("variant") === "full")
+      .select(col("v").as("base_u"))
+    val re = conv.filter(col("variant") =!= "full")
+      .crossJoin(broadcast(base))
+      .withColumn("re_u", greatest(lit(0L), col("base_u") - col("v")))
+    re.crossJoin(broadcast(re.agg(sum(col("re_u")).as("tot_u"))))
+      .select(col("variant").as("channel"),
+        (col("base_u").cast("double") / 1000000.0).as("base_conv"),
+        (col("v").cast("double") / 1000000.0).as("removed_conv"),
+        (col("re_u").cast("double") / 1000000.0).as("removal_effect"),
+        when(col("tot_u") > 0,
+          expr("(2 * re_u * 1000000 + tot_u) div (2 * tot_u)")
+            .cast("double") / 1000000.0).otherwise(lit(0.0))
+          .as("attribution"))
+      .orderBy("channel")
+  }
+
+  private val evAttributionMarkovSql = {
+    val rounds = (1 to markovIters).map { k =>
+      s"""v$k AS MATERIALIZED (
+        |  SELECT t.variant, t.s AS node,
+        |    CAST((2 * SUM(t.cnt * p.v) + SUM(t.cnt))
+        |      // (2 * SUM(t.cnt)) AS BIGINT) AS v
+        |  FROM trans t JOIN v${k - 1} p
+        |    ON p.variant = t.variant AND p.node = t.d
+        |  GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT variant, node, v FROM v${k - 1}
+        |  WHERE node IN ('CONV', 'NULL'))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN ts < LAG(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id)
+      |      + INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |kept AS MATERIALIZED (
+      |  SELECT user_id, session_id, ts, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+      |      ELSE event_type END AS node
+      |  FROM (SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN 1 END) OVER (PARTITION BY user_id, session_id
+      |      ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS pp
+      |    FROM sess)
+      |  WHERE pp = 0),
+      |steps AS MATERIALIZED (
+      |  SELECT user_id, session_id, node,
+      |    COALESCE(LAG(node) OVER w, 'START') AS src,
+      |    LEAD(node) OVER w IS NULL AS is_last
+      |  FROM kept
+      |  WINDOW w AS (PARTITION BY user_id, session_id
+      |    ORDER BY ts, event_id)),
+      |counts AS MATERIALIZED (
+      |  SELECT s, d, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |    SELECT src AS s, node AS d FROM steps
+      |    UNION ALL
+      |    SELECT node, 'NULL' FROM steps WHERE is_last AND node <> 'CONV')
+      |  GROUP BY 1, 2),
+      |channels AS (SELECT DISTINCT s FROM counts WHERE s <> 'START'),
+      |trans AS MATERIALIZED (
+      |  SELECT 'full' AS variant, s, d, cnt FROM counts
+      |  UNION ALL
+      |  SELECT c.s AS variant, x.s,
+      |    CASE WHEN x.s = c.s THEN 'NULL' ELSE x.d END AS d,
+      |    CAST(SUM(x.cnt) AS BIGINT) AS cnt
+      |  FROM counts x CROSS JOIN channels c
+      |  GROUP BY 1, 2, 3),
+      |v0 AS MATERIALIZED (
+      |  SELECT DISTINCT variant, d AS node,
+      |    CAST(CASE WHEN d = 'CONV' THEN 1000000 ELSE 0 END AS BIGINT)
+      |      AS v
+      |  FROM trans),
+      |$rounds,
+      |conv AS MATERIALIZED (
+      |  SELECT variant, v FROM v$markovIters WHERE node = 'START'),
+      |re AS MATERIALIZED (
+      |  SELECT c.variant AS channel, b.v AS base_u, c.v AS rm_u,
+      |    greatest(0, b.v - c.v) AS re_u
+      |  FROM conv c CROSS JOIN (SELECT v FROM conv
+      |    WHERE variant = 'full') b
+      |  WHERE c.variant <> 'full'),
+      |tot AS (SELECT CAST(SUM(re_u) AS BIGINT) AS tot_u FROM re)
+      |SELECT channel,
+      |  CAST(base_u AS DOUBLE) / 1000000.0 AS base_conv,
+      |  CAST(rm_u AS DOUBLE) / 1000000.0 AS removed_conv,
+      |  CAST(re_u AS DOUBLE) / 1000000.0 AS removal_effect,
+      |  CASE WHEN tot_u > 0 THEN
+      |    CAST((2 * re_u * 1000000 + tot_u) // (2 * tot_u) AS DOUBLE)
+      |      / 1000000.0
+      |  ELSE 0.0 END AS attribution
+      |FROM re CROSS JOIN tot
+      |ORDER BY channel""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
@@ -1478,5 +1671,7 @@ object EventOps extends Suite {
     Op("ev_seasonality", evSeasonality, Some(evSeasonalitySql)),
     Op("ev_changepoint", evChangepoint, Some(evChangepointSql)),
     Op("ev_bot_detect", evBotDetect, Some(evBotDetectSql)),
+    Op("ev_attribution_markov", evAttributionMarkov,
+      Some(evAttributionMarkovSql)),
   )
 }

@@ -166,6 +166,11 @@ class PlanAuditSpec extends SparkSpec {
       // ONE doc_id exchange feeds the lag window; the per-doc agg
       // rides the same partitioning; + the output sort
       "mm_shot_boundary" -> 2,
+      // final plan reads the 12th checkpointed value frame (producer:
+      // ONE user_id shuffle for the session/truncation windows, then
+      // alphabet-sized rounds); remaining: the START-filter aggs +
+      // the 4-row sort
+      "ev_attribution_markov" -> 2,
       // final plan reads the checkpointed phrase frame (producer:
       // posexplode + run-id window + (doc_id,run) agg, ONE corpus
       // pass); remaining: vocab word-stats agg, phrase-count agg,
