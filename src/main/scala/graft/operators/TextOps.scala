@@ -1616,6 +1616,68 @@ object TextOps extends Suite {
       |    AS DOUBLE) / 1000000.0 AS zipf_intercept
       |FROM fit CROSS JOIN tot""".stripMargin
 
+  // ---- txt_code_detect: code-vs-prose corpus screen ------------------
+  // The "is this document source code" gate an LLM-data pipeline runs
+  // to route code into its own mixture bucket (or out of a
+  // prose-only corpus): per document the count of code-indicative
+  // symbols ({};()=[]<>), with the code DECISION taken on the exact
+  // integer inequality sym·1000 > 20·n_chars (2% symbol density) —
+  // no float at the boundary — rolled up per source: doc counts,
+  // code share, and the mean symbol density (both half-up micro).
+  // The per-char counting is length(text) − length(strip) inside
+  // codegen on both engines (DuckDB needs the 'g' regexp flag — its
+  // regexp_replace defaults to FIRST match, Spark's to all).
+  // Scale: one map-only pass + an alphabet-sized source agg
+  // (map-side combined); nothing shuffles but the per-source cells.
+  // Empty documents count as prose (0·1000 > 20·0 is false),
+  // divisions guard on n_chars ≥ 1 per doc via the corpus having
+  // non-empty text, and the share quotient's denominator is the
+  // per-source doc count (≥ 1 by grouping).
+  private def txtCodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val sym = length(col("text")) -
+      length(regexp_replace(col("text"), "[{};()=\\[\\]<>]", ""))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        sym.cast("long").as("sym"))
+      .withColumn("is_code",
+        (col("sym") * 1000 > col("n_chars") * 20).cast("int"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("is_code")), lit(0L)).as("n_code"),
+        sum(col("sym")).as("sym_total"),
+        sum(col("n_chars")).as("chars_total"))
+      .select(col("source"), col("n_docs"), col("n_code"),
+        (expr("(2 * n_code * 1000000 + n_docs) div (2 * n_docs)")
+          .cast("double") / lit(1000000.0)).as("code_share"),
+        (expr("(2 * sym_total * 1000000 + chars_total) " +
+          "div (2 * chars_total)").cast("double") / lit(1000000.0))
+          .as("mean_sym_density"))
+      .orderBy("source")
+  }
+
+  private val txtCodeDetectSql =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(text) - length(regexp_replace(text,
+      |      '[{};()=\[\]<>]', '', 'g')) AS BIGINT) AS sym
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COALESCE(SUM(CASE WHEN sym * 1000 > n_chars * 20
+      |      THEN 1 END), 0) AS BIGINT) AS n_code,
+      |    CAST(SUM(sym) AS BIGINT) AS sym_total,
+      |    CAST(SUM(n_chars) AS BIGINT) AS chars_total
+      |  FROM d GROUP BY 1)
+      |SELECT source, n_docs, n_code,
+      |  CAST((2 * n_code * 1000000 + n_docs) // (2 * n_docs) AS DOUBLE)
+      |    / 1000000.0 AS code_share,
+      |  CAST((2 * sym_total * 1000000 + chars_total)
+      |    // (2 * chars_total) AS DOUBLE) / 1000000.0
+      |    AS mean_sym_density
+      |FROM g ORDER BY source""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -1636,5 +1698,6 @@ object TextOps extends Suite {
     Op("txt_quality_distill", txtQualityDistill, Some(txtQualityDistillSql)),
     Op("txt_keyphrases", txtKeyphrases, Some(txtKeyphrasesSql)),
     Op("txt_zipf", txtZipf, Some(txtZipfSql)),
+    Op("txt_code_detect", txtCodeDetect, Some(txtCodeDetectSql)),
   )
 }

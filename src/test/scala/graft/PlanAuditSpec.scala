@@ -171,6 +171,9 @@ class PlanAuditSpec extends SparkSpec {
       // alphabet-sized rounds); remaining: the START-filter aggs +
       // the 4-row sort
       "ev_attribution_markov" -> 2,
+      // map-only symbol counting + the alphabet-sized source agg
+      // (map-side combined) + the 20-row sort
+      "txt_code_detect" -> 2,
       // final plan reads the checkpointed phrase frame (producer:
       // posexplode + run-id window + (doc_id,run) agg, ONE corpus
       // pass); remaining: vocab word-stats agg, phrase-count agg,
