@@ -336,6 +336,53 @@ object CdcOps extends Suite {
       |WHERE rn = 1 AND event_type <> 'error'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- cdc_log_compact: Kafka-style log compaction ------------------
+  // The compaction pass a changelog topic/table runs to stay bounded
+  // (Kafka's cleaner semantics, batch form): everything newer than
+  // the retention watermark (the "dirty head") survives untouched;
+  // in the tail, only each key's LATEST OVERALL record survives —
+  // and an expired DELETE tombstone is dropped entirely (its absence
+  // IS the deletion). The invariant that makes this safe, pinned by
+  // spec: cdc_apply_snapshot over the compacted log equals
+  // cdc_apply_snapshot over the full log — compaction changes
+  // storage, never state. Watermark = corpus max ts − 24 h (a
+  // broadcast 1-row scalar, ft_rfm's reference-date pattern, so the
+  // op is deterministic from the data alone).
+  // Scale: ONE user_id shuffle carries the latest-rank window; the
+  // watermark scalar broadcasts; output order rides the same key.
+  private def cdcLogCompact(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"), opCol)
+    val wm = ev.agg((max(col("ts")) - expr("INTERVAL 24 HOUR")).as("wm"))
+    ev.crossJoin(broadcast(wm))
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("ts") > col("wm") ||
+        (col("rn") === 1 && col("op") =!= "DELETE"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"), col("op"),
+        when(col("ts") > col("wm"), "head").otherwise("tail")
+          .as("segment"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  private val cdcLogCompactSql =
+    """WITH wm AS (
+      |  SELECT MAX(ts) - INTERVAL 24 HOUR AS wm FROM events),
+      |r AS (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    CASE WHEN event_type = 'error' THEN 'DELETE'
+      |      ELSE 'UPSERT' END AS op,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id, ts, event_type, value, op,
+      |  CASE WHEN ts > wm THEN 'head' ELSE 'tail' END AS segment
+      |FROM r CROSS JOIN wm
+      |WHERE ts > wm OR (rn = 1 AND op <> 'DELETE')
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("cdc_dedupe_latest", cdcDedupeLatest, Some(cdcDedupeLatestSql)),
     Op("cdc_apply_snapshot", cdcApplySnapshot, Some(cdcApplySnapshotSql)),
@@ -345,5 +392,6 @@ object CdcOps extends Suite {
     Op("cdc_schema_reconcile", cdcSchemaReconcile, Some(cdcSchemaReconcileSql)),
     Op("cdc_snapshot_diff", cdcSnapshotDiff, Some(cdcSnapshotDiffSql)),
     Op("cdc_incremental_agg", cdcIncrementalAgg, Some(cdcIncrementalAggSql)),
+    Op("cdc_log_compact", cdcLogCompact, Some(cdcLogCompactSql)),
   )
 }

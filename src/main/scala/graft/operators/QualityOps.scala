@@ -351,28 +351,41 @@ object QualityOps extends Suite {
   // is the exact baseline; at 100 TB the fences come from
   // q_approx_percentiles' mergeable digests instead — same report.
   // n_outliers COALESCEs to 0 (the NULLable-int cross-engine trap).
-  private def dqOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
-    val ev = Tables.events(spark, dir)
+  /** Centi-quantized measure rows (ft_scaler's contract) — shared by
+    * the outlier gate and the quarantine export. */
+  private def centiEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .filter(col("value").isNotNull)
-      .select(col("event_type"), col("event_id"),
+      .select(col("event_type"), col("event_id"), col("value"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
           .as("q100"))
-    val med = ev
-      .withColumn("rn",
-        row_number().over(w.orderBy(col("q100"), col("event_id"))))
+
+  /** (event_type, med100) discrete medians of `q100` — the exact
+    * rank-⌈n/2⌉ contract. Applied twice: once on values, once on
+    * deviations (the MAD). */
+  private def discreteMedian(ev: DataFrame, of: String,
+      as: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    ev.withColumn("rn",
+        row_number().over(w.orderBy(col(of), col("event_id"))))
       .withColumn("n", count(lit(1)).over(w))
       .filter(col("rn") === greatest(lit(1L), ceil(lit(0.5) * col("n"))))
-      .select(col("event_type"), col("q100").as("med100"))
-    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col(of).as(as))
+  }
+
+  /** Rows with their deviation from the per-type median, plus the
+    * type's MAD — the shared core of dq_outliers and dq_quarantine. */
+  private def robustDeviations(ev: DataFrame): DataFrame = {
+    val dev = ev
+      .join(broadcast(discreteMedian(ev, "q100", "med100")),
+        Seq("event_type"))
       .withColumn("dev", abs(col("q100") - col("med100")))
-    val mad = dev
-      .withColumn("rn",
-        row_number().over(w.orderBy(col("dev"), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(w))
-      .filter(col("rn") === greatest(lit(1L), ceil(lit(0.5) * col("n"))))
-      .select(col("event_type"), col("dev").as("mad100"))
-    dev.join(broadcast(mad), Seq("event_type"))
+    dev.join(broadcast(discreteMedian(dev, "dev", "mad100")),
+      Seq("event_type"))
+  }
+
+  private def dqOutliers(spark: SparkSession, dir: String): DataFrame = {
+    robustDeviations(centiEvents(spark, dir))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         max(col("med100")).as("med100"),
@@ -390,9 +403,12 @@ object QualityOps extends Suite {
       .orderBy("event_type")
   }
 
-  private val dqOutliersSql =
-    """WITH q AS (
-      |  SELECT event_type, event_id,
+  /** The shared robust-stats CTE chain (q → medians → deviations →
+    * MAD) — the SQL twin of [[robustDeviations]], used by both the
+    * gate's and the quarantine's oracles. */
+  private val robustCtes =
+    """q AS (
+      |  SELECT event_type, event_id, value,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS q100
       |  FROM events WHERE value IS NOT NULL),
       |r1 AS (
@@ -405,7 +421,7 @@ object QualityOps extends Suite {
       |  WHERE rn = greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n)
       |    AS BIGINT))),
       |d AS (
-      |  SELECT q.event_type, q.event_id, q.q100, med100,
+      |  SELECT q.event_type, q.event_id, q.value, q.q100, med100,
       |    abs(q100 - med100) AS dev
       |  FROM q JOIN med ON q.event_type = med.event_type),
       |r2 AS (
@@ -416,7 +432,10 @@ object QualityOps extends Suite {
       |mad AS (
       |  SELECT event_type, dev AS mad100 FROM r2
       |  WHERE rn = greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n)
-      |    AS BIGINT)))
+      |    AS BIGINT)))""".stripMargin
+
+  private val dqOutliersSql =
+    s"""WITH $robustCtes
       |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
       |  CAST(MAX(med100) AS DOUBLE) / 100.0 AS median,
       |  CAST(MAX(mad100) AS DOUBLE) / 100.0 AS mad,
@@ -430,11 +449,48 @@ object QualityOps extends Suite {
       |FROM d JOIN mad ON d.event_type = mad.event_type
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- dq_quarantine: worst-offender outlier row export -------------
+  // The actionable half of dq_outliers: the actual ROWS an operator
+  // inspects (and a pipeline routes to a quarantine table instead of
+  // the merge) — per type the 5 largest robust deviations beyond the
+  // same exact integer fence, ranked (dev DESC, event_id) so the cut
+  // is deterministic under ties. Shares [[robustDeviations]] and the
+  // [[robustCtes]] oracle chain with the gate, so the two reports
+  // can never disagree about what an outlier is.
+  // Scale: the fence filter runs map-side after the broadcast stats
+  // join; only flagged rows (outlier_share · corpus) reach the
+  // per-type top-5 window.
+  private def dqQuarantine(spark: SparkSession, dir: String): DataFrame =
+    robustDeviations(centiEvents(spark, dir))
+      .filter(col("dev") * 10000 > col("mad100") * 44478)
+      .withColumn("rank", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("dev").desc, col("event_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("event_type"), col("rank"), col("event_id"),
+        col("value"),
+        (col("dev").cast("double") / 100.0).as("abs_dev"),
+        (col("med100").cast("double") / 100.0).as("median"))
+      .orderBy("event_type", "rank")
+
+  private val dqQuarantineSql =
+    s"""WITH $robustCtes
+      |SELECT d.event_type,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type
+      |    ORDER BY dev DESC, event_id) AS INT) AS rank,
+      |  event_id, value,
+      |  CAST(dev AS DOUBLE) / 100.0 AS abs_dev,
+      |  CAST(med100 AS DOUBLE) / 100.0 AS median
+      |FROM d JOIN mad ON d.event_type = mad.event_type
+      |WHERE dev * 10000 > mad100 * 44478
+      |QUALIFY rank <= 5
+      |ORDER BY d.event_type, rank""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("dq_checks", dqChecks, Some(dqChecksSql)),
     Op("dq_drift", dqDrift, Some(dqDriftSql)),
     Op("dq_freshness", dqFreshness, Some(dqFreshnessSql)),
     Op("dq_reconcile", dqReconcile, Some(dqReconcileSql)),
     Op("dq_outliers", dqOutliers, Some(dqOutliersSql)),
+    Op("dq_quarantine", dqQuarantine, Some(dqQuarantineSql)),
   )
 }

@@ -941,6 +941,40 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("n_tokens")) >= nTypes)
   }
 
+  test("cdc_log_compact preserves apply-snapshot state exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val applied = run("cdc_log_compact")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "DELETE")
+      .select("user_id", "event_id", "ts", "value")
+    val full = run("cdc_apply_snapshot")
+      .select("user_id", "event_id", "ts", "value")
+    assert(applied.exceptAll(full).isEmpty &&
+      full.exceptAll(applied).isEmpty,
+      "applying the compacted log must yield the full-log state")
+  }
+
+  test("dq_quarantine rows are exactly the gate's worst offenders") {
+    val gate = run("dq_outliers").select("event_type", "n_outliers")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = run("dq_quarantine").collect()
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      assert(rs.length == math.min(5L, gate(t)),
+        s"$t: quarantine must export min(5, n_outliers) rows")
+    }
+    // every quarantined deviation clears the same fence the gate counts
+    val stats = run("dq_outliers")
+      .select("event_type", "mad").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val dev = r.getDouble(r.fieldIndex("abs_dev"))
+      assert(dev * 100 > stats(r.getString(0)) * 100 * 4.4478 - 1e-6,
+        "quarantined row below the robust fence")
+    }
+  }
+
   test("sim_recall_report agrees with a hand-computed lsh recall") {
     val exact = run("sim_topk_exact").select("q_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -143,6 +143,14 @@ class PlanAuditSpec extends SparkSpec {
       // alphabet-sized median/MAD frames broadcast back, the final
       // conditional agg's exchange + the 5-row sort
       "dq_outliers" -> 5,
+      // same two ranked stats windows; the fence filter is map-side
+      // after the broadcast joins, the flagged-rows top-5 window +
+      // the 25-row sort
+      "dq_quarantine" -> 5,
+      // ONE user_id shuffle for the latest-rank window (the 1-row
+      // watermark broadcasts) + the (user,ts) output sort; the
+      // scalar agg's SinglePartition exchange is the third
+      "cdc_log_compact" -> 3,
       // final plan reads the checkpointed vocab + constant top-1000
       // frames (producer: ONE corpus token agg + a TakeOrdered cut);
       // the rank self-join broadcasts, the 1 exchange is the
