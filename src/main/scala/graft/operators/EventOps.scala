@@ -1644,6 +1644,103 @@ object EventOps extends Suite {
       |ORDER BY channel""".stripMargin
   }
 
+  // ---- ev_autocorrelation: exact series ACF at lag 1h / 24h ---------
+  // The seasonality-strength readout that complements ev_seasonality
+  // (shape) and ev_changepoint (level): the autocorrelation of the
+  // hourly count series at lag 1 (persistence) and lag 24 (daily
+  // cycle). Exact by clearing the mean: x_t = H·c_t − T centers the
+  // series in pure integers (Σx = 0 identically), ACF_k =
+  // Σ x_t·x_{t+k} / Σ x_t² with both sums in DECIMAL(38,0)/HUGEINT
+  // (x ~ H·c, so x² ~ 10¹⁴ and the sum brushes int64) and the
+  // quotient through the SIGN-SAFE half-up contract (ACF is signed).
+  // Lagged pairs come from an EQUI-join on (type, hr + k) — a
+  // missing hour simply contributes no pair (sparse-pair semantics,
+  // documented), never a wrong-distance pair the way LEAD over a
+  // gapped series would.
+  // Scale: one map-side-combined hourly agg, then series-sized
+  // joins/aggs on the (type, hr) key; nothing after the first agg
+  // grows with the corpus.
+  private def evAutocorrelation(spark: SparkSession,
+      dir: String): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val d38 = DecimalType(38, 0)
+    val byType = Window.partitionBy("event_type")
+    val x = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("h", count(lit(1)).over(byType))
+      .withColumn("t", sum(col("c")).over(byType))
+      .withColumn("x", col("h") * col("c") - col("t"))
+      .select(col("event_type"), col("hr"), col("x"))
+      .checkpoint()
+    def lagSum(k: Int): DataFrame = x
+      .join(x.select(col("event_type"),
+          (col("hr") - expr(s"INTERVAL $k HOUR")).as("hr"),
+          col("x").as("xk")),
+        Seq("event_type", "hr"))
+      .groupBy("event_type")
+      .agg(sum(col("x").cast(d38) * col("xk").cast(d38)).as(s"num_$k"),
+        count(lit(1)).as(s"pairs_$k"))
+    val den = x.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("den"))
+    def acf(k: Int) = expr(
+      s"""(case when num_$k < 0 then -1 else 1 end) *
+        |  ((2 * abs(num_$k) * 1000000 + den) div (2 * den))"""
+        .stripMargin).cast("double") / lit(1000000.0)
+    den.join(lagSum(1), Seq("event_type"))
+      .join(lagSum(24), Seq("event_type"))
+      .filter(col("den") > 0)
+      .select(col("event_type"), col("n_hours"),
+        col("pairs_1"), acf(1).as("acf_1"),
+        col("pairs_24"), acf(24).as("acf_24"))
+      .orderBy("event_type")
+  }
+
+  private val evAutocorrelationSql =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+      |    AS hr, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |x AS MATERIALIZED (
+      |  SELECT event_type, hr,
+      |    CAST(COUNT(*) OVER w * c - SUM(c) OVER w AS BIGINT) AS x
+      |  FROM hourly WINDOW w AS (PARTITION BY event_type)),
+      |den AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |    SUM(CAST(x AS HUGEINT) * x) AS den
+      |  FROM x GROUP BY 1),
+      |l1 AS (
+      |  SELECT a.event_type,
+      |    SUM(CAST(a.x AS HUGEINT) * b.x) AS num_1,
+      |    CAST(COUNT(*) AS BIGINT) AS pairs_1
+      |  FROM x a JOIN x b ON a.event_type = b.event_type
+      |    AND b.hr = a.hr + INTERVAL 1 HOUR
+      |  GROUP BY 1),
+      |l24 AS (
+      |  SELECT a.event_type,
+      |    SUM(CAST(a.x AS HUGEINT) * b.x) AS num_24,
+      |    CAST(COUNT(*) AS BIGINT) AS pairs_24
+      |  FROM x a JOIN x b ON a.event_type = b.event_type
+      |    AND b.hr = a.hr + INTERVAL 24 HOUR
+      |  GROUP BY 1)
+      |SELECT den.event_type, n_hours,
+      |  pairs_1,
+      |  CAST((CASE WHEN num_1 < 0 THEN -1 ELSE 1 END) *
+      |    ((2 * abs(num_1) * 1000000 + den) // (2 * den)) AS DOUBLE)
+      |    / 1000000.0 AS acf_1,
+      |  pairs_24,
+      |  CAST((CASE WHEN num_24 < 0 THEN -1 ELSE 1 END) *
+      |    ((2 * abs(num_24) * 1000000 + den) // (2 * den)) AS DOUBLE)
+      |    / 1000000.0 AS acf_24
+      |FROM den
+      |JOIN l1 ON l1.event_type = den.event_type
+      |JOIN l24 ON l24.event_type = den.event_type
+      |WHERE den > 0
+      |ORDER BY den.event_type""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
@@ -1673,5 +1770,6 @@ object EventOps extends Suite {
     Op("ev_bot_detect", evBotDetect, Some(evBotDetectSql)),
     Op("ev_attribution_markov", evAttributionMarkov,
       Some(evAttributionMarkovSql)),
+    Op("ev_autocorrelation", evAutocorrelation, Some(evAutocorrelationSql)),
   )
 }

@@ -128,6 +128,10 @@ class PlanAuditSpec extends SparkSpec {
       // hourly (type,hr) agg + the type-keyed series window exchange
       // (series-sized: corpus-lifetime hours) + the output sort
       "ev_changepoint" -> 3,
+      // final plan reads the checkpointed centered series (producer:
+      // hourly agg + type window, ONE corpus pass); den agg + the
+      // two lag-join exchanges ride (type, hr); + the 5-row sort
+      "ev_autocorrelation" -> 4,
       // ONE user_id exchange feeds the lag window; the moment agg
       // rides the same partitioning; + the output sort
       "ev_bot_detect" -> 2,
