@@ -215,7 +215,8 @@ object ScaleStress {
     marker.getParentFile.mkdirs(); marker.createNewFile(); ()
   }
 
-  private def runSkew(spark: SparkSession, factor: Int): Unit = {
+  private def runSkew(spark: SparkSession, factor: Int,
+      queries: Seq[String] = skewQueries, tag: String = ""): Unit = {
     val baseDir = "/root/testdata/sf0.1"
     val root = "/tmp/graft_scale"
     val evenDir = s"$root/sf$factor"
@@ -225,7 +226,7 @@ object ScaleStress {
     // demonstration thresholds (defaults only trip past ~256 MB/task)
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
-    val rows = skewQueries.flatMap { q =>
+    val rows = queries.flatMap { q =>
       try {
         runOnce(spark, q, evenDir) // warmup
         val even = Seq.fill(2)(runOnce(spark, q, evenDir))
@@ -242,17 +243,21 @@ object ScaleStress {
       s"""{"query":"$q","t_even":${num(te)},"t_skew":${num(ts)},""" +
         s""""splits_even":${sigE("skewSplit")},"splits_skew":${sigS("skewSplit")}}"""
     }.mkString("[", ",\n", "]")
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_SKEW_r08.json"),
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"SCALE_SKEW_r08$tag.json"),
       (s"""{"factor":$factor,"hot_share":0.2,"queries":$items}""" + "\n")
         .getBytes("UTF-8"))
-    println(s"[scale] wrote SCALE_SKEW_r08.json (${rows.size} queries)")
+    println(s"[scale] wrote SCALE_SKEW_r08$tag.json (${rows.size} queries)")
   }
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) {
       val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+      val queries = args.drop(2).headOption.filterNot(_.startsWith("_"))
+        .map(_.split(",").toSeq).getOrElse(skewQueries)
+      val tag = args.drop(2).find(_.startsWith("_")).getOrElse("")
       val spark = Engine.session("graft-scale-skew")
-      runSkew(spark, factor)
+      runSkew(spark, factor, queries, tag)
       spark.stop()
       return
     }
