@@ -1121,6 +1121,63 @@ object PipelineOps extends Suite {
       |FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
       |ORDER BY doc.doc_id""".stripMargin
 
+  // ---- pipe_epoch_shuffle: deterministic training-order shuffle -----
+  // The "global shuffle" every training run needs, made deterministic
+  // and cluster-layout-independent: per epoch, every document gets a
+  // fresh pseudo-random order key md5(doc_id ':' epoch), lands in the
+  // shard named by the key's first byte, and takes its position from
+  // the WITHIN-SHARD rank of that key — re-running the job on any
+  // cluster reproduces the identical epoch order, and no two epochs
+  // share an order (the per-epoch salt re-keys everything). This is
+  // the missing piece between pipe_shard_manifest (shard audit) and
+  // pipe_pack_sequences (in-shard packing): WHICH doc goes WHERE in
+  // WHAT order, as data.
+  // Scale: the epoch fan-out is a constant-×E broadcast cross join;
+  // shard assignment is map-side; the only ordering ever computed is
+  // the per-(epoch, shard) window — exactly the local sort a
+  // `repartition(shard).sortWithinPartitions(key)` writer performs;
+  // no global sort exists anywhere.
+  private val epochCount = 2
+  private val epochShards = 8
+
+  private def pipeEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val epochs = spark.range(1, epochCount + 1)
+      .select(col("id").cast("int").as("epoch"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .crossJoin(broadcast(epochs))
+      .withColumn("okey", md5(concat(col("doc_id").cast("string"),
+        lit(":"), col("epoch").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("okey"), 1, 2), 16, 10).cast("long")
+          % epochShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard")
+          .orderBy(col("okey"), col("doc_id"))))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"),
+        col("okey"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
+  private val pipeEpochShuffleSql =
+    s"""WITH e AS (SELECT UNNEST(range(1, ${epochCount + 1})) AS epoch),
+      |k AS (
+      |  SELECT CAST(epoch AS INT) AS epoch, doc_id,
+      |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+      |      AS okey
+      |  FROM documents CROSS JOIN e),
+      |s AS (
+      |  SELECT epoch, doc_id, okey,
+      |    ((strpos('0123456789abcdef', substr(okey, 1, 1)) - 1) * 16 +
+      |      strpos('0123456789abcdef', substr(okey, 2, 1)) - 1)
+      |      % $epochShards AS shard
+      |  FROM k)
+      |SELECT epoch, CAST(shard AS BIGINT) AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+      |    ORDER BY okey, doc_id) AS INT) AS pos,
+      |  doc_id, okey
+      |FROM s ORDER BY epoch, shard, pos""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("pipe_dsir", pipeDsir, Some(pipeDsirSql)),
     Op("pipe_dataset_card", pipeDatasetCard, Some(pipeDatasetCardSql)),
@@ -1146,5 +1203,6 @@ object PipelineOps extends Suite {
     Op("pipe_oversample", pipeOversample, Some(pipeOversampleSql)),
     Op("pipe_funnel_report", pipeFunnelReport, Some(pipeFunnelReportSql)),
     Op("pipe_pack_sequences", pipePackSequences, Some(pipePackSequencesSql)),
+    Op("pipe_epoch_shuffle", pipeEpochShuffle, Some(pipeEpochShuffleSql)),
   )
 }

@@ -1125,6 +1125,70 @@ object SimilarityOps extends Suite {
       |FROM sel_$mmrK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- sim_vector_health: embedding-column QA ------------------------
+  // The embedding-table health screen run before trusting ANY
+  // downstream similarity op: per dimension the zero count (dead
+  // dims), the exact mean (a shifted dim breaks cosine geometry),
+  // and the exact population variance (a collapsed dim carries no
+  // information; one dominating dim distorts every distance). All in
+  // the quantized-integer contract: elements are dec_quant's
+  // unscaled scale-8 longs, moment sums run in DECIMAL(38,0)/
+  // HUGEINT, the signed mean takes the sign-safe half-up division
+  // and the variance numerator n·Σx² − (Σx)² ≥ 0 stays in the plain
+  // contract.
+  // Scale: ONE posexplode pass into a d-row (64) map-side-combined
+  // aggregate — the corpus never shuffles, only (dim, moments) cells.
+  private def simVectorHealth(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    Tables.embeddings(spark, dir)
+      .select(posexplode(quantized(col("embedding"))).as(Seq("i", "x")))
+      .groupBy((col("i") + 1).as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(when(col("x") === 0, lit(1L))), lit(0L)).as("n_zero"),
+        sum(col("x")).as("m"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("ss"))
+      .select(col("dim"), col("n_vecs"), col("n_zero"),
+        (expr("""(case when m < 0 then -1 else 1 end) *
+          |  ((2 * abs(cast(m as decimal(38,0))) * 1000000
+          |    + cast(n_vecs as decimal(38,0)) * 100000000)
+          |   div (2 * cast(n_vecs as decimal(38,0)) * 100000000))"""
+          .stripMargin).cast("double") / lit(1000000.0)).as("dim_mean"),
+        (expr("""(2 * (cast(n_vecs as decimal(38,0)) * ss
+          |    - cast(m as decimal(38,0)) * cast(m as decimal(38,0)))
+          |    * 1000000
+          |  + cast(n_vecs as decimal(38,0)) * n_vecs
+          |    * 10000000000000000)
+          | div (2 * cast(n_vecs as decimal(38,0)) * n_vecs
+          |    * 10000000000000000)""".stripMargin).cast("double")
+          / lit(1000000.0)).as("dim_var"))
+      .orderBy("dim")
+  }
+
+  private val simVectorHealthSql =
+    """WITH terms AS (
+      |  SELECT vec_id, i,
+      |    CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8))
+      |      * 100000000 AS BIGINT) AS x
+      |  FROM embeddings, range(1, 65) r(i)),
+      |g AS (
+      |  SELECT CAST(i AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    CAST(COALESCE(SUM(CASE WHEN x = 0 THEN 1 END), 0) AS BIGINT)
+      |      AS n_zero,
+      |    CAST(SUM(x) AS BIGINT) AS m,
+      |    SUM(CAST(x AS HUGEINT) * x) AS ss
+      |  FROM terms GROUP BY 1)
+      |SELECT dim, n_vecs, n_zero,
+      |  CAST((CASE WHEN m < 0 THEN -1 ELSE 1 END) *
+      |    ((2 * abs(CAST(m AS HUGEINT)) * 1000000
+      |      + CAST(n_vecs AS HUGEINT) * 100000000)
+      |     // (2 * CAST(n_vecs AS HUGEINT) * 100000000)) AS DOUBLE)
+      |    / 1000000.0 AS dim_mean,
+      |  CAST((2 * (n_vecs * ss - CAST(m AS HUGEINT) * m) * 1000000
+      |      + CAST(n_vecs AS HUGEINT) * n_vecs * 10000000000000000)
+      |    // (2 * CAST(n_vecs AS HUGEINT) * n_vecs * 10000000000000000)
+      |    AS DOUBLE) / 1000000.0 AS dim_var
+      |FROM g ORDER BY dim""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
     Op("sim_ann_lsh", simAnnLsh, None),
@@ -1139,5 +1203,6 @@ object SimilarityOps extends Suite {
     Op("sim_silhouette", simSilhouette, Some(simSilhouetteSql)),
     Op("sim_hard_negatives", simHardNegatives, Some(simHardNegativesSql)),
     Op("sim_mmr", simMmr, Some(simMmrSql)),
+    Op("sim_vector_health", simVectorHealth, Some(simVectorHealthSql)),
   )
 }

@@ -183,6 +183,13 @@ class PlanAuditSpec extends SparkSpec {
       // alphabet-sized rounds); remaining: the START-filter aggs +
       // the 4-row sort
       "ev_attribution_markov" -> 2,
+      // map-side shard/key assignment; ONE (epoch, shard) exchange
+      // feeds the within-shard rank window (the writer's local
+      // sort); + the output sort
+      "pipe_epoch_shuffle" -> 2,
+      // ONE posexplode pass into the 64-row map-side-combined dim
+      // agg + the 64-row sort; the corpus never shuffles
+      "sim_vector_health" -> 2,
       // map-only symbol counting + the alphabet-sized source agg
       // (map-side combined) + the 20-row sort
       "txt_code_detect" -> 2,
