@@ -975,6 +975,40 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("pipe_epoch_shuffle: each epoch is a full permutation, orders differ") {
+    val sh = run("pipe_epoch_shuffle").collect()
+    val docs = run("txt_stats").count()
+    sh.groupBy(_.getInt(0)).foreach { case (e, rows) =>
+      val ids = rows.map(_.getLong(rows.head.fieldIndex("doc_id")))
+      assert(ids.length == docs && ids.distinct.length == ids.length,
+        s"epoch $e must contain every doc exactly once")
+      // positions are dense 1..n within each shard
+      rows.groupBy(_.getLong(rows.head.fieldIndex("shard")))
+        .foreach { case (s, rs) =>
+          val pos = rs.map(_.getInt(rs.head.fieldIndex("pos"))).sorted
+          assert(pos.toSeq == (1 to rs.length), s"epoch $e shard $s: " +
+            "positions must be dense ranks")
+        }
+    }
+    // the per-epoch salt must actually re-order: the two epochs'
+    // (shard, pos) layouts for the same doc differ somewhere
+    val byDoc = sh.groupBy(_.getLong(sh.head.fieldIndex("doc_id")))
+    assert(byDoc.exists { case (_, rs) =>
+      rs.map(r => (r.getLong(r.fieldIndex("shard")),
+        r.getInt(r.fieldIndex("pos")))).distinct.length > 1
+    }, "epochs must not share an order")
+  }
+
+  test("sim_vector_health: variance non-negative, zero counts bounded") {
+    val rows = run("sim_vector_health").collect()
+    assert(rows.length == 64, "one row per embedding dimension")
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("dim_var")) >= 0.0)
+      assert(r.getLong(r.fieldIndex("n_zero")) <=
+        r.getLong(r.fieldIndex("n_vecs")))
+    }
+  }
+
   test("sim_recall_report agrees with a hand-computed lsh recall") {
     val exact = run("sim_topk_exact").select("q_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
