@@ -383,6 +383,91 @@ object CdcOps extends Suite {
       |WHERE ts > wm OR (rn = 1 AND op <> 'DELETE')
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  // ---- cdc_redelivery_audit: landing-table delivery QA ---------------
+  // The delivery audit a landing table needs BEFORE trusting the
+  // latest-per-PK MERGE: at-least-once transports redeliver (the
+  // exact failure the reference's sequence-guarded task dedupe
+  // exists for, task.py:170-177) and redelivered rows arrive LATE
+  // and OUT OF EVENT-TIME ORDER. The synthetic log is clean, so the
+  // landing table under audit is constructed deterministically from
+  // it — every 37th record is delivered twice, replays arriving
+  // after the whole original stream (arrival = event_id for
+  // originals, max_id + event_id for replays; both engines replay
+  // the identical construction, so the oracle is exact). The audit
+  // then reports, per event_type: rows landed, duplicate deliveries
+  // beyond the first per (user, event_id), affected keys, rows whose
+  // event time is behind the key's arrival-order high-water mark
+  // (the redelivery signature a watermark would drop), and the worst
+  // lateness. On a CLEAN landing table every violation column is 0 —
+  // the audit is the gate proving it.
+  // Scale: the construction is map-only (filter + union + column
+  // arithmetic over one broadcast max-id scalar); ONE user_id
+  // shuffle carries both the arrival-order high-water-mark window
+  // and (its keys being a superset) the duplicate count; the final
+  // agg is alphabet-sized.
+  private def cdcRedeliveryAudit(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val maxId = ev.agg(max(col("event_id")).as("max_id"))
+    val landing = ev.withColumn("arrival", col("event_id"))
+      .unionByName(ev.filter(col("event_id") % 37 === 0)
+        .crossJoin(broadcast(maxId))
+        .withColumn("arrival", col("max_id") + col("event_id"))
+        .drop("max_id"))
+    val wArr = Window.partitionBy("user_id").orderBy("arrival")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDup = Window.partitionBy("user_id", "event_id").orderBy("arrival")
+    val audited = landing
+      .withColumn("hwm", max(col("ts")).over(wArr))
+      .withColumn("delivery_rank", row_number().over(wDup))
+      .withColumn("late_us",
+        when(col("ts") < col("hwm"),
+          unix_micros(col("hwm")) - unix_micros(col("ts"))))
+    audited.groupBy("event_type")
+      .agg(count(lit(1)).as("n_landed"),
+        count(when(col("delivery_rank") > 1, lit(1))).as("n_dup_deliveries"),
+        countDistinct(when(col("delivery_rank") > 1, col("user_id")))
+          .as("n_keys_affected"),
+        count(col("late_us")).as("n_late"),
+        round(coalesce(max(col("late_us")), lit(0L)).cast("double") /
+          1000000L, 6).as("max_late_s"))
+      .orderBy("event_type")
+  }
+
+  private val cdcRedeliveryAuditSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, ts, event_type FROM events),
+      |landing AS (
+      |  SELECT user_id, event_id, ts, event_type, event_id AS arrival
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT user_id, event_id, ts, event_type,
+      |    (SELECT MAX(event_id) FROM ev) + event_id AS arrival
+      |  FROM ev WHERE event_id % 37 = 0),
+      |audited AS (
+      |  SELECT event_type, user_id,
+      |    MAX(ts) OVER (PARTITION BY user_id ORDER BY arrival
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_id
+      |      ORDER BY arrival) AS delivery_rank,
+      |    ts
+      |  FROM landing),
+      |lat AS (
+      |  SELECT event_type, user_id, delivery_rank,
+      |    CASE WHEN ts < hwm THEN epoch_us(hwm) - epoch_us(ts) END
+      |      AS late_us
+      |  FROM audited)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_landed,
+      |  CAST(COUNT(*) FILTER (WHERE delivery_rank > 1) AS BIGINT)
+      |    AS n_dup_deliveries,
+      |  CAST(COUNT(DISTINCT CASE WHEN delivery_rank > 1 THEN user_id END)
+      |    AS BIGINT) AS n_keys_affected,
+      |  CAST(COUNT(late_us) AS BIGINT) AS n_late,
+      |  ROUND(CAST(COALESCE(MAX(late_us), 0) AS DOUBLE) / 1000000, 6)
+      |    AS max_late_s
+      |FROM lat GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("cdc_dedupe_latest", cdcDedupeLatest, Some(cdcDedupeLatestSql)),
     Op("cdc_apply_snapshot", cdcApplySnapshot, Some(cdcApplySnapshotSql)),
@@ -393,5 +478,7 @@ object CdcOps extends Suite {
     Op("cdc_snapshot_diff", cdcSnapshotDiff, Some(cdcSnapshotDiffSql)),
     Op("cdc_incremental_agg", cdcIncrementalAgg, Some(cdcIncrementalAggSql)),
     Op("cdc_log_compact", cdcLogCompact, Some(cdcLogCompactSql)),
+    Op("cdc_redelivery_audit", cdcRedeliveryAudit,
+      Some(cdcRedeliveryAuditSql)),
   )
 }

@@ -1741,6 +1741,173 @@ object EventOps extends Suite {
       |WHERE den > 0
       |ORDER BY den.event_type""".stripMargin
 
+  // ---- ev_lifecycle: daily growth accounting ------------------------
+  // The Social-Capital-style growth-accounting ledger every product
+  // pipeline reports (and the reference's throughput counters are the
+  // degenerate single-tier form of): per calendar day, active users
+  // split into NEW (first-ever day), RETAINED (also active the
+  // previous day) and RESURRECTED (seen before, but not yesterday),
+  // plus CHURNED (active yesterday, absent today) and the quick
+  // ratio (new + resurrected) / churned. Churn falls out of each
+  // user's own day sequence (a gap or series end emits a churn event
+  // on day+1, capped at the corpus max day so the frozen corpus
+  // can't "churn" everyone after its last day) — no global day-lag
+  // window is needed, so nothing here single-task-sorts. The day
+  // grid is DENSE over [min, max] (a globally-quiet day still shows
+  // its churn). All counts are exact integers; quick_ratio is one
+  // int-over-int double division, ROUND(…, 6), with churn FLOORED AT
+  // 1 in the denominator (the zero-churn day would otherwise emit a
+  // NULL double, which pandas-side oracle plumbing coerces to NaN —
+  // a cross-engine trap; the raw counts sit beside it regardless).
+  // Scale: the (user, day) dedupe is the only corpus-sized exchange;
+  // the lag/lead windows ride the SAME user_id hash partitioning
+  // (day dedupe keys are a superset), daily aggregates are
+  // calendar-sized, and the grid/churn joins touch days-sized frames
+  // only. The 1-row max-day scalar is the lone broadcast.
+  private def evLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val dayUsers = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val seq0 = dayUsers
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+    val maxDay = dayUsers.agg(max(col("day")).as("max_day"))
+    val tagged = seq0.crossJoin(broadcast(maxDay))
+    val daily = tagged.groupBy("day")
+      .agg(count(lit(1)).as("active"),
+        count(when(col("prev_day").isNull, lit(1))).as("new_users"),
+        count(when(col("prev_day") === col("day") - expr("INTERVAL 1 DAY"),
+          lit(1))).as("retained"),
+        count(when(col("prev_day").isNotNull &&
+          col("prev_day") < col("day") - expr("INTERVAL 1 DAY"),
+          lit(1))).as("resurrected"))
+    val churn = tagged
+      .filter(col("day") + expr("INTERVAL 1 DAY") <= col("max_day") &&
+        (col("next_day").isNull ||
+          col("next_day") > col("day") + expr("INTERVAL 1 DAY")))
+      .groupBy((col("day") + expr("INTERVAL 1 DAY")).as("day"))
+      .agg(count(lit(1)).as("churned"))
+    val grid = dayUsers.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    grid.join(daily, Seq("day"), "left").join(churn, Seq("day"), "left")
+      .na.fill(0L,
+        Seq("active", "new_users", "retained", "resurrected", "churned"))
+      .withColumn("quick_ratio",
+        round((col("new_users") + col("resurrected")).cast("double") /
+          greatest(col("churned"), lit(1L)).cast("double"), 6))
+      .orderBy("day")
+  }
+
+  private val evLifecycleSql =
+    """WITH day_users AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+      |seq AS (
+      |  SELECT user_id, day,
+      |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+      |    LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      |  FROM day_users),
+      |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM day_users),
+      |daily AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS active,
+      |    CAST(COUNT(*) FILTER (WHERE prev_day IS NULL) AS BIGINT)
+      |      AS new_users,
+      |    CAST(COUNT(*) FILTER (WHERE prev_day = day - INTERVAL 1 DAY)
+      |      AS BIGINT) AS retained,
+      |    CAST(COUNT(*) FILTER (WHERE prev_day IS NOT NULL
+      |      AND prev_day < day - INTERVAL 1 DAY) AS BIGINT) AS resurrected
+      |  FROM seq GROUP BY day),
+      |churn AS (
+      |  SELECT day + INTERVAL 1 DAY AS day, CAST(COUNT(*) AS BIGINT)
+      |    AS churned
+      |  FROM seq, bounds
+      |  WHERE day + INTERVAL 1 DAY <= hi
+      |    AND (next_day IS NULL OR next_day > day + INTERVAL 1 DAY)
+      |  GROUP BY 1),
+      |grid AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |  FROM bounds)
+      |SELECT g.day,
+      |  CAST(COALESCE(d.active, 0) AS BIGINT) AS active,
+      |  CAST(COALESCE(d.new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(COALESCE(d.retained, 0) AS BIGINT) AS retained,
+      |  CAST(COALESCE(d.resurrected, 0) AS BIGINT) AS resurrected,
+      |  CAST(COALESCE(c.churned, 0) AS BIGINT) AS churned,
+      |  ROUND(CAST(COALESCE(d.new_users, 0) + COALESCE(d.resurrected, 0)
+      |    AS DOUBLE) / GREATEST(COALESCE(c.churned, 0), 1), 6)
+      |    AS quick_ratio
+      |FROM grid g
+      |LEFT JOIN daily d ON g.day = d.day
+      |LEFT JOIN churn c ON g.day = c.day
+      |ORDER BY g.day""".stripMargin
+
+  // ---- ev_inter_event: inter-arrival gap profile ---------------------
+  // The inter-event-time distribution that calibrates ev_sessionize's
+  // gap threshold and capacity models' arrival assumptions: each
+  // user's consecutive-event gaps (total order (ts, event_id), so
+  // same-timestamp rows can't flip the pairing between engines),
+  // attributed to the LATER event's type, reported per type as exact
+  // count, mean, and exact discrete p50/p90/p99 in integer
+  // microseconds (q_percentiles' rank-indexing idiom — interpolation
+  // would be two FP ops with per-engine rounding; the value at rank
+  // ceil(p·n) is exact). unix-micros subtraction keeps every gap an
+  // exact int64; the mean is one int-over-int double division chain
+  // written identically in both engines.
+  // Scale: the gap window rides one user_id shuffle; the per-type
+  // rank windows are the exact-percentile correctness baseline (same
+  // contract as q_percentiles — at 100 TB the production path is the
+  // mergeable approx_percentile sketch, q_approx_percentiles' form).
+  private def evInterEvent(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+    val wt = Window.partitionBy("event_type")
+    val ranked = gaps
+      .withColumn("rn",
+        row_number().over(wt.orderBy(col("gap_us"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(wt))
+    def at(p: Double) =
+      max(when(col("rn") === greatest(lit(1L), ceil(lit(p) * col("n"))),
+        col("gap_us")))
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000L,
+          6).as("mean_gap_s"),
+        at(0.5).as("p50_us"), at(0.9).as("p90_us"), at(0.99).as("p99_us"))
+      .orderBy("event_type")
+  }
+
+  private val evInterEventSql = {
+    def at(p: String) =
+      s"""MAX(CASE WHEN rn = GREATEST(1,
+        |    CAST(CEIL(CAST($p AS DOUBLE) * n) AS BIGINT))
+        |    THEN gap_us END)""".stripMargin
+    s"""WITH gaps AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(ts) - epoch_us(LAG(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |  FROM events QUALIFY gap_us IS NOT NULL),
+      |ranked AS (
+      |  SELECT event_type, gap_us,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY gap_us, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM gaps)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000, 6)
+      |    AS mean_gap_s,
+      |  ${at("0.5")} AS p50_us,
+      |  ${at("0.9")} AS p90_us,
+      |  ${at("0.99")} AS p99_us
+      |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
@@ -1771,5 +1938,7 @@ object EventOps extends Suite {
     Op("ev_attribution_markov", evAttributionMarkov,
       Some(evAttributionMarkovSql)),
     Op("ev_autocorrelation", evAutocorrelation, Some(evAutocorrelationSql)),
+    Op("ev_lifecycle", evLifecycle, Some(evLifecycleSql)),
+    Op("ev_inter_event", evInterEvent, Some(evInterEventSql)),
   )
 }
