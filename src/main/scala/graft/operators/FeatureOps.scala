@@ -1225,6 +1225,240 @@ object FeatureOps extends Suite {
       |FROM b GROUP BY 1, 2
       |ORDER BY event_type, bin""".stripMargin
 
+  // ---- ft_graph_jaccard: common-neighbor item similarity ------------
+  // The neighborhood-overlap item similarity an item-item recommender
+  // ranks by (the set-similarity complement of ft_cooccurrence's raw
+  // pair counts, which favor popular items): for part pairs sharing
+  // ≥ 2 orders, Jaccard = |orders(A) ∩ orders(B)| / |A ∪ B| with
+  // |A ∪ B| = d_A + d_B − inter from per-part order-degrees — no
+  // second pair pass. The pair join is keyed on l_orderkey (bounded
+  // basket fan-out, ft_cooccurrence's argument); degrees join back on
+  // part keys with NO broadcast hint (part-sized frames grow with the
+  // catalog — AQE decides). The quotient goes through the half-up
+  // integer micro contract (inputs non-negative), so the top-20 cut
+  // orders on an exact integer — a double Jaccard tie at the
+  // boundary can't flip rows between engines; ties break (p1, p2).
+  // Scale: one basket self-join + one (p1,p2) agg + two part-keyed
+  // joins; global top-20 runs as TakeOrderedAndProject.
+  private def ftGraphJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val deg = li.groupBy("l_partkey").agg(count(lit(1)).as("d"))
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= 2)
+      .join(deg.select(col("l_partkey").as("p1"), col("d").as("d1")),
+        Seq("p1"))
+      .join(deg.select(col("l_partkey").as("p2"), col("d").as("d2")),
+        Seq("p2"))
+      .withColumn("uni", col("d1") + col("d2") - col("n_common"))
+      .withColumn("jaccard_micro",
+        expr("(2 * n_common * 1000000 + uni) div (2 * uni)"))
+      .orderBy(col("jaccard_micro").desc, col("p1"), col("p2"))
+      .limit(20)
+      .select(col("p1"), col("p2"), col("n_common"), col("d1"), col("d2"),
+        (col("jaccard_micro").cast("double") / 1000000L).as("jaccard"))
+  }
+
+  private val ftGraphJaccardSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |deg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS d
+      |  FROM li GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |scored AS (
+      |  SELECT p1, p2, n_common, d1.d AS d1, d2.d AS d2,
+      |    d1.d + d2.d - n_common AS uni,
+      |    (2 * n_common * 1000000 + (d1.d + d2.d - n_common))
+      |      // (2 * (d1.d + d2.d - n_common)) AS jaccard_micro
+      |  FROM pairs
+      |  JOIN deg d1 ON d1.l_partkey = p1
+      |  JOIN deg d2 ON d2.l_partkey = p2)
+      |SELECT p1, p2, n_common, d1, d2,
+      |  CAST(jaccard_micro AS DOUBLE) / 1000000 AS jaccard
+      |FROM scored
+      |ORDER BY jaccard_micro DESC, p1, p2 LIMIT 20""".stripMargin
+
+  // ---- ft_mutual_info: mutual-information feature screen -------------
+  // The model-free feature screen that complements ft_woe_iv's
+  // monotone-odds IV with a symmetric dependence measure: for each
+  // candidate user-level categorical feature, MI(X; engaged) =
+  // Σ_cells p(c,y)·ln(p(c,y)/(p(c)p(y))) against the same
+  // engaged-purchaser label (≥ 15 purchase events — cross-op
+  // comparable by construction). Three features ride ONE per-user
+  // pass: the dominant event type (woe_iv's deterministic argmax),
+  // an activity band relative to the corpus mean events-per-user
+  // (low < 0.9·mean ≤ mid ≤ 10/9·mean < high), and a night-owl flag
+  // (user's 00–06h share strictly above the corpus's). The relative
+  // cuts are exact integer CROSS-MULTIPLICATIONS against broadcast
+  // 1-row corpus totals (q11's scale-invariant-cut pattern) — fixed
+  // absolute thresholds would collapse every user into one band as
+  // density grows with SF, and a band alphabet of 1 makes MI
+  // degenerately 0. Cells are DENSE
+  // (every category × {true,false}, absent combinations included at
+  // count 0 — skipping them changes MI) and Laplace-smoothed (+1 per
+  // cell): n'_cy = n_cy+1, n'_c = n_c+2, n'_y = n_y+K, N' = N+2K.
+  // Exactness: each cell's ln ratio is lnqU(n'_cy·N') −
+  // lnqU(n'_c·n'_y) on integer products (the ln-quantization
+  // contract); cell terms n'_cy·Δ sum exactly; ONE final sign-safe
+  // half-up division by N' lands micro-nats. int64 bound: products
+  // are ≤ N'² — past ~3·10⁹ users the DECIMAL(38,0) widening
+  // ev_ab_test uses applies verbatim.
+  // Scale: one (user,type) agg + the argmax window riding the
+  // user_id shuffle + one per-user agg; the melted cell table is
+  // 3·alphabet-sized, and every join after it is alphabet×2-sized.
+  // The per-user frame feeds one branch only — no checkpoint needed.
+  private def ftMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(desc("cnt"), col("event_type"))
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purch"),
+        count(when(hour(col("ts")) < 7, lit(1))).as("n_night"))
+      .withColumn("rk", row_number().over(byUser))
+      .groupBy("user_id")
+      .agg(max(when(col("rk") === 1, col("event_type")))
+          .as("dominant_type"),
+        sum(col("cnt")).as("n_events"),
+        sum(col("n_night")).as("night_events"),
+        (sum(col("n_purch")) >= woeMinPurchases).as("good"))
+    val totals = users.agg(count(lit(1)).as("u"),
+      sum(col("n_events")).as("t"), sum(col("night_events")).as("tn"))
+    val banded = users.crossJoin(broadcast(totals))
+      // n vs 0.9·mean and 10/9·mean cross-multiplied: low when
+      // n·u·10 < t·9, high when n·u·9 > t·10 — exact integers, no
+      // division
+      .withColumn("activity_band",
+        when(col("n_events") * col("u") * 10 < col("t") * 9, "low")
+          .when(col("n_events") * col("u") * 9 > col("t") * 10, "high")
+          .otherwise("mid"))
+      .withColumn("night_owl",
+        when(col("night_events") * col("t") > col("n_events") * col("tn"),
+          "night").otherwise("day"))
+    val melted = banded.select(col("good"), explode(array(
+      struct(lit("dominant_type").as("feature"),
+        col("dominant_type").as("category")),
+      struct(lit("activity_band").as("feature"),
+        col("activity_band").as("category")),
+      struct(lit("night_owl").as("feature"),
+        col("night_owl").as("category")))).as("fx"))
+      .select(col("fx.feature").as("feature"),
+        col("fx.category").as("category"), col("good"))
+    val cells = melted.groupBy("feature", "category", "good")
+      .agg(count(lit(1)).as("n"))
+    // dense grid: every observed category × both labels
+    val cats = cells.select("feature", "category").distinct()
+    import spark.implicits._
+    val dense = cats
+      .crossJoin(broadcast(Seq(true, false).toDF("good")))
+      .join(cells, Seq("feature", "category", "good"), "left")
+      .na.fill(0L, Seq("n"))
+    val wf = Window.partitionBy("feature")
+    val scored = dense
+      .withColumn("np", col("n") + 1)
+      .withColumn("nc", sum(col("n")).over(
+        Window.partitionBy("feature", "category")) + 2)
+      .withColumn("k", (count(lit(1)).over(wf) / 2).cast("long"))
+      .withColumn("ny", sum(col("n")).over(
+        Window.partitionBy("feature", "good")) + col("k"))
+      .withColumn("nt", sum(col("n")).over(wf) + col("k") * 2)
+      .withColumn("term",
+        col("np") * (Num.lnqU(col("np") * col("nt")) -
+          Num.lnqU(col("nc") * col("ny"))))
+    scored.groupBy("feature")
+      .agg(max(col("k")).as("n_categories"),
+        max(col("nt") - col("k") * 2).as("n_users"),
+        sum(col("term")).as("num"), max(col("nt")).as("den"))
+      .withColumn("mi_micro", expr(
+        """(case when num < 0 then -1L else 1L end) *
+          |((2 * abs(num) + den) div (2 * den))""".stripMargin))
+      .select(col("feature"), col("n_categories"), col("n_users"),
+        (col("mi_micro").cast("double") / 1000000L).as("mi_nats"))
+      .orderBy("feature")
+  }
+
+  private val ftMutualInfoSql = {
+    val ln = Num.lnqUSql _
+    s"""WITH per_type AS (
+      |  SELECT user_id, event_type, COUNT(*) AS cnt,
+      |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purch,
+      |    COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) < 7) AS n_night,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY COUNT(*) DESC, event_type) AS rk
+      |  FROM events GROUP BY user_id, event_type),
+      |users AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN rk = 1 THEN event_type END) AS dominant_type,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_events,
+      |    CAST(SUM(n_night) AS BIGINT) AS night_events,
+      |    SUM(n_purch) >= $woeMinPurchases AS good
+      |  FROM per_type GROUP BY user_id),
+      |totals AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS u,
+      |    CAST(SUM(n_events) AS BIGINT) AS t,
+      |    CAST(SUM(night_events) AS BIGINT) AS tn
+      |  FROM users),
+      |feat AS (
+      |  SELECT user_id, good,
+      |    dominant_type,
+      |    CASE WHEN n_events * u * 10 < t * 9 THEN 'low'
+      |      WHEN n_events * u * 9 > t * 10 THEN 'high'
+      |      ELSE 'mid' END AS activity_band,
+      |    CASE WHEN night_events * t > n_events * tn THEN 'night'
+      |      ELSE 'day' END AS night_owl
+      |  FROM users CROSS JOIN totals),
+      |melted AS (
+      |  SELECT 'dominant_type' AS feature, dominant_type AS category,
+      |    good FROM feat
+      |  UNION ALL
+      |  SELECT 'activity_band', activity_band, good FROM feat
+      |  UNION ALL
+      |  SELECT 'night_owl', night_owl, good FROM feat),
+      |cells AS (
+      |  SELECT feature, category, good, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM melted GROUP BY 1, 2, 3),
+      |cats AS (SELECT DISTINCT feature, category FROM cells),
+      |dense AS (
+      |  SELECT c.feature, c.category, y.good,
+      |    CAST(COALESCE(n.n, 0) AS BIGINT) AS n
+      |  FROM cats c
+      |  CROSS JOIN (SELECT true AS good UNION ALL SELECT false) y
+      |  LEFT JOIN cells n ON n.feature = c.feature
+      |    AND n.category = c.category AND n.good = y.good),
+      |scored AS (
+      |  SELECT feature, n + 1 AS np,
+      |    SUM(n) OVER (PARTITION BY feature, category) + 2 AS nc,
+      |    CAST(COUNT(*) OVER (PARTITION BY feature) / 2 AS BIGINT) AS k,
+      |    SUM(n) OVER (PARTITION BY feature, good)
+      |      + CAST(COUNT(*) OVER (PARTITION BY feature) / 2 AS BIGINT)
+      |      AS ny,
+      |    SUM(n) OVER (PARTITION BY feature)
+      |      + 2 * CAST(COUNT(*) OVER (PARTITION BY feature) / 2 AS BIGINT)
+      |      AS nt
+      |  FROM dense),
+      |terms AS (
+      |  SELECT feature, k, nt,
+      |    np * (${ln("np * nt")} - ${ln("nc * ny")}) AS term
+      |  FROM scored),
+      |agg AS (
+      |  SELECT feature, CAST(MAX(k) AS BIGINT) AS n_categories,
+      |    CAST(MAX(nt - 2 * k) AS BIGINT) AS n_users,
+      |    CAST(SUM(term) AS BIGINT) AS num, CAST(MAX(nt) AS BIGINT) AS den
+      |  FROM terms GROUP BY 1)
+      |SELECT feature, n_categories, n_users,
+      |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+      |    ((2 * abs(num) + den) // (2 * den)) AS DOUBLE) / 1000000
+      |    AS mi_nats
+      |FROM agg ORDER BY feature""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("ft_rolling_24h", ftRolling, Some(ftRollingSql)),
     Op("ft_session_features", ftSessionFeatures, Some(ftSessionFeaturesSql)),
@@ -1243,5 +1477,7 @@ object FeatureOps extends Suite {
     Op("ft_quantile_bins", ftQuantileBins, Some(ftQuantileBinsSql)),
     Op("ft_graph_triangles", ftGraphTriangles, Some(ftGraphTrianglesSql)),
     Op("ft_kaplan_meier", ftKaplanMeier, Some(ftKaplanMeierSql)),
+    Op("ft_graph_jaccard", ftGraphJaccard, Some(ftGraphJaccardSql)),
+    Op("ft_mutual_info", ftMutualInfo, Some(ftMutualInfoSql)),
   )
 }
