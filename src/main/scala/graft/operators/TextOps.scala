@@ -1678,6 +1678,84 @@ object TextOps extends Suite {
       |    AS mean_sym_density
       |FROM g ORDER BY source""".stripMargin
 
+  // ---- txt_ngram_novelty: corpus-order redundancy curve --------------
+  // The marginal-value curve a data buyer reads before paying for
+  // more of a source (RefinedWeb/FineWeb-style "how fast does new
+  // data stop being new"): docs in ingestion order (doc_id is the
+  // order contract), each doc's DISTINCT word-3-gram shingles split
+  // into NOVEL (corpus-first occurrence — min first-seen doc is this
+  // doc) vs seen-before, reported as the novelty ratio per corpus
+  // DECILE of that order. A flattening curve means additional
+  // ingestion buys mostly repeats — the quantitative trigger for
+  // dedup/curation budget shifts. Shingles ride the codegen'd
+  // shingle_hash3 longs (set identity survives hashing — dedup suite
+  // contract); the oracle replays the same set logic on shingle
+  // strings. Deciles are pure integer arithmetic over broadcast
+  // min/max ids — NOT ntile (a global ntile is the unpartitioned-
+  // window shape the plan audit forbids). Ratios go through the
+  // half-up integer micro contract (non-negative).
+  // Scale: one corpus-sized shingle explode + one hash-keyed
+  // first-seen agg + one hash join back + one doc agg; the decile
+  // report is 10 rows. Nothing post-agg grows with the corpus.
+  private def txtNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr("shingle_hash3(t)")).as("sh"))
+    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = sh.join(first, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), lit(1)))
+          .as("n_novel"))
+    val bounds = docs.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    docs.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        expr("((doc_id - lo) * 10) div (hi - lo + 1)"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shingles", "n_novel"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_shingles")).as("n_shingles"),
+        sum(col("n_novel")).as("n_novel"))
+      .withColumn("novelty",
+        expr("""(2 * n_novel * 1000000 + greatest(n_shingles, 1L))
+          | div (2 * greatest(n_shingles, 1L))""".stripMargin)
+          .cast("double") / 1000000L)
+      .orderBy("decile")
+  }
+
+  private val txtNgramNoveltySql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |s AS (SELECT doc_id, unnest(list_distinct(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |     for i in range(1, len(t) - 1)])) AS sh
+      |  FROM t WHERE len(t) >= 3),
+      |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM s GROUP BY sh),
+      |d AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |    CAST(COUNT(*) FILTER (WHERE f.first_doc = s.doc_id) AS BIGINT)
+      |      AS n_novel
+      |  FROM s JOIN f USING (sh) GROUP BY 1),
+      |b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+      |bucketed AS (
+      |  SELECT ((doc_id - lo) * 10) // (hi - lo + 1) AS decile,
+      |    COALESCE(d.n_shingles, 0) AS n_shingles,
+      |    COALESCE(d.n_novel, 0) AS n_novel
+      |  FROM documents CROSS JOIN b
+      |  LEFT JOIN d USING (doc_id)),
+      |agg AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+      |    CAST(SUM(n_novel) AS BIGINT) AS n_novel
+      |  FROM bucketed GROUP BY 1)
+      |SELECT decile, n_docs, n_shingles, n_novel,
+      |  CAST((2 * n_novel * 1000000 + GREATEST(n_shingles, 1))
+      |    // (2 * GREATEST(n_shingles, 1)) AS DOUBLE) / 1000000
+      |    AS novelty
+      |FROM agg ORDER BY decile""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("txt_stats", txtStats, Some(txtStatsSql)),
     Op("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -1699,5 +1777,6 @@ object TextOps extends Suite {
     Op("txt_keyphrases", txtKeyphrases, Some(txtKeyphrasesSql)),
     Op("txt_zipf", txtZipf, Some(txtZipfSql)),
     Op("txt_code_detect", txtCodeDetect, Some(txtCodeDetectSql)),
+    Op("txt_ngram_novelty", txtNgramNovelty, Some(txtNgramNoveltySql)),
   )
 }
