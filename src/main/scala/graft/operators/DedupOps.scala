@@ -392,7 +392,7 @@ object DedupOps extends Suite {
     * (same dyadic integer plane weights, same left-fold double dot) —
     * shared by the embedding-pair chain and dedup_semantic's
     * within-cluster blocking. */
-  private val hyperKeysCtes: String = {
+  private[operators] val hyperKeysCtes: String = {
     val planeRows = (0 until HB.TABLES * HB.PLANES).map { tp =>
       s"(${tp / HB.PLANES},${tp % HB.PLANES},[${HB.weights(tp).mkString(",")}])"
     }.mkString(",\n")

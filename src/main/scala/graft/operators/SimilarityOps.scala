@@ -1189,6 +1189,92 @@ object SimilarityOps extends Suite {
       |    AS DOUBLE) / 1000000.0 AS dim_var
       |FROM g ORDER BY dim""".stripMargin
 
+  // ---- sim_knn_graph: LSH-blocked k-NN graph construction -----------
+  // The all-vectors k-NN graph that seeds NN-Descent-style refinement
+  // and graph-ANN serving indexes (every vector is a query — the
+  // batch-build counterpart of sim_ann_lsh's per-query search): for
+  // each vector, its top-5 exact-cosine neighbors among LSH bucket
+  // mates. Candidates come from the FIRST knnGraphTables of the 24
+  // shared hyperplane tables — graph construction needs less
+  // per-edge recall than dedup (a missed edge is recovered by the
+  // descent's neighbor-of-neighbor exploration; a missed dup is a
+  // training-set leak), so probing fewer tables is the principled
+  // cost knob, and the oracle replays the same t < T cut on the
+  // shared key CTEs. Cosines are exact (dec_quant/dec_dot decimal
+  // contract); ranking breaks ties on neighbor_id. Vectors whose
+  // probed buckets are singletons emit no rows (the descent seeds
+  // them from a random init instead — documented, not hidden).
+  // Scale: bucket rows are narrow (id, tbl, key) — vectors never
+  // ride the candidate shuffle; per-bucket fan-out is bounded by the
+  // plane-width knob (HyperplaneBuckets scaladoc: +3 planes per 10×
+  // corpus holds bucket sizes), so the edge stage is linear-per-
+  // vector, never corpus-quadratic. The rank window rides the
+  // vec_id shuffle the neighbor join already made.
+  private val knnGraphTables = 8
+
+  private def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantized(col("embedding")).as("v"))
+      .withColumn("norm", dotQ(col("v"), col("v")))
+    val keyed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(expr("hyperplane_buckets(embedding)"))
+          .as(Seq("tbl", "key")))
+      .filter(col("tbl") < knnGraphTables)
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.key") === col("y.key") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"),
+        col("y.vec_id").as("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy("vec_id")
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    cand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+        col("norm").as("nn")), Seq("neighbor_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cosine",
+        cosineQ(col("v"), col("nv"), col("norm"), col("nn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  private val simKnnGraphSql =
+    s"""WITH ${DedupOps.hyperKeysCtes},
+      |cand AS (
+      |  SELECT DISTINCT ka.vec_id AS vec_id, kb.vec_id AS neighbor_id
+      |  FROM keys ka JOIN keys kb ON ka.t = kb.t AND ka.key = kb.key
+      |    AND ka.vec_id <> kb.vec_id
+      |  WHERE ka.t < $knnGraphTables),
+      |terms AS (
+      |  SELECT vec_id, i,
+      |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS d
+      |  FROM embeddings, range(1, 65) r(i)),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(d * d) AS DOUBLE) AS norm
+      |  FROM terms GROUP BY vec_id),
+      |dots AS (
+      |  SELECT c.vec_id, c.neighbor_id,
+      |    CAST(SUM(a.d * b.d) AS DOUBLE) AS dot
+      |  FROM cand c
+      |  JOIN terms a ON a.vec_id = c.vec_id
+      |  JOIN terms b ON b.vec_id = c.neighbor_id AND b.i = a.i
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.vec_id, d.neighbor_id,
+      |    d.dot / (sqrt(na.norm) * sqrt(nb.norm)) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY d.vec_id
+      |      ORDER BY d.dot / (sqrt(na.norm) * sqrt(nb.norm)) DESC,
+      |        d.neighbor_id) AS rank
+      |  FROM dots d
+      |  JOIN norms na ON d.vec_id = na.vec_id
+      |  JOIN norms nb ON d.neighbor_id = nb.vec_id)
+      |SELECT vec_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+      |FROM scored WHERE rank <= $topK ORDER BY vec_id, rank""".stripMargin
+
   override val ops: Seq[Op] = Seq(
     Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
     Op("sim_ann_lsh", simAnnLsh, None),
@@ -1204,5 +1290,6 @@ object SimilarityOps extends Suite {
     Op("sim_hard_negatives", simHardNegatives, Some(simHardNegativesSql)),
     Op("sim_mmr", simMmr, Some(simMmrSql)),
     Op("sim_vector_health", simVectorHealth, Some(simVectorHealthSql)),
+    Op("sim_knn_graph", simKnnGraph, Some(simKnnGraphSql)),
   )
 }
