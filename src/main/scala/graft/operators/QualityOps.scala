@@ -124,8 +124,9 @@ object QualityOps extends Suite {
   // reuses, so the whole post-cells chain is one shuffle — the only
   // thing that grows with the corpus is the first map-side-combined
   // aggregation.
-  private val driftSplit = "2024-01-16 00:00:00"
-  private val driftBinWidth = 50
+  // shared with the streaming twin (DriftStream) and its parity spec
+  private[graft] val driftSplit = "2024-01-16 00:00:00"
+  private[graft] val driftBinWidth = 50
 
   private def dqDrift(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.LagListener.{Danger, Ok, Tier, Warning}
+
+/** Streaming twin of the batch `dq_drift` operator — a continuous
+  * Population-Stability-Index gate over the live event stream against
+  * a FROZEN baseline histogram (the "did the input distribution move
+  * under my pipeline" pager, run continuously instead of per-batch;
+  * the reference's WAL monitor shape again, /root/reference/src/
+  * wal_monitor.rs:157-166 — compare a live metric against thresholds,
+  * classify into tiers, hand the tier to the alert path).
+  *
+  * Split of labor (AnomalyStream's convention): the per-micro-batch
+  * histogram reduction is DISTRIBUTED ([[DriftStream.histogram]] —
+  * one map-side-combined aggregation to alphabet×bin cells); only the
+  * reduced cells reach the driver, where bounded control-plane state
+  * (the accumulated current histogram — alphabet×bins, corpus-volume
+  * independent) folds them and scores PSI with the batch operator's
+  * EXACT arithmetic: identical IEEE division structure, the ln
+  * quantized HALF_UP to 6 decimals, per-bin terms as exact
+  * DECIMAL(18,12) sums, final HALF_UP round to 6 — so a stream that
+  * has consumed the whole current slice reports PSI bit-identical to
+  * `dq_drift` on the same data (pinned by DriftStreamSpec).
+  *
+  * Industry bands ride the tier map: PSI ≥ 0.1 Warning (drifting,
+  * dq_drift's flag threshold), ≥ 0.25 Danger (retrain/page).
+  */
+class DriftStream(baseline: Map[(String, Long), Long],
+    warnPsi: Double = 0.1, dangerPsi: Double = 0.25) {
+
+  private val cur =
+    mutable.Map.empty[(String, Long), Long].withDefaultValue(0L)
+
+  /** Merge one reduced micro-batch histogram (rows of
+    * (event_type, bucket, n)) into the accumulated current side. */
+  def observe(rows: Iterable[(String, Long, Long)]): Unit = synchronized {
+    rows.foreach { case (t, b, n) => cur((t, b)) += n }
+  }
+
+  /** foreachBatch convenience: reduce the batch distributedly, then
+    * fold the (tiny) cell result into state. */
+  def observeBatch(batch: DataFrame, binWidth: Int): Unit =
+    observe(DriftStream.histogram(batch, binWidth).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+
+  /** PSI per event_type over baseline vs accumulated current. */
+  def psi: Map[String, Double] =
+    synchronized { DriftStream.psiOf(baseline, cur.toMap) }
+
+  def tierOf(p: Double): Tier =
+    if (p >= dangerPsi) Danger else if (p >= warnPsi) Warning else Ok
+
+  /** Drive an [[AlertManager]] from the current PSI map (the
+    * control-plane hop, AnomalyStream.observe's shape). */
+  def sweep(manager: AlertManager): Unit =
+    psi.foreach { case (t, p) => manager.update(s"drift:$t", tierOf(p)) }
+}
+
+object DriftStream {
+
+  /** Distributed histogram reduction: (event_type, bucket, n) cells,
+    * bucket = floor(value / binWidth) — dq_drift's binning. */
+  def histogram(events: DataFrame, binWidth: Int): DataFrame =
+    events.select(col("event_type"),
+      floor(col("value") / binWidth).cast("long").as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+
+  /** Freeze a baseline histogram from a historical frame (training
+    * time; alphabet×bins rows — bounded at any corpus volume). */
+  def baselineOf(events: DataFrame, binWidth: Int): Map[(String, Long), Long] =
+    histogram(events, binWidth).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  /** dq_drift's smoothed-PSI arithmetic replayed exactly over two
+    * cell maps: bins = union of both sides per type, Laplace +1 per
+    * bin, pb/pc as the same double divisions, ln quantized HALF_UP
+    * to 6, terms summed as exact DECIMAL(18,12), final HALF_UP round
+    * to 6. Kept in ONE place so the parity spec pins stream == batch
+    * rather than two copies drifting apart. */
+  def psiOf(base: Map[(String, Long), Long],
+      cur: Map[(String, Long), Long]): Map[String, Double] = {
+    val types = (base.keys ++ cur.keys).map(_._1).toSet
+    types.map { t =>
+      val bins = (base.keys ++ cur.keys)
+        .collect { case (tt, b) if tt == t => b }.toSet.toSeq.sorted
+      val nBins = bins.size
+      val nb = bins.map(b => base.getOrElse((t, b), 0L)).sum
+      val nc = bins.map(b => cur.getOrElse((t, b), 0L)).sum
+      val psum = bins.map { b =>
+        val pb = (base.getOrElse((t, b), 0L) + 1).toDouble /
+          (nb + nBins).toDouble
+        val pc = (cur.getOrElse((t, b), 0L) + 1).toDouble /
+          (nc + nBins).toDouble
+        // round(log(...), 6) = BigDecimal.HALF_UP on the double —
+        // Spark's Round semantics
+        val lnq = BigDecimal(math.log(pc / pb))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        BigDecimal((pc - pb) * lnq)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      t -> BigDecimal(psum.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+}
