@@ -1020,4 +1020,134 @@ class OperatorInvariantSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(math.abs(got - want) < 1e-6, s"report $got != replay $want")
   }
+
+  test("ev_lifecycle: daily identity and day-to-day flow conservation") {
+    val rows = run("ev_lifecycle").collect()
+      .sortBy(_.getTimestamp(0).getTime)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("active")) ==
+        r.getLong(r.fieldIndex("new_users")) +
+          r.getLong(r.fieldIndex("retained")) +
+          r.getLong(r.fieldIndex("resurrected")),
+        s"active != new+retained+resurrected on ${r.getTimestamp(0)}")
+    }
+    // everyone active today either retains tomorrow or churns at d+1
+    rows.sliding(2).foreach { case Array(d0, d1) =>
+      assert(d0.getLong(d0.fieldIndex("active")) ==
+        d1.getLong(d1.fieldIndex("retained")) +
+          d1.getLong(d1.fieldIndex("churned")),
+        s"flow broken ${d0.getTimestamp(0)} -> ${d1.getTimestamp(0)}")
+    }
+    // every user is new exactly once
+    val totalNew = rows.map(_.getLong(rows.head.fieldIndex("new_users"))).sum
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(totalNew == users, s"sum(new)=$totalNew != $users users")
+  }
+
+  test("ev_inter_event: gap census complete, percentiles ordered") {
+    val rows = run("ev_inter_event").collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+    val expect = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_gaps"))).sum == expect,
+      "per-user gaps must number events - users")
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getLong(r.fieldIndex("p50_us")),
+        r.getLong(r.fieldIndex("p90_us")), r.getLong(r.fieldIndex("p99_us")))
+      assert(p50 <= p90 && p90 <= p99, s"percentiles out of order: $r")
+      assert(r.getDouble(r.fieldIndex("mean_gap_s")) >= 0.0)
+    }
+  }
+
+  test("cdc_redelivery_audit: duplicates equal the constructed replays") {
+    val rows = run("cdc_redelivery_audit").collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+    val replays = ev.filter(col("event_id") % 37 === 0)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val originals = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getString(r.fieldIndex("event_type"))
+      val dup = r.getLong(r.fieldIndex("n_dup_deliveries"))
+      assert(dup == replays.getOrElse(t, 0L),
+        s"$t: dup count != constructed replays")
+      assert(r.getLong(r.fieldIndex("n_landed")) ==
+        originals(t) + replays.getOrElse(t, 0L))
+      // only replays can arrive behind the high-water mark
+      assert(r.getLong(r.fieldIndex("n_late")) <= dup)
+    }
+  }
+
+  test("ft_graph_jaccard: similarity consistent with its own counts") {
+    val rows = run("ft_graph_jaccard").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d1, d2) = (r.getLong(r.fieldIndex("n_common")),
+        r.getLong(r.fieldIndex("d1")), r.getLong(r.fieldIndex("d2")))
+      assert(n >= 2 && n <= math.min(d1, d2), s"counts inconsistent: $r")
+      val uni = d1 + d2 - n
+      val micro = (2 * n * 1000000 + uni) / (2 * uni)
+      assert(r.getDouble(r.fieldIndex("jaccard")) == micro.toDouble / 1e6,
+        s"jaccard drifted from its counts: $r")
+    }
+  }
+
+  test("ft_mutual_info: MI within information-theoretic bounds") {
+    val rows = run("ft_mutual_info").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val mi = r.getDouble(r.fieldIndex("mi_nats"))
+      val k = r.getLong(r.fieldIndex("n_categories"))
+      assert(k >= 1)
+      // MI(X;Y) <= H(Y) <= ln 2 for a binary label; smoothing can
+      // push a hair below zero
+      assert(mi >= -0.001 && mi <= math.log(2.0) + 1e-9,
+        s"${r.getString(0)}: mi=$mi out of [0, ln2]")
+    }
+  }
+
+  test("txt_ngram_novelty: every distinct shingle is novel exactly once") {
+    val rows = run("txt_ngram_novelty").collect()
+    val totalNovel = rows.map(_.getLong(rows.head.fieldIndex("n_novel"))).sum
+    val distinctShingles = graft.sources.Tables.documents(spark, sf)
+      .select(graft.operators.Tok.toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(explode(expr("shingle_hash3(t)")).as("sh"))
+      .select("sh").distinct().count()
+    assert(totalNovel == distinctShingles,
+      s"sum(n_novel)=$totalNovel != $distinctShingles distinct shingles")
+    val first = rows.minBy(_.getLong(rows.head.fieldIndex("decile")))
+    assert(rows.forall(r => first.getDouble(first.fieldIndex("novelty")) >=
+      r.getDouble(r.fieldIndex("novelty"))),
+      "the opening decile must be the novelty peak")
+  }
+
+  test("sim_knn_graph: ranks contiguous, cosines ordered, subset of exact") {
+    val rows = run("sim_knn_graph").collect()
+    assert(rows.nonEmpty)
+    val byVec = rows.groupBy(_.getLong(rows.head.fieldIndex("vec_id")))
+    byVec.foreach { case (v, rs) =>
+      val ranked = rs.sortBy(_.getLong(rs.head.fieldIndex("rank")))
+      assert(ranked.map(_.getLong(rs.head.fieldIndex("rank"))).toSeq ==
+        (1L to ranked.length).toSeq, s"vec $v: ranks not contiguous")
+      val cosines = ranked.map(_.getDouble(rs.head.fieldIndex("cosine")))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
+        s"vec $v: cosine must not increase with rank")
+      assert(ranked.forall(r =>
+        r.getLong(r.fieldIndex("neighbor_id")) != v), s"vec $v: self edge")
+    }
+    // a bucket-blocked graph can never beat brute force: for the
+    // exact suite's query vectors, the graph's best cosine is at most
+    // the exact top-1
+    val exactTop = run("sim_topk_exact")
+      .filter(col("rank") === 1).select("q_id", "cosine")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    byVec.filterKeys(exactTop.contains).foreach { case (v, rs) =>
+      val best = rs.map(_.getDouble(rs.head.fieldIndex("cosine"))).max
+      assert(best <= exactTop(v) + 1e-9,
+        s"vec $v: graph cosine $best beats exact ${exactTop(v)}")
+    }
+  }
 }
