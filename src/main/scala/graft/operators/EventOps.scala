@@ -1763,17 +1763,28 @@ object EventOps extends Suite {
   // the lag/lead windows ride the SAME user_id hash partitioning
   // (day dedupe keys are a superset), daily aggregates are
   // calendar-sized, and the grid/churn joins touch days-sized frames
-  // only. The 1-row max-day scalar is the lone broadcast.
+  // only. The 1-row max-day scalar is the lone broadcast. The
+  // (user, day) frame fans out three ways (sequence window, max-day
+  // scalar, grid bounds) and the lag/lead frame two ways
+  // (daily classes, churn events) — both eager-checkpointed so no
+  // branch replays the corpus dedupe: one corpus pass runs, ever
+  // (un-checkpointed the final plan carried 9 exchanges across
+  // replayed subtrees; now the producers pay theirs once and the
+  // final plan is 3).
   private def evLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val dayUsers = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .distinct()
+      .checkpoint()
     val w = Window.partitionBy("user_id").orderBy("day")
     val seq0 = dayUsers
       .withColumn("prev_day", lag(col("day"), 1).over(w))
       .withColumn("next_day", lead(col("day"), 1).over(w))
     val maxDay = dayUsers.agg(max(col("day")).as("max_day"))
-    val tagged = seq0.crossJoin(broadcast(maxDay))
+    val tagged = seq0.crossJoin(broadcast(maxDay)).checkpoint()
     val daily = tagged.groupBy("day")
       .agg(count(lit(1)).as("active"),
         count(when(col("prev_day").isNull, lit(1))).as("new_users"),

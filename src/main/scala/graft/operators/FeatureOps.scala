@@ -1313,8 +1313,17 @@ object FeatureOps extends Suite {
   // Scale: one (user,type) agg + the argmax window riding the
   // user_id shuffle + one per-user agg; the melted cell table is
   // 3·alphabet-sized, and every join after it is alphabet×2-sized.
-  // The per-user frame feeds one branch only — no checkpoint needed.
+  // The per-user frame fans out to the totals scalar AND the banding
+  // pass, and the cell table to the category grid AND the count join
+  // — both are eager-checkpointed (the ft_woe_iv fan-out rule: a
+  // branched producer otherwise replays its whole subtree per
+  // branch; un-checkpointed the final plan carried 14 exchanges
+  // across replays, now each producer pays once and the final plan
+  // is 3).
   private def ftMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val byUser = Window.partitionBy("user_id")
       .orderBy(desc("cnt"), col("event_type"))
     val users = Tables.events(spark, dir)
@@ -1329,6 +1338,7 @@ object FeatureOps extends Suite {
         sum(col("cnt")).as("n_events"),
         sum(col("n_night")).as("night_events"),
         (sum(col("n_purch")) >= woeMinPurchases).as("good"))
+      .checkpoint()
     val totals = users.agg(count(lit(1)).as("u"),
       sum(col("n_events")).as("t"), sum(col("night_events")).as("tn"))
     val banded = users.crossJoin(broadcast(totals))
@@ -1353,6 +1363,7 @@ object FeatureOps extends Suite {
         col("fx.category").as("category"), col("good"))
     val cells = melted.groupBy("feature", "category", "good")
       .agg(count(lit(1)).as("n"))
+      .checkpoint()
     // dense grid: every observed category × both labels
     val cats = cells.select("feature", "category").distinct()
     import spark.implicits._

@@ -472,7 +472,20 @@ class PlanAuditSpec extends SparkSpec {
       // ANN paths, each audited on its own) plus three query-set-sized
       // semi-join/agg blocks; the count is the sum of its parts, not a
       // new shuffle introduced by the report itself
-      "sim_recall_report" -> 25)
+      "sim_recall_report" -> 25,
+      // r9 additions, audited: lifecycle/MI read eager checkpoints
+      // (one corpus pass each; the final plans are day-/alphabet-
+      // sized); inter_event = user gap window + type rank window +
+      // sort; redelivery = user hwm window + (user,event) rank window
+      // + type agg; jaccard = basket self-join + pair agg + two
+      // part-keyed degree joins; novelty = shingle first-seen agg +
+      // hash join back + doc agg + decile agg; knn graph = bucket
+      // self-join + neighbor/vector joins with the rank window riding
+      // the vec_id partitioning
+      "ev_lifecycle" -> 3, "ev_inter_event" -> 3,
+      "cdc_redelivery_audit" -> 5, "ft_graph_jaccard" -> 7,
+      "ft_mutual_info" -> 3, "txt_ngram_novelty" -> 5,
+      "sim_knn_graph" -> 3)
     val shuffleRe =
       "Exchange (hash|range)partitioning|Exchange SinglePartition".r
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
