@@ -43,7 +43,7 @@ import org.apache.spark.sql.functions._
   * committed artifact, not just a timing delta.
   *
   * Usage: runMain graft.ScaleStress [factor] [q1,q2,...]
-  * Writes SCALE_r08.json + SCALE.md in the repo root.
+  * Writes SCALE_r09.json + SCALE.md in the repo root.
   */
 object ScaleStress {
 
@@ -141,6 +141,17 @@ object ScaleStress {
       "skewSplit" -> n("skewed=true"))
   }
 
+  /** Width-scaled stress variants NOT in the registered query map —
+    * the knob settings the 100 TB prescriptions point at (wider LSH
+    * keys for a grown corpus), runnable by name in a sweep so the
+    * prescription is MEASURED, not asserted. */
+  private val stressVariants
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_graph_w9" ->
+      ((s, d) => operators.SimilarityOps.simKnnGraphAt(s, d, planes = 9)),
+    "sim_knn_graph_w10" ->
+      ((s, d) => operators.SimilarityOps.simKnnGraphAt(s, d, planes = 10)))
+
   /** One fresh execution: rebuilt logical plan (no stage reuse),
     * InternalRow-level run of the adaptive plan, final plan string. */
   private def runOnce(spark: SparkSession, name: String, dir: String)
@@ -154,7 +165,8 @@ object ScaleStress {
     // BPE) run their checkpointed loops eagerly while the DataFrame
     // is being built — Bench times them the same way
     val t0 = System.nanoTime()
-    val df = SparkEntry.queries(name)(spark, dir)
+    val df = stressVariants.getOrElse(name, SparkEntry.queries(name))(
+      spark, dir)
     val plan = df.queryExecution.executedPlan
     plan.execute().foreachPartition(_ => ())
     val secs = (System.nanoTime() - t0) / 1e9
@@ -244,10 +256,10 @@ object ScaleStress {
         s""""splits_even":${sigE("skewSplit")},"splits_skew":${sigS("skewSplit")}}"""
     }.mkString("[", ",\n", "]")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"SCALE_SKEW_r08$tag.json"),
+      java.nio.file.Paths.get(s"SCALE_SKEW_r09$tag.json"),
       (s"""{"factor":$factor,"hot_share":0.2,"queries":$items}""" + "\n")
         .getBytes("UTF-8"))
-    println(s"[scale] wrote SCALE_SKEW_r08$tag.json (${rows.size} queries)")
+    println(s"[scale] wrote SCALE_SKEW_r09$tag.json (${rows.size} queries)")
   }
 
   def main(args: Array[String]): Unit = {
@@ -308,7 +320,7 @@ object ScaleStress {
         s""""plan_flips":$flips}"""
     }.mkString("[", ",\n", "]")
     val json = s"""{"factor":$factor,"base":"$baseDir","queries":$items}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"SCALE_r08$tag.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"SCALE_r09$tag.json"),
       (json + "\n").getBytes("UTF-8"))
 
     val md = new StringBuilder
@@ -331,7 +343,7 @@ object ScaleStress {
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(s"SCALE$tag.md"),
       md.toString.getBytes("UTF-8"))
-    println(s"[scale] wrote SCALE_r08$tag.json + SCALE$tag.md (${rows.size} queries)")
+    println(s"[scale] wrote SCALE_r09$tag.json + SCALE$tag.md (${rows.size} queries)")
     spark.stop()
   }
 }

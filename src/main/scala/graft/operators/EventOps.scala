@@ -1741,6 +1741,75 @@ object EventOps extends Suite {
       |WHERE den > 0
       |ORDER BY den.event_type""".stripMargin
 
+  // ---- ev_ab_srm: sample-ratio-mismatch audit ------------------------
+  // The assignment-integrity check that must PASS before ev_ab_test's
+  // readout is trusted (Fabijan et al. 2019: SRM is the most common
+  // way an experiment silently lies): per exposure segment (users who
+  // emitted each event type, plus the TOTAL experiment population),
+  // compare arm counts under the deterministic user_id % 2 split
+  // against the designed 50/50 with the χ² statistic — which for two
+  // arms collapses to (n_a − n_b)² / (n_a + n_b), an exact rational
+  // routed through the half-up integer micro contract; the srm flag
+  // compares MICRO-integers against the preregistered critical value
+  // 3.841459 (df=1, α=0.05), so the cut can't flip on a double tie.
+  // The unit is the USER (distinct per segment), not the event — an
+  // event-weighted ratio would confound traffic with assignment.
+  // int64 bound: 10⁶·(n_a−n_b)² overflows past ~3·10⁶ users of
+  // imbalance; the DECIMAL(38,0) widening ev_ab_test uses applies.
+  // Scale: one (type, user) dedupe agg + one distinct-user pass for
+  // TOTAL; both collapse to alphabet-sized frames before anything
+  // else runs.
+  private def evAbSrm(spark: SparkSession, dir: String): DataFrame =
+    srmOf(Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2).cast("int").as("arm")))
+
+  /** The audit core over any (event_type, user_id, arm) frame —
+    * factored so the sensitivity spec can prove a doctored
+    * assignment trips the flag (the registered query's all-green
+    * report on the healthy % 2 split is the desired outcome, not
+    * evidence the gate can't fire). */
+  private[graft] def srmOf(ev: DataFrame): DataFrame = {
+    val seg = ev.select("event_type", "user_id", "arm").distinct()
+    val tot = ev.select("user_id", "arm").distinct()
+      .withColumn("event_type", lit("TOTAL"))
+    val counts = seg.unionByName(tot.select("event_type", "user_id", "arm"))
+      .groupBy(col("event_type").as("segment"))
+      .agg(count(when(col("arm") === 0, lit(1))).as("n_a"),
+        count(when(col("arm") === 1, lit(1))).as("n_b"))
+    counts
+      .withColumn("chi2_micro", expr(
+        """(2 * 1000000 * (n_a - n_b) * (n_a - n_b) + (n_a + n_b))
+          | div (2 * (n_a + n_b))""".stripMargin))
+      .select(col("segment"), col("n_a"), col("n_b"),
+        (col("chi2_micro").cast("double") / 1000000L).as("chi2"),
+        (col("chi2_micro") >= 3841459L).cast("int").as("srm"))
+      .orderBy("segment")
+  }
+
+  private val evAbSrmSql =
+    """WITH ev AS (
+      |  SELECT event_type, user_id,
+      |    CAST(user_id % 2 AS INT) AS arm FROM events),
+      |seg AS (
+      |  SELECT DISTINCT event_type, user_id, arm FROM ev
+      |  UNION ALL
+      |  SELECT DISTINCT 'TOTAL', user_id, arm FROM ev),
+      |counts AS (
+      |  SELECT event_type AS segment,
+      |    CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+      |    CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b
+      |  FROM seg GROUP BY 1),
+      |scored AS (
+      |  SELECT segment, n_a, n_b,
+      |    (2 * 1000000 * (n_a - n_b) * (n_a - n_b) + (n_a + n_b))
+      |      // (2 * (n_a + n_b)) AS chi2_micro
+      |  FROM counts)
+      |SELECT segment, n_a, n_b,
+      |  CAST(chi2_micro AS DOUBLE) / 1000000 AS chi2,
+      |  CAST(chi2_micro >= 3841459 AS INT) AS srm
+      |FROM scored ORDER BY segment""".stripMargin
+
   // ---- ev_lifecycle: daily growth accounting ------------------------
   // The Social-Capital-style growth-accounting ledger every product
   // pipeline reports (and the reference's throughput counters are the
@@ -1949,6 +2018,7 @@ object EventOps extends Suite {
     Op("ev_attribution_markov", evAttributionMarkov,
       Some(evAttributionMarkovSql)),
     Op("ev_autocorrelation", evAutocorrelation, Some(evAutocorrelationSql)),
+    Op("ev_ab_srm", evAbSrm, Some(evAbSrmSql)),
     Op("ev_lifecycle", evLifecycle, Some(evLifecycleSql)),
     Op("ev_inter_event", evInterEvent, Some(evInterEventSql)),
   )

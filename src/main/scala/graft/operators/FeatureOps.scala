@@ -1285,6 +1285,92 @@ object FeatureOps extends Suite {
       |FROM scored
       |ORDER BY jaccard_micro DESC, p1, p2 LIMIT 20""".stripMargin
 
+  // ---- ft_correlation: exact integer-moment Pearson matrix ----------
+  // The feature-redundancy screen run before committing a feature set
+  // (two features correlated ≥ ~0.9 carry one signal; a target
+  // encoder downstream double-counts it): pairwise Pearson over four
+  // per-user activity counts (events, purchases, 00–06h events,
+  // active days). Exactness: every feature is an integer count, so
+  // n/Σx/Σx²/Σxy are exact; r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) ·
+  // √(nΣy²−(Σy)²)) forms its cross terms in DECIMAL(38,0)
+  // (ev_ab_test's widening), and only the final quotient runs in
+  // doubles with the identical op dag both engines. Magnitudes stay
+  // far under 2⁵³ at any tested SF so the decimal→double hop is
+  // exact (the dq_reconcile trap bound, documented there); past
+  // ~10⁹ users the known divergence bound applies.
+  // Scale: ONE per-user aggregation pass (all four features ride the
+  // same agg, countDistinct(day) included), then a single 1-row
+  // moment aggregate — the matrix explode is 6 rows. Nothing after
+  // the user agg grows with the corpus.
+  private val corrFeats = Seq(
+    "e" -> "n_events", "p" -> "n_purchases",
+    "g" -> "night_events", "d" -> "active_days")
+  private val corrPairs = Seq(
+    ("e", "p"), ("e", "g"), ("e", "d"), ("p", "g"), ("p", "d"), ("g", "d"))
+
+  private def ftCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("e"),
+        count(when(col("event_type") === "purchase", lit(1))).as("p"),
+        count(when(hour(col("ts")) < 7, lit(1))).as("g"),
+        countDistinct(date_trunc("day", col("ts"))).as("d"))
+    val keys = corrFeats.map(_._1)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      keys.map(f => sum(col(f)).as(s"s_$f")) ++
+      keys.map(f => sum(col(f) * col(f)).as(s"q_$f")) ++
+      corrPairs.map { case (a, b) =>
+        sum(col(a) * col(b)).as(s"p_${a}_$b") }
+    val m = users.agg(aggs.head, aggs.tail: _*)
+    val d38 = DecimalType(38, 0)
+    def dvar(f: String) =
+      col("n").cast(d38) * col(s"q_$f").cast(d38) -
+        col(s"s_$f").cast(d38) * col(s"s_$f").cast(d38)
+    def corr(a: String, b: String) =
+      (col("n").cast(d38) * col(s"p_${a}_$b").cast(d38) -
+        col(s"s_$a").cast(d38) * col(s"s_$b").cast(d38)).cast("double") /
+        (sqrt(dvar(a).cast("double")) * sqrt(dvar(b).cast("double")))
+    val named = corrFeats.toMap
+    m.select(col("n"), explode(array(corrPairs.map { case (a, b) =>
+        struct(lit(named(a)).as("x"), lit(named(b)).as("y"),
+          round(corr(a, b), 6).as("r"))
+      }: _*)).as("c"))
+      .select(col("c.x").as("x"), col("c.y").as("y"),
+        col("n").as("n_users"), col("c.r").as("corr"))
+      .orderBy("x", "y")
+  }
+
+  private val ftCorrelationSql = {
+    val named = corrFeats.toMap
+    val pairRows = corrPairs.map { case (a, b) =>
+      s"""SELECT '${named(a)}' AS x, '${named(b)}' AS y, n AS n_users,
+        |  ROUND(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
+        |    (sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE)) *
+        |     sqrt(CAST(n * q_$b - s_$b * s_$b AS DOUBLE))), 6) AS corr
+        |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH u AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS e,
+      |    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+      |      AS p,
+      |    CAST(COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) < 7) AS BIGINT)
+      |      AS g,
+      |    CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS d
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    ${corrFeats.map { case (f, _) =>
+          s"CAST(SUM($f) AS HUGEINT) AS s_$f, " +
+            s"CAST(SUM($f * $f) AS HUGEINT) AS q_$f" }.mkString(",\n    ")},
+      |    ${corrPairs.map { case (a, b) =>
+          s"CAST(SUM($a * $b) AS HUGEINT) AS p_${a}_$b" }
+          .mkString(",\n    ")}
+      |  FROM u)
+      |SELECT x, y, CAST(n_users AS BIGINT) AS n_users, corr FROM (
+      |$pairRows) t
+      |ORDER BY x, y""".stripMargin
+  }
+
   // ---- ft_mutual_info: mutual-information feature screen -------------
   // The model-free feature screen that complements ft_woe_iv's
   // monotone-odds IV with a symmetric dependence measure: for each
@@ -1490,5 +1576,6 @@ object FeatureOps extends Suite {
     Op("ft_kaplan_meier", ftKaplanMeier, Some(ftKaplanMeierSql)),
     Op("ft_graph_jaccard", ftGraphJaccard, Some(ftGraphJaccardSql)),
     Op("ft_mutual_info", ftMutualInfo, Some(ftMutualInfoSql)),
+    Op("ft_correlation", ftCorrelation, Some(ftCorrelationSql)),
   )
 }

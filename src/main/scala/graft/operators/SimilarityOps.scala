@@ -1212,13 +1212,26 @@ object SimilarityOps extends Suite {
   // vec_id shuffle the neighbor join already made.
   private val knnGraphTables = 8
 
-  private def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+  private def simKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    simKnnGraphAt(spark, dir,
+      planes = graft.functions.HyperplaneBuckets.PLANES)
+
+  /** Width-scaled variant — the corpus-growth knob (same contract as
+    * DedupOps.embeddingPairsAt): the within-bucket candidate stage is
+    * quadratic in bucket size, so at N× vectors the key must widen by
+    * ~log2(N) bits to hold bucket sizes — and therefore the edge
+    * stage — constant per vector (measured at a 10× corpus: 6-bit
+    * ratio 75.5, 9-bit 12.1, 10-bit 8.9 ≈ linear —
+    * SCALE_r09_r9knob.json). The registered query pins the default
+    * width so its oracle replay stays fixed. */
+  private[graft] def simKnnGraphAt(spark: SparkSession, dir: String,
+      planes: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantized(col("embedding")).as("v"))
       .withColumn("norm", dotQ(col("v"), col("v")))
     val keyed = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        posexplode(expr("hyperplane_buckets(embedding)"))
+        posexplode(expr(s"hyperplane_buckets(embedding, $planes)"))
           .as(Seq("tbl", "key")))
       .filter(col("tbl") < knnGraphTables)
     val cand = keyed.as("x").join(keyed.as("y"),

@@ -1150,4 +1150,68 @@ class OperatorInvariantSpec extends SparkSpec {
         s"vec $v: graph cosine $best beats exact ${exactTop(v)}")
     }
   }
+
+  test("ev_ab_srm: healthy split reports clean; doctored split trips") {
+    val clean = run("ev_ab_srm").collect()
+    assert(clean.nonEmpty)
+    clean.foreach { r =>
+      assert(r.getInt(r.fieldIndex("srm")) == 0,
+        s"healthy % 2 split flagged: $r")
+      // chi2 recomputable from its own counts
+      val (na, nb) = (r.getLong(r.fieldIndex("n_a")),
+        r.getLong(r.fieldIndex("n_b")))
+      val micro = (2 * 1000000L * (na - nb) * (na - nb) + (na + nb)) /
+        (2 * (na + nb))
+      assert(r.getDouble(r.fieldIndex("chi2")) == micro.toDouble / 1e6)
+    }
+    // sensitivity: a 60/40 doctored assignment over 1000 users has
+    // chi2 = 200² / 1000 = 40 >> 3.84 — the gate must fire
+    val s = spark
+    import s.implicits._
+    val doctored = (0 until 1000).map(u =>
+      ("exp", u.toLong, if (u < 600) 0 else 1)).toDF(
+      "event_type", "user_id", "arm")
+    val row = graft.operators.EventOps.srmOf(doctored).collect()
+      .find(_.getString(0) == "exp").get
+    assert(row.getInt(row.fieldIndex("srm")) == 1, "doctored split missed")
+    assert(row.getDouble(row.fieldIndex("chi2")) == 40.0)
+  }
+
+  test("ft_correlation: matrix complete, r bounded, self-consistent sign") {
+    val rows = run("ft_correlation").collect()
+    assert(rows.length == 6, "4 features -> 6 unordered pairs")
+    rows.foreach { r =>
+      val c = r.getDouble(r.fieldIndex("corr"))
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"|r| > 1: $r")
+      assert(r.getLong(r.fieldIndex("n_users")) > 0)
+    }
+    // activity counts are all positively related in this corpus —
+    // events vs active_days especially (more events ⇒ more days seen)
+    val ed = rows.find(r => r.getString(0) == "n_events" &&
+      r.getString(1) == "active_days").get
+    assert(ed.getDouble(ed.fieldIndex("corr")) > 0.0)
+  }
+
+  test("knn-graph key width shrinks the edge set without corrupting it") {
+    // the corpus-growth knob (simKnnGraphAt scaladoc): wider keys
+    // split buckets, so candidate sets — and with them the emitted
+    // edge set — can only thin out; what survives must still be a
+    // well-formed ranked graph
+    val narrow = run("sim_knn_graph").count()
+    val wide = operators.SimilarityOps.simKnnGraphAt(spark, sf, planes = 9)
+      .collect()
+    assert(wide.length < narrow,
+      s"9-bit keys kept ${wide.length} edges vs $narrow at 6 bits")
+    assert(wide.nonEmpty, "9-bit graph lost every edge at spec SF")
+    wide.groupBy(_.getLong(wide.head.fieldIndex("vec_id")))
+      .foreach { case (v, rs) =>
+        val ranked = rs.sortBy(_.getLong(rs.head.fieldIndex("rank")))
+        assert(ranked.map(_.getLong(rs.head.fieldIndex("rank"))).toSeq ==
+          (1L to ranked.length).toSeq, s"vec $v: ranks not contiguous")
+        val cs = ranked.map(_.getDouble(rs.head.fieldIndex("cosine")))
+        assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+          s"vec $v: cosine order broken at width 9")
+        assert(cs.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+      }
+  }
 }

@@ -482,6 +482,10 @@ class PlanAuditSpec extends SparkSpec {
       // hash join back + doc agg + decile agg; knn graph = bucket
       // self-join + neighbor/vector joins with the rank window riding
       // the vec_id partitioning
+      // srm = two dedupe aggs (segment + TOTAL) + segment agg + sort;
+      // correlation = per-user agg + countDistinct expand + the 1-row
+      // moment agg (the 6-row explode adds nothing)
+      "ev_ab_srm" -> 4, "ft_correlation" -> 3,
       "ev_lifecycle" -> 3, "ev_inter_event" -> 3,
       "cdc_redelivery_audit" -> 5, "ft_graph_jaccard" -> 7,
       "ft_mutual_info" -> 3, "txt_ngram_novelty" -> 5,
