@@ -1326,7 +1326,11 @@ object TextOps extends Suite {
     rows.result().reduce(_ unionAll _).orderBy("round")
   }
 
-  private val txtQualityDistillSql: String = {
+  /** The full training chain (teacher features → scaled fs → weight
+    * frames w0..w{qdRounds}) as CTEs — shared by the distill oracle
+    * and the calibration oracle so both replay ONE training
+    * definition. */
+  private[operators] val qdChainCtes: String = {
     def round(r: Int) = {
       val den = s"(CAST(4 * $r AS BIGINT) * n * 1000000)"
       def u(gc: String, wc: String) =
@@ -1353,12 +1357,7 @@ object TextOps extends Suite {
         |      w1 * x1s + w2 * x2s, 0), 4000000000) AS pq
         |    FROM fs, w$r) p)""".stripMargin
     }
-    def row(r: Int) =
-      s"""SELECT CAST($r AS BIGINT) AS round, wb, w1, w2, n_correct, n,
-        |  CAST((2 * n_correct * 1000000 + n) // (2 * n) AS DOUBLE)
-        |    / 1000000.0 AS acc
-        |FROM w$r, m$r""".stripMargin
-    s"""WITH feat AS MATERIALIZED (
+    s"""feat AS MATERIALIZED (
       |  SELECT doc_id,
       |    CAST(abs((CASE WHEN 2 * len(list_distinct(t)) >= len(t)
       |        THEN 1 ELSE 0 END) -
@@ -1382,10 +1381,87 @@ object TextOps extends Suite {
       |m0 AS (
       |  SELECT COUNT(CASE WHEN y = 1 THEN 1 END) AS n_correct,
       |    COUNT(*) AS n FROM fs),
-      |${(1 to qdRounds).map(round).mkString(",\n")}
+      |${(1 to qdRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private val txtQualityDistillSql: String = {
+    def row(r: Int) =
+      s"""SELECT CAST($r AS BIGINT) AS round, wb, w1, w2, n_correct, n,
+        |  CAST((2 * n_correct * 1000000 + n) // (2 * n) AS DOUBLE)
+        |    / 1000000.0 AS acc
+        |FROM w$r, m$r""".stripMargin
+    s"""WITH $qdChainCtes
       |${(0 to qdRounds).map(row).mkString("\nUNION ALL\n")}
       |ORDER BY round""".stripMargin
   }
+
+  // ---- txt_distill_calibration: reliability diagram of the gate -----
+  // The calibration audit a probabilistic gate needs before its
+  // scores are used as sampling weights or thresholds (Guo et al.
+  // 2017: accuracy alone hides systematic over/under-confidence):
+  // the trained distill model's predicted probability, bucketed into
+  // score deciles, against the teacher's empirical positive rate per
+  // bucket — mean_p ≈ pos_rate everywhere = calibrated; the signed
+  // gap column is the per-bucket reliability residual. Composes the
+  // SAME artifacts the distill suite trains and hash-verifies: the
+  // model is distillTrain's last-round weights (a 1-row collect —
+  // the model, never data), features are the memoized checkpointed
+  // fs frame, and the quarter-nano hard-sigmoid score is replayed
+  // with the identical clamp arithmetic, so every number here is
+  // exact integer work until the final micro→double casts. The
+  // oracle re-runs the full 8-round training chain via the shared
+  // qdChainCtes and scores fs against w8 — one training definition,
+  // two consumers.
+  // Scale: scoring is map-only over the checkpointed feature frame;
+  // the bucket agg is ≤10 rows. Σpq brushes int64 near 10⁹ docs —
+  // the DECIMAL(38,0) widening applies (ev_ab_test's note).
+  private def txtDistillCalibration(spark: SparkSession,
+      dir: String): DataFrame = {
+    val m = distillTrain(spark, dir)
+    qdFeatures(spark, dir)
+      .withColumn("pq", least(greatest(lit(2000000000L) +
+        (lit(m.wb) * 1000L + lit(m.w1) * col("x1s") +
+          lit(m.w2) * col("x2s")), lit(0L)), lit(4000000000L)))
+      .withColumn("bucket", least(expr("pq div 400000000"), lit(9L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("pq")).as("spq"),
+        sum(col("y")).as("npos"))
+      // mean p in micro = halfup(Σpq / (4000·n)): pq is quarter-nano,
+      // so Σpq/(4e9·n)·1e6 = Σpq/(4000·n)
+      .withColumn("mean_p_micro",
+        expr("(2 * spq + 4000 * n_docs) div (8000 * n_docs)"))
+      .withColumn("emp_micro",
+        expr("(2 * npos * 1000000 + n_docs) div (2 * n_docs)"))
+      .select(col("bucket"), col("n_docs"),
+        (col("mean_p_micro").cast("double") / 1000000L).as("mean_p"),
+        (col("emp_micro").cast("double") / 1000000L).as("pos_rate"),
+        ((col("mean_p_micro") - col("emp_micro")).cast("double") /
+          1000000L).as("gap"))
+      .orderBy("bucket")
+  }
+
+  private val txtDistillCalibrationSql =
+    s"""WITH $qdChainCtes,
+      |cal AS (
+      |  SELECT y, LEAST(GREATEST(2000000000 + wb * 1000 + w1 * x1s
+      |      + w2 * x2s, 0), 4000000000) AS pq
+      |  FROM fs, w$qdRounds),
+      |b AS (
+      |  SELECT LEAST(pq // 400000000, 9) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(pq) AS BIGINT) AS spq,
+      |    CAST(SUM(y) AS BIGINT) AS npos
+      |  FROM cal GROUP BY 1),
+      |s AS (
+      |  SELECT bucket, n_docs,
+      |    (2 * spq + 4000 * n_docs) // (8000 * n_docs) AS mean_p_micro,
+      |    (2 * npos * 1000000 + n_docs) // (2 * n_docs) AS emp_micro
+      |  FROM b)
+      |SELECT bucket, n_docs,
+      |  CAST(mean_p_micro AS DOUBLE) / 1000000 AS mean_p,
+      |  CAST(emp_micro AS DOUBLE) / 1000000 AS pos_rate,
+      |  CAST(mean_p_micro - emp_micro AS DOUBLE) / 1000000 AS gap
+      |FROM s ORDER BY bucket""".stripMargin
 
   // ---- txt_keyphrases: RAKE keyphrase extraction --------------------
   // Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
@@ -1778,5 +1854,7 @@ object TextOps extends Suite {
     Op("txt_zipf", txtZipf, Some(txtZipfSql)),
     Op("txt_code_detect", txtCodeDetect, Some(txtCodeDetectSql)),
     Op("txt_ngram_novelty", txtNgramNovelty, Some(txtNgramNoveltySql)),
+    Op("txt_distill_calibration", txtDistillCalibration,
+      Some(txtDistillCalibrationSql)),
   )
 }

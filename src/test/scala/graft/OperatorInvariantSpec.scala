@@ -1192,6 +1192,32 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(ed.getDouble(ed.fieldIndex("corr")) > 0.0)
   }
 
+  test("txt_distill_calibration: buckets bounded, gap self-consistent") {
+    val rows = run("txt_distill_calibration").collect()
+    val nDocs = rows.map(_.getLong(rows.head.fieldIndex("n_docs"))).sum
+    val scored = graft.sources.Tables.documents(spark, sf)
+      .select(graft.operators.Tok.toks.as("t"))
+      .filter(size(col("t")) > 0).count()
+    assert(nDocs == scored, "every scored doc lands in exactly one bucket")
+    rows.foreach { r =>
+      val b = r.getLong(r.fieldIndex("bucket"))
+      val mp = r.getDouble(r.fieldIndex("mean_p"))
+      val pr = r.getDouble(r.fieldIndex("pos_rate"))
+      assert(b >= 0 && b <= 9)
+      // a bucket's mean prediction lies inside the bucket (9 owns 1.0)
+      assert(mp >= b / 10.0 - 1e-6 && mp <= (b + 1) / 10.0 + 1e-6,
+        s"bucket $b mean_p $mp outside its range")
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(math.abs(r.getDouble(r.fieldIndex("gap")) - (mp - pr)) < 2e-6)
+    }
+    // discrimination: the top bucket must be genuinely more positive
+    // than the bottom one, or the gate learned nothing
+    val byB = rows.map(r => r.getLong(r.fieldIndex("bucket")) ->
+      r.getDouble(r.fieldIndex("pos_rate"))).toMap
+    assert(byB(byB.keys.max) > byB(byB.keys.min) + 0.2,
+      "top score bucket is not more positive than the bottom")
+  }
+
   test("knn-graph key width shrinks the edge set without corrupting it") {
     // the corpus-growth knob (simKnnGraphAt scaladoc): wider keys
     // split buckets, so candidate sets — and with them the emitted

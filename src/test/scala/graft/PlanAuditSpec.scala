@@ -486,6 +486,9 @@ class PlanAuditSpec extends SparkSpec {
       // correlation = per-user agg + countDistinct expand + the 1-row
       // moment agg (the 6-row explode adds nothing)
       "ev_ab_srm" -> 4, "ft_correlation" -> 3,
+      // map-only scoring over the checkpointed feature frame + the
+      // ≤10-row bucket agg + sort (training runs in the producer)
+      "txt_distill_calibration" -> 2,
       "ev_lifecycle" -> 3, "ev_inter_event" -> 3,
       "cdc_redelivery_audit" -> 5, "ft_graph_jaccard" -> 7,
       "ft_mutual_info" -> 3, "txt_ngram_novelty" -> 5,
