@@ -1149,6 +1149,76 @@ object TextOps extends Suite {
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- txt_bpe_fertility: per-language tokenizer-fit report ----------
+  // The fertility audit run before committing a tokenizer to a
+  // multilingual corpus (BLOOM/XLM-R lesson: a vocabulary trained on
+  // a skewed mix tokenizes tail languages into far more symbols per
+  // word, silently taxing their effective context and training
+  // budget): per language, symbols-per-word under the trained vocab
+  // (fertility), plus the OOV share the apply step would drop.
+  // Composes the SAME memoized training loop and broadcast symtab as
+  // txt_bpe_apply; the oracle rides the shared bpeCtes chain — one
+  // vocabulary definition, three consumers. Ratios through the
+  // half-up micro contract with denominators FLOORED AT 1 (a
+  // language with zero matched words reports fertility 0, not a NULL
+  // double — the pandas NaN trap).
+  // Scale: one corpus explode joined to the broadcast vocab, one
+  // language-sized agg. Nothing after the agg grows with the corpus.
+  private def txtBpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val (vocabN, _) = bpeTrainLoop(spark, dir)
+    val symtab = vocabN
+      .withColumn("n_sym",
+        size(split(expr("trim(BOTH '<>' FROM s)"), "><")).cast("long"))
+      .select(col("word"), col("n_sym"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), explode_outer(toks).as("word"))
+      .join(broadcast(symtab), Seq("word"), "left")
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(col("word")).as("n_words"),
+        count(col("n_sym")).as("n_matched"),
+        coalesce(sum(col("n_sym")), lit(0L)).as("n_bpe"))
+      .withColumn("fertility", expr(
+        """(2 * n_bpe * 1000000 + greatest(n_matched, 1L))
+          | div (2 * greatest(n_matched, 1L))""".stripMargin)
+        .cast("double") / 1000000L)
+      .withColumn("oov_rate", expr(
+        """(2 * (n_words - n_matched) * 1000000 + greatest(n_words, 1L))
+          | div (2 * greatest(n_words, 1L))""".stripMargin)
+        .cast("double") / 1000000L)
+      .orderBy("lang")
+  }
+
+  private val txtBpeFertilitySql: String =
+    s"""WITH $bpeCtes,
+      |symtab AS (
+      |  SELECT word, CAST(len(string_split(trim(s, '<>'), '><')) AS BIGINT)
+      |    AS n_sym
+      |  FROM v$bpeRounds),
+      |corpus AS (
+      |  -- explode_outer twin: a zero-token doc keeps one NULL-word
+      |  -- row (bare unnest would drop the doc from n_docs)
+      |  SELECT lang, doc_id,
+      |    unnest(CASE WHEN len(t) = 0 THEN [CAST(NULL AS VARCHAR)]
+      |      ELSE t END) AS word
+      |  FROM (SELECT lang, doc_id, $toksSql AS t FROM documents) d),
+      |joined AS (
+      |  SELECT c.lang, c.doc_id, c.word, st.n_sym
+      |  FROM corpus c LEFT JOIN symtab st USING (word)),
+      |agg AS (
+      |  SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(word) AS BIGINT) AS n_words,
+      |    CAST(COUNT(n_sym) AS BIGINT) AS n_matched,
+      |    CAST(COALESCE(SUM(n_sym), 0) AS BIGINT) AS n_bpe
+      |  FROM joined GROUP BY 1)
+      |SELECT lang, n_docs, n_words, n_matched, n_bpe,
+      |  CAST((2 * n_bpe * 1000000 + GREATEST(n_matched, 1))
+      |    // (2 * GREATEST(n_matched, 1)) AS DOUBLE) / 1000000
+      |    AS fertility,
+      |  CAST((2 * (n_words - n_matched) * 1000000 + GREATEST(n_words, 1))
+      |    // (2 * GREATEST(n_words, 1)) AS DOUBLE) / 1000000 AS oov_rate
+      |FROM agg ORDER BY lang""".stripMargin
+
   private val txtBpeTrainSql: String =
     s"""WITH $bpeCtes
       |SELECT CAST(round AS BIGINT) AS round, p1, p2, cnt
@@ -1849,6 +1919,7 @@ object TextOps extends Suite {
     Op("txt_entropy", txtEntropy, Some(txtEntropySql)),
     Op("txt_bpe_train", txtBpeTrain, Some(txtBpeTrainSql)),
     Op("txt_bpe_apply", txtBpeApply, Some(txtBpeApplySql)),
+    Op("txt_bpe_fertility", txtBpeFertility, Some(txtBpeFertilitySql)),
     Op("txt_quality_distill", txtQualityDistill, Some(txtQualityDistillSql)),
     Op("txt_keyphrases", txtKeyphrases, Some(txtKeyphrasesSql)),
     Op("txt_zipf", txtZipf, Some(txtZipfSql)),

@@ -489,6 +489,9 @@ class PlanAuditSpec extends SparkSpec {
       // map-only scoring over the checkpointed feature frame + the
       // ≤10-row bucket agg + sort (training runs in the producer)
       "txt_distill_calibration" -> 2,
+      // corpus explode + broadcast vocab join + countDistinct expand
+      // into the language-sized agg + sort (training in the producer)
+      "txt_bpe_fertility" -> 3,
       "ev_lifecycle" -> 3, "ev_inter_event" -> 3,
       "cdc_redelivery_audit" -> 5, "ft_graph_jaccard" -> 7,
       "ft_mutual_info" -> 3, "txt_ngram_novelty" -> 5,
