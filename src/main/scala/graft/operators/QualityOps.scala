@@ -486,6 +486,106 @@ object QualityOps extends Suite {
       |QUALIFY rank <= 5
       |ORDER BY d.event_type, rank""".stripMargin
 
+  // ---- dq_benford: leading-digit conformance screen ------------------
+  // The sixth DQ leg — PROVENANCE: Benford's-law first-digit analysis
+  // (Nigrini's fraud/fabrication screen; naturally-grown multi-scale
+  // amounts follow P(d) = log10(1+1/d), while fabricated, capped,
+  // defaulted, or unit-mangled feeds visibly don't): per leading
+  // digit of the order amount, observed share vs the Benford
+  // expectation and the absolute deviation. The verdict statistic is
+  // MAD (mean absolute deviation, Nigrini's tables: > 0.015 =
+  // nonconformity for first digits) — reported per row for
+  // self-containment. Digit extraction is integer-only: amounts go
+  // through the cents contract, then d = c div 10^(len(str(c))−1) —
+  // the decimal-string length of an INTEGER is engine-stable, while
+  // floor(log10(double)) can flip at power-of-ten boundaries. Shares
+  // and MAD ride the half-up micro contract; the Benford expectations
+  // are 6-decimal micro LITERALS shared by both engines (one rounding
+  // of log10(1+1/d), applied identically). A uniform synthetic price
+  // table legitimately FAILS this screen — the gate detecting
+  // non-Benford data is the honest demo.
+  // Scale: one map-side-combined 9-row agg, eager-checkpointed (the
+  // fan-out rule — it feeds the totals scalar AND the share join, and
+  // the scored frame feeds the MAD scalar AND the report; without the
+  // checkpoints the corpus scan replays 4×, final plan 8 exchanges →
+  // 2); the MAD join is 9×9-row.
+  private val benfordMicro: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  private def dqBenford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val exp = benfordMicro.toDF("digit", "benford_micro")
+    val digits = Tables.orders(spark, dir)
+      .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("c"))
+      .filter(col("c") > 0)
+      .select(expr(
+        "c div cast(power(10, length(cast(c as string)) - 1) as long)")
+        .cast("int").as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+      .checkpoint()
+    val tot = counts.agg(sum(col("n")).as("t"))
+    val scored = exp.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_micro",
+        expr("(2 * n * 1000000 + t) div (2 * t)"))
+      .withColumn("dev_micro",
+        abs(col("share_micro") - col("benford_micro")))
+      .checkpoint()
+    val mad = scored.agg(
+      expr("(2 * sum(dev_micro) + 9) div 18").as("mad_micro"))
+    scored.crossJoin(broadcast(mad))
+      .select(col("digit"), col("n").as("n_orders"),
+        (col("share_micro").cast("double") / 1000000L).as("share"),
+        (col("benford_micro").cast("double") / 1000000L).as("benford"),
+        (col("dev_micro").cast("double") / 1000000L).as("abs_dev"),
+        (col("mad_micro").cast("double") / 1000000L).as("mad"),
+        (col("mad_micro") > 15000L).cast("int").as("nonconforming"))
+      .orderBy("digit")
+  }
+
+  private val dqBenfordSql = {
+    val expRows = benfordMicro.map { case (d, m) => s"($d, $m)" }
+      .mkString(", ")
+    s"""WITH exp(digit, benford_micro) AS (VALUES $expRows),
+      |cents AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS c
+      |  FROM orders),
+      |digits AS (
+      |  SELECT CAST(c // CAST(power(10, length(CAST(c AS VARCHAR)) - 1)
+      |    AS BIGINT) AS INT) AS digit
+      |  FROM cents WHERE c > 0),
+      |counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM digits GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts),
+      |scored AS (
+      |  SELECT e.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+      |    e.benford_micro,
+      |    (2 * CAST(COALESCE(c.n, 0) AS BIGINT) * 1000000 + t) // (2 * t)
+      |      AS share_micro
+      |  FROM exp e LEFT JOIN counts c ON e.digit = c.digit
+      |  CROSS JOIN tot),
+      |devs AS (
+      |  SELECT digit, n, share_micro, benford_micro,
+      |    abs(share_micro - benford_micro) AS dev_micro
+      |  FROM scored),
+      |mad AS (
+      |  SELECT (2 * SUM(dev_micro) + 9) // 18 AS mad_micro FROM devs)
+      |SELECT digit, n AS n_orders,
+      |  CAST(share_micro AS DOUBLE) / 1000000 AS share,
+      |  CAST(benford_micro AS DOUBLE) / 1000000 AS benford,
+      |  CAST(dev_micro AS DOUBLE) / 1000000 AS abs_dev,
+      |  CAST(mad_micro AS DOUBLE) / 1000000 AS mad,
+      |  CAST(mad_micro > 15000 AS INT) AS nonconforming
+      |FROM devs CROSS JOIN mad ORDER BY digit""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("dq_checks", dqChecks, Some(dqChecksSql)),
     Op("dq_drift", dqDrift, Some(dqDriftSql)),
@@ -493,5 +593,6 @@ object QualityOps extends Suite {
     Op("dq_reconcile", dqReconcile, Some(dqReconcileSql)),
     Op("dq_outliers", dqOutliers, Some(dqOutliersSql)),
     Op("dq_quarantine", dqQuarantine, Some(dqQuarantineSql)),
+    Op("dq_benford", dqBenford, Some(dqBenfordSql)),
   )
 }

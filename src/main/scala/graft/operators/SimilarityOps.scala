@@ -1288,6 +1288,111 @@ object SimilarityOps extends Suite {
       |SELECT vec_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
       |FROM scored WHERE rank <= $topK ORDER BY vec_id, rank""".stripMargin
 
+  // ---- sim_pca_power: exact unrolled power iteration -----------------
+  // The leading principal direction of the embedding column (von
+  // Mises power iteration) — what sim_vector_health's per-dim
+  // variance can't see: a dominant CORRELATED direction (an "anisotropy
+  // spike" from a batch-effect or a degenerate encoder — Mu & Viswanath
+  // 2018 show top-component removal is even a quality post-process).
+  // v_{r+1} ∝ Σ_i e_i (e_i · v_r), six rounds from the all-ones
+  // start, every step exact integer work: scores Σ e·v on dec_quant's
+  // scale-8 longs (≤ 6.4e15, int64-safe), rescaled to score/1e8 via
+  // the SIGN-SAFE half-up contract; the back-projection Σ s·e runs in
+  // DECIMAL(38,0)/HUGEINT (≈3e19 at sf0.1 — past int64); each round
+  // renormalizes to ∞-norm 10⁶ micro-units with one sign-safe
+  // division by the broadcast max — so the oracle unrolls all six
+  // rounds as CTEs and the hash gate verifies the whole trajectory
+  // (sim_kmeans' posture). `growth` = micro ratio of successive
+  // norms, the classic power-iteration eigenvalue estimate — its
+  // convergence to a constant is the dominance readout.
+  // Scale: the terms frame (64 narrow rows per vector) checkpoints
+  // once; each round is two equi-joins against 64-row / corpus-keyed
+  // frames with map-side-combined aggs — 6 rounds = 12 bounded jobs,
+  // nothing driver-side but the 64-row weight frame.
+  private val pcaRounds = 6
+
+  private def simPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val d38 = DecimalType(38, 0)
+    val terms = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(quantized(col("embedding"))).as(Seq("d", "e")))
+      .checkpoint()
+    var v = spark.range(64).select(col("id").cast("int").as("d"),
+      lit(1000000L).as("v"))
+    var mxPrev: DataFrame = null
+    var mxCur: DataFrame = null
+    for (_ <- 1 to pcaRounds) {
+      val s = terms.join(v, Seq("d"))
+        .groupBy("vec_id").agg(sum(col("e") * col("v")).as("sc"))
+        .select(col("vec_id"), expr(
+          """case when sc >= 0 then (2 * sc + 100000000L) div 200000000L
+            | else -((2 * (-sc) + 100000000L) div 200000000L) end"""
+            .stripMargin).as("s"))
+      val w = terms.join(s, Seq("vec_id"))
+        .groupBy("d")
+        .agg(sum(col("s").cast(d38) * col("e").cast(d38)).as("w"))
+        .checkpoint()
+      mxPrev = mxCur
+      mxCur = w.agg(max(abs(col("w"))).as("mx")).checkpoint()
+      v = w.crossJoin(broadcast(mxCur))
+        .select(col("d"), expr(
+          """cast(case when w >= 0
+            |  then (2 * 1000000 * w + mx) div (2 * mx)
+            |  else -((2 * 1000000 * (-w) + mx) div (2 * mx))
+            |end as long)""".stripMargin).as("v"))
+        .checkpoint()
+    }
+    val growth = mxCur.crossJoin(broadcast(
+        mxPrev.select(col("mx").as("mx_prev"))))
+      .select(expr("cast((2 * 1000000 * mx + mx_prev) div (2 * mx_prev)" +
+        " as long)").as("growth_micro"))
+    v.crossJoin(broadcast(growth))
+      .select(col("d").cast("long").as("dim"), col("v").as("v_micro"),
+        (col("v").cast("double") / 1000000L).as("loading"),
+        (col("growth_micro").cast("double") / 1000000L).as("growth"))
+      .orderBy("dim")
+  }
+
+  private val simPcaPowerSql: String = {
+    def round(r: Int) = {
+      def signDiv(num: String, den: String) =
+        s"""CASE WHEN $num >= 0 THEN (2 * ($num) + $den) // (2 * ($den))
+           |  ELSE -((2 * (-($num)) + $den) // (2 * ($den))) END"""
+          .stripMargin
+      s"""s$r AS MATERIALIZED (
+        |  SELECT vec_id, CAST(${signDiv("sc", "100000000")} AS BIGINT)
+        |    AS s
+        |  FROM (SELECT t.vec_id, SUM(t.e * v.v) AS sc
+        |    FROM terms t JOIN v${r - 1} v ON t.d = v.d GROUP BY 1) x),
+        |w$r AS MATERIALIZED (
+        |  SELECT t.d, SUM(CAST(s.s AS HUGEINT) * t.e) AS w
+        |  FROM terms t JOIN s$r s ON t.vec_id = s.vec_id GROUP BY 1),
+        |n$r AS (SELECT MAX(abs(w)) AS mx FROM w$r),
+        |v$r AS MATERIALIZED (
+        |  SELECT d, CAST(${signDiv("1000000 * w", "mx")} AS BIGINT) AS v
+        |  FROM w$r, n$r)""".stripMargin
+    }
+    s"""WITH terms AS MATERIALIZED (
+      |  SELECT vec_id, i - 1 AS d,
+      |    CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8))
+      |      * 100000000 AS BIGINT) AS e
+      |  FROM embeddings, range(1, 65) r(i)),
+      |v0 AS (SELECT CAST(d AS INT) AS d, CAST(1000000 AS BIGINT) AS v
+      |  FROM range(0, 64) t(d)),
+      |${(1 to pcaRounds).map(round).mkString(",\n")},
+      |growth AS (
+      |  SELECT CAST((2 * 1000000 * a.mx + b.mx) // (2 * b.mx) AS BIGINT)
+      |    AS growth_micro
+      |  FROM n$pcaRounds a, n${pcaRounds - 1} b)
+      |SELECT CAST(d AS BIGINT) AS dim, v AS v_micro,
+      |  CAST(v AS DOUBLE) / 1000000 AS loading,
+      |  CAST(growth_micro AS DOUBLE) / 1000000 AS growth
+      |FROM v$pcaRounds, growth ORDER BY dim""".stripMargin
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
     Op("sim_ann_lsh", simAnnLsh, None),
@@ -1304,5 +1409,6 @@ object SimilarityOps extends Suite {
     Op("sim_mmr", simMmr, Some(simMmrSql)),
     Op("sim_vector_health", simVectorHealth, Some(simVectorHealthSql)),
     Op("sim_knn_graph", simKnnGraph, Some(simKnnGraphSql)),
+    Op("sim_pca_power", simPcaPower, Some(simPcaPowerSql)),
   )
 }

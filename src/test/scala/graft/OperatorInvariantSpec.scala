@@ -1218,6 +1218,36 @@ class OperatorInvariantSpec extends SparkSpec {
       "top score bucket is not more positive than the bottom")
   }
 
+  test("dq_benford: shares sum to ~1, MAD consistent, uniform data flagged") {
+    val rows = run("dq_benford").collect()
+    assert(rows.length == 9, "one row per leading digit 1-9")
+    val shares = rows.map(r => math.round(
+      r.getDouble(r.fieldIndex("share")) * 1e6))
+    assert(math.abs(shares.sum - 1000000L) <= 9,
+      s"digit shares must sum to ~1e6 micro (got ${shares.sum})")
+    val madWant = rows.map(r =>
+      math.round(r.getDouble(r.fieldIndex("abs_dev")) * 1e6)).sum / 9
+    rows.foreach { r =>
+      assert(math.abs(math.round(r.getDouble(r.fieldIndex("mad")) * 1e6) -
+        madWant) <= 1, "reported MAD drifted from its own deviations")
+    }
+    // the uniform synthetic price table is legitimately non-Benford
+    assert(rows.forall(_.getInt(rows.head.fieldIndex("nonconforming")) == 1))
+  }
+
+  test("sim_pca_power: unit infinity-norm, full dimension, sane growth") {
+    val rows = run("sim_pca_power").collect()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("dim"))).toSet ==
+      (0L to 63L).toSet, "one loading per dimension")
+    val vm = rows.map(_.getLong(rows.head.fieldIndex("v_micro")))
+    assert(vm.map(math.abs).max == 1000000L,
+      "renormalized vector must have infinity-norm exactly 1e6")
+    val g = rows.head.getDouble(rows.head.fieldIndex("growth"))
+    assert(g > 0.0 && rows.forall(
+      _.getDouble(rows.head.fieldIndex("growth")) == g),
+      "growth must be a positive constant column")
+  }
+
   test("knn-graph key width shrinks the edge set without corrupting it") {
     // the corpus-growth knob (simKnnGraphAt scaladoc): wider keys
     // split buckets, so candidate sets — and with them the emitted

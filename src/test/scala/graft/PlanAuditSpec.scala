@@ -492,6 +492,10 @@ class PlanAuditSpec extends SparkSpec {
       // corpus explode + broadcast vocab join + countDistinct expand
       // into the language-sized agg + sort (training in the producer)
       "txt_bpe_fertility" -> 3,
+      // benford reads its checkpointed 9-row frames (corpus agg runs
+      // once in the producer); pca reads the checkpointed final
+      // weight frame — the sort is the lone final-plan exchange
+      "dq_benford" -> 2, "sim_pca_power" -> 1,
       "ev_lifecycle" -> 3, "ev_inter_event" -> 3,
       "cdc_redelivery_audit" -> 5, "ft_graph_jaccard" -> 7,
       "ft_mutual_info" -> 3, "txt_ngram_novelty" -> 5,
