@@ -1741,6 +1741,185 @@ object EventOps extends Suite {
       |WHERE den > 0
       |ORDER BY den.event_type""".stripMargin
 
+  // ---- ev_attribution_shapley: coalition-game channel credit ---------
+  // Shapley-value attribution (Zhao et al. 2018 — the third
+  // attribution model next to ev_attribution's positional rules and
+  // ev_attribution_markov's removal effects; the one with the
+  // axiomatic fairness story): sessions are coalitions — each
+  // pre-first-purchase session contributes its SET of touched
+  // channels as a bitmask, v(S) = converted sessions whose touch set
+  // ⊆ S, and channel credit is the exact Shapley value
+  // φ_c = Σ_{S∌c} |S|!(n−1−|S|)!/n! · (v(S∪c) − v(S)).
+  // Everything is exact integer work: channel indexes come from a
+  // count-of-smaller self-join on the alphabet frame (txt_zipf's
+  // no-global-window rank trick), masks from SUM(DISTINCT 1<<idx)
+  // (order-independent), v(S) by a submask join of the ≤2ⁿ observed-
+  // mask counts against the 2ⁿ mask grid, weights via factorial() on
+  // both engines, and φ through the half-up micro contract with the
+  // n! division LAST (φ·n! stays integral throughout). Efficiency
+  // axiom Σφ = v(full) − v(∅) is the invariant spec's pin (v(∅) =
+  // sessions converting with zero prior touches — credit no channel
+  // can claim).
+  // Scale: ONE user_id shuffle (the shared 30-min sessionization +
+  // prior-purchase truncation windows) collapses the corpus to
+  // per-session masks; everything after is ≤2ⁿ-sized. Exact Shapley
+  // is inherently 2ⁿ in the CHANNEL alphabet (n ≤ ~20 practical;
+  // permutation-sampling is the documented wide-alphabet path) —
+  // never in the corpus.
+  private def evAttributionShapley(spark: SparkSession,
+      dir: String): DataFrame =
+    shapleyOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")))
+
+  /** The attribution core over any (user_id, ts, event_id,
+    * event_type) frame — factored so the invariant spec can pin a
+    * crafted two-channel log against the hand-computed exact Shapley
+    * values (φ_click = 1.5, φ_view = 0.5 on the 3-session example). */
+  private[graft] def shapleyOf(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val bySess = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts"), col("event_id"))
+    val kept = ev
+      .withColumn("new_s",
+        when(col("ts") <
+          lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTE"), 0)
+          .otherwise(1))
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pp", coalesce(
+        sum(when(col("event_type") === "purchase", 1L)).over(
+          bySess.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("pp") === 0)
+    val alpha = kept.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("ch")).distinct().checkpoint()
+    val idx = alpha.as("a")
+      .join(alpha.as("b"), col("b.ch") < col("a.ch"), "left")
+      .groupBy(col("a.ch").as("ch"))
+      .agg(count(col("b.ch")).as("idx"))
+      .checkpoint()
+    val sessions = kept
+      .join(broadcast(idx), col("event_type") === col("ch"), "left")
+      .groupBy("user_id", "session_id")
+      .agg(coalesce(sum_distinct(
+          expr("shiftleft(1L, cast(idx as int))")), lit(0L)).as("smask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+    val cbm = sessions.groupBy("smask")
+      .agg(sum(col("conv")).as("nc"), count(lit(1)).as("ns"))
+      .checkpoint()
+    val nDf = idx.agg(count(lit(1)).cast("int").as("n"))
+    val masks = nDf.select(explode(
+      sequence(lit(0L), expr("shiftleft(1L, n) - 1"))).as("s_mask"))
+    val v = masks
+      .join(cbm, expr("(smask & ~s_mask) = 0"), "left")
+      .groupBy("s_mask").agg(coalesce(sum(col("nc")), lit(0L)).as("v"))
+      .checkpoint()
+    val contrib = v
+      .crossJoin(broadcast(idx))
+      .filter(expr("(s_mask & shiftleft(1L, cast(idx as int))) = 0"))
+      .withColumn("s_with",
+        expr("s_mask | shiftleft(1L, cast(idx as int))"))
+      .join(v.select(col("s_mask").as("s_with"), col("v").as("v_with")),
+        Seq("s_with"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("wnum", expr(
+        "factorial(bit_count(s_mask)) * factorial(n - 1 - bit_count(s_mask))"))
+      .groupBy("ch")
+      .agg(sum(col("wnum") * (col("v_with") - col("v"))).as("num"),
+        max(col("n")).as("n"))
+      .checkpoint()
+    val touched = idx
+      .join(cbm, expr("((smask >> cast(idx as int)) & 1) = 1"), "left")
+      .groupBy("ch").agg(coalesce(sum(col("ns")), lit(0L)).as("n_sessions"))
+    val tot = contrib.agg(sum(col("num")).as("t"))
+    contrib.join(touched, Seq("ch")).crossJoin(broadcast(tot))
+      .select(col("ch").as("channel"), col("n_sessions"),
+        expr("""(2 * num * 1000000 + factorial(n)) div
+          | (2 * factorial(n))""".stripMargin)
+          .cast("double").divide(lit(1000000.0)).as("shapley"),
+        expr("""case when t > 0 then
+          |  cast((2 * num * 1000000 + t) div (2 * t) as double) / 1000000.0
+          |else 0.0 end""".stripMargin).as("share"))
+      .orderBy("channel")
+  }
+
+  private val evAttributionShapleySql =
+    """WITH base AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN ts < LAG(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+      |      THEN 0 ELSE 1 END AS new_s
+      |  FROM events),
+      |sess0 AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM base),
+      |kept AS (
+      |  SELECT * FROM (
+      |    SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |        THEN 1 END) OVER (PARTITION BY user_id, session_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pp
+      |    FROM sess0) t
+      |  WHERE pp = 0),
+      |alpha AS (SELECT DISTINCT event_type AS ch FROM kept
+      |  WHERE event_type <> 'purchase'),
+      |idx AS (
+      |  SELECT a.ch, CAST(COUNT(b.ch) AS BIGINT) AS idx
+      |  FROM alpha a LEFT JOIN alpha b ON b.ch < a.ch GROUP BY a.ch),
+      |nn AS (SELECT CAST(COUNT(*) AS INT) AS n FROM idx),
+      |sessions AS (
+      |  SELECT k.user_id, k.session_id,
+      |    CAST(COALESCE(SUM(DISTINCT (CAST(1 AS BIGINT) << i.idx)), 0)
+      |      AS BIGINT) AS smask,
+      |    MAX(CASE WHEN k.event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS conv
+      |  FROM kept k LEFT JOIN idx i ON k.event_type = i.ch
+      |  GROUP BY 1, 2),
+      |cbm AS (SELECT smask, CAST(SUM(conv) AS BIGINT) AS nc,
+      |    CAST(COUNT(*) AS BIGINT) AS ns
+      |  FROM sessions GROUP BY 1),
+      |masks AS (SELECT unnest(range(0,
+      |  (CAST(1 AS BIGINT) << (SELECT n FROM nn)))) AS s_mask),
+      |v AS (
+      |  SELECT m.s_mask, CAST(COALESCE(SUM(c.nc), 0) AS BIGINT) AS v
+      |  FROM masks m LEFT JOIN cbm c ON (c.smask & ~m.s_mask) = 0
+      |  GROUP BY 1),
+      |contrib AS (
+      |  SELECT i.ch,
+      |    CAST(SUM(CAST(factorial(CAST(bit_count(vs.s_mask) AS INT))
+      |        AS BIGINT)
+      |      * CAST(factorial(n - 1 - CAST(bit_count(vs.s_mask) AS INT))
+      |        AS BIGINT)
+      |      * (vw.v - vs.v)) AS BIGINT) AS num,
+      |    MAX(n) AS n
+      |  FROM v vs CROSS JOIN idx i CROSS JOIN nn
+      |  JOIN v vw ON vw.s_mask =
+      |    (vs.s_mask | (CAST(1 AS BIGINT) << i.idx))
+      |  WHERE (vs.s_mask & (CAST(1 AS BIGINT) << i.idx)) = 0
+      |  GROUP BY 1),
+      |touched AS (
+      |  SELECT i.ch, CAST(COALESCE(SUM(c.ns), 0) AS BIGINT) AS n_sessions
+      |  FROM idx i LEFT JOIN cbm c ON ((c.smask >> i.idx) & 1) = 1
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(num) AS BIGINT) AS t FROM contrib)
+      |SELECT ch AS channel, n_sessions,
+      |  CAST((2 * num * 1000000 + CAST(factorial(n) AS BIGINT))
+      |    // (2 * CAST(factorial(n) AS BIGINT)) AS DOUBLE) / 1000000
+      |    AS shapley,
+      |  CASE WHEN t > 0 THEN
+      |    CAST((2 * num * 1000000 + t) // (2 * t) AS DOUBLE) / 1000000.0
+      |  ELSE 0.0 END AS share
+      |FROM contrib JOIN touched USING (ch) CROSS JOIN tot
+      |ORDER BY channel""".stripMargin
+
   // ---- ev_ab_srm: sample-ratio-mismatch audit ------------------------
   // The assignment-integrity check that must PASS before ev_ab_test's
   // readout is trusted (Fabijan et al. 2019: SRM is the most common
@@ -2018,6 +2197,8 @@ object EventOps extends Suite {
     Op("ev_attribution_markov", evAttributionMarkov,
       Some(evAttributionMarkovSql)),
     Op("ev_autocorrelation", evAutocorrelation, Some(evAutocorrelationSql)),
+    Op("ev_attribution_shapley", evAttributionShapley,
+      Some(evAttributionShapleySql)),
     Op("ev_ab_srm", evAbSrm, Some(evAbSrmSql)),
     Op("ev_lifecycle", evLifecycle, Some(evLifecycleSql)),
     Op("ev_inter_event", evInterEvent, Some(evInterEventSql)),

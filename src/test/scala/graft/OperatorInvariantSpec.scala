@@ -1218,6 +1218,33 @@ class OperatorInvariantSpec extends SparkSpec {
       "top score bucket is not more positive than the bottom")
   }
 
+  test("ev_attribution_shapley: hand-computed game + efficiency axiom") {
+    // crafted 2-channel game: sessions {click}→conv, {click,view}→conv,
+    // {view}→no conv give v(∅)=0, v(c)=1, v(v)=0, v(cv)=2 and exact
+    // Shapley φ_click = 1.5, φ_view = 0.5
+    val s = spark
+    import s.implicits._
+    def t(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val ev = Seq(
+      (1L, t(0), 1L, "click"), (1L, t(1), 2L, "purchase"),
+      (2L, t(0), 3L, "click"), (2L, t(1), 4L, "view"),
+      (2L, t(2), 5L, "purchase"),
+      (3L, t(0), 6L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.EventOps.shapleyOf(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("shapley")))
+      .toMap
+    assert(got == Map("click" -> 1.5, "view" -> 0.5),
+      s"hand-computed Shapley values diverged: $got")
+    // efficiency on the real corpus: credit shares partition the pie
+    val rows = run("ev_attribution_shapley").collect()
+    val shares = rows.map(_.getDouble(rows.head.fieldIndex("share")))
+    assert(math.abs(shares.sum - 1.0) < 1e-4,
+      s"shares must sum to ~1 (got ${shares.sum})")
+    assert(rows.forall(
+      _.getDouble(rows.head.fieldIndex("shapley")) >= 0.0))
+  }
+
   test("dq_benford: shares sum to ~1, MAD consistent, uniform data flagged") {
     val rows = run("dq_benford").collect()
     assert(rows.length == 9, "one row per leading digit 1-9")

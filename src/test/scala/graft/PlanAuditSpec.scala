@@ -496,6 +496,9 @@ class PlanAuditSpec extends SparkSpec {
       // once in the producer); pca reads the checkpointed final
       // weight frame — the sort is the lone final-plan exchange
       "dq_benford" -> 2, "sim_pca_power" -> 1,
+      // one user_id shuffle (shared sessionize+truncation windows) +
+      // the session agg + the mask-sized tail reading checkpoints
+      "ev_attribution_shapley" -> 4,
       "ev_lifecycle" -> 3, "ev_inter_event" -> 3,
       "cdc_redelivery_audit" -> 5, "ft_graph_jaccard" -> 7,
       "ft_mutual_info" -> 3, "txt_ngram_novelty" -> 5,
