@@ -164,7 +164,14 @@ object DedupOps extends Suite {
   // pairs sharing any (band, band_hash) bucket; exact jaccard
   // verifies candidates only. No oracle (hash-function specific) —
   // rows-only check; deterministic output.
-  private def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  private def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir).orderBy("a_id", "b_id")
+
+  /** The verified minhash-LSH pair frame — shared by dedup_minhash
+    * (its direct output) and dedup_minhash_recall (its measured
+    * side). */
+  private[operators] def minhashPairs(spark: SparkSession,
+      dir: String): DataFrame = {
     // The shingle stage feeds both bucket-join sides AND the verify
     // joins; persist it once (Spark's CacheManager dedupes identical
     // plans, so repeated calls share one entry). ~2 KB/doc — at
@@ -196,7 +203,45 @@ object DedupOps extends Suite {
         (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("a_id", "b_id")
+  }
+
+  // ---- dedup_minhash_recall: the banded-LSH S-curve, measured --------
+  // The tuning report behind every (bands, rows) choice (Broder/MMDS
+  // ch.3: P(candidate | s) = 1 − (1 − s^r)^b — theory gives the
+  // S-curve, THIS measures it): exact τ=0.5 jaccard pairs (the
+  // blocked-join ground truth dedup_ngram_jaccard hash-verifies)
+  // split into similarity bands, each band reporting how many pairs
+  // the 32-band/4-row MinHash LSH path actually surfaced. Precision
+  // is 1.0 by construction (candidates are exact-verified — the spec
+  // pins it with a set-difference); recall per band is the number a
+  // pipeline trades against candidate volume when it re-tunes
+  // (bands, rows) for a new corpus. The denominator is the BLOCKED
+  // ground truth (lang + size band — what the exact pipeline would
+  // dedupe); minhash itself is unblocked and may surface extra
+  // cross-block τ-pairs, which are precision-safe (exact-verified)
+  // and outside this denominator by construction. Rows-only (minhash
+  // is hash-function-specific, sim_recall_report's posture); the
+  // invariant spec pins band partitioning, bounds, per-pair verified
+  // precision, and the S-curve's rising tail.
+  // Scale: pure composition of two already-bucketed pair frames +
+  // one band-sized agg; the pair join keys on (a_id, b_id) — both
+  // sides are pair-sized, never corpus².
+  private def dedupMinhashRecall(spark: SparkSession,
+      dir: String): DataFrame = {
+    val exact = jaccardPairs(spark, dir)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val mh = minhashPairs(spark, dir)
+      .select(col("a_id"), col("b_id"), lit(1L).as("found"))
+    exact.join(mh, Seq("a_id", "b_id"), "left")
+      .withColumn("band",
+        least(floor(col("jaccard") * 10).cast("long"), lit(9L)))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(col("found")).as("n_found"))
+      .withColumn("recall",
+        expr("(2 * n_found * 1000000 + n_pairs) div (2 * n_pairs)")
+          .cast("double") / 1000000L)
+      .orderBy("band")
   }
 
   // ---- dedup_simhash: 64-bit simhash + hamming ≤ 3 ------------------
@@ -851,6 +896,7 @@ object DedupOps extends Suite {
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     Op("dedup_minhash", dedupMinhash, None),
+    Op("dedup_minhash_recall", dedupMinhashRecall, None),
     Op("dedup_simhash", dedupSimhash, None),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Op("dedup_embedding_sweep", dedupEmbeddingSweep,

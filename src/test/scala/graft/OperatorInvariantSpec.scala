@@ -1218,6 +1218,34 @@ class OperatorInvariantSpec extends SparkSpec {
       "top score bucket is not more positive than the bottom")
   }
 
+  test("dedup_minhash_recall: bands partition exact pairs; tail rises") {
+    val rows = run("dedup_minhash_recall").collect()
+    val exact = run("dedup_ngram_jaccard").count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_pairs"))).sum == exact,
+      "bands must partition the exact tau-pair universe")
+    rows.foreach { r =>
+      val (n, f) = (r.getLong(r.fieldIndex("n_pairs")),
+        r.getLong(r.fieldIndex("n_found")))
+      assert(f <= n, "found cannot exceed the band population")
+      val rec = r.getDouble(r.fieldIndex("recall"))
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // precision 1.0 by construction: every emitted minhash pair
+    // carries its exact-verified jaccard >= tau (the minhash path is
+    // NOT lang/size-blocked, so it may legitimately surface tau-pairs
+    // outside the blocked ground-truth universe — recall here is
+    // measured against what the blocked exact pipeline would dedupe)
+    val mh = run("dedup_minhash").collect()
+    assert(mh.forall(
+      _.getDouble(mh.head.fieldIndex("jaccard")) >= 0.5 - 5e-7),
+      "minhash emitted a sub-tau pair")
+    // S-curve: the top band cannot recall worse than the bottom one
+    val byBand = rows.map(r => r.getLong(r.fieldIndex("band")) ->
+      r.getDouble(r.fieldIndex("recall"))).toMap
+    assert(byBand(byBand.keys.max) >= byBand(byBand.keys.min),
+      "banded-LSH recall must not fall with similarity")
+  }
+
   test("ev_attribution_shapley: hand-computed game + efficiency axiom") {
     // crafted 2-channel game: sessions {click}→conv, {click,view}→conv,
     // {view}→no conv give v(∅)=0, v(c)=1, v(v)=0, v(cv)=2 and exact

@@ -499,6 +499,9 @@ class PlanAuditSpec extends SparkSpec {
       // one user_id shuffle (shared sessionize+truncation windows) +
       // the session agg + the mask-sized tail reading checkpoints
       "ev_attribution_shapley" -> 4,
+      // composition of the two audited pair frames + pair-keyed join
+      // + band agg + sort
+      "dedup_minhash_recall" -> 5,
       "ev_lifecycle" -> 3, "ev_inter_event" -> 3,
       "cdc_redelivery_audit" -> 5, "ft_graph_jaccard" -> 7,
       "ft_mutual_info" -> 3, "txt_ngram_novelty" -> 5,
