@@ -1533,6 +1533,90 @@ object TextOps extends Suite {
       |  CAST(mean_p_micro - emp_micro AS DOUBLE) / 1000000 AS gap
       |FROM s ORDER BY bucket""".stripMargin
 
+  // ---- txt_distill_auc: exact ROC-AUC of the gate ---------------------
+  // The third leg of the gate-eval triad (descent curve = fit,
+  // calibration = probability quality, THIS = ranking quality): the
+  // Mann–Whitney AUC of the distilled score against the teacher
+  // label, exactly — AUC = (concordant + ½·ties) / (P·N) over all
+  // positive×negative pairs, computed from per-distinct-score
+  // (np, nn) counts so no pair frame ever materializes. The
+  // negatives-below cumsum is TWO-PHASE (q_orders_backlog's idiom:
+  // within-score-decile windows + a 10-row broadcast triangle-join
+  // offset — no single task sorts the score axis; the oracle runs
+  // the plain one-window form, so the hash gate proves the two-phase
+  // plan semantics-preserving). AUC and Gini (2·AUC−1) land through
+  // ONE half-up micro division; everything before it is exact int64
+  // (2c+t ≤ 2·P·N — past ~10⁹ docs the DECIMAL(38,0) widening
+  // applies).
+  // Scale: map-only scoring over the checkpointed feature frame,
+  // one distinct-score agg, score-sized windows, a 1-row report.
+  private def txtDistillAuc(spark: SparkSession, dir: String): DataFrame = {
+    val m = distillTrain(spark, dir)
+    val byScore = qdFeatures(spark, dir)
+      .withColumn("pq", least(greatest(lit(2000000000L) +
+        (lit(m.wb) * 1000L + lit(m.w1) * col("x1s") +
+          lit(m.w2) * col("x2s")), lit(0L)), lit(4000000000L)))
+      .groupBy("pq")
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+      .withColumn("bkt", least(expr("pq div 400000000"), lit(9L)))
+      .checkpoint()
+    val wB = Window.partitionBy("bkt").orderBy("pq")
+    val within = byScore.withColumn("nn_below_in",
+      coalesce(sum(col("nn")).over(
+        wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val btot = byScore.groupBy("bkt").agg(sum(col("nn")).as("b_nn"))
+    val offs = btot.as("a")
+      .join(broadcast(btot.as("b")), col("b.bkt") < col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.b_nn")), lit(0L)).as("off"))
+    within.join(broadcast(offs), Seq("bkt"))
+      .select((col("np") * (col("nn_below_in") + col("off"))).as("conc"),
+        (col("np") * col("nn")).as("tie"), col("np"), col("nn"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum(col("conc")).as("c"), sum(col("tie")).as("t"))
+      .withColumn("auc_micro", expr(
+        """(2 * (2 * c + t) * 1000000 + 2 * n_pos * n_neg)
+          | div (4 * n_pos * n_neg)""".stripMargin))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"),
+        (col("auc_micro").cast("double") / 1000000L).as("auc"),
+        ((col("auc_micro") * 2 - 1000000L).cast("double") / 1000000L)
+          .as("gini"))
+  }
+
+  private val txtDistillAucSql =
+    s"""WITH $qdChainCtes,
+      |cal AS (
+      |  SELECT y, LEAST(GREATEST(2000000000 + wb * 1000 + w1 * x1s
+      |      + w2 * x2s, 0), 4000000000) AS pq
+      |  FROM fs, w$qdRounds),
+      |bys AS (
+      |  SELECT pq, CAST(SUM(y) AS BIGINT) AS np,
+      |    CAST(SUM(1 - y) AS BIGINT) AS nn
+      |  FROM cal GROUP BY 1),
+      |cum AS (
+      |  SELECT pq, np, nn,
+      |    CAST(COALESCE(SUM(nn) OVER (ORDER BY pq
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS nn_below
+      |  FROM bys),
+      |agg AS (
+      |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+      |    CAST(SUM(nn) AS BIGINT) AS n_neg,
+      |    CAST(COUNT(*) AS BIGINT) AS n_scores,
+      |    CAST(SUM(np * nn_below) AS BIGINT) AS c,
+      |    CAST(SUM(np * nn) AS BIGINT) AS t
+      |  FROM cum),
+      |s AS (
+      |  SELECT n_pos, n_neg, n_scores,
+      |    (2 * (2 * c + t) * 1000000 + 2 * n_pos * n_neg)
+      |      // (4 * n_pos * n_neg) AS auc_micro
+      |  FROM agg)
+      |SELECT n_pos, n_neg, n_scores,
+      |  CAST(auc_micro AS DOUBLE) / 1000000 AS auc,
+      |  CAST(auc_micro * 2 - 1000000 AS DOUBLE) / 1000000 AS gini
+      |FROM s""".stripMargin
+
   // ---- txt_keyphrases: RAKE keyphrase extraction --------------------
   // Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
   // phrases are the maximal token runs between stopword delimiters,
@@ -1927,5 +2011,6 @@ object TextOps extends Suite {
     Op("txt_ngram_novelty", txtNgramNovelty, Some(txtNgramNoveltySql)),
     Op("txt_distill_calibration", txtDistillCalibration,
       Some(txtDistillCalibrationSql)),
+    Op("txt_distill_auc", txtDistillAuc, Some(txtDistillAucSql)),
   )
 }

@@ -1303,6 +1303,34 @@ class OperatorInvariantSpec extends SparkSpec {
       "growth must be a positive constant column")
   }
 
+  test("txt_distill_auc equals a brute-force pair count at spec SF") {
+    val r = run("txt_distill_auc").collect().head
+    // brute-force Mann-Whitney over the same (score, label) pairs:
+    // score docs with the same frozen model the op trains
+    val m = graft.operators.TextOps.distillTrain(spark, sf)
+    val docs = graft.operators.TextOps
+      .distillScore(graft.sources.Tables.documents(spark, sf), m)
+      .select(col("pq"),
+        (lit(2) * size(array_distinct(graft.operators.Tok.toks)) >=
+          size(graft.operators.Tok.toks)).as("rule"),
+        (col("doc_id") % 20 === 0).as("flip"))
+      .collect()
+      .map(x => (x.getLong(0),
+        if (x.getBoolean(1) ^ x.getBoolean(2)) 1 else 0))
+    val pos = docs.filter(_._2 == 1).map(_._1)
+    val neg = docs.filter(_._2 == 0).map(_._1)
+    val conc = pos.map(p => neg.count(_ < p).toLong).sum
+    val tie = pos.map(p => neg.count(_ == p).toLong).sum
+    val micro = (2 * (2 * conc + tie) * 1000000L +
+      2L * pos.length * neg.length) / (4L * pos.length * neg.length)
+    assert(r.getLong(r.fieldIndex("n_pos")) == pos.length)
+    assert(r.getLong(r.fieldIndex("n_neg")) == neg.length)
+    assert(r.getDouble(r.fieldIndex("auc")) == micro.toDouble / 1e6,
+      "two-phase AUC diverged from the brute-force pair count")
+    assert(r.getDouble(r.fieldIndex("auc")) > 0.5,
+      "the gate must rank better than chance")
+  }
+
   test("knn-graph key width shrinks the edge set without corrupting it") {
     // the corpus-growth knob (simKnnGraphAt scaladoc): wider keys
     // split buckets, so candidate sets — and with them the emitted

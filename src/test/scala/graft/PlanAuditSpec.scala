@@ -502,6 +502,9 @@ class PlanAuditSpec extends SparkSpec {
       // composition of the two audited pair frames + pair-keyed join
       // + band agg + sort
       "dedup_minhash_recall" -> 5,
+      // distinct-score agg + decile windows + offset triangle + the
+      // 1-row report (training in the producer)
+      "txt_distill_auc" -> 4,
       "ev_lifecycle" -> 3, "ev_inter_event" -> 3,
       "cdc_redelivery_audit" -> 5, "ft_graph_jaccard" -> 7,
       "ft_mutual_info" -> 3, "txt_ngram_novelty" -> 5,
