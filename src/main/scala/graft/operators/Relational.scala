@@ -1494,6 +1494,67 @@ object Relational extends Suite {
       |    AS open_orders
       |FROM daily ORDER BY day""".stripMargin
 
+  // ---- q_skyline: 2-D Pareto frontier (the skyline operator) --------
+  // Börzsönyi et al. 2001's skyline — the multi-criteria "best
+  // trade-off" operator SQL engines lack natively: orders not
+  // dominated on (price ↓, recency ↑) — cheaper AND at-least-as-
+  // recent with one strict edge kills a row. The 2-D case collapses
+  // to a sorted scan: over DISTINCT (price, date) points ordered
+  // (price asc, date desc), every PRIOR point offers price ≤ p with
+  // a strict edge, so a point survives iff its date strictly beats
+  // the running max date — and that cummax is TWO-PHASE
+  // (q_orders_backlog's idiom: within-price-band windows + a
+  // bands-sized broadcast triangle prefix-max; band boundaries are
+  // strict price separators, so cross-band dominance needs only
+  // d' ≥ d). The oracle runs the plain one-window form — the hash
+  // gate proves the two-phase plan semantics-preserving. All
+  // surviving orders at a skyline point are emitted (identical
+  // (price, date) twins never dominate each other).
+  // Scale: one distinct-point agg (map-side combined), banded
+  // windows, a bands-sized triangle, one join back on the point key.
+  private def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    val pts = o.groupBy("o_totalprice", "o_orderdate")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bkt", floor(col("o_totalprice") / 50000).cast("long"))
+      .checkpoint()
+    val wIn = Window.partitionBy("bkt")
+      .orderBy(col("o_totalprice").asc, col("o_orderdate").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = pts.withColumn("hwm_in",
+      max(col("o_orderdate")).over(wIn))
+    val btot = pts.groupBy("bkt").agg(max(col("o_orderdate")).as("b_max"))
+    val offs = btot.as("a")
+      .join(broadcast(btot.as("b")), col("b.bkt") < col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt")).agg(max(col("b.b_max")).as("off"))
+    val sky = within.join(broadcast(offs), Seq("bkt"))
+      .filter((col("hwm_in").isNull ||
+          col("o_orderdate") > col("hwm_in")) &&
+        (col("off").isNull || col("o_orderdate") > col("off")))
+      .select("o_totalprice", "o_orderdate")
+    o.join(sky, Seq("o_totalprice", "o_orderdate"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy("o_totalprice", "o_orderkey")
+  }
+
+  private val qSkylineSql =
+    """WITH pts AS (
+      |  SELECT o_totalprice AS p, o_orderdate AS d
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (
+      |  SELECT p, d, MAX(d) OVER (ORDER BY p ASC, d DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM pts),
+      |sky AS (SELECT p, d FROM r WHERE hwm IS NULL OR d > hwm)
+      |SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+      |FROM orders o
+      |JOIN sky s ON o.o_totalprice = s.p AND o.o_orderdate = s.d
+      |ORDER BY o.o_totalprice, o.o_orderkey""".stripMargin
+
   // ---- q_order_streaks: gaps-and-islands per customer ---------------
   // The classic consecutive-runs shape (retention streaks, SLA
   // windows, sensor uptime): per customer, group their active months
@@ -1581,6 +1642,7 @@ object Relational extends Suite {
     Op("q_set_ops", qSetOps, Some(qSetOpsSql)),
     Op("q_profile", qProfile, Some(qProfileSql)),
     Op("q_orders_backlog", qOrdersBacklog, Some(qOrdersBacklogSql)),
+    Op("q_skyline", qSkyline, Some(qSkylineSql)),
     Op("q_order_streaks", qOrderStreaks, Some(qOrderStreaksSql)),
   )
 }

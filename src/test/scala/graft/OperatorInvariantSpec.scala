@@ -1303,6 +1303,25 @@ class OperatorInvariantSpec extends SparkSpec {
       "growth must be a positive constant column")
   }
 
+  test("q_skyline equals the brute-force Pareto frontier at spec SF") {
+    def ms(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime =>
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+    val all = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), ms(r.get(2))))
+    def dominated(x: (Long, Double, Long)) = all.exists(o =>
+      o._2 <= x._2 && o._3 >= x._3 && (o._2 < x._2 || o._3 > x._3))
+    val want = all.filterNot(dominated).map(_._1).toSet
+    val got = run("q_skyline").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == want,
+      s"skyline diverged from brute force: extra=${got.diff(want)} " +
+        s"missing=${want.diff(got)}")
+  }
+
   test("txt_distill_auc equals a brute-force pair count at spec SF") {
     val r = run("txt_distill_auc").collect().head
     // brute-force Mann-Whitney over the same (score, label) pairs:

@@ -505,6 +505,9 @@ class PlanAuditSpec extends SparkSpec {
       // distinct-score agg + decile windows + offset triangle + the
       // 1-row report (training in the producer)
       "txt_distill_auc" -> 4,
+      // distinct-point agg runs in the checkpointed producer; banded
+      // window + bands triangle + the point-key join back + sort
+      "q_skyline" -> 4,
       "ev_lifecycle" -> 3, "ev_inter_event" -> 3,
       "cdc_redelivery_audit" -> 5, "ft_graph_jaccard" -> 7,
       "ft_mutual_info" -> 3, "txt_ngram_novelty" -> 5,
