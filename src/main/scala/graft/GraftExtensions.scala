@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DecDotProduct, DecQuant, HyperplaneBuckets, KmAssign, MinHash128, ShingleHash3, SimHash64}
+import graft.functions.{DecDotProduct, DecQuant, HyperplaneBuckets, KmAssign, MinHash128, PolyShingle3, ShingleHash3, SimHash64}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions with the session's function registry, so they're
@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hash3"),
       new ExpressionInfo(classOf[ShingleHash3].getName, "shingle_hash3"),
       unary("shingle_hash3")(ShingleHash3.apply)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_poly3"),
+      new ExpressionInfo(classOf[PolyShingle3].getName, "shingle_poly3"),
+      unary("shingle_poly3")(PolyShingle3.apply)))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),

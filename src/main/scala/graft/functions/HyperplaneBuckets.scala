@@ -20,9 +20,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * quadratic in bucket size, so planes must grow ≈ log2(N / target
   * bucket size) with the corpus — the 10× scale-stress run (SCALE.md
   * r8) measured 21.8× cost at fixed 6-bit keys from saturation
-  * alone. Weights for any planes count draw from the SAME seeded LCG
-  * (weightsFor), so every width is deterministic and oracle-
-  * replayable; `weightsFor(PLANES)` reproduces the original table.
+  * alone. `derivePlanes(n)` is that formula as code: the callers
+  * count their blocking population once (one cheap aggregate over a
+  * narrow column) and key at the derived width, so the keyspace
+  * GROWS with the corpus instead of saturating — no manual retune
+  * at 10× or 100×.
+  *
+  * Every width is a PREFIX of one wide seeded table: plane p of
+  * table t is row (t·MAXPLANES + p) of a single TABLES×MAXPLANES
+  * draw whose first PLANES rows per table reproduce the original
+  * width-6 table bit-for-bit (the draw emits the historical
+  * TABLES×PLANES sequence first, then extends each table from the
+  * continued LCG stream). So the registered width-6 buckets — and
+  * every recall measurement pinned against them — are unchanged,
+  * the oracle embeds ONE 384-row literal table at any width, and
+  * the derived width selects bits, not a different hash family.
   *
   * Cross-engine determinism: plane weights are dyadic rationals
   * k/1024 with k ∈ [−1024, 1024] drawn from `java.util.Random(SEED)`
@@ -47,10 +59,12 @@ case class HyperplaneBuckets(child: Expression, planes: Int)
   def this(child: Expression) = this(child, HyperplaneBuckets.PLANES)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) if planes >= 1 && planes <= 62 =>
+    case ArrayType(FloatType, _)
+        if planes >= 1 && planes <= HyperplaneBuckets.MAXPLANES =>
       TypeCheckResult.TypeCheckSuccess
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
-      s"hyperplane_buckets planes must be in [1, 62], got $planes")
+      s"hyperplane_buckets planes must be in " +
+        s"[1, ${HyperplaneBuckets.MAXPLANES}], got $planes")
     case other => TypeCheckResult.TypeCheckFailure(
       s"hyperplane_buckets requires array<float>, got ${other.catalogString}")
   }
@@ -72,26 +86,66 @@ case class HyperplaneBuckets(child: Expression, planes: Int)
 
 object HyperplaneBuckets {
   val TABLES = 24
-  val PLANES = 6
+  val PLANES = 6 // minimum / default width (the registered-width table)
+  val MAXPLANES = 16
   val DIMS = 64
   val SEED = 8L
+
+  /** Target expected bucket occupancy the width derivation holds:
+    * planes = min p ≥ PLANES with 2^p · TARGET_BUCKET ≥ n (n = the
+    * caller's blocking-population size — max label count for
+    * label-blocked dedup, total corpus for unblocked ANN/graph
+    * builds). Pure integer comparisons, so the DuckDB oracle derives
+    * the IDENTICAL width from the same COUNT — no float log2 whose
+    * rounding could flip at power-of-two boundaries. */
+  val TARGET_BUCKET = 8L
+
+  def derivePlanes(n: Long): Int =
+    (PLANES to MAXPLANES)
+      .find(p => (1L << p) * TARGET_BUCKET >= n)
+      .getOrElse(MAXPLANES)
+
+  /** The SQL twin of [[derivePlanes]] given a scalar COUNT subquery —
+    * embedded by every oracle that replays derived-width buckets. */
+  def derivePlanesSql(countSubquery: String): String =
+    s"""(SELECT COALESCE(MIN(p), $MAXPLANES)
+      |  FROM range($PLANES, ${MAXPLANES + 1}) r(p)
+      |  WHERE (CAST(1 AS BIGINT) << p) * $TARGET_BUCKET
+      |    >= $countSubquery)""".stripMargin
 
   def apply(child: Expression): HyperplaneBuckets =
     HyperplaneBuckets(child, PLANES)
 
-  /** Integer plane weights for a given key width, row (t·planes + p),
-    * scaled by 1/1024 at use. Every width draws its own table from
-    * the seeded LCG in one sequential pass, so any (planes) config is
-    * deterministic and the oracle can embed the same integers as
-    * literals; memoized — the draw runs once per width per JVM. */
-  private val weightCache =
-    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Int]]]
+  /** ONE wide weight table, row (t·MAXPLANES + p), dyadic integers
+    * scaled by 1/1024 at use. Layout contract: the first PLANES rows
+    * of every table are the ORIGINAL width-6 draw (TABLES×PLANES
+    * sequential rows from Random(SEED)), and rows p ≥ PLANES continue
+    * the same LCG stream — so the registered width-6 buckets are
+    * bit-identical to every prior round, while any width ≤ MAXPLANES
+    * is a deterministic prefix the oracle replays from the same
+    * 384-row literal table. */
+  val wide: Array[Array[Int]] = {
+    val rnd = new java.util.Random(SEED)
+    val base = Array.fill(TABLES * PLANES)(
+      Array.fill(DIMS)(rnd.nextInt(2049) - 1024))
+    val ext = Array.fill(TABLES * (MAXPLANES - PLANES))(
+      Array.fill(DIMS)(rnd.nextInt(2049) - 1024))
+    Array.tabulate(TABLES * MAXPLANES) { i =>
+      val t = i / MAXPLANES; val p = i % MAXPLANES
+      if (p < PLANES) base(t * PLANES + p)
+      else ext(t * (MAXPLANES - PLANES) + (p - PLANES))
+    }
+  }
 
-  def weightsFor(planes: Int): Array[Array[Int]] =
-    weightCache.getOrElseUpdate(planes, {
-      val rnd = new java.util.Random(SEED)
-      Array.fill(TABLES * planes)(Array.fill(DIMS)(rnd.nextInt(2049) - 1024))
-    })
+  /** Prefix view at a given width, row (t·planes + p) — kept for the
+    * specs and oracle generators that address a fixed-width table;
+    * `weightsFor(PLANES)` reproduces the original registered table. */
+  def weightsFor(planes: Int): Array[Array[Int]] = {
+    require(planes >= 1 && planes <= MAXPLANES, s"planes=$planes")
+    Array.tabulate(TABLES * planes) { i =>
+      wide((i / planes) * MAXPLANES + i % planes)
+    }
+  }
 
   /** The default-width table (what the registered queries and their
     * oracle replays use). */
@@ -99,7 +153,7 @@ object HyperplaneBuckets {
 
   /** Called from both the interpreted eval and the generated code. */
   def compute(arr: ArrayData, planes: Int): GenericArrayData = {
-    val ws = weightsFor(planes)
+    val ws = wide
     val n = math.min(arr.numElements(), DIMS)
     val keys = new Array[Long](TABLES)
     var t = 0
@@ -107,7 +161,7 @@ object HyperplaneBuckets {
       var key = 0L
       var p = 0
       while (p < planes) {
-        val w = ws(t * planes + p)
+        val w = ws(t * MAXPLANES + p)
         var acc = 0.0
         var i = 0
         while (i < n) {

@@ -1,0 +1,149 @@
+package graft.functions
+
+import java.util.Arrays
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Arithmetic over the Mersenne prime p = 2^61 − 1 — the modulus the
+  * SQL-replayable hash families (polynomial shingle hashes, the
+  * MinHash universal family) share. Products of two residues fit in
+  * 128 bits (2^122), which a SQL engine's HUGEINT takes directly
+  * (`(a * u + b) % 2305843009213693951`); the JVM side gets the same
+  * value from Math.multiplyHigh + the base-2^61 digit fold (2^61 ≡ 1
+  * mod p, so a 128-bit product reduces by summing its three 61-bit
+  * digits). Every operation is exact integer work — no platform or
+  * engine can disagree.
+  */
+object Mersenne61 {
+  val P: Long = (1L << 61) - 1
+
+  /** (a · b) mod P for a, b ∈ [0, P). */
+  def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b) // a,b < 2^61 ⇒ signed == unsigned
+    val lo = a * b // low 64 bits (wrapped)
+    val d0 = lo & P
+    val d1 = ((lo >>> 61) | (hi << 3)) & P
+    val d2 = hi >>> 58
+    var s = d0 + d1 + d2 // ≤ 3(2^61−1) < 2^63: no overflow
+    s = (s & P) + (s >>> 61)
+    if (s >= P) s - P else s
+  }
+
+  /** (a + b) mod P for a ∈ [0, P), b ∈ [0, 2^62 − P). */
+  def addMod(a: Long, b: Long): Long = {
+    val s = a + b
+    if (s >= P) s - P else s
+  }
+}
+
+/** Distinct polynomial mod-(2^61−1) hashes of the word-3-gram
+  * shingles of a token array — the SQL-REPLAYABLE twin of
+  * shingle_hash3 (whose xxhash64 chain no SQL engine can recompute):
+  * the hash of shingle "t1 t2 t3" is the base-131 polynomial fold of
+  * its UNICODE CODEPOINTS, h = Σ c_i · 131^(n−1−i) mod p, exactly
+  * what DuckDB's `list_reduce` over `ord()` of each character
+  * computes on the reconstructed shingle string. Codepoints — not
+  * UTF-8 bytes or UTF-16 units — are the unit both engines agree on
+  * for ALL of Unicode (JVM: codePointAt stepping by charCount; SQL:
+  * per-character ord()).
+  *
+  * One generated pass, linear in document length: each token folds
+  * once into (value, 131^len) and each of the n−2 windows combines
+  * three token folds plus two separator spaces in O(1) modmuls —
+  * tokens are NOT re-scanned per window. Output is sorted + deduped
+  * in place (a shingle SET, like shingle_hash3). Collisions between
+  * distinct shingle strings are ~2^-61 per pair — set identity, and
+  * therefore every downstream jaccard, is preserved.
+  *
+  * Consumed by dedup_minhash's universal-family MinHash (the hash
+  * values feed (a·u+b) mod p, so u must already live in [0, p) —
+  * this expression guarantees it).
+  */
+case class PolyShingle3(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_poly3 requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_poly3"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    new GenericArrayData(PolyShingle3.compute(arr))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val helper = PolyShingle3.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $helper.compute($arr));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyShingle3 =
+    copy(child = newChild)
+}
+
+object PolyShingle3 {
+  import Mersenne61.{addMod, mulMod, P}
+
+  val B = 131L
+  private val SPACE = 32L // the shingle separator's codepoint
+
+  /** (value, 131^len) of one token's codepoint fold. */
+  private def tokenFold(s: String): (Long, Long) = {
+    var v = 0L
+    var pw = 1L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      v = addMod(mulMod(v, B), cp.toLong)
+      pw = mulMod(pw, B)
+      i += Character.charCount(cp)
+    }
+    (v, pw)
+  }
+
+  /** Sorted distinct 3-gram polynomial hashes; shared by eval and
+    * codegen. */
+  def compute(arr: ArrayData): Array[Long] = {
+    val n = arr.numElements()
+    if (n < 3) return Array.emptyLongArray
+    val vs = new Array[Long](n)
+    val ps = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val (v, p) = tokenFold(arr.getUTF8String(i).toString)
+      vs(i) = v; ps(i) = p
+      i += 1
+    }
+    val out = new Array[Long](n - 2)
+    i = 0
+    while (i < n - 2) {
+      // fold of "t_i ⌷ t_{i+1} ⌷ t_{i+2}" (⌷ = space) from the
+      // precomputed per-token folds: append = acc·131^len + value
+      var h = vs(i)
+      h = addMod(mulMod(h, B), SPACE)
+      h = addMod(mulMod(h, ps(i + 1)), vs(i + 1))
+      h = addMod(mulMod(h, B), SPACE)
+      h = addMod(mulMod(h, ps(i + 2)), vs(i + 2))
+      out(i) = h
+      i += 1
+    }
+    Arrays.sort(out)
+    var w = 1
+    var r = 1
+    while (r < out.length) {
+      if (out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    if (w == out.length) out else Arrays.copyOf(out, w)
+  }
+}

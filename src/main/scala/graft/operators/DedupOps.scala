@@ -156,14 +156,20 @@ object DedupOps extends Suite {
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---- dedup_minhash: MinHash(128) + 32-band LSH --------------------
-  // sig[k] = min over shingles of xxhash64(k, shingle); band j =
-  // xxhash64(j, sig[4j..4j+3]). The signature comes from the native
-  // minhash128 Expression (graft.functions.MinHash128, registered by
-  // GraftExtensions): all 128 rows in one codegen'd pass per doc —
-  // no explode, no 128-buffer aggregation, no shuffle. Candidates =
-  // pairs sharing any (band, band_hash) bucket; exact jaccard
-  // verifies candidates only. No oracle (hash-function specific) —
-  // rows-only check; deterministic output.
+  // sig[k] = min over shingles u of (a_k·u + b_k) mod (2^61−1) — the
+  // classic Carter–Wegman universal family (Broder 1997 / MMDS ch.3)
+  // over shingle_poly3's polynomial codepoint hashes, computed by the
+  // native minhash128 Expression: all 128 rows in one codegen'd pass
+  // per doc — no explode, no 128-buffer aggregation, no shuffle.
+  // Band buckets are the raw 4-row signature slices themselves
+  // (band j keys on (j, sig[4j..4j+3]) — no band hash at all, so
+  // nothing hash-engine-specific remains); candidates = pairs
+  // sharing any band slice; exact jaccard verifies candidates only.
+  // HASH-VERIFIED since r10: both the shingle universe hash and the
+  // minhash family are exact mod-p integer arithmetic a SQL engine
+  // replays from the embedded (a_k, b_k) literals, so the DuckDB
+  // oracle reproduces signatures, bands, candidate set, and jaccards
+  // bit-for-bit (previously xxhash64-based ⇒ rows-only).
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(spark, dir).orderBy("a_id", "b_id")
 
@@ -176,15 +182,15 @@ object DedupOps extends Suite {
     // joins; persist it once (Spark's CacheManager dedupes identical
     // plans, so repeated calls share one entry). ~2 KB/doc — at
     // 100 TB this stage would be an explicit checkpoint table.
-    val d = hashedShingles(spark, dir)
-      .select(col("doc_id"), col("s"))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), expr("shingle_poly3(t)").as("s"))
       .filter(size(col("s")) > 0)
       .persist()
     val sigs = d.select(col("doc_id"), expr("minhash128(s)").as("sig"))
     val bandCols = (0 until 32).map(j =>
-      xxhash64(lit(j), element_at(col("sig"), 4 * j + 1),
-        element_at(col("sig"), 4 * j + 2), element_at(col("sig"), 4 * j + 3),
-        element_at(col("sig"), 4 * j + 4)))
+      struct((0 until 4).map(r =>
+        element_at(col("sig"), 4 * j + r + 1).as(s"s$r")): _*))
     val buckets = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     val cand = buckets.as("x").join(buckets.as("y"),
@@ -205,6 +211,66 @@ object DedupOps extends Suite {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The DuckDB replay of the FULL minhash pipeline — polynomial
+    * codepoint shingle hashes (PolyShingle3's fold, char by char),
+    * the 128-seed universal family from the embedded (a_k, b_k)
+    * literals, raw 4-row band buckets, candidate join, and exact
+    * jaccard over the same u-value sets. Everything is exact mod-p
+    * integer arithmetic (HUGEINT intermediates), so signatures and
+    * candidate sets are bit-identical cross-engine. Yields
+    * `mh_pairs(a_id, b_id, jaccard)` with the UNROUNDED jaccard.
+    * Shared by dedup_minhash's oracle and dedup_minhash_recall's
+    * found-side. */
+  private[operators] val mhPairsCtes: String = {
+    import graft.functions.{Mersenne61 => M61, MinHash128 => MH}
+    val seedRows = (0 until MH.K)
+      .map(k => s"($k,${MH.seedsA(k)},${MH.seedsB(k)})").mkString(",\n")
+    s"""mh_toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |mh_sets AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |     for i in range(1, len(t) - 1)],
+      |    s -> CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |           list_transform(range(1, length(s) + 1),
+      |             i -> CAST(ord(s[i]) AS HUGEINT))),
+      |           (a, c) -> (a * ${graft.functions.PolyShingle3.B} + c)
+      |             % ${M61.P}) AS BIGINT))) AS s
+      |  FROM mh_toks WHERE len(t) >= 3),
+      |mh_u AS (SELECT doc_id, unnest(s) AS u FROM mh_sets),
+      |mh_seeds(k, a, b) AS (VALUES
+      |$seedRows),
+      |mh_sigs AS (
+      |  SELECT doc_id, k,
+      |    MIN(CAST((CAST(a AS HUGEINT) * u + b) % ${M61.P} AS BIGINT)) AS sig
+      |  FROM mh_u, mh_seeds GROUP BY doc_id, k),
+      |mh_bands AS (
+      |  SELECT doc_id, k // 4 AS band,
+      |    MIN(CASE WHEN k % 4 = 0 THEN sig END) AS s0,
+      |    MIN(CASE WHEN k % 4 = 1 THEN sig END) AS s1,
+      |    MIN(CASE WHEN k % 4 = 2 THEN sig END) AS s2,
+      |    MIN(CASE WHEN k % 4 = 3 THEN sig END) AS s3
+      |  FROM mh_sigs GROUP BY doc_id, k // 4),
+      |mh_cand AS (
+      |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |  FROM mh_bands x JOIN mh_bands y
+      |    ON x.band = y.band AND x.s0 = y.s0 AND x.s1 = y.s1
+      |    AND x.s2 = y.s2 AND x.s3 = y.s3 AND x.doc_id < y.doc_id),
+      |mh_pairs AS (
+      |  SELECT c.a_id, c.b_id,
+      |    CAST(len(list_intersect(ua.s, ub.s)) AS DOUBLE) /
+      |      (len(ua.s) + len(ub.s) - len(list_intersect(ua.s, ub.s)))
+      |      AS jaccard
+      |  FROM mh_cand c
+      |  JOIN mh_sets ua ON ua.doc_id = c.a_id
+      |  JOIN mh_sets ub ON ub.doc_id = c.b_id)""".stripMargin
+  }
+
+  private val dedupMinhashSql: String =
+    s"""WITH $mhPairsCtes
+      |SELECT a_id, b_id, ROUND(jaccard, 6) AS jaccard
+      |FROM mh_pairs WHERE jaccard >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   // ---- dedup_minhash_recall: the banded-LSH S-curve, measured --------
   // The tuning report behind every (bands, rows) choice (Broder/MMDS
   // ch.3: P(candidate | s) = 1 − (1 − s^r)^b — theory gives the
@@ -219,10 +285,12 @@ object DedupOps extends Suite {
   // ground truth (lang + size band — what the exact pipeline would
   // dedupe); minhash itself is unblocked and may surface extra
   // cross-block τ-pairs, which are precision-safe (exact-verified)
-  // and outside this denominator by construction. Rows-only (minhash
-  // is hash-function-specific, sim_recall_report's posture); the
-  // invariant spec pins band partitioning, bounds, per-pair verified
-  // precision, and the S-curve's rising tail.
+  // and outside this denominator by construction. HASH-VERIFIED
+  // since r10 (the universal mod-p family made the found-side
+  // replayable; the exact side always was): the oracle reproduces
+  // the whole measured S-curve. The invariant spec additionally
+  // pins band partitioning, bounds, per-pair verified precision,
+  // and the S-curve's rising tail.
   // Scale: pure composition of two already-bucketed pair frames +
   // one band-sized agg; the pair join keys on (a_id, b_id) — both
   // sides are pair-sized, never corpus².
@@ -243,6 +311,29 @@ object DedupOps extends Suite {
           .cast("double") / 1000000L)
       .orderBy("band")
   }
+
+  /** Oracle for the measured S-curve: the exact blocked ground truth
+    * (the shared jaccard-pair SQL) left-joined to the replayed
+    * minhash pair set; the banding floor and the half-up integer
+    * recall rounding mirror the Spark expressions exactly (counts
+    * and the jaccard double are bit-identical, so the band floor
+    * can't flip). */
+  private val dedupMinhashRecallSql: String =
+    s"""WITH $mhPairsCtes,
+      |exact AS ($jaccardPairsSql),
+      |found AS (SELECT a_id, b_id FROM mh_pairs WHERE jaccard >= 0.5),
+      |joined AS (
+      |  SELECT LEAST(CAST(FLOOR(e.jaccard * 10) AS BIGINT), 9) AS band,
+      |    CASE WHEN f.a_id IS NOT NULL THEN 1 END AS found
+      |  FROM exact e LEFT JOIN found f
+      |    ON e.a_id = f.a_id AND e.b_id = f.b_id),
+      |g AS (
+      |  SELECT band, COUNT(*) AS n_pairs, COUNT(found) AS n_found
+      |  FROM joined GROUP BY band)
+      |SELECT band, n_pairs, n_found,
+      |  CAST((2 * n_found * 1000000 + n_pairs) // (2 * n_pairs)
+      |    AS DOUBLE) / 1000000 AS recall
+      |FROM g ORDER BY band""".stripMargin
 
   // ---- dedup_simhash: 64-bit simhash + hamming ≤ 3 ------------------
   // Signature via the native codegen'd simhash64 Expression
@@ -332,15 +423,17 @@ object DedupOps extends Suite {
   // production near-dup threshold (τ ≥ 0.8, p₁ ≥ 0.86) the same
   // construction reaches recall ≈ 1 with 10-30× pruning.
   //
-  // SCALE KNOB (measured, SCALE.md r8): 6-bit keys = 64 buckets per
-  // (label, table), and the within-bucket pair stage is quadratic in
-  // bucket size — the 10× stress run measured 21.8× cost from
-  // keyspace saturation alone. PLANES must scale ≈ log2(N / target
-  // bucket size) with the corpus; the weights are LCG-generated from
-  // (TABLES, PLANES) and the oracle replays the generated literals,
-  // so raising PLANES is a one-constant change that stays
-  // hash-verified end to end (dedup_simhash's ~32-bit Manku keys are
-  // the same principle already applied).
+  // SCALE KNOB (measured, SCALE.md r8; AUTO-DERIVED since r10): 6-bit
+  // keys = 64 buckets per (label, table), and the within-bucket pair
+  // stage is quadratic in bucket size — the 10× stress run measured
+  // 21.8× cost from keyspace saturation alone. The registered query
+  // now keys at LshWidth.labelPlanes (min p ≥ 6 with 2^p·8 ≥ max
+  // label count — one narrow count aggregate, memoized per dir), so
+  // the keyspace grows with the corpus instead of saturating; the
+  // oracle derives the IDENTICAL width in SQL from the identical
+  // count and replays the full wide plane table as literals, keeping
+  // every width hash-verified end to end (dedup_simhash's ~32-bit
+  // Manku keys are the same principle, there via key construction).
   import graft.functions.VectorMath.dotDec
   import graft.functions.{HyperplaneBuckets => HB}
 
@@ -360,12 +453,15 @@ object DedupOps extends Suite {
     * dedup_embedding_sweep (its aggregation input), so the sweep's
     * counts are over exactly the hash-verified pairs. `planes` is the
     * corpus-growth knob (header + HyperplaneBuckets scaladoc): the
-    * registered query pins the default so its oracle replay and
-    * measured recall stay fixed; a 10×-grown corpus runs the SAME
-    * frame at planes+3 or so and keeps bucket sizes — and therefore
-    * the pair stage — constant-per-vector. */
+    * registered query derives it from the max label count
+    * (LshWidth.labelPlanes, planes ≤ 0 sentinel), so a 10×-grown
+    * corpus runs the SAME frame ~3 bits wider and keeps bucket
+    * sizes — and therefore the pair stage — constant-per-vector;
+    * explicit widths remain for the keyspace-growth spec. */
   private def embeddingPairs(spark: SparkSession, dir: String,
-      planes: Int = HB.PLANES): DataFrame = {
+      planes: Int = 0): DataFrame = {
+    val width =
+      if (planes > 0) planes else LshWidth.labelPlanes(spark, dir)
     val dims = 0 until 64
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
@@ -374,7 +470,7 @@ object DedupOps extends Suite {
     // rides the candidate shuffle
     val keyed = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
-        posexplode(expr(s"hyperplane_buckets(embedding, $planes)"))
+        posexplode(expr(s"hyperplane_buckets(embedding, $width)"))
           .as(Seq("tbl", "key")))
     val candPairs = keyed.as("x").join(keyed.as("y"),
         col("x.label") === col("y.label") && col("x.tbl") === col("y.tbl") &&
@@ -433,26 +529,34 @@ object DedupOps extends Suite {
       .orderBy("tau")
   }
 
-  /** planes→sgn→keys: the oracle-side replay of hyperplane_buckets
-    * (same dyadic integer plane weights, same left-fold double dot) —
-    * shared by the embedding-pair chain and dedup_semantic's
-    * within-cluster blocking. */
-  private[operators] val hyperKeysCtes: String = {
-    val planeRows = (0 until HB.TABLES * HB.PLANES).map { tp =>
-      s"(${tp / HB.PLANES},${tp % HB.PLANES},[${HB.weights(tp).mkString(",")}])"
+  /** planes→pw→sgn→keys: the oracle-side replay of hyperplane_buckets
+    * AT THE DERIVED WIDTH (same dyadic integer plane weights — the
+    * full TABLES×MAXPLANES literal table — same left-fold double dot,
+    * and the same integer width derivation from `countSubquery` that
+    * the Spark side runs through LshWidth) — shared by the
+    * embedding-pair chain, dedup_semantic's within-cluster blocking,
+    * sim_ann_lsh, and sim_knn_graph. Bits p ≥ derived width are
+    * never computed (`pl.p < pw.planes`), mirroring compute()'s
+    * prefix loop. */
+  private[operators] def hyperKeysCtes(countSubquery: String): String = {
+    val planeRows = (0 until HB.TABLES * HB.MAXPLANES).map { i =>
+      s"(${i / HB.MAXPLANES},${i % HB.MAXPLANES},[${HB.wide(i).mkString(",")}])"
     }.mkString(",\n")
     s"""planes(t, p, w) AS (VALUES
       |$planeRows),
+      |pw(planes) AS (${HB.derivePlanesSql(countSubquery)}),
       |sgn AS (
       |  SELECT e.vec_id, pl.t, pl.p,
       |    CASE WHEN list_reduce(list_transform(range(1, 65),
       |      i -> COALESCE(CAST(e.embedding[i] AS DOUBLE), 0.0)
       |        * (CAST(pl.w[i] AS DOUBLE)/1024.0)),
       |      (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
-      |  FROM embeddings e, planes pl),
+      |  FROM embeddings e, planes pl, pw WHERE pl.p < pw.planes),
       |keys AS (
-      |  SELECT vec_id, t, SUM(bit * (1 << (${HB.PLANES} - 1 - p))) AS key
-      |  FROM sgn GROUP BY vec_id, t)""".stripMargin
+      |  SELECT vec_id, t,
+      |    CAST(SUM(bit * (CAST(1 AS BIGINT) << (pw.planes - 1 - p)))
+      |      AS BIGINT) AS key
+      |  FROM sgn, pw GROUP BY vec_id, t, pw.planes)""".stripMargin
   }
 
   /** Candidate pairs → exact cosines: the oracle replays the bucket
@@ -460,7 +564,7 @@ object DedupOps extends Suite {
     * cosines are identical to the Spark path. The chain (through
     * `emb_pairs`) is shared with the dedup_embedding_sweep oracle. */
   private[operators] val embPairsCtes: String = {
-    s"""$hyperKeysCtes,
+    s"""${hyperKeysCtes(LshWidth.labelCountSql)},
       |cand AS (
       |  SELECT DISTINCT ea.vec_id AS a_id, eb.vec_id AS b_id
       |  FROM keys ka JOIN keys kb ON ka.t = kb.t AND ka.key = kb.key
@@ -791,8 +895,9 @@ object DedupOps extends Suite {
   // each cluster — semantic near-duplicates (paraphrases, templated
   // rewrites) land in the same cluster. Candidates come from the
   // TRAINED codebook (sim_kmeans' checkpointed assignment — the
-  // hash-verified training loop) with dedup_embedding's 24×6-bit
-  // hyperplane LSH as the SECONDARY blocking key: the pair join is
+  // hash-verified training loop) with dedup_embedding's 24-table
+  // derived-width hyperplane LSH as the SECONDARY blocking key: the
+  // pair join is
   // keyed on (cluster, tbl, key), never on bare cluster, so the
   // within-cluster pair fan-out stays near-linear even though the
   // codebook is a fixed kmK=8 (a bare-cluster self-join would be
@@ -832,10 +937,16 @@ object DedupOps extends Suite {
       .withColumn("norm",
         graft.functions.VectorMath.dotQ(col("dq"), col("dq")))
     // narrow blocking rows: cluster from the trained assignment,
-    // (tbl, key) from the shared hyperplane LSH expression
+    // (tbl, key) from the shared hyperplane LSH expression at the
+    // corpus-derived width (conservative for the cluster block — the
+    // true population is the largest cluster, but the total needs no
+    // training pass and only over-widens, which exact verification
+    // makes recall-only)
+    val width = LshWidth.corpusPlanes(spark, dir)
     val keyed = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        posexplode(expr("hyperplane_buckets(embedding)")).as(Seq("tbl", "key")))
+        posexplode(expr(s"hyperplane_buckets(embedding, $width)"))
+          .as(Seq("tbl", "key")))
       .join(m.select(col("vec_id"), col("cluster")), Seq("vec_id"))
     val cand = keyed.as("x").join(keyed.as("y"),
         col("x.cluster") === col("y.cluster") &&
@@ -861,7 +972,7 @@ object DedupOps extends Suite {
   private val dedupSemanticSql: String = {
     val fin = s"assign${SimilarityOps.kmIters}"
     s"""WITH ${SimilarityOps.kmCtes},
-      |$hyperKeysCtes,
+      |${hyperKeysCtes(LshWidth.corpusCountSql)},
       |norms AS (
       |  SELECT vec_id, CAST(SUM(d * d) AS DOUBLE) AS norm
       |  FROM terms GROUP BY vec_id),
@@ -895,8 +1006,8 @@ object DedupOps extends Suite {
   override val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
-    Op("dedup_minhash", dedupMinhash, None),
-    Op("dedup_minhash_recall", dedupMinhashRecall, None),
+    Op("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
+    Op("dedup_minhash_recall", dedupMinhashRecall, Some(dedupMinhashRecallSql)),
     Op("dedup_simhash", dedupSimhash, None),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Op("dedup_embedding_sweep", dedupEmbeddingSweep,

@@ -77,18 +77,25 @@ object SimilarityOps extends Suite {
   // ---- sim_ann_lsh: multi-table random-hyperplane LSH ANN -----------
   // Candidates = any vector sharing one of the 24 hyperplane_buckets
   // keys with the query (the SAME codegen'd expression dedup_embedding
-  // uses — one LSH construction in the codebase); exact cosine then
-  // ranks the candidate union. Rows-only check (bucketing is
-  // hash-function specific); recall vs sim_topk_exact is what a user
-  // tunes tables/planes against, and the invariant spec pins every
-  // emitted cosine to the exact path's value.
+  // uses — one LSH construction in the codebase), at the
+  // corpus-derived key width (LshWidth.corpusPlanes — the keyspace
+  // grows with the corpus, SCALE.md finding 1); exact cosine then
+  // ranks the candidate union. Hash-verified since r10: the oracle
+  // replays the derived width, the wide plane table, the bucket
+  // join, and the exact-decimal cosine ranking end to end (ties
+  // break on cand_id on the unrounded cosine in both engines).
+  // Recall vs sim_topk_exact is what a user tunes tables/planes
+  // against; the invariant spec additionally pins every emitted
+  // cosine to the exact path's value.
   private def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantized(col("embedding")).as("v"))
       .withColumn("norm", dotQ(col("v"), col("v")))
+    val width = LshWidth.corpusPlanes(spark, dir)
     val keyed = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        posexplode(expr("hyperplane_buckets(embedding)")).as(Seq("tbl", "key")))
+        posexplode(expr(s"hyperplane_buckets(embedding, $width)"))
+          .as(Seq("tbl", "key")))
     val qk = keyed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("tbl"), col("key"))
     val cand = keyed.join(broadcast(qk), Seq("tbl", "key"))
@@ -110,6 +117,40 @@ object SimilarityOps extends Suite {
         round(col("cosine"), 6).as("cosine"))
       .orderBy("q_id", "rank")
   }
+
+  /** The LSH candidate restriction replayed on the shared derived-
+    * width key CTEs, then sim_topk_exact's hash-verified cosine/rank
+    * arithmetic over exactly those candidates. */
+  private lazy val simAnnLshSql =
+    s"""WITH ${DedupOps.hyperKeysCtes(LshWidth.corpusCountSql)},
+      |cand AS (
+      |  SELECT DISTINCT kq.vec_id AS q_id, kc.vec_id AS cand_id
+      |  FROM keys kq JOIN keys kc ON kq.t = kc.t AND kq.key = kc.key
+      |  WHERE kq.vec_id < $nQueries AND kc.vec_id <> kq.vec_id),
+      |terms AS (
+      |  SELECT vec_id, i,
+      |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,8)) AS d
+      |  FROM embeddings, range(1, 65) r(i)),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(d * d) AS DOUBLE) AS norm
+      |  FROM terms GROUP BY vec_id),
+      |dots AS (
+      |  SELECT c.q_id, c.cand_id, CAST(SUM(q.d * t.d) AS DOUBLE) AS dot
+      |  FROM cand c
+      |  JOIN terms q ON q.vec_id = c.q_id
+      |  JOIN terms t ON t.vec_id = c.cand_id AND t.i = q.i
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.q_id, d.cand_id,
+      |    d.dot / (sqrt(nq.norm) * sqrt(nc.norm)) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY d.q_id
+      |      ORDER BY d.dot / (sqrt(nq.norm) * sqrt(nc.norm)) DESC, d.cand_id
+      |    ) AS rank
+      |  FROM dots d
+      |  JOIN norms nq ON d.q_id = nq.vec_id
+      |  JOIN norms nc ON d.cand_id = nc.vec_id)
+      |SELECT q_id, rank, cand_id, ROUND(cosine, 6) AS cosine
+      |FROM scored WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
 
   // ---- sim_range_search: cosine radius search -----------------------
   // The other half of the similarity API: every corpus vector within
@@ -854,7 +895,7 @@ object SimilarityOps extends Suite {
 
   private def simHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val pairs = DedupOps.embeddingPairsAt(spark, dir,
-      graft.functions.HyperplaneBuckets.PLANES)
+      LshWidth.labelPlanes(spark, dir))
     val sym = pairs.filter(col("cosine") < hnTauDup)
       .select(explode(array(
         struct(col("a_id").as("vec_id"), col("b_id").as("neg_id"),
@@ -1214,7 +1255,7 @@ object SimilarityOps extends Suite {
 
   private def simKnnGraph(spark: SparkSession, dir: String): DataFrame =
     simKnnGraphAt(spark, dir,
-      planes = graft.functions.HyperplaneBuckets.PLANES)
+      planes = LshWidth.corpusPlanes(spark, dir))
 
   /** Width-scaled variant — the corpus-growth knob (same contract as
     * DedupOps.embeddingPairsAt): the within-bucket candidate stage is
@@ -1222,8 +1263,11 @@ object SimilarityOps extends Suite {
     * ~log2(N) bits to hold bucket sizes — and therefore the edge
     * stage — constant per vector (measured at a 10× corpus: 6-bit
     * ratio 75.5, 9-bit 12.1, 10-bit 8.9 ≈ linear —
-    * SCALE_r09_r9knob.json). The registered query pins the default
-    * width so its oracle replay stays fixed. */
+    * SCALE_r09_r9knob.json). Since r10 the registered query DERIVES
+    * the width from the corpus count (LshWidth.corpusPlanes) and the
+    * oracle derives the identical width in SQL, so the scale knob
+    * turns itself; the explicit-width form remains for the sweep
+    * specs. */
   private[graft] def simKnnGraphAt(spark: SparkSession, dir: String,
       planes: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -1255,8 +1299,8 @@ object SimilarityOps extends Suite {
       .orderBy("vec_id", "rank")
   }
 
-  private val simKnnGraphSql =
-    s"""WITH ${DedupOps.hyperKeysCtes},
+  private lazy val simKnnGraphSql =
+    s"""WITH ${DedupOps.hyperKeysCtes(LshWidth.corpusCountSql)},
       |cand AS (
       |  SELECT DISTINCT ka.vec_id AS vec_id, kb.vec_id AS neighbor_id
       |  FROM keys ka JOIN keys kb ON ka.t = kb.t AND ka.key = kb.key
@@ -1395,7 +1439,7 @@ object SimilarityOps extends Suite {
 
   override val ops: Seq[Op] = Seq(
     Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
-    Op("sim_ann_lsh", simAnnLsh, None),
+    Op("sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
     Op("sim_recall_report", simRecallReport, None),
     Op("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),
     Op("sim_centroids", simCentroids, Some(simCentroidsSql)),

@@ -6,24 +6,41 @@ import graft.SparkSpec
 
 class MinHash128Spec extends SparkSpec {
 
-  test("native minhash128 matches the relational min(xxhash64(k, h)) formulation") {
+  private val P = BigInt(Mersenne61.P)
+
+  test("mersenne61 mulMod matches BigInt arithmetic across the range") {
+    val rnd = new scala.util.Random(7)
+    val edge = Seq(0L, 1L, 2L, Mersenne61.P - 1, Mersenne61.P - 2,
+      1L << 60, (1L << 60) - 1)
+    val samples = edge ++ Seq.fill(200)(
+      (rnd.nextLong() & Long.MaxValue) % Mersenne61.P)
+    for (a <- samples; b <- samples.take(20)) {
+      val expect = (BigInt(a) * BigInt(b) % P).toLong
+      assert(Mersenne61.mulMod(a, b) == expect, s"mulMod($a, $b)")
+    }
+  }
+
+  test("native minhash128 matches the (a*u+b) mod p reference, bit for bit") {
     val s = spark
     import s.implicits._
     val docs = Seq(
       (1L, Seq(11L, 22L, 33L, 44L)),
       (2L, Seq(11L, 22L, 33L)),
-      (3L, Seq(99L))).toDF("doc_id", "s")
+      (3L, Seq(Mersenne61.P - 1L))).toDF("doc_id", "s")
 
-    val native = docs.select(col("doc_id"), expr("minhash128(s)").as("sig"))
-      .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "m")))
+    val got = docs.select(col("doc_id"), expr("minhash128(s)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
 
-    val relational = docs.select(col("doc_id"), explode(col("s")).as("h"))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 127), k -> xxhash64(k, h))")).as(Seq("k", "v")))
-      .groupBy("doc_id", "k").agg(min("v").as("m"))
-
-    assert(native.exceptAll(relational).isEmpty &&
-      relational.exceptAll(native).isEmpty)
+    def ref(us: Seq[Long]): Seq[Long] = (0 until MinHash128.K).map { k =>
+      us.map(u => ((BigInt(MinHash128.seedsA(k)) * u +
+        MinHash128.seedsB(k)) % P).toLong).min
+    }
+    assert(got(1L) == ref(Seq(11L, 22L, 33L, 44L)))
+    assert(got(2L) == ref(Seq(11L, 22L, 33L)))
+    assert(got(3L) == ref(Seq(Mersenne61.P - 1L)))
+    // the family's seeds are in range (the oracle embeds them as-is)
+    assert(MinHash128.seedsA.forall(a => a >= 1 && a < Mersenne61.P))
+    assert(MinHash128.seedsB.forall(b => b >= 0 && b < Mersenne61.P))
   }
 
   test("identical shingle sets produce identical signatures, supersets differ") {
@@ -38,5 +55,30 @@ class MinHash128Spec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
     // superset: every min can only go down
     assert(sigs(3L).zip(sigs(1L)).forall { case (sup, sub) => sup <= sub })
+  }
+
+  test("shingle_poly3 matches the direct codepoint fold of each shingle string") {
+    val s = spark
+    import s.implicits._
+    def fold(str: String): Long = {
+      var h = BigInt(0)
+      str.codePoints().toArray.foreach { cp =>
+        h = (h * PolyShingle3.B + cp) % P
+      }
+      h.toLong
+    }
+    val toks = Seq("aa", "bb", "cc", "d😀") // incl. astral char
+    val expect = toks.sliding(3)
+      .map(w => fold(w.mkString(" "))).toSeq.distinct.sorted
+    val got = Seq(Tuple1(toks)).toDF("t")
+      .select(expr("shingle_poly3(t)").as("s"))
+      .collect().head.getSeq[Long](0)
+    assert(got == expect, s"got=$got expect=$expect")
+    // short arrays yield the empty set; values live in [0, p)
+    val empty = Seq(Tuple1(Seq("one", "two"))).toDF("t")
+      .select(expr("shingle_poly3(t)").as("s"))
+      .collect().head.getSeq[Long](0)
+    assert(empty.isEmpty)
+    assert(got.forall(u => u >= 0 && u < Mersenne61.P))
   }
 }
