@@ -1933,8 +1933,10 @@ object EventOps extends Suite {
   // 3.841459 (df=1, α=0.05), so the cut can't flip on a double tie.
   // The unit is the USER (distinct per segment), not the event — an
   // event-weighted ratio would confound traffic with assignment.
-  // int64 bound: 10⁶·(n_a−n_b)² overflows past ~3·10⁶ users of
-  // imbalance; the DECIMAL(38,0) widening ev_ab_test uses applies.
+  // Overflow posture (ADVICE r9, now applied): the squared-imbalance
+  // product runs in DECIMAL(38,0)/HUGEINT in BOTH engines, so the
+  // exact-integer contract holds to ~10¹⁶ users of arm imbalance
+  // (the 38-digit ceiling) instead of wrapping int64 at ~2·10⁶.
   // Scale: one (type, user) dedupe agg + one distinct-user pass for
   // TOTAL; both collapse to alphabet-sized frames before anything
   // else runs.
@@ -1958,7 +1960,8 @@ object EventOps extends Suite {
         count(when(col("arm") === 1, lit(1))).as("n_b"))
     counts
       .withColumn("chi2_micro", expr(
-        """(2 * 1000000 * (n_a - n_b) * (n_a - n_b) + (n_a + n_b))
+        """(2 * 1000000 * CAST(n_a - n_b AS DECIMAL(38,0))
+          |   * CAST(n_a - n_b AS DECIMAL(38,0)) + (n_a + n_b))
           | div (2 * (n_a + n_b))""".stripMargin))
       .select(col("segment"), col("n_a"), col("n_b"),
         (col("chi2_micro").cast("double") / 1000000L).as("chi2"),
@@ -1981,8 +1984,9 @@ object EventOps extends Suite {
       |  FROM seg GROUP BY 1),
       |scored AS (
       |  SELECT segment, n_a, n_b,
-      |    (2 * 1000000 * (n_a - n_b) * (n_a - n_b) + (n_a + n_b))
-      |      // (2 * (n_a + n_b)) AS chi2_micro
+      |    CAST((2 * 1000000 * CAST(n_a - n_b AS HUGEINT)
+      |        * CAST(n_a - n_b AS HUGEINT) + (n_a + n_b))
+      |      // (2 * (n_a + n_b)) AS BIGINT) AS chi2_micro
       |  FROM counts)
       |SELECT segment, n_a, n_b,
       |  CAST(chi2_micro AS DOUBLE) / 1000000 AS chi2,

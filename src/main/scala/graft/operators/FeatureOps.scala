@@ -1316,13 +1316,19 @@ object FeatureOps extends Suite {
         count(when(hour(col("ts")) < 7, lit(1))).as("g"),
         countDistinct(date_trunc("day", col("ts"))).as("d"))
     val keys = corrFeats.map(_._1)
-    val aggs = Seq(count(lit(1)).as("n")) ++
-      keys.map(f => sum(col(f)).as(s"s_$f")) ++
-      keys.map(f => sum(col(f) * col(f)).as(s"q_$f")) ++
-      corrPairs.map { case (a, b) =>
-        sum(col(a) * col(b)).as(s"p_${a}_$b") }
-    val m = users.agg(aggs.head, aggs.tail: _*)
+    // widen BEFORE the sums (ADVICE r9): the oracle accumulates in
+    // HUGEINT, so the Spark moments must not pass through an int64
+    // accumulator that could wrap silently (non-ANSI) at very large
+    // corpora — DECIMAL(38,0) covers the accumulation itself, not
+    // just the final cross terms
     val d38 = DecimalType(38, 0)
+    def w(f: String) = col(f).cast(d38)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      keys.map(f => sum(w(f)).as(s"s_$f")) ++
+      keys.map(f => sum(w(f) * w(f)).as(s"q_$f")) ++
+      corrPairs.map { case (a, b) =>
+        sum(w(a) * w(b)).as(s"p_${a}_$b") }
+    val m = users.agg(aggs.head, aggs.tail: _*)
     def dvar(f: String) =
       col("n").cast(d38) * col(s"q_$f").cast(d38) -
         col(s"s_$f").cast(d38) * col(s"s_$f").cast(d38)

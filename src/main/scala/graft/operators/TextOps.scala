@@ -1483,8 +1483,9 @@ object TextOps extends Suite {
   // qdChainCtes and scores fs against w8 — one training definition,
   // two consumers.
   // Scale: scoring is map-only over the checkpointed feature frame;
-  // the bucket agg is ≤10 rows. Σpq brushes int64 near 10⁹ docs —
-  // the DECIMAL(38,0) widening applies (ev_ab_test's note).
+  // the bucket agg is ≤10 rows. Σpq (quarter-nano, ≤ 4e9/doc) runs
+  // in DECIMAL(38,0)/HUGEINT in BOTH engines (ADVICE r9, applied) —
+  // the exact contract holds to ~10²⁸ docs, not int64's ~10⁹.
   private def txtDistillCalibration(spark: SparkSession,
       dir: String): DataFrame = {
     val m = distillTrain(spark, dir)
@@ -1494,7 +1495,8 @@ object TextOps extends Suite {
           lit(m.w2) * col("x2s")), lit(0L)), lit(4000000000L)))
       .withColumn("bucket", least(expr("pq div 400000000"), lit(9L)))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"), sum(col("pq")).as("spq"),
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pq").cast(DecimalType(38, 0))).as("spq"),
         sum(col("y")).as("npos"))
       // mean p in micro = halfup(Σpq / (4000·n)): pq is quarter-nano,
       // so Σpq/(4e9·n)·1e6 = Σpq/(4000·n)
@@ -1519,7 +1521,7 @@ object TextOps extends Suite {
       |b AS (
       |  SELECT LEAST(pq // 400000000, 9) AS bucket,
       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |    CAST(SUM(pq) AS BIGINT) AS spq,
+      |    SUM(pq) AS spq,
       |    CAST(SUM(y) AS BIGINT) AS npos
       |  FROM cal GROUP BY 1),
       |s AS (
@@ -1545,9 +1547,10 @@ object TextOps extends Suite {
   // offset — no single task sorts the score axis; the oracle runs
   // the plain one-window form, so the hash gate proves the two-phase
   // plan semantics-preserving). AUC and Gini (2·AUC−1) land through
-  // ONE half-up micro division; everything before it is exact int64
-  // (2c+t ≤ 2·P·N — past ~10⁹ docs the DECIMAL(38,0) widening
-  // applies).
+  // ONE half-up micro division; everything before it is exact
+  // integer work in DECIMAL(38,0)/HUGEINT (ADVICE r9, applied:
+  // 2c+t ≤ 2·P·N brushes int64 near 10⁹ docs, so the pair-count
+  // products and sums are widened in BOTH engines).
   // Scale: map-only scoring over the checkpointed feature frame,
   // one distinct-score agg, score-sized windows, a 1-row report.
   private def txtDistillAuc(spark: SparkSession, dir: String): DataFrame = {
@@ -1569,15 +1572,23 @@ object TextOps extends Suite {
       .join(broadcast(btot.as("b")), col("b.bkt") < col("a.bkt"), "left")
       .groupBy(col("a.bkt").as("bkt"))
       .agg(coalesce(sum(col("b.b_nn")), lit(0L)).as("off"))
+    // pair-count products and their sums run in DECIMAL(38,0)/HUGEINT
+    // in both engines (ADVICE r9, applied): c,t ≤ P·N which brushes
+    // int64 near 10⁹ docs — widened, the exact contract holds to the
+    // 38-digit ceiling
+    val d38 = DecimalType(38, 0)
     within.join(broadcast(offs), Seq("bkt"))
-      .select((col("np") * (col("nn_below_in") + col("off"))).as("conc"),
-        (col("np") * col("nn")).as("tie"), col("np"), col("nn"))
+      .select((col("np").cast(d38) *
+          (col("nn_below_in") + col("off")).cast(d38)).as("conc"),
+        (col("np").cast(d38) * col("nn").cast(d38)).as("tie"),
+        col("np"), col("nn"))
       .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         count(lit(1)).as("n_scores"),
         sum(col("conc")).as("c"), sum(col("tie")).as("t"))
       .withColumn("auc_micro", expr(
-        """(2 * (2 * c + t) * 1000000 + 2 * n_pos * n_neg)
-          | div (4 * n_pos * n_neg)""".stripMargin))
+        """(2 * (2 * c + t) * 1000000
+          |   + 2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)
+          | div (4 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)""".stripMargin))
       .select(col("n_pos"), col("n_neg"), col("n_scores"),
         (col("auc_micro").cast("double") / 1000000L).as("auc"),
         ((col("auc_micro") * 2 - 1000000L).cast("double") / 1000000L)
@@ -1604,13 +1615,14 @@ object TextOps extends Suite {
       |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
       |    CAST(SUM(nn) AS BIGINT) AS n_neg,
       |    CAST(COUNT(*) AS BIGINT) AS n_scores,
-      |    CAST(SUM(np * nn_below) AS BIGINT) AS c,
-      |    CAST(SUM(np * nn) AS BIGINT) AS t
+      |    SUM(CAST(np AS HUGEINT) * nn_below) AS c,
+      |    SUM(CAST(np AS HUGEINT) * nn) AS t
       |  FROM cum),
       |s AS (
       |  SELECT n_pos, n_neg, n_scores,
-      |    (2 * (2 * c + t) * 1000000 + 2 * n_pos * n_neg)
-      |      // (4 * n_pos * n_neg) AS auc_micro
+      |    (2 * (2 * c + t) * 1000000
+      |        + 2 * CAST(n_pos AS HUGEINT) * n_neg)
+      |      // (4 * CAST(n_pos AS HUGEINT) * n_neg) AS auc_micro
       |  FROM agg)
       |SELECT n_pos, n_neg, n_scores,
       |  CAST(auc_micro AS DOUBLE) / 1000000 AS auc,

@@ -35,6 +35,7 @@ class DriftStream(baseline: Map[(String, Long), Long],
 
   private val cur =
     mutable.Map.empty[(String, Long), Long].withDefaultValue(0L)
+  private var lastBatchId = -1L
 
   /** Merge one reduced micro-batch histogram (rows of
     * (event_type, bucket, n)) into the accumulated current side. */
@@ -43,10 +44,29 @@ class DriftStream(baseline: Map[(String, Long), Long],
   }
 
   /** foreachBatch convenience: reduce the batch distributedly, then
-    * fold the (tiny) cell result into state. */
-  def observeBatch(batch: DataFrame, binWidth: Int): Unit =
-    observe(DriftStream.histogram(batch, binWidth).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    * fold the (tiny) cell result into state. Pass foreachBatch's
+    * batchId: on a streaming-query failure/restart Spark RE-DELIVERS
+    * the last micro-batch, and the accumulated histogram is
+    * in-memory, add-only state — blindly re-adding would double-count
+    * cells and inflate PSI (ADVICE r9). Batch ids are monotone per
+    * query, so skipping ids ≤ the last one processed makes the fold
+    * exactly-once; -1 (the default) keeps ad-hoc non-streaming calls
+    * unguarded. */
+  def observeBatch(batch: DataFrame, binWidth: Int,
+      batchId: Long = -1L): Unit = {
+    if (batchId >= 0 && synchronized(batchId <= lastBatchId)) return
+    val cells = DriftStream.histogram(batch, binWidth).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // mark AFTER the distributed reduce succeeds: a batch that threw
+    // mid-collect is re-run by Spark and must not be treated as done
+    synchronized {
+      if (batchId >= 0) {
+        if (batchId <= lastBatchId) return
+        lastBatchId = batchId
+      }
+      cells.foreach { case (t, b, n) => cur((t, b)) += n }
+    }
+  }
 
   /** PSI per event_type over baseline vs accumulated current. */
   def psi: Map[String, Double] =

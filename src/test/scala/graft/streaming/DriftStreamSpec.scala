@@ -35,8 +35,12 @@ class DriftStreamSpec extends SparkSpec {
       .sortBy(e => e.ts.getTime)
     val input = MemoryStream[DriftEvent]
     val q = input.toDF().writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        gate.observeBatch(batch, QualityOps.driftBinWidth)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        gate.observeBatch(batch, QualityOps.driftBinWidth, id)
+        // Spark re-delivers the last micro-batch on failure/restart:
+        // the gate must treat a repeated batchId as a no-op (the
+        // accumulated histogram is add-only in-memory state)
+        gate.observeBatch(batch, QualityOps.driftBinWidth, id)
       }
       .queryName("drift_gate").start()
     try {
