@@ -95,15 +95,33 @@ object VersionedTable {
     rel
   }
 
+  /** Exact on-disk bytes of one staged data dir — the byte-accounting
+    * measure for [[graft.streaming.EgressMeter]] (etl_processed_bytes'
+    * billing analog): what this commit attempt physically wrote,
+    * including attempts later orphaned by a lost commit race (bytes
+    * moved are bytes moved; vacuum reclaims the files, not the bill). */
+  private def stagedBytes(root: String, rel: String): Long = {
+    val s = Files.walk(Paths.get(root, rel))
+    try s.iterator.asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+    finally s.close()
+  }
+
   /** One optimistic commit attempt at exactly `expected + 1`.
     * @throws ConcurrentCommit if that version already landed */
   def commitOnce(df: DataFrame, root: String, overwrite: Boolean,
-      expected: Int, txn: Option[Long] = None): Int = {
+      expected: Int, txn: Option[Long] = None,
+      meter: Option[graft.streaming.EgressMeter] = None,
+      pipeline: String = "default"): Int = {
     Files.createDirectories(versionsDir(root))
     val next = expected + 1
+    val staged = stage(df, root)
+    meter.foreach(_.add(pipeline, root,
+      if (txn.isDefined) "streaming" else "table_copy",
+      stagedBytes(root, staged)))
     val dirs = (if (overwrite) Nil
                 else versions(root).lastOption.toSeq
-                  .flatMap(manifestDirs(root, _))) :+ stage(df, root)
+                  .flatMap(manifestDirs(root, _))) :+ staged
     val tmp = writeManifest(root, next,
       if (overwrite) "overwrite" else "append", dirs, txn)
     try Files.createLink(versionFile(root, next), tmp)
@@ -124,14 +142,16 @@ object VersionedTable {
     * in the table — the txn check and the data publish are the same
     * atomic manifest link. Returns None for a skipped duplicate. */
   def commitBatch(df: DataFrame, root: String, batchId: Long,
-      overwrite: Boolean = false, maxAttempts: Int = 5): Option[Int] = {
+      overwrite: Boolean = false, maxAttempts: Int = 5,
+      meter: Option[graft.streaming.EgressMeter] = None,
+      pipeline: String = "default"): Option[Int] = {
     var attempt = 0
     while (true) {
       attempt += 1
       if (committedTxns(root).contains(batchId)) return None
       val base = versions(root).lastOption.getOrElse(0)
       try return Some(commitOnce(df, root, overwrite, base,
-        txn = Some(batchId)))
+        txn = Some(batchId), meter = meter, pipeline = pipeline))
       catch { case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e }
     }
     None // unreachable
@@ -141,12 +161,15 @@ object VersionedTable {
     * the losing attempt is orphaned (vacuum reclaims it) and the
     * commit replays against the new table state. */
   def commit(df: DataFrame, root: String, overwrite: Boolean = false,
-      maxAttempts: Int = 5): Int = {
+      maxAttempts: Int = 5,
+      meter: Option[graft.streaming.EgressMeter] = None,
+      pipeline: String = "default"): Int = {
     var attempt = 0
     while (true) {
       attempt += 1
       val base = versions(root).lastOption.getOrElse(0)
-      try return commitOnce(df, root, overwrite, base)
+      try return commitOnce(df, root, overwrite, base,
+        meter = meter, pipeline = pipeline)
       catch { case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e }
     }
     -1 // unreachable

@@ -44,10 +44,19 @@ import graft.sources.Formats
   */
 class JdbcCdcTarget(
     url: String, table: String,
-    connOptions: Map[String, String] = Map.empty) extends CdcTarget {
+    connOptions: Map[String, String] = Map.empty,
+    meter: Option[EgressMeter] = None,
+    pipeline: String = "default") extends CdcTarget {
 
   private val landing = table + "_landing"
   private val staging = table + "_staging"
+
+  /** CdcApplied's JDBC wire width: user_id/event_id BIGINT (8+8),
+    * ts TIMESTAMP (8), value DOUBLE (8), is_deleted BOOLEAN (1) —
+    * the byte-accounting unit for [[EgressMeter]] (etl_processed_
+    * bytes' billing measure); multiplied by the landed row count the
+    * warehouse itself reports, so metering never re-runs the batch. */
+  private val rowBytes = 33L
 
   // quoted, lowercase — matches how Spark's JDBC writer quotes the
   // DataFrame's column names when appending to the landing table
@@ -97,6 +106,14 @@ class JdbcCdcTarget(
     withConn { c =>
       c.setAutoCommit(false)
       val st = c.createStatement()
+      // byte accounting (inside the txn, before the purge): the
+      // landed row count is what the destination received this batch
+      meter.foreach { m =>
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM $landing " +
+          s"WHERE ${q("batch_id")} = $batchId")
+        rs.next()
+        m.add(pipeline, table, "streaming", rs.getLong(1) * rowBytes)
+      }
       st.execute(s"DELETE FROM $staging")
       // latest-per-key within the batch: keep a landing row iff no
       // strictly-newer row for its key exists in the same batch;

@@ -118,6 +118,50 @@ class ReplicationStateStore(
     } catch { case scala.util.control.NonFatal(_) => false }
   }
 
+  /** Atomic multi-key transition — the reference's MULTI/EXEC
+    * transaction (/root/reference/src/store/redis_transaction.rs:14
+    * wraps table-state + mapping updates in one Redis transaction so
+    * a crash can't leave them durably half-applied): every row in
+    * `changes` persists in ONE JDBC transaction — all land or none
+    * do. Memory still updates first (the store's documented
+    * memory-ahead-of-backend contract), so a persist failure leaves
+    * the process running on memory and the BACKEND consistently at
+    * the pre-transaction snapshot; the crash-restart reload then
+    * resumes from that snapshot, never from a torn one. Returns
+    * false iff persistence exhausted its retries. */
+  def updateAll(changes: Seq[(String, Phase, Option[String])]): Boolean = {
+    val now = new Timestamp(System.currentTimeMillis())
+    val entries = changes.map { case (tbl, phase, mapping) =>
+      tbl -> Entry(phase,
+        mapping.orElse(mem.get(tbl).flatMap(_.mapping)), now)
+    }
+    entries.foreach { case (tbl, e) => mem.put(tbl, e) }
+    try {
+      Retry.withBackoff(maxAttempts = persistAttempts,
+        baseDelayMillis = 50)(persistAll(entries))
+      true
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  private def persistAll(entries: Seq[(String, Entry)]): Unit = withConn { c =>
+    c.setAutoCommit(false)
+    try {
+      entries.foreach { case (tbl, e) =>
+        persistOn(c, tbl, e)
+        afterRowPersist(tbl)
+      }
+      c.commit()
+    } catch {
+      case e: Throwable => c.rollback(); throw e
+    }
+  }
+
+  /** Failure-injection seam for the atomicity spec: called after each
+    * row's statement inside the transaction, BEFORE commit — a spec
+    * override that throws models a crash mid-transaction. No-op in
+    * production. */
+  protected def afterRowPersist(tbl: String): Unit = ()
+
   /** Drop a table's state everywhere (reference cleanup_table_state). */
   def cleanup(tbl: String): Unit = {
     mem.remove(tbl)
@@ -128,7 +172,10 @@ class ReplicationStateStore(
     }
   }
 
-  private def persist(tbl: String, e: Entry): Unit = withConn { c =>
+  private def persist(tbl: String, e: Entry): Unit =
+    withConn(persistOn(_, tbl, e))
+
+  private def persistOn(c: Connection, tbl: String, e: Entry): Unit = {
     val reason = e.phase match {
       case Errored(r) => r
       case _ => null

@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.streaming.{CdcDemux, InMemoryCdcTarget}
+
+/** Crafted pgoutput wire bytes (the public PostgreSQL "Logical
+  * Replication Message Formats" grammar) → decode → demux → guarded
+  * merge, end to end — plus the dead-letter partition contract. */
+class PgOutputSpec extends SparkSpec {
+
+  // ---- little frame forge (big-endian, like the protocol) ----------
+  private def cstr(s: String): Array[Byte] =
+    s.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+
+  private def frame(body: Array[Byte]*): Array[Byte] = {
+    val payload = body.flatten.toArray
+    ByteBuffer.allocate(4 + payload.length)
+      .putInt(payload.length).put(payload).array()
+  }
+
+  private def i16(v: Int) = ByteBuffer.allocate(2).putShort(v.toShort).array()
+  private def i32(v: Int) = ByteBuffer.allocate(4).putInt(v).array()
+  private def i64(v: Long) = ByteBuffer.allocate(8).putLong(v).array()
+  private def b(c: Char) = Array(c.toByte)
+
+  private def begin(commitMicros: Long): Array[Byte] =
+    frame(b('B'), i64(1L), i64(commitMicros), i32(7))
+
+  private def commit(): Array[Byte] =
+    frame(b('C'), Array(0.toByte), i64(1L), i64(2L), i64(0L))
+
+  private def relation(oid: Int, name: String, cols: Seq[String]): Array[Byte] =
+    frame(Seq(b('R'), i32(oid), cstr("public"), cstr(name),
+      Array(102.toByte) /* 'f' = full */, i16(cols.length)) ++
+      cols.flatMap(c => Seq(Array(0.toByte), cstr(c), i32(20), i32(-1))): _*)
+
+  private def cell(v: Option[String]): Array[Byte] = v match {
+    case None => b('n')
+    case Some(s) =>
+      val bytes = s.getBytes(StandardCharsets.UTF_8)
+      b('t') ++ i32(bytes.length) ++ bytes
+  }
+
+  private def tup(vals: Option[String]*): Array[Byte] =
+    i16(vals.length) ++ vals.flatMap(cell)
+
+  private def row(id: Long, ts: String, uid: Long, tpe: String,
+      v: Double): Array[Byte] =
+    tup(Some(id.toString), Some(ts), Some(uid.toString), Some(tpe),
+      Some(v.toString))
+
+  private val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+
+  private def insert(oid: Int, body: Array[Byte]): Array[Byte] =
+    frame(b('I'), i32(oid), b('N'), body)
+
+  private def update(oid: Int, old: Array[Byte], nw: Array[Byte]): Array[Byte] =
+    frame(b('U'), i32(oid), b('O'), old, b('N'), nw)
+
+  private def delete(oid: Int, old: Array[Byte]): Array[Byte] =
+    frame(b('D'), i32(oid), b('O'), old)
+
+  private def chunk(frames: Array[Byte]*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    frames.foreach(out.write)
+    out.toByteArray
+  }
+
+  // commit ts 2024-01-02 00:00:00 UTC in PG micros (epoch 2000-01-01)
+  private val commitUs = (java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    .getTime - 946684800000L) * 1000L
+
+  private def goodChunk: Array[Byte] = chunk(
+    begin(commitUs),
+    relation(16385, "events", cols),
+    relation(16390, "orders", cols),
+    insert(16385, row(1, "2024-01-01 00:00:00", 1, "click", 1.5)),
+    insert(16385, row(2, "2024-01-01 00:00:01.250000", 1, "view", 2.0)),
+    update(16385, row(3, "2024-01-01 00:00:00", 2, "signup", 5.0),
+      row(3, "2024-01-01 00:00:02", 2, "purchase", 9.0)),
+    insert(16390, row(9, "2024-01-01 00:00:00", 3, "click", 7.0)),
+    // delete uid 4's row: tombstone must carry the COMMIT ts
+    insert(16385, row(4, "2024-01-01 00:00:03", 4, "click", 3.0)),
+    delete(16385, row(4, "2024-01-01 00:00:03", 4, "click", 3.0)),
+    commit())
+
+  test("decodeChunk parses inserts/updates/deletes with relation routing") {
+    val (events, dead) = PgOutput.decodeChunk(goodChunk)
+    assert(dead.isEmpty, dead.mkString("|"))
+    assert(events.map(_.table).count(_ == "events") == 5) // 4 rows + tombstone
+    assert(events.exists(e => e.table == "orders" && e.event_id == 9L))
+    val up = events.find(_.event_id == 3L).get
+    assert(up.event_type == "purchase" && up.value == 9.0,
+      "update must decode the NEW tuple")
+    assert(events.find(_.event_id == 2L).get.ts ==
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:01.25"),
+      "fractional-second text timestamps must parse")
+    val del = events.filter(e => e.user_id == 4L && e.event_type == "error")
+    assert(del.size == 1, "delete must map to the tombstone convention")
+    assert(del.head.ts == java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+      "tombstone sequence must be the transaction COMMIT timestamp")
+  }
+
+  test("malformed frames dead-letter individually; decode continues") {
+    val badOid = insert(99999, row(8, "2024-01-01 00:00:00", 8, "x", 1.0))
+    val nullPk = insert(16385,
+      tup(None, Some("2024-01-01 00:00:00"), Some("5"), Some("x"), Some("1")))
+    val truncate = frame(b('T'), i32(1), Array(0.toByte), i32(16385))
+    val unknownTag = frame(b('Z'), i32(0))
+    val keyOnlyDelete = frame(b('D'), i32(16385), b('K'),
+      tup(Some("1"), None, None, None, None))
+    val c = chunk(
+      begin(commitUs),
+      relation(16385, "events", cols),
+      badOid, nullPk, truncate, unknownTag, keyOnlyDelete,
+      insert(16385, row(6, "2024-01-01 00:00:05", 6, "y", 2.0)),
+      commit())
+    val (events, dead) = PgOutput.decodeChunk(c)
+    assert(events.map(_.event_id) == Seq(6L),
+      "only the good row survives")
+    assert(dead.size == 5, dead.mkString("|"))
+    assert(dead.exists(_.detail.contains("unknown relation oid")))
+    assert(dead.exists(_.detail.contains("NULL/toast in event_id")))
+    assert(dead.exists(_.detail.contains("TRUNCATE")))
+    assert(dead.exists(_.detail.contains("REPLICA IDENTITY FULL")))
+
+    // corrupt length prefix: one terminal dead letter, no crash
+    val corrupt = chunk(begin(commitUs)) ++ Array[Byte](0, 0, 64, 0, 1, 2)
+    val (e2, d2) = PgOutput.decodeChunk(corrupt)
+    assert(e2.isEmpty && d2.exists(_.reason == "bad_frame_length"))
+  }
+
+  test("crafted pgoutput chunks drive the guarded merge end to end") {
+    val dir = Files.createTempDirectory("graft_pgo").toString
+    Files.write(Paths.get(dir, "chunk0.pgo"), goodChunk)
+    // second chunk: replayed relation cache (self-contained), then a
+    // late update for uid 1 that must win the sequence race
+    Files.write(Paths.get(dir, "chunk1.pgo"), chunk(
+      begin(commitUs + 1000000L),
+      relation(16385, "events", cols),
+      insert(16385, row(10, "2024-01-01 00:00:10", 1, "refund", -1.0)),
+      commit()))
+
+    val target = new InMemoryCdcTarget
+    var unrouted = 0L
+    val q = CdcDemux.mergeInto(
+      PgOutput.readPgFiles(spark, dir),
+      Map("events" -> target),
+      Files.createTempDirectory("graft_pgo_ckpt").toString,
+      Trigger.ProcessingTime("50 milliseconds"),
+      onUnrouted = unrouted += _)
+    try q.processAllAvailable() finally q.stop()
+
+    // uid 1 → latest event 10; uid 2 → the update; uid 4 → tombstoned
+    assert(target.snapshot(1L).event_id == 10L &&
+      target.snapshot(1L).value == -1.0)
+    assert(target.snapshot(2L).event_id == 3L &&
+      target.snapshot(2L).value == 9.0)
+    // the tombstone (commit-ts sequence) must beat the same-batch
+    // insert it deletes: uid 4 is filtered from the live snapshot
+    assert(target.snapshot.keySet == Set(1L, 2L),
+      s"uid 4 must be tombstoned; got ${target.snapshot.keySet}")
+    assert(unrouted == 1L, s"orders row should be unrouted, got $unrouted")
+
+    // batch twin + dead-letter partition over the same landing
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pgo").load(dir)
+    val n = PgOutput.decode(raw).count()
+    val d = PgOutput.deadLetters(raw).count()
+    assert(n == 7 && d == 0, s"events=$n dead=$d")
+  }
+}

@@ -59,6 +59,62 @@ class MetricsSpec extends SparkSpec {
     } finally mgr.stopAll()
   }
 
+  test("egress bytes meter the jdbc merge and the versioned-table commit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val meter = new EgressMeter
+
+    // streaming leg: JdbcCdcTarget merge — bytes = wire width (33) ×
+    // landed rows, counted by the warehouse inside the merge txn
+    val db = Files.createTempDirectory("graft_egress_db").toString + "/db"
+    val target = new JdbcCdcTarget(s"jdbc:derby:$db;create=true", "egr_t",
+      meter = Some(meter), pipeline = "pipe_a")
+    val in = MemoryStream[CdcEvent]
+    val q = CdcStream.mergeInto(in.toDS(), target,
+      Files.createTempDirectory("graft_egress_ckpt").toString,
+      Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      in.addData(
+        CdcEvent(1, new Timestamp(1000), 1, "click", 1.0),
+        CdcEvent(2, new Timestamp(2000), 2, "view", 2.0),
+        CdcEvent(3, new Timestamp(3000), 3, "buy", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(meter.bytes("pipe_a", "egr_t", "streaming") == 3 * 33L,
+      s"jdbc leg: ${meter.bytes("pipe_a", "egr_t", "streaming")}")
+
+    // table_copy leg: VersionedTable commit — exact staged parquet
+    // bytes on disk
+    val root = Files.createTempDirectory("graft_egress_vt").toString
+    graft.sources.VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root,
+      meter = Some(meter), pipeline = "pipe_a")
+    val copied = meter.bytes("pipe_a", root, "table_copy")
+    assert(copied > 0, "commit must meter staged bytes")
+    // exactly-once streaming sink leg rides the same meter with the
+    // streaming processing type; a skipped duplicate adds nothing
+    graft.sources.VersionedTable.commitBatch(
+      Seq((3L, "c")).toDF("id", "v"), root, batchId = 7L,
+      meter = Some(meter), pipeline = "pipe_a")
+    val streamed = meter.bytes("pipe_a", root, "streaming")
+    assert(streamed > 0)
+    graft.sources.VersionedTable.commitBatch(
+      Seq((3L, "c")).toDF("id", "v"), root, batchId = 7L,
+      meter = Some(meter), pipeline = "pipe_a")
+    assert(meter.bytes("pipe_a", root, "streaming") == streamed,
+      "a deduped replayed batch must not bill twice")
+
+    // the series ride the existing exposition
+    val text = Metrics.prometheusText(meter.samples)
+    assert(text.contains("# TYPE graft_egress_bytes_total counter"))
+    assert(text.contains(
+      """graft_egress_bytes_total{destination="egr_t",pipeline="pipe_a",processing_type="streaming"} 99"""),
+      s"jdbc series missing in:\n$text")
+    assert(text.contains(s"""processing_type="table_copy"} $copied"""))
+  }
+
   test("manager sweep drives sustained alerts from live pipeline health") {
     val s = spark
     import s.implicits._

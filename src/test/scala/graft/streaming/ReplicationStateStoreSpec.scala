@@ -45,6 +45,42 @@ class ReplicationStateStoreSpec extends AnyFunSuite {
     assert(new ReplicationStateStore(url).all == Map("t2" -> Skipped))
   }
 
+  test("updateAll is one transaction: a mid-write crash rolls back both keys") {
+    val url = derby("repstate4")
+    val store = new ReplicationStateStore(url)
+    store.update("t1", Init, Some("wh.t1"))
+    store.update("t2", Init, Some("wh.t2"))
+
+    // the happy path: both rows land atomically and reload together
+    assert(store.updateAll(Seq(
+      ("t1", DataSync, None), ("t2", DataSync, None))))
+    assert(new ReplicationStateStore(url).all ==
+      Map("t1" -> DataSync, "t2" -> DataSync))
+
+    // crash INJECTED between the first and second row write, inside
+    // the transaction: the backend must roll back to the pre-txn
+    // snapshot — never a torn t1=Ready/t2=DataSync state
+    val crashing = new ReplicationStateStore(url, persistAttempts = 1) {
+      private var rows = 0
+      override protected def afterRowPersist(tbl: String): Unit = {
+        rows += 1
+        if (rows == 2) sys.error("simulated crash mid-transaction")
+      }
+    }
+    val ok = crashing.updateAll(Seq(
+      ("t1", Ready, None), ("t2", Ready, None)))
+    assert(!ok, "exhausted persist must report failure")
+    // memory stays ahead (the store's documented contract) …
+    assert(crashing.get("t1").contains(Ready))
+    // … but the durable snapshot is the consistent pre-txn state
+    val reloaded = new ReplicationStateStore(url)
+    assert(reloaded.all == Map("t1" -> DataSync, "t2" -> DataSync),
+      s"torn durable state: ${reloaded.all}")
+    // mappings survived untouched too
+    assert(reloaded.mapping("t1").contains("wh.t1"))
+    assert(reloaded.mapping("t2").contains("wh.t2"))
+  }
+
   test("memory stays ahead when persistence is unavailable") {
     // a store pointed at a database that stops existing: updates keep
     // serving from memory and report the persist failure
