@@ -78,8 +78,13 @@ object ScaleStress {
     if (marker.exists()) { println(s"[scale] reuse $outDir (${factor}x)"); return }
     println(s"[scale] materializing ${factor}x into $outDir")
     def read(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
+    // 32 files per table: a real corpus is many files, and AQE's
+    // skew split can only cut a reduce partition at MAP-output
+    // boundaries — a single-file scan is one mapper, whose skewed
+    // partition is physically unsplittable no matter the thresholds
     def write(t: String, df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      df.repartition(32).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
 
     // dimensions stay fixed-size at any corpus scale
     write("region", read("region"))
@@ -138,7 +143,12 @@ object ScaleStress {
       "shuffleRange" -> n("Exchange rangepartitioning"),
       "shuffleSingle" -> n("Exchange SinglePartition"),
       "broadcastExchange" -> n("BroadcastExchange"),
-      "skewSplit" -> n("skewed=true"))
+      // Spark's split join prints "SortMergeJoin(skew=true)" and the
+      // reader "AQEShuffleRead … skewed" — earlier rounds grepped a
+      // non-existent "skewed=true" marker, which is why every prior
+      // SCALE_SKEW artifact reported splits=0 even where none could
+      // have fired anyway (see stressVariants note)
+      "skewSplit" -> n("""skew=true"""))
   }
 
   /** Width-scaled stress variants NOT in the registered query map —
@@ -150,7 +160,45 @@ object ScaleStress {
     "sim_knn_graph_w9" ->
       ((s, d) => operators.SimilarityOps.simKnnGraphAt(s, d, planes = 9)),
     "sim_knn_graph_w10" ->
-      ((s, d) => operators.SimilarityOps.simKnnGraphAt(s, d, planes = 10)))
+      ((s, d) => operators.SimilarityOps.simKnnGraphAt(s, d, planes = 10)),
+    // The skew-split witnesses (skew mode): every REGISTERED query's
+    // big joins either broadcast their small side or pre-aggregate
+    // before joining, so AQE's skew-join rewrite — which only touches
+    // shuffle joins — never had an SMJ to split in earlier sweeps
+    // (every prior SCALE_SKEW artifact shows splits=0 for that
+    // reason). This pair forces the large-large shape a 100 TB
+    // fact⋈fact join actually has: events joined to its own per-user
+    // totals with a merge hint (broadcast would hide the skew), so
+    // the hot key's shuffle partition exceeds the skew threshold —
+    // the plain twin is where AQE's split (`SortMergeJoin(skew=true)`)
+    // must appear, and the salted twin is the planned fallback for
+    // the exchanges AQE can't observe. (AQE's rule also requires BOTH
+    // join children to be raw shuffle stages — an aggregate between
+    // the exchange and the join disqualifies the rewrite, which is
+    // the other reason the registered queries never show splits.)
+    "skew_join_plain" -> ((s, d) => {
+      val li = sources.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = sources.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+    "skew_join_salted" -> ((s, d) => {
+      val li = sources.Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"),
+          col("l_extendedprice"), col("l_discount"))
+      val ord = sources.Tables.orders(s, d)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      operators.Skew.saltedJoin(li, ord, "okey", 8)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }))
 
   /** One fresh execution: rebuilt logical plan (no stage reuse),
     * InternalRow-level run of the adaptive plan, final plan string. */
@@ -197,8 +245,13 @@ object ScaleStress {
     if (marker.exists()) { println(s"[scale] reuse $outDir (skew ${factor}x)"); return }
     println(s"[scale] materializing skewed ${factor}x into $outDir")
     def read(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
+    // 32 files per table: a real corpus is many files, and AQE's
+    // skew split can only cut a reduce partition at MAP-output
+    // boundaries — a single-file scan is one mapper, whose skewed
+    // partition is physically unsplittable no matter the thresholds
     def write(t: String, df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      df.repartition(32).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
     write("region", read("region"))
     write("nation", read("nation"))
     write("customer", replicate(spark, read("customer"), factor)(
@@ -212,8 +265,17 @@ object ScaleStress {
         .withColumn("o_custkey",
           when(col("o_custkey") % 5 === 0, lit(1L)).otherwise(col("o_custkey")))
     })
-    write("lineitem", replicate(spark, read("lineitem"), factor)(
-      shift(_, Seq("l_orderkey", "l_partkey", "l_suppkey"))))
+    // lineitem: 20% of rows collapse onto ONE hot order (replica 0's
+    // orderkey 1 — FK-valid) so the fact⋈fact orderkey join carries a
+    // genuinely skewed shuffle partition, the shape AQE's skew-join
+    // rewrite exists for (the custkey/user hot keys below never reach
+    // an SMJ — their consumers broadcast or pre-aggregate)
+    write("lineitem", replicate(spark, read("lineitem"), factor) { d =>
+      shift(d, Seq("l_orderkey", "l_partkey", "l_suppkey"))
+        .withColumn("l_orderkey",
+          when(col("l_orderkey") % 5 === 0, lit(1L))
+            .otherwise(col("l_orderkey")))
+    })
     write("events", replicate(spark, sources.Tables.events(spark, baseDir),
       factor) { d =>
       shift(d, Seq("event_id", "user_id"))
@@ -235,9 +297,13 @@ object ScaleStress {
     val skewDir = s"$root/skew$factor"
     materialize(spark, baseDir, evenDir, factor)
     materializeSkewed(spark, baseDir, skewDir, factor)
-    // demonstration thresholds (defaults only trip past ~256 MB/task)
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+    // demonstration thresholds (defaults only trip past ~256 MB/task;
+    // skew sizes are COMPRESSED shuffle bytes, and the hot key's
+    // constant join column compresses to almost nothing, so the toy
+    // hot partition lands near ~1 MB)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
     val rows = queries.flatMap { q =>
       try {
         runOnce(spark, q, evenDir) // warmup

@@ -2171,6 +2171,37 @@ object EventOps extends Suite {
       |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  // ---- ev_inter_event_approx: the declared 100 TB gap profile -------
+  // ev_inter_event's production form, now REGISTERED: the percentile
+  // legs come from approx_percentile's mergeable digest — one
+  // map-side-combined agg per type over the same gap frame, NO
+  // per-type rank windows — so only the user_id shuffle (which the
+  // gap pairing itself owns) remains. Same output schema as the
+  // exact op. Rows-only (digest internals are impl-specific); the
+  // invariant spec binds each approx percentile to the exact gap
+  // distribution within rank-error bounds.
+  private def evInterEventApprox(spark: SparkSession,
+      dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000L,
+          6).as("mean_gap_s"),
+        percentile_approx(col("gap_us"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"))
+      .select(col("event_type"), col("n_gaps"), col("mean_gap_s"),
+        element_at(col("ap"), 1).as("p50_us"),
+        element_at(col("ap"), 2).as("p90_us"),
+        element_at(col("ap"), 3).as("p99_us"))
+      .orderBy("event_type")
+  }
+
   override val ops: Seq[Op] = Seq(
     Op("ev_tumbling_1h", evTumbling, Some(evTumblingSql)),
     Op("ev_sliding_2h", evSliding, Some(evSlidingSql)),
@@ -2206,5 +2237,6 @@ object EventOps extends Suite {
     Op("ev_ab_srm", evAbSrm, Some(evAbSrmSql)),
     Op("ev_lifecycle", evLifecycle, Some(evLifecycleSql)),
     Op("ev_inter_event", evInterEvent, Some(evInterEventSql)),
+    Op("ev_inter_event_approx", evInterEventApprox, None),
   )
 }

@@ -1208,6 +1208,43 @@ object FeatureOps extends Suite {
       .orderBy("event_type", "bin")
   }
 
+  // ---- ft_quantile_bins_approx: the declared 100 TB discretizer -----
+  // ft_quantile_bins' production form, now REGISTERED (not just named
+  // in a comment): bin edges come from percentile_approx's MERGEABLE
+  // sketch — partial digests combine map-side, so the shuffle carries
+  // one digest per (partition, type) instead of riding every row
+  // through the per-type NTILE sort. Rows then bin by a broadcast
+  // edge lookup (map-only; value > edge ⇒ later bin, ties stay low)
+  // and the (type, bin) agg reports the SAME schema as the exact fit.
+  // Duplicate sketch edges can leave a bin empty — it simply emits no
+  // row, like an empty group anywhere else. Rows-only (digest
+  // internals are impl-specific); the invariant spec binds per-bin
+  // occupancy and the edges to the exact fit within rank-error
+  // bounds (q_approx_percentiles' posture).
+  private def ftQuantileBinsApprox(spark: SparkSession,
+      dir: String): DataFrame = {
+    val q = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("q100"))
+    val edges = q.groupBy("event_type")
+      .agg(percentile_approx(col("q100"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("edges"))
+    q.join(broadcast(edges), Seq("event_type"))
+      .withColumn("bin",
+        (size(filter(col("edges"), e => e < col("q100"))) + 1))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"),
+        sum(col("q100")).as("sq"))
+      .select(col("event_type"), col("bin"), col("n"), col("lo"),
+        col("hi"),
+        (expr("(2 * sq * 10000 + n) div (2 * n)").cast("double")
+          / lit(1000000.0)).as("mean"))
+      .orderBy("event_type", "bin")
+  }
+
   private val ftQuantileBinsSql =
     """WITH q AS (
       |  SELECT event_type, event_id, value,
@@ -1578,6 +1615,7 @@ object FeatureOps extends Suite {
     Op("ft_woe_iv", ftWoeIv, Some(ftWoeIvSql)),
     Op("ft_assoc_rules", ftAssocRules, Some(ftAssocRulesSql)),
     Op("ft_quantile_bins", ftQuantileBins, Some(ftQuantileBinsSql)),
+    Op("ft_quantile_bins_approx", ftQuantileBinsApprox, None),
     Op("ft_graph_triangles", ftGraphTriangles, Some(ftGraphTrianglesSql)),
     Op("ft_kaplan_meier", ftKaplanMeier, Some(ftKaplanMeierSql)),
     Op("ft_graph_jaccard", ftGraphJaccard, Some(ftGraphJaccardSql)),

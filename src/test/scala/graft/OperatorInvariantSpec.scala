@@ -363,6 +363,70 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("ev_inter_event_approx percentiles stay within rank-error of the exact gaps") {
+    // the registered 100 TB twin: same schema, digest percentiles —
+    // each approx value must land within ±5% RANK of its target in
+    // the exact per-type gap distribution, and counts/means are the
+    // exact op's (they share the identical pre-digest arithmetic)
+    val exact = run("ev_inter_event")
+      .select("event_type", "n_gaps", "mean_gap_s").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val approx = run("ev_inter_event_approx").collect()
+    assert(approx.nonEmpty && approx.map(_.getString(0)).toSet == exact.keySet)
+    // rebuild the exact gap distribution per type (spec SF is small)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    approx.foreach { r =>
+      val t = r.getString(0)
+      assert((r.getLong(1), r.getDouble(2)) == exact(t),
+        s"$t: count/mean must match the exact op")
+      val vals = gaps(t)
+      Seq((0.5, 3), (0.9, 4), (0.99, 5)).foreach { case (p, i) =>
+        val rank = vals.count(_ <= r.getLong(i)).toDouble / vals.length
+        assert(math.abs(rank - p) <= 0.05,
+          s"$t p$p: digest value ${r.getLong(i)} has rank $rank")
+      }
+    }
+  }
+
+  test("ft_quantile_bins_approx bins partition rows with near-equal occupancy") {
+    val approx = run("ft_quantile_bins_approx").collect()
+    val exactTotal = run("ft_quantile_bins").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(approx.nonEmpty)
+    approx.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      // partition: approx bins cover exactly the exact fit's rows
+      assert(rows.map(_.getLong(2)).sum == exactTotal(t),
+        s"$t: approx bins must cover every row")
+      // bins are labeled 1..10, ordered, with non-overlapping ranges
+      val byBin = rows.sortBy(_.getInt(1))
+      assert(byBin.map(_.getInt(1)).forall(b => b >= 1 && b <= 10))
+      byBin.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(4) <= b.getDouble(3) ||
+            math.abs(a.getDouble(4) - b.getDouble(3)) < 1e-9,
+            s"$t: bin ranges overlap: ${a.getDouble(4)} > ${b.getDouble(3)}")
+        case _ => ()
+      }
+      // near-equal occupancy: the sketch's rank error is n/10000, so
+      // each bin holds n/10 within a generous ±20% relative band
+      // (ties can only shift mass, and this table's values tie)
+      val n = exactTotal(t).toDouble
+      rows.foreach { r =>
+        assert(math.abs(r.getLong(2) - n / 10) <= n / 10 * 0.5 + 2,
+          s"$t bin ${r.getInt(1)}: ${r.getLong(2)} rows vs target ${n / 10}")
+      }
+    }
+  }
+
   test("pipe_mix_report cells partition the corpus and shares sum to 1") {
     val rep = run("pipe_mix_report")
     val sums = rep.agg(sum(col("token_share")), sum(col("doc_share")),
