@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.functions.{DecDotProduct, DecQuant, HyperplaneBuckets, KmAssign, MinHash128, PolyShingle3, ShingleHash3, SimHash64}
 
@@ -66,6 +67,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.size != 2) throw new IllegalArgumentException(
           s"dec_dot expects exactly 2 arguments, got ${children.size}")
         DecDotProduct(children.head, children(1))
+      }))
+    // Spark ships codegen'd Bloom expressions for its own runtime row
+    // filters (InjectRuntimeFilter) but leaves them OFF the public
+    // function registry — surface them, so the Bloom decontamination
+    // prefilter probes inside whole-stage codegen instead of through
+    // a scala UDF over a broadcast sketch object.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      { children =>
+        children match {
+          case Seq(c) => new BloomFilterAggregate(c)
+          case Seq(c, n) => new BloomFilterAggregate(c, n)
+          case Seq(c, n, m) => new BloomFilterAggregate(c, n, m)
+          case _ => throw new IllegalArgumentException(
+            "bloom_filter_agg expects (col[, estimatedItems[, numBits]])")
+        }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "might_contain"),
+      { children =>
+        if (children.size != 2) throw new IllegalArgumentException(
+          s"might_contain expects exactly 2 arguments, got ${children.size}")
+        BloomFilterMightContain(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("km_assign"),

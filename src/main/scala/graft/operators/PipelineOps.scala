@@ -396,10 +396,15 @@ object PipelineOps extends Suite {
   // negatives, and survivors go through the exact shared-shingle
   // verify — so the output is bit-identical to pipe_decontaminate
   // and the driver hash-checks it against the SAME exact oracle.
-  // The mightContain probe is a scala UDF (Spark exposes no public
-  // expression for it); it gates rows BEFORE the join so the
-  // codegen'd hot path is untouched.
-  private val bloomFpp = 0.01
+  // The probe is Spark's own codegen'd BloomFilterMightContain
+  // (surfaced by GraftExtensions — the expression Spark uses for its
+  // runtime row filters, kept off the public registry): the sketch
+  // bytes collect once (the MODEL, never data — ~100 KB at these
+  // parameters) and ride the probe as a binary literal inside
+  // whole-stage codegen, replacing the former scala-UDF-over-
+  // broadcast-object hop entirely.
+  private val bloomItems = 1L << 16 // generous for the 10-doc bench
+  private val bloomBits = 1L << 20 // ≈ fpp 0.01 at bloomItems
 
   private def pipeBloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val shingled = Tables.documents(spark, dir)
@@ -407,14 +412,14 @@ object PipelineOps extends Suite {
       .select(col("doc_id"), expr("shingle_hash3(t)").as("s"))
     val bench = shingled.filter(col("doc_id") < benchDocs)
       .select(col("doc_id").as("bench_id"), explode(col("s")).as("h"))
-    // sized generously for the fixed 10-doc benchmark; a real run
-    // sizes from a count of the contamination list
-    val bf = bench.stat.bloomFilter("h", 1L << 16, bloomFpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    // a real run sizes from a count of the contamination list
+    val bfBytes = bench
+      .agg(call_function("bloom_filter_agg", col("h"),
+        lit(bloomItems), lit(bloomBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
     val corpus = shingled.filter(col("doc_id") >= benchDocs)
       .select(col("doc_id"), explode(col("s")).as("h"))
-      .filter(mightContain(col("h")))
+      .filter(call_function("might_contain", lit(bfBytes), col("h")))
     corpus.join(broadcast(bench), Seq("h"))
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))

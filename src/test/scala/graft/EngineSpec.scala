@@ -26,8 +26,13 @@ class EngineSpec extends SparkSpec {
   test("every graft native expression is registered and callable") {
     Seq("simhash64(array('a'))", "minhash128(array(1L, 2L, 3L))",
       "shingle_hash3(array('a','b','c'))",
+      "shingle_poly3(array('a','b','c'))",
       "hyperplane_buckets(array(1.0f, 2.0f))",
+      "hyperplane_buckets(array(1.0f, 2.0f), 11)",
       "dec_quant(array(1.0f))", "dec_dot(array(1L), array(2L))",
+      // the surfaced Spark-internal Bloom pair (see GraftExtensions)
+      "might_contain((SELECT bloom_filter_agg(h, 8L, 64L) " +
+        "FROM (SELECT 1L AS h)), 1L)",
       "km_assign(array(1L), array(named_struct(" +
         "'cluster', 0L, 'n', 1L, 's_arr', array(1L))))")
       .foreach { call =>
