@@ -801,27 +801,80 @@ object EventOps extends Suite {
   // ---- ev_count_min: count-min frequency sketch vs exact ------------
   // ev_heavy_hitters' declared sketch path made real (Cormode &
   // Muthukrishnan 2005): per-user event frequencies estimated from a
-  // count-min sketch instead of the exact (type, user) aggregate.
-  // The sketch builds DISTRIBUTED (`df.stat.countMinSketch` merges
-  // per-partition sketches; only the d×w counter grid reaches the
-  // driver) and broadcasts back for the estimate probe — at 100 TB
-  // the exact agg's shuffle carries one row per live key, while the
-  // sketch pass shuffles NOTHING but the fixed-size grid, the trade
-  // every frequency pipeline makes when the key domain explodes.
-  // No oracle (counter layout is seed/impl-specific — the
-  // dedup_minhash contract): the invariant spec pins the CMS
-  // guarantees instead: est ≥ exact always, and est ≤ exact + ε·N
-  // with probability 1−δ (ε=0.001 ⇒ at most εN absolute error).
+  // count-min grid instead of the exact (type, user) aggregate. The
+  // grid is a DATAFRAME — d=7 universal-hash positions per event
+  // (h_r(u) = ((a_r·u + b_r) mod 2^61−1) mod w, w = 2000 = ⌈2/ε⌉,
+  // d = ⌈−log₂ δ⌉ for ε=0.001, δ=0.01), map-side-combined to ≤ d×w
+  // counter rows; the probe joins keys against the broadcast grid
+  // and takes the row-wise MIN. At 100 TB the exact agg's shuffle
+  // carries one row per live key while the sketch pass shuffles
+  // nothing but the fixed grid — the trade every frequency pipeline
+  // makes when the key domain explodes.
+  // HASH-VERIFIED since r10 (was a seed-opaque sketch object behind
+  // a scala UDF): the universal family's 122-bit products run
+  // EXACTLY in DECIMAL(38,0) on the Spark side and HUGEINT on the
+  // DuckDB side, so grid cells, probe positions, and every estimate
+  // replay bit-for-bit from the embedded (a_r, b_r) literals — and
+  // the whole op is codegen'd column arithmetic, no UDF, no
+  // driver-side sketch. The invariant spec still pins the CMS
+  // guarantees (est ≥ exact always; est ≤ exact + ε·N w.h.p.).
+  private val cmsD = 7 // ⌈−log₂ 0.01⌉
+  private val cmsW = 2000 // ⌈2 / 0.001⌉
+  private[operators] val cmsSeeds: (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(4242)
+    val p = graft.functions.Mersenne61.P
+    val a = Array.fill(cmsD)(((rnd.nextLong() & Long.MaxValue) % (p - 1)) + 1)
+    val b = Array.fill(cmsD)((rnd.nextLong() & Long.MaxValue) % p)
+    (a, b)
+  }
+
+  /** h_r(user_id) as a codegen'd column: the DECIMAL(38,0) product is
+    * exact (a·u + b < 2^122 < 10^38, and ANSI mode would throw on the
+    * impossible overflow rather than wrap). */
+  private def cmsPos(r: Int): Column = {
+    val (a, b) = cmsSeeds
+    pmod(pmod(lit(a(r)).cast(DecimalType(38, 0)) * col("user_id") + lit(b(r)),
+      lit(graft.functions.Mersenne61.P)), lit(cmsW.toLong)).cast("int")
+  }
+
   private def evCountMin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val cms = ev.stat.countMinSketch(col("user_id"), 0.001, 0.01, 42)
-    val cmsB = spark.sparkContext.broadcast(cms)
-    val est = udf((u: Long) => cmsB.value.estimateCount(u))
-    ev.groupBy("user_id")
-      .agg(count(lit(1)).as("exact_n"))
-      .withColumn("est_n", est(col("user_id")))
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val posArr = array((0 until cmsD).map(cmsPos): _*)
+    val grid = ev.select(posexplode(posArr).as(Seq("r", "pos")))
+      .groupBy("r", "pos").agg(count(lit(1)).as("n"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+    val est = exact.select(col("user_id"), col("exact_n"),
+        posexplode(posArr).as(Seq("r", "pos")))
+      .join(broadcast(grid), Seq("r", "pos"))
+      .groupBy("user_id", "exact_n")
+      .agg(min(col("n")).as("est_n"))
+    est
       .withColumn("over", (col("est_n") - col("exact_n")).cast("long"))
+      .select(col("user_id"), col("exact_n"), col("est_n"), col("over"))
       .orderBy("user_id")
+  }
+
+  private val evCountMinSql: String = {
+    val (a, b) = cmsSeeds
+    val seedRows = (0 until cmsD)
+      .map(r => s"($r,${a(r)},${b(r)})").mkString(", ")
+    s"""WITH seeds(r, a, b) AS (VALUES $seedRows),
+      |pos AS (
+      |  SELECT e.user_id, s.r,
+      |    CAST(((CAST(s.a AS HUGEINT) * e.user_id + s.b)
+      |      % ${graft.functions.Mersenne61.P}) % $cmsW AS INT) AS pos
+      |  FROM events e, seeds s),
+      |grid AS (SELECT r, pos, COUNT(*) AS n FROM pos GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1),
+      |est AS (
+      |  SELECT p.user_id, MIN(g.n) AS est_n
+      |  FROM (SELECT DISTINCT user_id, r, pos FROM pos) p
+      |  JOIN grid g USING (r, pos) GROUP BY 1)
+      |SELECT e.user_id, e.exact_n, s.est_n,
+      |  CAST(s.est_n - e.exact_n AS BIGINT) AS over
+      |FROM exact e JOIN est s USING (user_id)
+      |ORDER BY user_id""".stripMargin
   }
 
   // ---- ev_ab_test: deterministic-split experiment readout -----------
@@ -2218,7 +2271,7 @@ object EventOps extends Suite {
     Op("ev_anomaly", evAnomaly, Some(evAnomalySql)),
     Op("ev_dau_wau", evDauWau, Some(evDauWauSql)),
     Op("ev_heavy_hitters", evHeavyHitters, Some(evHeavyHittersSql)),
-    Op("ev_count_min", evCountMin, None),
+    Op("ev_count_min", evCountMin, Some(evCountMinSql)),
     Op("ev_ab_test", evAbTest, Some(evAbTestSql)),
     Op("ev_forecast_baseline", evForecastBaseline, Some(evForecastBaselineSql)),
     Op("ev_cohort_ltv", evCohortLtv, Some(evCohortLtvSql)),

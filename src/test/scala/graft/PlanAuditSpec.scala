@@ -385,9 +385,11 @@ class PlanAuditSpec extends SparkSpec {
       // calendar-sized — year window, year-total agg, broadcast
       // triangle offsets, sort
       "q_orders_backlog" -> 4,
-      // sketch build is its own job; the main plan is the exact
-      // (user) agg + the probe (map-side broadcast sketch) + sort
-      "ev_count_min" -> 2,
+      // r10 DataFrame-native grid: the d×w counter agg (map-side
+      // combined to grid size), the exact (user) agg — the probe
+      // rides it via the broadcast grid join with no re-exchange —
+      // and the sort
+      "ev_count_min" -> 3,
       // tf agg + df agg + lang-count agg feed the broadcast model;
       // the tf frame reshuffles once for the per-doc ranking window
       // + sort (the tf subtree appears under the model branch too —
