@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   */
 object Mersenne61 {
   val P: Long = (1L << 61) - 1
+  val B: Long = 131L // the polynomial base every string fold uses
 
   /** (a · b) mod P for a, b ∈ [0, P). */
   def mulMod(a: Long, b: Long): Long = {
@@ -37,6 +38,23 @@ object Mersenne61 {
   def addMod(a: Long, b: Long): Long = {
     val s = a + b
     if (s >= P) s - P else s
+  }
+
+  /** Base-131 polynomial fold of a string's UNICODE CODEPOINTS mod P —
+    * the canonical string→residue universe hash every SQL-replayable
+    * family here builds on (shingle_poly3 uses a per-token
+    * precomputed form of the same fold; simhash64 hashes raw tokens
+    * with it). Matches DuckDB's `list_reduce` over `ord()` of each
+    * character exactly. */
+  def polyFold(s: String): Long = {
+    var v = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      v = addMod(mulMod(v, B), cp.toLong)
+      i += Character.charCount(cp)
+    }
+    v
   }
 }
 
@@ -92,9 +110,8 @@ case class PolyShingle3(child: Expression) extends UnaryExpression {
 }
 
 object PolyShingle3 {
-  import Mersenne61.{addMod, mulMod, P}
+  import Mersenne61.{addMod, mulMod, B, P}
 
-  val B = 131L
   private val SPACE = 32L // the shingle separator's codepoint
 
   /** (value, 131^len) of one token's codepoint fold. */

@@ -233,7 +233,7 @@ object DedupOps extends Suite {
       |    s -> CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
       |           list_transform(range(1, length(s) + 1),
       |             i -> CAST(ord(s[i]) AS HUGEINT))),
-      |           (a, c) -> (a * ${graft.functions.PolyShingle3.B} + c)
+      |           (a, c) -> (a * ${graft.functions.Mersenne61.B} + c)
       |             % ${M61.P}) AS BIGINT))) AS s
       |  FROM mh_toks WHERE len(t) >= 3),
       |mh_u AS (SELECT doc_id, unnest(s) AS u FROM mh_sets),
@@ -339,6 +339,11 @@ object DedupOps extends Suite {
   // Signature via the native codegen'd simhash64 Expression
   // (graft.functions.SimHash64, registered by GraftExtensions): one
   // map-only pass per document — no explode, no aggregation shuffle.
+  // HASH-VERIFIED since r10: the per-token bits are Carter–Wegman
+  // mod-(2^61−1) arithmetic over poly-fold universe hashes (was
+  // xxhash64 ⇒ rows-only), so the DuckDB oracle replays signatures,
+  // block keys, candidate set, and hammings bit-for-bit
+  // (simhashChainSql below).
   // Candidates via the Manku 2007 multi-table block construction:
   // split the 64 bits into 6 blocks and key each of the C(6,3)=20
   // block-triples. Hamming(a,b) ≤ 3 dirties at most 3 of the 6
@@ -396,6 +401,90 @@ object DedupOps extends Suite {
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) > 0)
       .select(col("doc_id"), expr("simhash64(t)").as("sh")))
+
+  /** DuckDB reusable poly-fold: the base-131 codepoint polynomial mod
+    * 2^61−1 of a string expression (Mersenne61.polyFold's twin);
+    * `s` must be a simple reference (it appears three times). */
+  private[operators] def polyFoldSql(s: String): String = {
+    import graft.functions.{Mersenne61 => M61}
+    s"""CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length($s) + 1),
+      |        i -> CAST(ord($s[i]) AS HUGEINT))),
+      |      (a, c) -> (a * ${M61.B} + c) % ${M61.P}) AS BIGINT)""".stripMargin
+  }
+
+  /** The simhash64 + Manku-block replay chain over a caller-provided
+    * CTE `sh_src(id, t)` (t = LIST of strings to hash — tokens for
+    * dedup_simhash, hex byte-4-grams for mm_phash_dedup): per-token
+    * poly-fold universe hashes, the 64 Carter–Wegman sign bits from
+    * the embedded (a_j, b_j) literals, the packed signed signature
+    * (HUGEINT-assembled, then mapped to two's complement so xor/
+    * bit_count agree with Spark's long), the 6-block/20-triple
+    * pigeonhole keys, and the hamming ≤ 3 pair set — everything
+    * exact integer work, so the hash gate verifies the WHOLE
+    * simhash pipeline. Yields `sh_out(a_id, b_id, hamming)`. */
+  private[operators] val simhashChainSql: String = {
+    import graft.functions.{Mersenne61 => M61, SimHash64 => SH}
+    val seedRows = (0 until SH.BITS)
+      .map(j => s"($j,${SH.seedsA(j)},${SH.seedsB(j)})").mkString(", ")
+    val blockRows = simhashBlockOffsets.zip(simhashBlockLens).zipWithIndex
+      .map { case ((off, len), c) => s"($c,$off,$len)" }.mkString(", ")
+    val tripleRows = simhashTables.zipWithIndex
+      .map { case (Seq(i, j, k), t) => s"($t,$i,$j,$k)" }.mkString(", ")
+    s"""sh_seeds(j, a, b) AS (VALUES $seedRows),
+      |sh_blockdef(c, off, len) AS (VALUES $blockRows),
+      |sh_triples(tbl, i, j, k) AS (VALUES $tripleRows),
+      |sh_u AS (
+      |  SELECT id, ${polyFoldSql("tok")} AS u
+      |  FROM (SELECT id, unnest(t) AS tok FROM sh_src) x),
+      |sh_bits AS (
+      |  SELECT u.id, s.j,
+      |    SUM(CASE WHEN ((CAST(s.a AS HUGEINT) * u.u + s.b) % ${M61.P})
+      |      % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+      |  FROM sh_u u, sh_seeds s GROUP BY 1, 2),
+      |sh_sigs AS (
+      |  SELECT id, CAST(CASE WHEN su >= ${BigInt(2).pow(63)}
+      |      THEN su - ${BigInt(2).pow(64)} ELSE su END AS BIGINT) AS sh
+      |  FROM (
+      |    SELECT id, SUM(CASE WHEN cnt > 0
+      |        THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END)
+      |      AS su
+      |    FROM sh_bits GROUP BY id) g),
+      |sh_blocks AS (
+      |  SELECT b.id, d.c,
+      |    CAST(SUM(CASE WHEN b.j >= d.off AND b.j < d.off + d.len
+      |        AND b.cnt > 0
+      |      THEN CAST(1 AS BIGINT) << (b.j - d.off) ELSE 0 END)
+      |      AS BIGINT) AS v
+      |  FROM sh_bits b, sh_blockdef d GROUP BY 1, 2),
+      |sh_keys AS (
+      |  SELECT bi.id, t.tbl,
+      |    CAST((bi.v << 22) | (bj.v << 11) | bk.v AS BIGINT) AS key
+      |  FROM sh_triples t
+      |  JOIN sh_blocks bi ON bi.c = t.i
+      |  JOIN sh_blocks bj ON bj.id = bi.id AND bj.c = t.j
+      |  JOIN sh_blocks bk ON bk.id = bi.id AND bk.c = t.k),
+      |sh_cand AS (
+      |  SELECT DISTINCT x.id AS a_id, y.id AS b_id
+      |  FROM sh_keys x JOIN sh_keys y
+      |    ON x.tbl = y.tbl AND x.key = y.key AND x.id < y.id),
+      |sh_out AS (
+      |  SELECT c.a_id, c.b_id,
+      |    CAST(bit_count(xor(sa.sh, sb.sh)) AS INT) AS hamming
+      |  FROM sh_cand c
+      |  JOIN sh_sigs sa ON sa.id = c.a_id
+      |  JOIN sh_sigs sb ON sb.id = c.b_id
+      |  WHERE bit_count(xor(sa.sh, sb.sh)) <= 3)""".stripMargin
+  }
+
+  private val dedupSimhashSql: String =
+    s"""WITH sh_src AS (
+      |  SELECT doc_id AS id, t
+      |  FROM (SELECT doc_id, $toksSql AS t FROM documents) x
+      |  WHERE len(t) > 0),
+      |$simhashChainSql
+      |SELECT a_id, b_id, hamming FROM sh_out
+      |ORDER BY a_id, b_id""".stripMargin
 
   // ---- dedup_embedding: LSH-bucketed cosine near-dup pairs ----------
   // Candidate generation is multi-table random-hyperplane LSH
@@ -1008,7 +1097,7 @@ object DedupOps extends Suite {
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     Op("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     Op("dedup_minhash_recall", dedupMinhashRecall, Some(dedupMinhashRecallSql)),
-    Op("dedup_simhash", dedupSimhash, None),
+    Op("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Op("dedup_embedding_sweep", dedupEmbeddingSweep,
       Some(dedupEmbeddingSweepSql)),

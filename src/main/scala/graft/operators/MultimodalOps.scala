@@ -189,14 +189,27 @@ object MultimodalOps extends Suite {
   // fingerprint for pHash/aHash over DECODED pixels at exactly this
   // expression boundary (decode-then-hash is §G's declared stub
   // point); the bucketing, pair join, and verification are unchanged
-  // by that swap. Rows-only (signatures are impl-specific); the
-  // invariant spec ties byte-identical blobs to hamming-0 pairs.
+  // by that swap. HASH-VERIFIED since r10 (rode simhash64's move to
+  // the SQL-replayable Carter–Wegman family): the oracle hexes the
+  // same bytes, chunks the same 8-char 4-grams, and replays the full
+  // signature→block→pair chain via DedupOps.simhashChainSql.
+  // The invariant spec additionally ties byte-identical blobs to
+  // hamming-0 pairs.
   private def mmPhashDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simhashPairs(Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       .filter(length(col("blob")) >= 4)
       .select(col("doc_id"),
         expr("simhash64(regexp_extract_all(hex(blob), '.{8}', 0))").as("sh")))
+
+  private val mmPhashDedupSql: String =
+    s"""WITH sh_src AS (
+      |  SELECT doc_id AS id,
+      |    regexp_extract_all(hex(encode(text)), '.{8}', 0) AS t
+      |  FROM documents WHERE octet_length(encode(text)) >= 4),
+      |${DedupOps.simhashChainSql}
+      |SELECT a_id, b_id, hamming FROM sh_out
+      |ORDER BY a_id, b_id""".stripMargin
 
   // ---- mm_shot_boundary: frame-delta shot segmentation --------------
   // The video shot-boundary pass (the cut detector every
@@ -297,7 +310,7 @@ object MultimodalOps extends Suite {
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
     Op("mm_resize", mmResize, Some(mmResizeSql)),
-    Op("mm_phash_dedup", mmPhashDedup, None),
+    Op("mm_phash_dedup", mmPhashDedup, Some(mmPhashDedupSql)),
     Op("mm_shot_boundary", mmShotBoundary, Some(mmShotBoundarySql)),
   )
 }

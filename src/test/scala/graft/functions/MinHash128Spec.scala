@@ -63,7 +63,7 @@ class MinHash128Spec extends SparkSpec {
     def fold(str: String): Long = {
       var h = BigInt(0)
       str.codePoints().toArray.foreach { cp =>
-        h = (h * PolyShingle3.B + cp) % P
+        h = (h * Mersenne61.B + cp) % P
       }
       h.toLong
     }

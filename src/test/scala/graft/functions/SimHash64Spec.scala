@@ -8,23 +8,41 @@ class SimHash64Spec extends SparkSpec {
 
   private def toks = filter(split(col("text"), " "), x => x =!= lit(""))
 
-  test("native simhash64 matches the relational 64-sum-buffer formulation") {
-    val d = graft.sources.Tables.documents(spark, sf)
+  test("native simhash64 matches the (a*u+b) mod p sign-bit reference") {
+    // independent BigInt reconstruction of the Carter–Wegman family
+    // over real corpus tokens: poly-fold universe hash, 64 sign
+    // bits from the seed literals, ties to 0 — the exact contract
+    // the DuckDB oracles replay
+    val P = BigInt(Mersenne61.P)
+    val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) > 0)
-    val native = d.select(col("doc_id"), expr("simhash64(t)").as("sh"))
-
-    val bitSums = (0 until 64).map(j =>
-      sum(shiftright(xxhash64(col("tok")), j).bitwiseAND(1) * 2 - 1).as(s"b$j"))
-    val sig = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-      .reduce(_ + _)
-    val relational = d.select(col("doc_id"), explode(col("t")).as("tok"))
-      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("sh"))
-
-    assert(native.exceptAll(relational).isEmpty &&
-      relational.exceptAll(native).isEmpty)
+      .limit(20)
+    val native = docs.select(col("doc_id"), expr("simhash64(t)").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def fold(str: String): Long = {
+      var h = BigInt(0)
+      str.codePoints().toArray.foreach(cp => h = (h * Mersenne61.B + cp) % P)
+      h.toLong
+    }
+    val rows = docs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    rows.foreach { case (id, ts) =>
+      val cnt = new Array[Int](64)
+      ts.foreach { tok =>
+        val u = fold(tok)
+        (0 until 64).foreach { j =>
+          val bit = ((BigInt(SimHash64.seedsA(j)) * u +
+            SimHash64.seedsB(j)) % P % 2).toInt
+          cnt(j) += 2 * bit - 1
+        }
+      }
+      val expect = (0 until 64)
+        .map(j => if (cnt(j) > 0) 1L << j else 0L).reduce(_ | _)
+      assert(native(id) == expect, s"doc $id")
+    }
+    assert(SimHash64.seedsA.forall(a => a >= 1 && a < Mersenne61.P))
+    assert(SimHash64.seedsB.forall(b => b >= 0 && b < Mersenne61.P))
   }
 
   test("simhash64 is registered for plain SQL and survives codegen") {
