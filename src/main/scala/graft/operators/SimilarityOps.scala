@@ -874,6 +874,44 @@ object SimilarityOps extends Suite {
       .orderBy("method")
   }
 
+  /** Oracle for the recall report — possible since r10, when every
+    * measured ANN path became hash-verified itself: each method's
+    * OWN oracle SQL runs as a scoped subquery (its CTE names shadow
+    * safely inside the parentheses), the exact ground truth is
+    * sim_topk_exact's verified SQL, and the recall arithmetic
+    * mirrors the Spark expressions division-for-division. The hash
+    * gate therefore verifies the measurement itself, not just its
+    * inputs. */
+  private lazy val simRecallReportSql: String = {
+    def leg(method: String, k: Int, methodSql: String): String =
+      s"""SELECT '$method' AS method, CAST($k AS BIGINT) AS k,
+        |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  ROUND(CAST(SUM(n_hits) AS DOUBLE)
+        |    / CAST(SUM(n_truth) AS DOUBLE), 6) AS recall,
+        |  ROUND(MIN(CAST(n_hits AS DOUBLE)
+        |    / CAST(n_truth AS DOUBLE)), 6) AS min_recall
+        |FROM (
+        |  WITH res AS ($methodSql),
+        |  truth AS (SELECT q_id, cand_id FROM exact_res WHERE rank <= $k),
+        |  hits AS (
+        |    SELECT r.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |    FROM (SELECT DISTINCT q_id, cand_id FROM res) r
+        |    JOIN truth t ON t.q_id = r.q_id AND t.cand_id = r.cand_id
+        |    GROUP BY 1),
+        |  per AS (
+        |    SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+        |    FROM truth GROUP BY 1)
+        |  SELECT p.q_id, p.n_truth, COALESCE(h.n_hits, 0) AS n_hits
+        |  FROM per p LEFT JOIN hits h USING (q_id)) q""".stripMargin
+    s"""WITH exact_res AS ($simTopkExactSql)
+      |${leg("lsh", topK, simAnnLshSql)}
+      |UNION ALL
+      |${leg("ivf_kmeans", 3, simIvfKmeansSql)}
+      |UNION ALL
+      |${leg("ivfpq", topK, simIvfpqSql)}
+      |ORDER BY method""".stripMargin
+  }
+
   // ---- sim_hard_negatives: contrastive hard-negative mining ---------
   // The training-pair miner contrastive/embedding fine-tuning needs
   // (the "hard negatives matter" recipe of DPR/SimCSE-era pipelines):
@@ -1440,7 +1478,7 @@ object SimilarityOps extends Suite {
   override val ops: Seq[Op] = Seq(
     Op("sim_topk_exact", simTopkExact, Some(simTopkExactSql)),
     Op("sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
-    Op("sim_recall_report", simRecallReport, None),
+    Op("sim_recall_report", simRecallReport, Some(simRecallReportSql)),
     Op("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),
     Op("sim_centroids", simCentroids, Some(simCentroidsSql)),
     Op("sim_ivf_topk", simIvfTopk, Some(simIvfTopkSql)),
