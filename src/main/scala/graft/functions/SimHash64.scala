@@ -9,20 +9,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 /** Native 64-bit SimHash over a token array (Charikar 2002), built
   * entirely from SQL-REPLAYABLE arithmetic:
   *
-  *   u       = base-131 codepoint polynomial of the token mod 2^61−1
-  *             (Mersenne61.polyFold — the shared universe hash)
-  *   bit_j   = ((a_j · u + b_j) mod p) mod 2   (64 Carter–Wegman
-  *             pairwise-independent bits from seeded literals)
-  *   sig bit j = sign of Σ_tokens (2·bit_j − 1), ties to 0
+  *   u   = base-131 codepoint polynomial of the token mod 2^61−1
+  *         (Mersenne61.polyFold — the shared universe hash)
+  *   h_s = (a_s · u + b_s) mod p for TWO seeded universal hashes —
+  *         the 64 signature bits are h_1's 61 bits plus h_2's low 3
+  *         (classic simhash slices the bits of one hash of the
+  *         token; two modmuls per token replace both the old
+  *         xxhash64 — which no SQL engine can recompute — and a
+  *         naive 64-hash Carter–Wegman variant that costs 32× more)
+  *   sig bit j = sign of Σ_tokens (2·bit_j(u) − 1), ties to 0
   *
   * One pass per row, no explode, no aggregation shuffle — a custom
-  * Catalyst Expression fused into whole-stage codegen. Previously the
-  * per-token bits came from xxhash64, which no SQL engine can
-  * recompute, making every simhash consumer rows-only; with this
-  * family the DuckDB oracle replays tokens → u → bits → counts → the
-  * packed signature bit-for-bit from the embedded (a_j, b_j)
-  * literals, so dedup_simhash and mm_phash_dedup are hash-verified
-  * end to end (the dedup_minhash r10 posture).
+  * Catalyst Expression fused into whole-stage codegen. The DuckDB
+  * oracle replays tokens → u → h_1/h_2 → bit counts → the packed
+  * signature bit-for-bit from the embedded (a_s, b_s) literals, so
+  * dedup_simhash and mm_phash_dedup are hash-verified end to end
+  * (the dedup_minhash r10 posture).
   *
   * The interpreted fallback and the generated code share compute();
   * empty/null-only arrays fold to signature 0.
@@ -56,17 +58,23 @@ object SimHash64 {
   val BITS = 64
   val SEED = 6464L
 
-  /** The (a_j, b_j) literals the oracle embeds. */
-  val seedsA: Array[Long] = new Array[Long](BITS)
-  val seedsB: Array[Long] = new Array[Long](BITS)
+  /** The two (a_s, b_s) literals the oracle embeds: h_1 supplies
+    * signature bits 0..60, h_2's low bits supply 61..63. */
+  val seedsA: Array[Long] = new Array[Long](2)
+  val seedsB: Array[Long] = new Array[Long](2)
   locally {
     val rnd = new java.util.Random(SEED)
-    var j = 0
-    while (j < BITS) {
-      seedsA(j) = ((rnd.nextLong() & Long.MaxValue) % (P - 1)) + 1
-      seedsB(j) = (rnd.nextLong() & Long.MaxValue) % P
-      j += 1
+    var s = 0
+    while (s < 2) {
+      seedsA(s) = ((rnd.nextLong() & Long.MaxValue) % (P - 1)) + 1
+      seedsB(s) = (rnd.nextLong() & Long.MaxValue) % P
+      s += 1
     }
+  }
+
+  private def uhash(s: Int, u: Long): Long = {
+    var h = mulMod(seedsA(s), u) + seedsB(s) // < 2p < 2^62
+    if (h >= P) h - P else h
   }
 
   /** Called from both the interpreted eval and the generated code. */
@@ -76,11 +84,15 @@ object SimHash64 {
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
         val u = polyFold(arr.getUTF8String(i).toString)
+        val h1 = uhash(0, u)
+        val h2 = uhash(1, u)
         var j = 0
+        while (j < 61) {
+          cnt(j) += (if (((h1 >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
         while (j < BITS) {
-          var h = mulMod(seedsA(j), u) + seedsB(j) // < 2p < 2^62
-          if (h >= P) h -= P
-          cnt(j) += (if ((h & 1L) == 1L) 1 else -1)
+          cnt(j) += (if (((h2 >>> (j - 61)) & 1L) == 1L) 1 else -1)
           j += 1
         }
       }

@@ -416,8 +416,9 @@ object DedupOps extends Suite {
   /** The simhash64 + Manku-block replay chain over a caller-provided
     * CTE `sh_src(id, t)` (t = LIST of strings to hash — tokens for
     * dedup_simhash, hex byte-4-grams for mm_phash_dedup): per-token
-    * poly-fold universe hashes, the 64 Carter–Wegman sign bits from
-    * the embedded (a_j, b_j) literals, the packed signed signature
+    * poly-fold universe hashes, the two universal hashes whose bit
+    * slices are the 64 sign bits (h_1's 61 + h_2's low 3, from the
+    * embedded (a_s, b_s) literals), the packed signed signature
     * (HUGEINT-assembled, then mapped to two's complement so xor/
     * bit_count agree with Spark's long), the 6-block/20-triple
     * pigeonhole keys, and the hamming ≤ 3 pair set — everything
@@ -425,23 +426,31 @@ object DedupOps extends Suite {
     * simhash pipeline. Yields `sh_out(a_id, b_id, hamming)`. */
   private[operators] val simhashChainSql: String = {
     import graft.functions.{Mersenne61 => M61, SimHash64 => SH}
-    val seedRows = (0 until SH.BITS)
-      .map(j => s"($j,${SH.seedsA(j)},${SH.seedsB(j)})").mkString(", ")
+    val bitRows = (0 until SH.BITS)
+      .map(j => if (j < 61) s"($j,1,$j)" else s"($j,2,${j - 61})")
+      .mkString(", ")
     val blockRows = simhashBlockOffsets.zip(simhashBlockLens).zipWithIndex
       .map { case ((off, len), c) => s"($c,$off,$len)" }.mkString(", ")
     val tripleRows = simhashTables.zipWithIndex
       .map { case (Seq(i, j, k), t) => s"($t,$i,$j,$k)" }.mkString(", ")
-    s"""sh_seeds(j, a, b) AS (VALUES $seedRows),
+    s"""sh_bitdef(j, src, shift) AS (VALUES $bitRows),
       |sh_blockdef(c, off, len) AS (VALUES $blockRows),
       |sh_triples(tbl, i, j, k) AS (VALUES $tripleRows),
       |sh_u AS (
       |  SELECT id, ${polyFoldSql("tok")} AS u
       |  FROM (SELECT id, unnest(t) AS tok FROM sh_src) x),
+      |sh_h AS (
+      |  SELECT id,
+      |    CAST((CAST(${SH.seedsA(0)} AS HUGEINT) * u + ${SH.seedsB(0)})
+      |      % ${M61.P} AS BIGINT) AS h1,
+      |    CAST((CAST(${SH.seedsA(1)} AS HUGEINT) * u + ${SH.seedsB(1)})
+      |      % ${M61.P} AS BIGINT) AS h2
+      |  FROM sh_u),
       |sh_bits AS (
-      |  SELECT u.id, s.j,
-      |    SUM(CASE WHEN ((CAST(s.a AS HUGEINT) * u.u + s.b) % ${M61.P})
-      |      % 2 = 1 THEN 1 ELSE -1 END) AS cnt
-      |  FROM sh_u u, sh_seeds s GROUP BY 1, 2),
+      |  SELECT h.id, d.j,
+      |    SUM(CASE WHEN ((CASE WHEN d.src = 1 THEN h.h1 ELSE h.h2 END)
+      |      >> d.shift) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+      |  FROM sh_h h, sh_bitdef d GROUP BY 1, 2),
       |sh_sigs AS (
       |  SELECT id, CAST(CASE WHEN su >= ${BigInt(2).pow(63)}
       |      THEN su - ${BigInt(2).pow(64)} ELSE su END AS BIGINT) AS sh

@@ -31,9 +31,14 @@ class SimHash64Spec extends SparkSpec {
       val cnt = new Array[Int](64)
       ts.foreach { tok =>
         val u = fold(tok)
+        val h1 = ((BigInt(SimHash64.seedsA(0)) * u +
+          SimHash64.seedsB(0)) % P).toLong
+        val h2 = ((BigInt(SimHash64.seedsA(1)) * u +
+          SimHash64.seedsB(1)) % P).toLong
         (0 until 64).foreach { j =>
-          val bit = ((BigInt(SimHash64.seedsA(j)) * u +
-            SimHash64.seedsB(j)) % P % 2).toInt
+          val bit =
+            if (j < 61) ((h1 >>> j) & 1L).toInt
+            else ((h2 >>> (j - 61)) & 1L).toInt
           cnt(j) += 2 * bit - 1
         }
       }
