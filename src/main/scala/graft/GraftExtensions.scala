@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{DecDotProduct, DecQuant, HyperplaneBuckets, KmAssign, MinHash128, PolyShingle3, ShingleHash3, SimHash64}
+import graft.functions.{DecDotProduct, DecQuant, HyperplaneBuckets, KmAssign, M61UHash, MinHash128, PolyShingle3, ShingleHash3, SimHash64}
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions with the session's function registry, so they're
@@ -94,6 +94,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.size != 2) throw new IllegalArgumentException(
           s"might_contain expects exactly 2 arguments, got ${children.size}")
         BloomFilterMightContain(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("m61_uhash"),
+      new ExpressionInfo(classOf[M61UHash].getName, "m61_uhash"),
+      { children =>
+        if (children.size != 3) throw new IllegalArgumentException(
+          s"m61_uhash expects exactly 3 arguments, got ${children.size}")
+        M61UHash(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("km_assign"),

@@ -828,13 +828,16 @@ object EventOps extends Suite {
     (a, b)
   }
 
-  /** h_r(user_id) as a codegen'd column: the DECIMAL(38,0) product is
-    * exact (a·u + b < 2^122 < 10^38, and ANSI mode would throw on the
-    * impossible overflow rather than wrap). */
+  /** h_r(user_id) as a codegen'd column: the native m61_uhash
+    * expression (Math.multiplyHigh + the base-2^61 digit fold — ~10
+    * long ops inside whole-stage codegen; the equivalent
+    * DECIMAL(38,0) chain measured 6× slower end-to-end) mod w. The
+    * DuckDB oracle computes the identical value with HUGEINT
+    * arithmetic. */
   private def cmsPos(r: Int): Column = {
     val (a, b) = cmsSeeds
-    pmod(pmod(lit(a(r)).cast(DecimalType(38, 0)) * col("user_id") + lit(b(r)),
-      lit(graft.functions.Mersenne61.P)), lit(cmsW.toLong)).cast("int")
+    pmod(expr(s"m61_uhash(user_id, ${a(r)}L, ${b(r)}L)"),
+      lit(cmsW.toLong)).cast("int")
   }
 
   private def evCountMin(spark: SparkSession, dir: String): DataFrame = {

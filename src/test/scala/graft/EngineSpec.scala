@@ -33,6 +33,7 @@ class EngineSpec extends SparkSpec {
       // the surfaced Spark-internal Bloom pair (see GraftExtensions)
       "might_contain((SELECT bloom_filter_agg(h, 8L, 64L) " +
         "FROM (SELECT 1L AS h)), 1L)",
+      "m61_uhash(7L, 3L, 11L)",
       "km_assign(array(1L), array(named_struct(" +
         "'cluster', 0L, 'n', 1L, 's_arr', array(1L))))")
       .foreach { call =>
