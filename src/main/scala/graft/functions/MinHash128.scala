@@ -6,26 +6,31 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Native MinHash signature over a set of shingle hashes, using the
-  * classic UNIVERSAL hash family over the Mersenne prime p = 2^61 − 1
-  * (Carter–Wegman; the standard MinHash construction in Broder 1997 /
-  * MMDS ch.3):
+/** Native MinHash signature over a set of shingle hashes, using
+  * DOUBLE HASHING over the Mersenne prime p = 2^61 − 1 (the
+  * Kirsch–Mitzenmacher "less hashing, same performance" construction
+  * standard in MinHash implementations; base family is Carter–Wegman
+  * universal, Broder 1997 / MMDS ch.3):
   *
-  *   sig[k] = min over elements u of (a_k · u + b_k) mod p
+  *   h1(u) = (a1·u + b1) mod p,  h2(u) = (a2·u + b2) mod p
+  *   sig[k] = min over elements u of (h1(u) + k·h2(u)) mod p
   *
-  * with (a_k, b_k) drawn once from a seeded java.util.Random
-  * (a_k ∈ [1, p−1], b_k ∈ [0, p−1]) and shipped as literals. The
-  * family is SQL-REPLAYABLE — `(a * u + b) % 2305843009213693951`
-  * in any engine with 128-bit integer intermediates reproduces every
-  * signature bit-for-bit (the DuckDB oracle does exactly that with
-  * the same 128 (a, b) literals), unlike the previous xxhash64 chain,
+  * with the two (a, b) pairs drawn once from a seeded
+  * java.util.Random and shipped as literals. The family is
+  * SQL-REPLAYABLE — `(h1 + k * h2) % 2305843009213693951` with
+  * HUGEINT intermediates reproduces every signature bit-for-bit
+  * (the DuckDB oracle does exactly that), unlike an xxhash64 chain,
   * which no SQL engine can recompute. Inputs come from shingle_poly3
   * and already live in [0, p); a defensive 61-bit mask keeps foreign
-  * inputs in range without changing in-contract values.
+  * inputs in range without changing in-contract values. (The
+  * measure-zero h2 = 0 case degrades that one element to a constant
+  * row — probability 2^-61 per element, ignored.)
   *
   * All 128 signature rows in ONE pass per row — no explode, no
-  * 128-buffer aggregation, no shuffle; the modmul is ~8 long ops via
-  * Math.multiplyHigh (see Mersenne61).
+  * 128-buffer aggregation, no shuffle; per element the work is TWO
+  * ~8-op modmuls (Math.multiplyHigh digit fold, see Mersenne61) and
+  * 127 conditional adds — the k-loop iterates v += h2 mod p, never
+  * re-multiplying.
   */
 case class MinHash128(child: Expression) extends UnaryExpression {
 
@@ -56,19 +61,18 @@ object MinHash128 {
   val K = 128
   val SEED = 42L
 
-  /** The (a_k, b_k) literals — what the DuckDB oracle embeds as its
-    * seeds VALUES table. Deterministic from the seeded LCG; the
-    * GENERATION never needs SQL replay, only these resulting
-    * integers do. */
-  val seedsA: Array[Long] = new Array[Long](K)
-  val seedsB: Array[Long] = new Array[Long](K)
+  /** The two (a, b) literal pairs — what the DuckDB oracle embeds.
+    * Deterministic from the seeded LCG; the GENERATION never needs
+    * SQL replay, only these resulting integers do. */
+  val seedsA: Array[Long] = new Array[Long](2)
+  val seedsB: Array[Long] = new Array[Long](2)
   locally {
     val rnd = new java.util.Random(SEED)
-    var k = 0
-    while (k < K) {
-      seedsA(k) = ((rnd.nextLong() & Long.MaxValue) % (P - 1)) + 1
-      seedsB(k) = (rnd.nextLong() & Long.MaxValue) % P
-      k += 1
+    var s = 0
+    while (s < 2) {
+      seedsA(s) = ((rnd.nextLong() & Long.MaxValue) % (P - 1)) + 1
+      seedsB(s) = (rnd.nextLong() & Long.MaxValue) % P
+      s += 1
     }
   }
 
@@ -80,11 +84,16 @@ object MinHash128 {
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
         val u = arr.getLong(i) & P
+        var h1 = mulMod(seedsA(0), u) + seedsB(0) // < 2p < 2^62
+        if (h1 >= P) h1 -= P
+        var h2 = mulMod(seedsA(1), u) + seedsB(1)
+        if (h2 >= P) h2 -= P
+        var v = h1
         var k = 0
         while (k < K) {
-          var v = mulMod(seedsA(k), u) + seedsB(k) // < 2p < 2^62
-          if (v >= P) v -= P
           if (v < mins(k)) mins(k) = v
+          v += h2
+          if (v >= P) v -= P
           k += 1
         }
       }

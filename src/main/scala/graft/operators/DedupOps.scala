@@ -156,11 +156,13 @@ object DedupOps extends Suite {
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---- dedup_minhash: MinHash(128) + 32-band LSH --------------------
-  // sig[k] = min over shingles u of (a_k·u + b_k) mod (2^61−1) — the
-  // classic Carter–Wegman universal family (Broder 1997 / MMDS ch.3)
-  // over shingle_poly3's polynomial codepoint hashes, computed by the
+  // sig[k] = min over shingles u of (h1(u) + k·h2(u)) mod (2^61−1) —
+  // Kirsch–Mitzenmacher double hashing over two Carter–Wegman
+  // universal hashes (Broder 1997 / MMDS ch.3 family) of
+  // shingle_poly3's polynomial codepoint hashes, computed by the
   // native minhash128 Expression: all 128 rows in one codegen'd pass
-  // per doc — no explode, no 128-buffer aggregation, no shuffle.
+  // per doc (two modmuls + 127 adds per shingle) — no explode, no
+  // 128-buffer aggregation, no shuffle.
   // Band buckets are the raw 4-row signature slices themselves
   // (band j keys on (j, sig[4j..4j+3]) — no band hash at all, so
   // nothing hash-engine-specific remains); candidates = pairs
@@ -223,8 +225,6 @@ object DedupOps extends Suite {
     * found-side. */
   private[operators] val mhPairsCtes: String = {
     import graft.functions.{Mersenne61 => M61, MinHash128 => MH}
-    val seedRows = (0 until MH.K)
-      .map(k => s"($k,${MH.seedsA(k)},${MH.seedsB(k)})").mkString(",\n")
     s"""mh_toks AS (SELECT doc_id, $toksSql AS t FROM documents),
       |mh_sets AS (
       |  SELECT doc_id, list_distinct(list_transform(
@@ -237,12 +237,18 @@ object DedupOps extends Suite {
       |             % ${M61.P}) AS BIGINT))) AS s
       |  FROM mh_toks WHERE len(t) >= 3),
       |mh_u AS (SELECT doc_id, unnest(s) AS u FROM mh_sets),
-      |mh_seeds(k, a, b) AS (VALUES
-      |$seedRows),
+      |mh_h AS (
+      |  SELECT doc_id, u,
+      |    CAST((CAST(${MH.seedsA(0)} AS HUGEINT) * u + ${MH.seedsB(0)})
+      |      % ${M61.P} AS BIGINT) AS h1,
+      |    CAST((CAST(${MH.seedsA(1)} AS HUGEINT) * u + ${MH.seedsB(1)})
+      |      % ${M61.P} AS BIGINT) AS h2
+      |  FROM mh_u),
       |mh_sigs AS (
       |  SELECT doc_id, k,
-      |    MIN(CAST((CAST(a AS HUGEINT) * u + b) % ${M61.P} AS BIGINT)) AS sig
-      |  FROM mh_u, mh_seeds GROUP BY doc_id, k),
+      |    MIN(CAST((h1 + CAST(k AS HUGEINT) * h2) % ${M61.P} AS BIGINT))
+      |      AS sig
+      |  FROM mh_h, range(0, ${MH.K}) r(k) GROUP BY doc_id, k),
       |mh_bands AS (
       |  SELECT doc_id, k // 4 AS band,
       |    MIN(CASE WHEN k % 4 = 0 THEN sig END) AS s0,

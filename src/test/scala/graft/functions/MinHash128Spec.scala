@@ -20,7 +20,7 @@ class MinHash128Spec extends SparkSpec {
     }
   }
 
-  test("native minhash128 matches the (a*u+b) mod p reference, bit for bit") {
+  test("native minhash128 matches the (h1 + k*h2) mod p reference, bit for bit") {
     val s = spark
     import s.implicits._
     val docs = Seq(
@@ -32,8 +32,11 @@ class MinHash128Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
 
     def ref(us: Seq[Long]): Seq[Long] = (0 until MinHash128.K).map { k =>
-      us.map(u => ((BigInt(MinHash128.seedsA(k)) * u +
-        MinHash128.seedsB(k)) % P).toLong).min
+      us.map { u =>
+        val h1 = (BigInt(MinHash128.seedsA(0)) * u + MinHash128.seedsB(0)) % P
+        val h2 = (BigInt(MinHash128.seedsA(1)) * u + MinHash128.seedsB(1)) % P
+        ((h1 + k * h2) % P).toLong
+      }.min
     }
     assert(got(1L) == ref(Seq(11L, 22L, 33L, 44L)))
     assert(got(2L) == ref(Seq(11L, 22L, 33L)))
