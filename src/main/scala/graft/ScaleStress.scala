@@ -289,6 +289,70 @@ object ScaleStress {
     marker.getParentFile.mkdirs(); marker.createNewFile(); ()
   }
 
+  // ---- token-isolated mode -------------------------------------------
+  // `runMain graft.ScaleStress tokeniso [factor] [queries]`: the main
+  // replica scheme tags documents with a SHARED per-replica token
+  // ("zq<rep>z" after every 2nd word) — exactly what shingle-based
+  // ops need (no 3-window survives untagged), but a UNIGRAM-signature
+  // op (dedup_simhash hashes the token multiset) sees every doc in a
+  // replica carrying ~1/3 identical tag mass: signatures collapse and
+  // the 10× run measures an all-pairs dup-storm (94M within-replica
+  // pairs observed), not scale — the harness header's own caveat at
+  // token granularity. This mode derives a twin dataset whose tag is
+  // DOC-UNIQUE ("zq<rep>x<doc_id>z"), so no token is shared across
+  // docs: pair outputs go ~empty and the timing isolates the
+  // signature + bucket machinery's pure cost growth, which is the
+  // scale question for these ops. Baseline is the equally-tagged 1×.
+  private def materializeTokenIso(
+      spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/_GRAFT_SCALE_TOK_${factor}x")
+    if (marker.exists()) { println(s"[scale] reuse $outDir (tok ${factor}x)"); return }
+    println(s"[scale] materializing token-iso ${factor}x into $outDir")
+    def read(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
+    def write(t: String, df: DataFrame): Unit =
+      df.repartition(32).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
+    write("documents", replicate(spark, read("documents"), factor) { d =>
+      shift(d, Seq("doc_id"))
+        .withColumn("text", regexp_replace(col("text"),
+          lit("((?:\\S+\\s+){2})"),
+          concat(lit("$1zq"), col("rep"), lit("x"), col("doc_id"),
+            lit("z "))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    })
+    marker.getParentFile.mkdirs(); marker.createNewFile(); ()
+  }
+
+  private def runTokenIso(spark: SparkSession, factor: Int,
+      queries: Seq[String], tag: String): Unit = {
+    val baseDir = "/root/testdata/sf0.1"
+    val root = "/tmp/graft_scale"
+    val oneDir = s"$root/tok1x"
+    val bigDir = s"$root/tok$factor"
+    materializeTokenIso(spark, baseDir, oneDir, 1)
+    materializeTokenIso(spark, baseDir, bigDir, factor)
+    val rows = queries.flatMap { q =>
+      try {
+        runOnce(spark, q, oneDir)
+        val r1 = Seq.fill(2)(runOnce(spark, q, oneDir))
+        val rN = Seq.fill(2)(runOnce(spark, q, bigDir))
+        val (t1, tN) = (r1.map(_._1).min, rN.map(_._1).min)
+        println(s"[scale] tok:$q  1x=${num(t1)}s  ${factor}x=${num(tN)}s  " +
+          s"ratio=${num(tN / t1)}")
+        Some(s"""{"query":"$q","t_1x":${num(t1)},"t_${factor}x":${num(tN)},""" +
+          s""""ratio":${num(tN / t1)}}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] tok FAILED $q: ${e.getMessage}"); None
+      }
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"SCALE_TOK_r10$tag.json"),
+      (s"""{"factor":$factor,"mode":"token-isolated",""" +
+        s""""queries":[${rows.mkString(",\n")}]}""" + "\n").getBytes("UTF-8"))
+    println(s"[scale] wrote SCALE_TOK_r10$tag.json (${rows.size} queries)")
+  }
+
   private def runSkew(spark: SparkSession, factor: Int,
       queries: Seq[String] = skewQueries, tag: String = ""): Unit = {
     val baseDir = "/root/testdata/sf0.1"
@@ -329,6 +393,17 @@ object ScaleStress {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("tokeniso")) {
+      val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+      val queries = args.drop(2).headOption.filterNot(_.startsWith("_"))
+        .map(_.split(",").toSeq)
+        .getOrElse(Seq("dedup_simhash", "mm_phash_dedup"))
+      val tag = args.drop(2).find(_.startsWith("_")).getOrElse("")
+      val spark = Engine.session("graft-scale-tokeniso")
+      runTokenIso(spark, factor, queries, tag)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("skew")) {
       val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
       val queries = args.drop(2).headOption.filterNot(_.startsWith("_"))
