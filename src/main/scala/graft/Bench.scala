@@ -19,10 +19,25 @@ package graft
 object Bench {
   private val rounds = 3
 
+  /** 1-minute load average from /proc/loadavg — the load-isolation
+    * marker (VERDICT r10): every sample records the host load it ran
+    * under, so a cross-round regression can be separated from host
+    * contention FROM THE ARTIFACT (r10's unexplained 1.7–2.1× text-
+    * family drift was exactly this ambiguity — samples spread up to
+    * 55% with no code change). A sample taken at load ≫ idle is
+    * suspect; the min-of-k convention already discards it unless ALL
+    * samples were contended, which the recorded loads now reveal. */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-bench")
     val errors = scala.collection.mutable.Map.empty[String, String]
+    val loads = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[Double]]
     def runOne(name: String): Option[Double] = {
       // timed runs must not read persisted staging warmed by a prior
       // run of the same query — clear so every run pays full cost
@@ -43,6 +58,8 @@ object Bench {
       if (name == "txt_bpe_train")
         operators.TextOps.invalidateBpeMemo()
       val fn = SparkEntry.queries(name)
+      loads.getOrElseUpdate(name,
+        scala.collection.mutable.ArrayBuffer.empty) += loadAvg()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -77,12 +94,19 @@ object Bench {
     val raw = timed.map { n =>
       "\"" + n + "\":[" + samples(n).map(num).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // per-sample 1-min load averages (warmup sample included, so each
+    // list is rounds+1 long) + the max seen anywhere: "isolated" iff
+    // the whole run stayed near the bench's own footprint
+    val loadJson = timed.map { n =>
+      "\"" + n + "\":[" + loads(n).map(num).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val maxLoad = if (loads.isEmpty) -1.0 else loads.values.flatten.max
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$raw,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$raw,"loadavg":$loadJson,"max_load":${num(maxLoad)},"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // the driver's artifact keeps only a tail of stdout, which has
     // truncated per-query timings out of past rounds' records — also
