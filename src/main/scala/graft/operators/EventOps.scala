@@ -864,7 +864,8 @@ object EventOps extends Suite {
     s"""WITH seeds(r, a, b) AS (VALUES $seedRows),
       |pos AS (
       |  SELECT e.user_id, s.r,
-      |    CAST(((CAST(s.a AS HUGEINT) * e.user_id + s.b)
+      |    CAST(((CAST(s.a AS HUGEINT)
+      |        * (e.user_id & ${graft.functions.Mersenne61.P}) + s.b)
       |      % ${graft.functions.Mersenne61.P}) % $cmsW AS INT) AS pos
       |  FROM events e, seeds s),
       |grid AS (SELECT r, pos, COUNT(*) AS n FROM pos GROUP BY 1, 2),
@@ -1070,8 +1071,10 @@ object EventOps extends Suite {
   // Scale: ONE user_id shuffle — the lead window, the (user, cur,
   // next) count agg, the (user, cur) re-agg, and the per-user sum
   // all ride the same partitioning; per-user state is alphabet²-
-  // bounded. int64: T·lnq ≲ 2·10⁷·T — overflow needs ~4·10¹¹
-  // transitions in ONE user.
+  // bounded. The term products cnt_cn·lnq brush int64 near ~4·10¹¹
+  // transitions in one user — Spark wraps silently (non-ANSI) where
+  // DuckDB raises, so the products run in DECIMAL(38,0)/HUGEINT in
+  // BOTH engines (ADVICE r9 pattern, applied r11).
   private def evMarkovEntropy(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_id"))
@@ -1087,8 +1090,9 @@ object EventOps extends Suite {
     withCur.groupBy("user_id")
       .agg(sum(col("cnt_cn")).as("t"),
         count(lit(1)).as("support"),
-        sum(col("cnt_cn") *
-          (Num.lnqU(col("cnt_c")) - Num.lnqU(col("cnt_cn")))).as("h_sum_u"))
+        sum(col("cnt_cn").cast(DecimalType(38, 0)) *
+          (Num.lnqU(col("cnt_c")) - Num.lnqU(col("cnt_cn")))
+            .cast(DecimalType(38, 0))).as("h_sum_u"))
       .select(col("user_id"), col("t").as("n_transitions"), col("support"),
         (expr("(2 * h_sum_u + t) div (2 * t)").cast("double")
           / lit(1000000.0)).as("cond_entropy"))
@@ -1109,8 +1113,8 @@ object EventOps extends Suite {
       |  FROM tc)
       |SELECT user_id, CAST(SUM(cnt_cn) AS BIGINT) AS n_transitions,
       |  CAST(COUNT(*) AS BIGINT) AS support,
-      |  CAST((2 * CAST(SUM(cnt_cn * (${Num.lnqUSql("cnt_c")}
-      |      - ${Num.lnqUSql("cnt_cn")})) AS BIGINT)
+      |  CAST((2 * SUM(CAST(cnt_cn AS HUGEINT) * (${Num.lnqUSql("cnt_c")}
+      |      - ${Num.lnqUSql("cnt_cn")}))
       |    + SUM(cnt_cn)) // (2 * SUM(cnt_cn)) AS DOUBLE) / 1000000.0
       |    AS cond_entropy
       |FROM wc GROUP BY user_id ORDER BY user_id""".stripMargin
@@ -1126,9 +1130,12 @@ object EventOps extends Suite {
   // histogram whose width is bounded by the max per-user count — the
   // self-join is histogram², never users². G = N / (2·n·S) and the
   // mean S/n go through the half-up micro contract (all terms
-  // non-negative integers). int64 bound: a term h_v·h_w·|v−w| tops
-  // out at ~(users/width)²·width — past ~3·10⁸ users per type,
-  // widen the term sums to DECIMAL(38,0) (ev_ab_test's pattern).
+  // non-negative integers). The term products h_v·h_w·|v−w| top out
+  // at ~(users/width)²·width — past ~3·10⁸ users per type that wraps
+  // int64, so they run in DECIMAL(38,0) on the Spark side and
+  // HUGEINT on the oracle side (ev_ab_test's pattern; ADVICE r9
+  // applied here in r11) — exact to the 38-digit ceiling, and the
+  // G/mean quotients widen with them.
   // Scale: one corpus-sized (type, user) agg (map-side combined),
   // then histogram-sized everything; the pair join keys on
   // event_type — alphabet-bounded, never corpus-keyed.
@@ -1148,16 +1155,21 @@ object EventOps extends Suite {
       col("h").as("ha"))
     val b = hist.select(col("event_type"), col("v").as("vb"),
       col("h").as("hb"))
+    val d38 = DecimalType(38, 0)
     a.join(b, Seq("event_type"))
       .groupBy("event_type")
       .agg(
         sum(when(col("vb") === col("va"), col("ha"))).as("n_users"),
         sum(when(col("vb") === col("va"), col("ha") * col("va"))).as("s"),
-        sum(col("ha") * col("hb") * abs(col("va") - col("vb"))).as("nad"))
+        sum(col("ha").cast(d38) * col("hb").cast(d38) *
+          abs(col("va") - col("vb")).cast(d38)).as("nad"))
       .select(col("event_type"), col("n_users"), col("s").as("n_events"),
-        (expr("(2 * s * 1000000 + n_users) div (2 * n_users)")
+        (expr("""(2 * CAST(s AS DECIMAL(38,0)) * 1000000 + n_users)
+            | div (2 * n_users)""".stripMargin)
           .cast("double") / lit(1000000.0)).as("mean_per_user"),
-        (expr("(2 * nad * 1000000 + 2 * n_users * s) div (4 * n_users * s)")
+        (expr("""(2 * nad * 1000000
+            |   + 2 * CAST(n_users AS DECIMAL(38,0)) * s)
+            | div (4 * CAST(n_users AS DECIMAL(38,0)) * s)""".stripMargin)
           .cast("double") / lit(1000000.0)).as("gini"))
       .orderBy("event_type")
   }
@@ -1173,14 +1185,15 @@ object EventOps extends Suite {
       |  SELECT a.event_type,
       |    CAST(SUM(CASE WHEN a.v = b.v THEN a.h END) AS BIGINT) AS n_users,
       |    CAST(SUM(CASE WHEN a.v = b.v THEN a.h * a.v END) AS BIGINT) AS s,
-      |    CAST(SUM(a.h * b.h * abs(a.v - b.v)) AS BIGINT) AS nad
+      |    SUM(CAST(a.h AS HUGEINT) * b.h * abs(a.v - b.v)) AS nad
       |  FROM hist a JOIN hist b ON a.event_type = b.event_type
       |  GROUP BY 1)
       |SELECT event_type, n_users, s AS n_events,
-      |  CAST((2 * s * 1000000 + n_users) // (2 * n_users) AS DOUBLE)
-      |    / 1000000.0 AS mean_per_user,
-      |  CAST((2 * nad * 1000000 + 2 * n_users * s)
-      |    // (4 * n_users * s) AS DOUBLE) / 1000000.0 AS gini
+      |  CAST((2 * CAST(s AS HUGEINT) * 1000000 + n_users)
+      |    // (2 * n_users) AS DOUBLE) / 1000000.0 AS mean_per_user,
+      |  CAST((2 * nad * 1000000 + 2 * CAST(n_users AS HUGEINT) * s)
+      |    // (4 * CAST(n_users AS HUGEINT) * s) AS DOUBLE)
+      |    / 1000000.0 AS gini
       |FROM g ORDER BY event_type""".stripMargin
 
   // ---- ev_interval_join: bucketed point-in-interval join ------------

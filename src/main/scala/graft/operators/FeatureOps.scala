@@ -1198,9 +1198,13 @@ object FeatureOps extends Suite {
       .withColumn("bin",
         ntile(10).over(w.orderBy(col("q100"), col("event_id"))))
       .groupBy("event_type", "bin")
+      // Σq100 (cents) wraps int64 near ~10^14 rows/bin in non-ANSI
+      // mode while DuckDB's HUGEINT sum doesn't — widen to
+      // DECIMAL(38,0) (ADVICE r10; ev_ab_test's pattern) so both
+      // engines stay exact to the 38-digit ceiling
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("lo"), max(col("value")).as("hi"),
-        sum(col("q100")).as("sq"))
+        sum(col("q100").cast(DecimalType(38, 0))).as("sq"))
       .select(col("event_type"), col("bin"), col("n"), col("lo"),
         col("hi"),
         (expr("(2 * sq * 10000 + n) div (2 * n)").cast("double")
@@ -1235,9 +1239,12 @@ object FeatureOps extends Suite {
       .withColumn("bin",
         (size(filter(col("edges"), e => e < col("q100"))) + 1))
       .groupBy("event_type", "bin")
+      // same DECIMAL(38,0) widening as the exact fit above (ADVICE
+      // r10 flagged this op specifically: Σq100 wraps silently in
+      // non-ANSI int64, skewing the reported per-bin mean at scale)
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("lo"), max(col("value")).as("hi"),
-        sum(col("q100")).as("sq"))
+        sum(col("q100").cast(DecimalType(38, 0))).as("sq"))
       .select(col("event_type"), col("bin"), col("n"), col("lo"),
         col("hi"),
         (expr("(2 * sq * 10000 + n) div (2 * n)").cast("double")
@@ -1257,7 +1264,7 @@ object FeatureOps extends Suite {
       |SELECT event_type, CAST(bin AS INT) AS bin,
       |  CAST(COUNT(*) AS BIGINT) AS n,
       |  MIN(value) AS lo, MAX(value) AS hi,
-      |  CAST((2 * CAST(SUM(q100) AS BIGINT) * 10000 + COUNT(*))
+      |  CAST((2 * SUM(q100) * 10000 + COUNT(*))
       |    // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS mean
       |FROM b GROUP BY 1, 2
       |ORDER BY event_type, bin""".stripMargin

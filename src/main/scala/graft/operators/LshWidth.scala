@@ -19,14 +19,41 @@ import graft.sources.Tables
   */
 object LshWidth {
 
+  /** Memo key is (dir, mode, table FINGERPRINT) — not bare dir
+    * (ADVICE r10): the DuckDB oracles recompute the population COUNT
+    * live, so if the data under a dir changes within one JVM session
+    * (re-materialization, append), a dir-keyed memo would keep Spark
+    * at a stale width while the oracle derives a fresh one — a
+    * spurious hash-gate mismatch. The fingerprint is the parquet
+    * directory's (name, mtime, length) listing for local paths
+    * (every test/bench/stress path here); non-local URIs fall back to
+    * a constant and rely on [[invalidate]] — the hook the
+    * materialization/stress paths call after rewriting a dir. */
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Int]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Int]
+
+  private def fingerprint(dir: String, table: String = "embeddings"): String = {
+    val d = new java.io.File(s"$dir/$table.parquet")
+    val fs = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+    if (fs.isEmpty) "static"
+    else {
+      val listing = fs.map(f => s"${f.getName}:${f.lastModified}:${f.length}")
+        .sorted.mkString("|")
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(listing))
+    }
+  }
+
+  /** Drop every memoized width under `dir` (any fingerprint) — for
+    * callers that rewrite a table through a non-filesystem path. */
+  def invalidate(dir: String): Unit =
+    cache.keys.filter(_._1 == dir).foreach(cache.remove)
 
   /** Width for label-blocked dedup (pairs only form within a label):
     * the quadratic stage is per (label, table, key), so the driving
     * population is the LARGEST label. */
   def labelPlanes(spark: SparkSession, dir: String): Int =
-    cache.getOrElseUpdate((dir, "label"), {
+    cache.getOrElseUpdate((dir, "label", fingerprint(dir)), {
       val n = Tables.embeddings(spark, dir)
         .groupBy("label").count()
         .agg(coalesce(max("count"), lit(0L)).as("m"))
@@ -40,13 +67,24 @@ object LshWidth {
     * but the total is a safe upper bound that needs no training
     * pass first). */
   def corpusPlanes(spark: SparkSession, dir: String): Int =
-    cache.getOrElseUpdate((dir, "corpus"),
+    cache.getOrElseUpdate((dir, "corpus", fingerprint(dir)),
       HB.derivePlanes(Tables.embeddings(spark, dir).count()))
 
-  /** SQL twins of the two population counts (embedded inside
-    * HB.derivePlanesSql by the oracle CTE builders). */
+  /** Manku block count for the simhash/phash dedup families — the
+    * same derive-once-per-corpus contract as the hyperplane widths,
+    * driven by the documents population (a safe upper bound for both
+    * consumers' filtered subsets; the oracle replays the identical
+    * COUNT via [[docsCountSql]]). */
+  def simhashBlocks(spark: SparkSession, dir: String): Int =
+    cache.getOrElseUpdate((dir, "simhash", fingerprint(dir, "documents")),
+      DedupOps.deriveSimhashBlocks(Tables.documents(spark, dir).count()))
+
+  /** SQL twins of the population counts (embedded inside
+    * HB.derivePlanesSql / DedupOps.deriveSimhashBlocksSql by the
+    * oracle CTE builders). */
   val labelCountSql: String =
     "(SELECT COALESCE(MAX(c), 0) FROM " +
       "(SELECT COUNT(*) AS c FROM embeddings GROUP BY label) g)"
   val corpusCountSql: String = "(SELECT COUNT(*) FROM embeddings)"
+  val docsCountSql: String = "(SELECT COUNT(*) FROM documents)"
 }

@@ -8,6 +8,50 @@ class MinHash128Spec extends SparkSpec {
 
   private val P = BigInt(Mersenne61.P)
 
+  test("polyFold indexes codepoints exactly like the DuckDB oracle " +
+      "fold on combining marks, ZWJ sequences, and astral text") {
+    // ADVICE r10: the shingle/simhash oracles assume DuckDB's
+    // length()/s[i]/ord() iterate the SAME units as the JVM
+    // codePointAt loop. Verified against DuckDB 1.0.0 (the driver's
+    // oracle engine): its VARCHAR indexing is per UNICODE CODEPOINT —
+    // combining marks and ZWJ joiners are separate codepoints on both
+    // sides, NOT collapsed grapheme clusters. The expected literals
+    // below are the exact outputs of polyFoldSql's list_reduce run in
+    // DuckDB 1.0.0 over these strings; a DuckDB-side move to grapheme
+    // indexing (or a JVM-side unit change) flips them.
+    val duckdbFolds = Seq(
+      "é" -> 233L, // precomposed é: one codepoint
+      "é" -> 14000L, // e + combining acute: TWO codepoints
+      // ZWJ family emoji: 5 codepoints (3 emoji + 2 ZWJ)
+      "👨‍👩‍👧" -> 37747263079302L,
+      "a😀b" -> 18499787L, // astral codepoint between ascii
+      "x́̂̃" -> 283069370L, // stacked combining marks
+      "héllo wörld" -> 342832435422856391L)
+    duckdbFolds.foreach { case (s, expect) =>
+      assert(Mersenne61.polyFold(s) == expect,
+        s"polyFold('${s.map(c => f"\\u${c.toInt}%04x").mkString}') " +
+          s"diverged from the DuckDB fold")
+    }
+    // and the pure-BigInt replay agrees for arbitrary text (the
+    // in-JVM definition is self-consistent, independent of DuckDB)
+    val rnd = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val s = (1 to rnd.nextInt(12) + 1).map { _ =>
+        val cp = rnd.nextInt(0x10000)
+        // avoid isolated surrogates (invalid strings)
+        if (cp >= 0xD800 && cp <= 0xDFFF) 'x'.toInt else cp
+      }.flatMap(Character.toChars(_).toSeq).mkString
+      var v = BigInt(0)
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        v = (v * 131 + cp) % P
+        i += Character.charCount(cp)
+      }
+      assert(Mersenne61.polyFold(s) == v.toLong)
+    }
+  }
+
   test("mersenne61 mulMod matches BigInt arithmetic across the range") {
     val rnd = new scala.util.Random(7)
     val edge = Seq(0L, 1L, 2L, Mersenne61.P - 1, Mersenne61.P - 2,
