@@ -350,48 +350,100 @@ object DedupOps extends Suite {
   // xxhash64 ⇒ rows-only), so the DuckDB oracle replays signatures,
   // block keys, candidate set, and hammings bit-for-bit
   // (simhashChainSql below).
-  // Candidates via the Manku 2007 multi-table block construction:
-  // split the 64 bits into 6 blocks and key each of the C(6,3)=20
-  // block-triples. Hamming(a,b) ≤ 3 dirties at most 3 of the 6
-  // blocks, so ≥3 blocks are clean and SOME triple matches exactly —
-  // recall 1.0 by pigeonhole, same as the old 4×16-bit chunks, but
-  // the bucket key is now ~32 bits wide: bucket cardinality grows
-  // with the corpus instead of saturating at 4×65,536 buckets, so
-  // within-bucket pair counts stay near-linear at 100 TB.
+  // Candidates via the Manku 2007 multi-table block construction,
+  // GENERALIZED to a corpus-derived block count B (r11 — the last
+  // compile-time blocking constant, VERDICT r10 item 2): split the
+  // 64 bits into B near-even blocks and key each of the C(B,3)
+  // (B−3)-block combinations. Hamming(a,b) ≤ 3 dirties at most 3 of
+  // the B blocks, so ≥ B−3 blocks are clean and SOME table's full
+  // combination matches exactly — recall 1.0 by pigeonhole at EVERY
+  // B. The key widens as B grows (B=6 → ~31-bit keys, B=10 →
+  // ~43-bit), so bucket collision mass n²/2^w stays sub-linear in n
+  // when B is derived from the corpus count by the same
+  // integer-comparison scheme as HyperplaneBuckets.derivePlanes:
+  // min B with 2^(minKeyBits(B)−3) ≥ n, i.e. expected random
+  // collision pairs per table ≤ n/8. B=6 (the historical registered
+  // config, bit-identical keys) covers n ≤ 2^28 ≈ 2.7·10⁸ docs;
+  // each step buys ~32–64×. Table count C(B,3) (20 → 120) is the
+  // price of the widening — it grows the MAP-side explode, never
+  // the within-bucket pair stage.
 
-  /** 6-block split of a 64-bit simhash (11,11,11,11,10,10 bits). */
-  private val simhashBlockOffsets = Seq(0, 11, 22, 33, 44, 54)
-  private val simhashBlockLens = Seq(11, 11, 11, 11, 10, 10)
-  private[graft] val simhashTables: Seq[Seq[Int]] =
-    (0 until 6).combinations(3).map(_.toSeq).toSeq // 20 tables
+  /** Supported block counts. B=6 is the historical minimum; 10 caps
+    * the C(B,3) table fan-out at 120 keys/doc. */
+  private[graft] val simhashBlockCounts: Seq[Int] = 6 to 10
 
-  /** Pure twin of the per-table bucket keys (the spec asserts the
-    * pigeonhole property against this; a DataFrame parity test ties
-    * it to the column expressions below). */
-  private[graft] def simhashKeys(sh: Long): Seq[Long] = {
-    def block(c: Int): Long =
-      (sh >>> simhashBlockOffsets(c)) & ((1L << simhashBlockLens(c)) - 1)
-    simhashTables.map { case Seq(i, j, k) =>
-      (block(i) << 22) | (block(j) << 11) | block(k)
-    }
+  /** Near-even split of 64 bits into `bb` blocks: the first
+    * 64 mod bb blocks get ⌈64/bb⌉ bits, the rest ⌊64/bb⌋ —
+    * bb=6 reproduces the historical (11,11,11,11,10,10). */
+  private[graft] def simhashBlockLens(bb: Int): Seq[Int] = {
+    val hi = (64 + bb - 1) / bb
+    val nHi = if (64 % bb == 0) bb else 64 % bb
+    Seq.fill(nHi)(hi) ++ Seq.fill(bb - nHi)(64 / bb)
+  }
+  private[graft] def simhashBlockOffsets(bb: Int): Seq[Int] =
+    simhashBlockLens(bb).scanLeft(0)(_ + _).init
+  /** Per-block slot width in the packed key (every block fits). */
+  private[graft] def simhashShiftUnit(bb: Int): Int = (64 + bb - 1) / bb
+  /** Narrowest key over the C(B,3) tables: 64 minus the 3 widest
+    * excluded blocks — the width the derivation rule must bound. */
+  private[graft] def simhashMinKeyBits(bb: Int): Int =
+    64 - simhashBlockLens(bb).sorted.reverse.take(3).sum
+
+  /** Corpus-count → block count: min B with expected random bucket
+    * collision pairs per table n²/2^w ≤ n/8 ⇔ 2^(minKeyBits−3) ≥ n.
+    * Pure integer comparisons (power-of-two exact), so the DuckDB
+    * oracle derives the IDENTICAL B from the same COUNT. */
+  private[graft] def deriveSimhashBlocks(n: Long): Int =
+    simhashBlockCounts
+      .find(bb => (1L << (simhashMinKeyBits(bb) - 3)) >= n)
+      .getOrElse(simhashBlockCounts.last)
+
+  /** SQL twin of [[deriveSimhashBlocks]] given a scalar COUNT
+    * subquery (embedded by simhashChainSql). */
+  private[graft] def deriveSimhashBlocksSql(countSubquery: String): String = {
+    val rows = simhashBlockCounts
+      .map(bb => s"($bb,${simhashMinKeyBits(bb)})").mkString(", ")
+    s"""(SELECT COALESCE(
+      |  (SELECT MIN(bb) FROM (VALUES $rows) cfg(bb, minbits)
+      |   WHERE (CAST(1 AS BIGINT) << (minbits - 3)) >= $countSubquery),
+      |  ${simhashBlockCounts.last}))""".stripMargin
   }
 
-  private[graft] def simhashKeyCols: Seq[Column] = {
+  private[graft] def simhashTables(bb: Int): Seq[Seq[Int]] =
+    (0 until bb).combinations(bb - 3).map(_.toSeq).toSeq // C(bb,3) tables
+
+  /** Pure twin of the per-table bucket keys (the spec asserts the
+    * pigeonhole property against this at every supported B; a
+    * DataFrame parity test ties it to the column expressions
+    * below). Included blocks pack ascending-index, MSB-first, in
+    * fixed ⌈64/B⌉-bit slots — bb=6 is bit-identical to the
+    * historical (block_i << 22 | block_j << 11 | block_k). */
+  private[graft] def simhashKeys(sh: Long, bb: Int = 6): Seq[Long] = {
+    val offs = simhashBlockOffsets(bb); val lens = simhashBlockLens(bb)
+    val su = simhashShiftUnit(bb)
+    def block(c: Int): Long = (sh >>> offs(c)) & ((1L << lens(c)) - 1)
+    simhashTables(bb).map(_.foldLeft(0L)((k, c) => (k << su) | block(c)))
+  }
+
+  private[graft] def simhashKeyCols(bb: Int = 6): Seq[Column] = {
+    val offs = simhashBlockOffsets(bb); val lens = simhashBlockLens(bb)
+    val su = simhashShiftUnit(bb)
     def block(c: Int): Column =
-      shiftrightunsigned(col("sh"), simhashBlockOffsets(c))
-        .bitwiseAND(lit((1L << simhashBlockLens(c)) - 1))
-    simhashTables.map { case Seq(i, j, k) =>
-      shiftleft(block(i), 22).bitwiseOR(shiftleft(block(j), 11))
-        .bitwiseOR(block(k))
-    }
+      shiftrightunsigned(col("sh"), offs(c))
+        .bitwiseAND(lit((1L << lens(c)) - 1))
+    simhashTables(bb).map(_.foldLeft(lit(0L): Column)((k, c) =>
+      shiftleft(k, su).bitwiseOR(block(c))))
   }
 
   /** Manku-bucketed hamming ≤ 3 pairs over ANY (doc_id, sh) frame —
     * shared by dedup_simhash (text signatures) and §G's
-    * mm_phash_dedup (byte-level blob signatures). */
-  private[operators] def simhashPairs(d: DataFrame): DataFrame = {
+    * mm_phash_dedup (byte-level blob signatures). `bb` is the
+    * corpus-derived block count (callers pass
+    * [[LshWidth.simhashBlocks]]; default 6 = the historical width
+    * for the fixed-width specs). */
+  private[operators] def simhashPairs(d: DataFrame, bb: Int = 6): DataFrame = {
     val keyed = d.select(col("doc_id"), col("sh"),
-      posexplode(array(simhashKeyCols: _*)).as(Seq("tbl", "key")))
+      posexplode(array(simhashKeyCols(bb): _*)).as(Seq("tbl", "key")))
     keyed.as("x").join(keyed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -406,7 +458,8 @@ object DedupOps extends Suite {
     simhashPairs(Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) > 0)
-      .select(col("doc_id"), expr("simhash64(t)").as("sh")))
+      .select(col("doc_id"), expr("simhash64(t)").as("sh")),
+      LshWidth.simhashBlocks(spark, dir))
 
   /** DuckDB reusable poly-fold: the base-131 codepoint polynomial mod
     * 2^61−1 of a string expression (Mersenne61.polyFold's twin);
@@ -426,22 +479,41 @@ object DedupOps extends Suite {
     * slices are the 64 sign bits (h_1's 61 + h_2's low 3, from the
     * embedded (a_s, b_s) literals), the packed signed signature
     * (HUGEINT-assembled, then mapped to two's complement so xor/
-    * bit_count agree with Spark's long), the 6-block/20-triple
-    * pigeonhole keys, and the hamming ≤ 3 pair set — everything
-    * exact integer work, so the hash gate verifies the WHOLE
-    * simhash pipeline. Yields `sh_out(a_id, b_id, hamming)`. */
-  private[operators] val simhashChainSql: String = {
+    * bit_count agree with Spark's long), the CORPUS-DERIVED
+    * B-block/C(B,3)-table pigeonhole keys (sh_b replays
+    * deriveSimhashBlocks from `countSubquery` — the identical
+    * integer rule, so Spark and the oracle always key at the same
+    * B), and the hamming ≤ 3 pair set — everything exact integer
+    * work, so the hash gate verifies the WHOLE simhash pipeline
+    * INCLUDING the width derivation. Yields
+    * `sh_out(a_id, b_id, hamming)`. */
+  private[operators] def simhashChainSql(countSubquery: String): String = {
     import graft.functions.{Mersenne61 => M61, SimHash64 => SH}
     val bitRows = (0 until SH.BITS)
       .map(j => if (j < 61) s"($j,1,$j)" else s"($j,2,${j - 61})")
       .mkString(", ")
-    val blockRows = simhashBlockOffsets.zip(simhashBlockLens).zipWithIndex
-      .map { case ((off, len), c) => s"($c,$off,$len)" }.mkString(", ")
-    val tripleRows = simhashTables.zipWithIndex
-      .map { case (Seq(i, j, k), t) => s"($t,$i,$j,$k)" }.mkString(", ")
+    // block + table definitions for EVERY supported B, filtered at
+    // run time by the derived sh_b scalar — so ONE literal table
+    // serves any corpus size, the prefix-of-wide-table idea applied
+    // to blocking configs
+    val blockRows = simhashBlockCounts.flatMap { bb =>
+      simhashBlockOffsets(bb).zip(simhashBlockLens(bb)).zipWithIndex
+        .map { case ((off, len), c) => s"($bb,$c,$off,$len)" }
+    }.mkString(", ")
+    val tableRows = simhashBlockCounts.flatMap { bb =>
+      simhashTables(bb).zipWithIndex.flatMap { case (cs, t) =>
+        cs.map(c => s"($bb,$t,$c)")
+      }
+    }.mkString(", ")
+    val suRows = simhashBlockCounts
+      .map(bb => s"($bb,${simhashShiftUnit(bb)})").mkString(", ")
     s"""sh_bitdef(j, src, shift) AS (VALUES $bitRows),
-      |sh_blockdef(c, off, len) AS (VALUES $blockRows),
-      |sh_triples(tbl, i, j, k) AS (VALUES $tripleRows),
+      |sh_blockdef(bb, c, off, len) AS (VALUES $blockRows),
+      |sh_tabledef(bb, tbl, c) AS (VALUES $tableRows),
+      |sh_sudef(bb, su) AS (VALUES $suRows),
+      |sh_b AS (SELECT ${deriveSimhashBlocksSql(countSubquery)} AS bb),
+      |sh_su AS (SELECT su FROM sh_sudef
+      |  WHERE bb = (SELECT bb FROM sh_b)),
       |sh_u AS (
       |  SELECT id, ${polyFoldSql("tok")} AS u
       |  FROM (SELECT id, unnest(t) AS tok FROM sh_src) x),
@@ -471,14 +543,20 @@ object DedupOps extends Suite {
       |        AND b.cnt > 0
       |      THEN CAST(1 AS BIGINT) << (b.j - d.off) ELSE 0 END)
       |      AS BIGINT) AS v
-      |  FROM sh_bits b, sh_blockdef d GROUP BY 1, 2),
+      |  FROM sh_bits b, sh_blockdef d
+      |  WHERE d.bb = (SELECT bb FROM sh_b)
+      |  GROUP BY 1, 2),
+      |sh_sel AS (
+      |  SELECT tbl, c,
+      |    COUNT(*) OVER (PARTITION BY tbl)
+      |      - ROW_NUMBER() OVER (PARTITION BY tbl ORDER BY c) AS pos
+      |  FROM sh_tabledef WHERE bb = (SELECT bb FROM sh_b)),
       |sh_keys AS (
-      |  SELECT bi.id, t.tbl,
-      |    CAST((bi.v << 22) | (bj.v << 11) | bk.v AS BIGINT) AS key
-      |  FROM sh_triples t
-      |  JOIN sh_blocks bi ON bi.c = t.i
-      |  JOIN sh_blocks bj ON bj.id = bi.id AND bj.c = t.j
-      |  JOIN sh_blocks bk ON bk.id = bi.id AND bk.c = t.k),
+      |  SELECT bl.id, s.tbl,
+      |    CAST(SUM(bl.v << ((SELECT su FROM sh_su) * s.pos))
+      |      AS BIGINT) AS key
+      |  FROM sh_sel s JOIN sh_blocks bl ON bl.c = s.c
+      |  GROUP BY 1, 2),
       |sh_cand AS (
       |  SELECT DISTINCT x.id AS a_id, y.id AS b_id
       |  FROM sh_keys x JOIN sh_keys y
@@ -497,7 +575,7 @@ object DedupOps extends Suite {
       |  SELECT doc_id AS id, t
       |  FROM (SELECT doc_id, $toksSql AS t FROM documents) x
       |  WHERE len(t) > 0),
-      |$simhashChainSql
+      |${simhashChainSql(LshWidth.docsCountSql)}
       |SELECT a_id, b_id, hamming FROM sh_out
       |ORDER BY a_id, b_id""".stripMargin
 

@@ -200,14 +200,15 @@ object MultimodalOps extends Suite {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       .filter(length(col("blob")) >= 4)
       .select(col("doc_id"),
-        expr("simhash64(regexp_extract_all(hex(blob), '.{8}', 0))").as("sh")))
+        expr("simhash64(regexp_extract_all(hex(blob), '.{8}', 0))").as("sh")),
+      LshWidth.simhashBlocks(spark, dir))
 
   private val mmPhashDedupSql: String =
     s"""WITH sh_src AS (
       |  SELECT doc_id AS id,
       |    regexp_extract_all(hex(encode(text)), '.{8}', 0) AS t
       |  FROM documents WHERE octet_length(encode(text)) >= 4),
-      |${DedupOps.simhashChainSql}
+      |${DedupOps.simhashChainSql(LshWidth.docsCountSql)}
       |SELECT a_id, b_id, hamming FROM sh_out
       |ORDER BY a_id, b_id""".stripMargin
 

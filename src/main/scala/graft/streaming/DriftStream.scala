@@ -31,11 +31,22 @@ import graft.streaming.LagListener.{Danger, Ok, Tier, Warning}
   * dq_drift's flag threshold), ≥ 0.25 Danger (retrain/page).
   */
 class DriftStream(baseline: Map[(String, Long), Long],
-    warnPsi: Double = 0.1, dangerPsi: Double = 0.25) {
+    warnPsi: Double = 0.1, dangerPsi: Double = 0.25,
+    store: Option[DriftStateStore] = None) {
 
   private val cur =
     mutable.Map.empty[(String, Long), Long].withDefaultValue(0L)
   private var lastBatchId = -1L
+
+  // restart continuity (VERDICT r10 item 7): warm the accumulated
+  // histogram AND the batch marker from the last durable snapshot,
+  // so a process restart resumes PSI exactly where the last committed
+  // micro-batch left it (no silent cold-start reset)
+  store.foreach { st =>
+    val (cells, bid) = st.load()
+    cells.foreach { case (k, n) => cur(k) = n }
+    lastBatchId = bid
+  }
 
   /** Merge one reduced micro-batch histogram (rows of
     * (event_type, bucket, n)) into the accumulated current side. */
@@ -62,8 +73,15 @@ class DriftStream(baseline: Map[(String, Long), Long],
     synchronized {
       if (batchId >= 0) {
         if (batchId <= lastBatchId) return
+        // durable-first, atomically with the marker: a failed commit
+        // THROWS before any in-memory effect — the micro-batch fails,
+        // Spark keeps the source offset uncommitted and re-delivers,
+        // and the retry applies cleanly (nothing landed durably).
+        // Success means cells + marker landed in one transaction, so
+        // a crash any time after resumes from a consistent snapshot.
+        store.foreach(_.commitBatch(batchId, cells))
         lastBatchId = batchId
-      }
+      } else store.foreach(_.commitBatch(-1L, cells))
       cells.foreach { case (t, b, n) => cur((t, b)) += n }
     }
   }

@@ -70,35 +70,78 @@ class OperatorInvariantSpec extends SparkSpec {
       "minhash LSH missed an identical-shingle pair")
   }
 
-  test("dedup_simhash bucket keys satisfy the hamming<=3 pigeonhole") {
-    // Manku 2007 block construction: any two 64-bit signatures within
-    // hamming 3 MUST share at least one of the 20 3-block keys — the
-    // recall-1.0 guarantee the candidate join relies on.
+  test("dedup_simhash bucket keys satisfy the hamming<=3 pigeonhole " +
+      "at EVERY supported block count") {
+    // Manku 2007 block construction, generalized to the corpus-derived
+    // block count (r11): any two 64-bit signatures within hamming 3
+    // MUST share at least one of the C(B,3) (B−3)-block keys — the
+    // recall-1.0 guarantee the candidate join relies on, at any width
+    // the derivation can pick.
     val rnd = new scala.util.Random(7)
-    (1 to 2000).foreach { _ =>
-      val a = rnd.nextLong()
-      val nFlips = rnd.nextInt(4) // 0..3 bit flips
-      val b = (1 to nFlips).foldLeft(a)((v, _) => v ^ (1L << rnd.nextInt(64)))
-      val shared = operators.DedupOps.simhashKeys(a).zip(
-        operators.DedupOps.simhashKeys(b)).exists { case (x, y) => x == y }
-      assert(shared, f"pigeonhole violated for $a%x vs $b%x")
+    operators.DedupOps.simhashBlockCounts.foreach { bb =>
+      (1 to 2000).foreach { _ =>
+        val a = rnd.nextLong()
+        val nFlips = rnd.nextInt(4) // 0..3 bit flips
+        val b = (1 to nFlips).foldLeft(a)((v, _) => v ^ (1L << rnd.nextInt(64)))
+        val shared = operators.DedupOps.simhashKeys(a, bb).zip(
+          operators.DedupOps.simhashKeys(b, bb)).exists { case (x, y) => x == y }
+        assert(shared, f"pigeonhole violated at B=$bb for $a%x vs $b%x")
+      }
+      // and a >3-bit pair is NOT guaranteed (sanity: keys CAN all differ)
+      val far = operators.DedupOps.simhashKeys(0L, bb).zip(
+        operators.DedupOps.simhashKeys(-1L, bb)).forall { case (x, y) => x != y }
+      assert(far, s"all-ones vs all-zeros must share no key at B=$bb")
     }
-    // and a >3-bit pair is NOT guaranteed (sanity: keys CAN all differ)
-    val far = operators.DedupOps.simhashKeys(0L).zip(
-      operators.DedupOps.simhashKeys(-1L)).forall { case (x, y) => x != y }
-    assert(far, "all-ones vs all-zeros must share no key")
   }
 
-  test("dedup_simhash column keys equal the pure simhashKeys twin") {
+  test("simhash block derivation: B=6 historical identity, exact " +
+      "power-of-two thresholds, monotone steps") {
+    import operators.DedupOps._
+    // the historical registered config must be byte-identical: same
+    // lens/offsets/tables/key packing as the fixed-width r10 code
+    assert(simhashBlockLens(6) == Seq(11, 11, 11, 11, 10, 10))
+    assert(simhashBlockOffsets(6) == Seq(0, 11, 22, 33, 44, 54))
+    assert(simhashTables(6).size == 20 && simhashShiftUnit(6) == 11)
+    val sh = 0x123456789abcdefL
+    def block(c: Int): Long =
+      (sh >>> simhashBlockOffsets(6)(c)) & ((1L << simhashBlockLens(6)(c)) - 1)
+    assert(simhashKeys(sh, 6) == simhashTables(6).map {
+      case Seq(i, j, k) => (block(i) << 22) | (block(j) << 11) | block(k)
+    }, "B=6 keys must reproduce the historical packing bit-for-bit")
+    // derivation rule: min B with 2^(minKeyBits−3) ≥ n; thresholds are
+    // exact powers of two so the SQL twin can't round differently
+    assert(deriveSimhashBlocks(0L) == 6 && deriveSimhashBlocks(5000L) == 6)
+    assert(deriveSimhashBlocks(1L << 28) == 6)
+    assert(deriveSimhashBlocks((1L << 28) + 1) == 7)
+    assert(deriveSimhashBlocks(1L << 33) == 7)
+    assert(deriveSimhashBlocks((1L << 33) + 1) == 8)
+    assert(deriveSimhashBlocks(Long.MaxValue) == 10, "cap at the largest B")
+    // every supported B: keys fit a signed long, blocks tile 64 bits,
+    // table count is C(B,3)
+    simhashBlockCounts.foreach { bb =>
+      assert(simhashBlockLens(bb).sum == 64)
+      assert(simhashShiftUnit(bb) * (bb - 3) < 63,
+        s"B=$bb packed key must fit a signed long")
+      val c3 = bb * (bb - 1) * (bb - 2) / 6
+      assert(simhashTables(bb).size == c3, s"B=$bb expects C($bb,3)=$c3")
+    }
+  }
+
+  test("dedup_simhash column keys equal the pure simhashKeys twin " +
+      "at every supported block count") {
     val s = spark
     import s.implicits._
     val samples = Seq(0L, -1L, 0x123456789abcdefL, Long.MinValue, 42L)
-    val df = samples.toDF("sh")
-      .select(col("sh"), array(operators.DedupOps.simhashKeyCols: _*).as("k"))
-    df.collect().foreach { r =>
-      val sh = r.getLong(0)
-      val got = r.getSeq[Long](1)
-      assert(got == operators.DedupOps.simhashKeys(sh), s"key mismatch for $sh")
+    operators.DedupOps.simhashBlockCounts.foreach { bb =>
+      val df = samples.toDF("sh")
+        .select(col("sh"),
+          array(operators.DedupOps.simhashKeyCols(bb): _*).as("k"))
+      df.collect().foreach { r =>
+        val sh = r.getLong(0)
+        val got = r.getSeq[Long](1)
+        assert(got == operators.DedupOps.simhashKeys(sh, bb),
+          s"key mismatch for $sh at B=$bb")
+      }
     }
   }
 

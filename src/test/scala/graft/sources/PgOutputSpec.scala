@@ -176,4 +176,64 @@ class PgOutputSpec extends SparkSpec {
     val d = PgOutput.deadLetters(raw).count()
     assert(n == 7 && d == 0, s"events=$n dead=$d")
   }
+
+  test("pgoutput file stream: restart resumes from the checkpoint, " +
+      "picks up only new chunks, and replays are seq-guard no-ops") {
+    // VERDICT r10 item 6 — the binary branch's mirror of the JSON
+    // branch's restart spec: the file source's offset log + the sink
+    // checkpoint give the same resume guarantee the reference's LSN
+    // offsets provide, and the (ts, event_id) sequence guard makes
+    // any replayed chunk a no-op at the target.
+    val dir = Files.createTempDirectory("graft_pgo_restart").toString
+    val ckpt = Files.createTempDirectory("graft_pgo_restart_ckpt").toString
+    Files.write(Paths.get(dir, "chunk0.pgo"), goodChunk)
+
+    val target = new InMemoryCdcTarget
+    def drain(): Unit = {
+      val q = CdcDemux.mergeInto(
+        PgOutput.readPgFiles(spark, dir),
+        Map("events" -> target), ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(60000)
+    }
+    drain()
+    assert(target.snapshot.keySet == Set(1L, 2L))
+    val batches1 = target.batchesMerged.size
+
+    // collector lands two more chunks while the consumer is DOWN:
+    // a fresh row for uid 1, a STALE row for uid 2 (older ts than the
+    // committed update — the guard must reject it), a new uid 5
+    Files.write(Paths.get(dir, "chunk1.pgo"), chunk(
+      begin(commitUs + 2000000L),
+      relation(16385, "events", cols),
+      insert(16385, row(20, "2024-01-03 00:00:00", 1, "upgrade", 4.0)),
+      insert(16385, row(0, "2024-01-01 00:00:00", 2, "click", 9.9)),
+      insert(16385, row(21, "2024-01-03 00:00:01", 5, "signup", 1.0)),
+      commit()))
+    // and a RE-SENT copy of the same wal window (at-least-once
+    // delivery at the collector level): identical rows, new file —
+    // decoded again, but every merge effect must be a seq no-op
+    Files.write(Paths.get(dir, "chunk2.pgo"), chunk(
+      begin(commitUs + 2000000L),
+      relation(16385, "events", cols),
+      insert(16385, row(20, "2024-01-03 00:00:00", 1, "upgrade", 4.0)),
+      insert(16385, row(21, "2024-01-03 00:00:01", 5, "signup", 1.0)),
+      commit()))
+
+    drain() // restart: same checkpoint — only the new files flow
+    assert(target.snapshot(1L).event_id == 20L &&
+      target.snapshot(1L).value == 4.0)
+    assert(target.snapshot(2L).event_id == 3L,
+      "stale pre-crash row regressed committed state after restart")
+    assert(target.snapshot(5L).event_id == 21L)
+    val ids = target.batchesMerged
+    assert(ids.size > batches1 && ids == ids.sorted && ids.distinct == ids,
+      s"chunk committed in run 1 was re-merged after restart: $ids")
+
+    // third run with NO new files: nothing flows at all
+    val snapBefore = target.snapshot
+    drain()
+    assert(target.snapshot == snapBefore,
+      "an empty resume must not re-apply anything")
+  }
 }

@@ -64,6 +64,69 @@ class DriftStreamSpec extends SparkSpec {
     }
   }
 
+  test("a restarted gate resumes PSI exactly where the last committed " +
+      "batch left it (durable store; re-delivery still a no-op)") {
+    val s = spark
+    import s.implicits._
+    val url = "jdbc:derby:memory:driftstate1;create=true"
+    val split = lit(QualityOps.driftSplit).cast("timestamp")
+    val baseline = DriftStream.baselineOf(
+      events.filter(col("ts") < split), QualityOps.driftBinWidth)
+    val cur = events.filter(col("ts") >= split).as[DriftEvent].collect()
+      .sortBy(e => e.ts.getTime)
+    val k = cur.length / 3
+    def slice(i: Int) = (i match {
+      case 0 => cur.take(k)
+      case 1 => cur.slice(k, 2 * k)
+      case _ => cur.drop(2 * k)
+    }).toSeq.toDF()
+
+    // the uninterrupted reference run (in-memory gate, all 3 batches)
+    val ref = new DriftStream(baseline)
+    (0 to 2).foreach(i =>
+      ref.observeBatch(slice(i), QualityOps.driftBinWidth, i.toLong))
+
+    // durable run: batches 0,1 → CRASH (instance dropped) → restart
+    // on the same database → batch 1 RE-DELIVERED (restart replays
+    // the last micro-batch) must be a no-op via the reloaded durable
+    // marker → batch 2
+    val g1 = new DriftStream(baseline, store = Some(new DriftStateStore(url)))
+    g1.observeBatch(slice(0), QualityOps.driftBinWidth, 0L)
+    g1.observeBatch(slice(1), QualityOps.driftBinWidth, 1L)
+    val g2 = new DriftStream(baseline, store = Some(new DriftStateStore(url)))
+    assert(g2.psi == g1.psi, "restart must reload the accumulated cells")
+    g2.observeBatch(slice(1), QualityOps.driftBinWidth, 1L) // re-delivery
+    assert(g2.psi == g1.psi, "re-delivered batch must be a durable no-op")
+    g2.observeBatch(slice(2), QualityOps.driftBinWidth, 2L)
+    assert(g2.psi == ref.psi,
+      "crash-restart run must end bit-identical to the uninterrupted run")
+  }
+
+  test("a failed state commit fails the batch without any durable or " +
+      "in-memory effect (retry then applies cleanly)") {
+    val s = spark
+    import s.implicits._
+    val url = "jdbc:derby:memory:driftstate2;create=true"
+    val broken = new DriftStateStore(url) {
+      var fail = true
+      override def commitBatch(batchId: Long,
+          cells: Iterable[(String, Long, Long)]): Unit = {
+        if (fail) sys.error("backend unavailable")
+        super.commitBatch(batchId, cells)
+      }
+    }
+    val gate = new DriftStream(Map(("t", 0L) -> 10L), store = Some(broken))
+    val batch = Seq(("t", 5.0), ("t", 15.0)).toDF("event_type", "value")
+    intercept[RuntimeException](gate.observeBatch(batch, 10, 0L))
+    assert(gate.psi("t") == new DriftStream(Map(("t", 0L) -> 10L)).psi("t"),
+      "failed commit must leave no in-memory effect")
+    broken.fail = false
+    gate.observeBatch(batch, 10, 0L) // Spark's re-delivery of batch 0
+    val fresh = new DriftStream(Map(("t", 0L) -> 10L),
+      store = Some(new DriftStateStore(url)))
+    assert(fresh.psi == gate.psi, "retried batch must land exactly once")
+  }
+
   test("tier bands: stable Ok, drifting Warning, collapsed Danger") {
     // hand-built histograms: identical ⇒ PSI ~ 0 (Ok); mass shifted
     // one bin over ⇒ Warning; all mass teleported to a new bin ⇒
