@@ -43,7 +43,7 @@ import org.apache.spark.sql.functions._
   * committed artifact, not just a timing delta.
   *
   * Usage: runMain graft.ScaleStress [factor] [q1,q2,...]
-  * Writes SCALE_r09.json + SCALE.md in the repo root.
+  * Writes SCALE_r11.json + SCALE.md in the repo root.
   */
 object ScaleStress {
 
@@ -324,6 +324,79 @@ object ScaleStress {
     marker.getParentFile.mkdirs(); marker.createNewFile(); ()
   }
 
+  // ---- cms shuffle-bytes mode ----------------------------------------
+  // `runMain graft.ScaleStress cms [factors]`: the registered
+  // ev_count_min's whole 100 TB argument is "the sketch pass shuffles
+  // a FIXED d×w grid while the exact aggregate shuffles one row per
+  // live key" — this mode makes that trade MEASURED, not asserted
+  // (VERDICT r10 item 8). Two isolated variants run at each factor
+  // with a task-level shuffle meter: `cms_grid` (the map-side-combined
+  // d×w grid aggregation, the sketch's only corpus-sized stage) and
+  // `cms_exact` (the per-key exact aggregate it replaces). Expected
+  // signature: grid shuffle bytes ~FLAT across factors (bounded by
+  // d·w·partitions regardless of corpus), exact bytes ~linear in the
+  // live-key count.
+  private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val records = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+  }
+
+  private val cmsVariants: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "cms_grid" -> ((s, d) => {
+        val ev = sources.Tables.events(s, d).select(col("user_id"))
+        val posArr = array((0 until operators.EventOps.cmsDepth)
+          .map(r => operators.EventOps.cmsPosCol(r)): _*)
+        ev.select(posexplode(posArr).as(Seq("r", "pos")))
+          .groupBy("r", "pos").agg(count(lit(1)).as("n"))
+      }),
+      "cms_exact" -> ((s, d) =>
+        sources.Tables.events(s, d).select(col("user_id"))
+          .groupBy("user_id").agg(count(lit(1)).as("exact_n"))))
+
+  private def runCms(spark: SparkSession, factors: Seq[Int], tag: String): Unit = {
+    val baseDir = "/root/testdata/sf0.1"
+    val root = "/tmp/graft_scale"
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    factors.foreach { f =>
+      val dir = if (f == 1) s"$root/b1x" else s"$root/sf$f"
+      materialize(spark, baseDir, dir, f)
+      cmsVariants.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        spark.catalog.clearCache()
+        fn(spark, dir).queryExecution.executedPlan
+          .execute().foreachPartition(_ => ()) // warmup (JIT + FS cache)
+        val meter = new ShuffleMeter
+        spark.sparkContext.addSparkListener(meter)
+        val t0 = System.nanoTime()
+        fn(spark, dir).queryExecution.executedPlan
+          .execute().foreachPartition(_ => ())
+        val secs = (System.nanoTime() - t0) / 1e9
+        // listener events are delivered async — drain before reading
+        Thread.sleep(500)
+        spark.sparkContext.removeSparkListener(meter)
+        println(s"[scale] cms:$name ${f}x  bytes=${meter.bytes.get}  " +
+          s"records=${meter.records.get}  t=${num(secs)}s")
+        rows += s"""{"variant":"$name","factor":$f,""" +
+          s""""shuffle_bytes":${meter.bytes.get},""" +
+          s""""shuffle_records":${meter.records.get},"t":${num(secs)}}"""
+      }
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"SCALE_CMS_r11$tag.json"),
+      (s"""{"mode":"cms-shuffle-bytes","grid":"d=${
+        operators.EventOps.cmsDepth} w=${operators.EventOps.cmsWidth}",""" +
+        s""""runs":[${rows.mkString(",\n")}]}""" + "\n").getBytes("UTF-8"))
+    println(s"[scale] wrote SCALE_CMS_r11$tag.json (${rows.size} runs)")
+  }
+
   private def runTokenIso(spark: SparkSession, factor: Int,
       queries: Seq[String], tag: String): Unit = {
     val baseDir = "/root/testdata/sf0.1"
@@ -347,10 +420,10 @@ object ScaleStress {
       }
     }
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"SCALE_TOK_r10$tag.json"),
+      java.nio.file.Paths.get(s"SCALE_TOK_r11$tag.json"),
       (s"""{"factor":$factor,"mode":"token-isolated",""" +
         s""""queries":[${rows.mkString(",\n")}]}""" + "\n").getBytes("UTF-8"))
-    println(s"[scale] wrote SCALE_TOK_r10$tag.json (${rows.size} queries)")
+    println(s"[scale] wrote SCALE_TOK_r11$tag.json (${rows.size} queries)")
   }
 
   private def runSkew(spark: SparkSession, factor: Int,
@@ -393,6 +466,15 @@ object ScaleStress {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("cms")) {
+      val factors = args.drop(1).headOption.filterNot(_.startsWith("_"))
+        .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(1, 10, 30))
+      val tag = args.drop(1).find(_.startsWith("_")).getOrElse("")
+      val spark = Engine.session("graft-scale-cms")
+      runCms(spark, factors, tag)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("tokeniso")) {
       val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
       val queries = args.drop(2).headOption.filterNot(_.startsWith("_"))
@@ -461,7 +543,7 @@ object ScaleStress {
         s""""plan_flips":$flips}"""
     }.mkString("[", ",\n", "]")
     val json = s"""{"factor":$factor,"base":"$baseDir","queries":$items}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"SCALE_r09$tag.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"SCALE_r11$tag.json"),
       (json + "\n").getBytes("UTF-8"))
 
     val md = new StringBuilder
@@ -484,7 +566,7 @@ object ScaleStress {
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(s"SCALE$tag.md"),
       md.toString.getBytes("UTF-8"))
-    println(s"[scale] wrote SCALE_r09$tag.json + SCALE$tag.md (${rows.size} queries)")
+    println(s"[scale] wrote SCALE_r11$tag.json + SCALE$tag.md (${rows.size} queries)")
     spark.stop()
   }
 }

@@ -820,6 +820,11 @@ object EventOps extends Suite {
   // guarantees (est ≥ exact always; est ≤ exact + ε·N w.h.p.).
   private val cmsD = 7 // ⌈−log₂ 0.01⌉
   private val cmsW = 2000 // ⌈2 / 0.001⌉
+  // exposed for the ScaleStress cms shuffle-bytes witness (the
+  // sketch-vs-exact trade measured at growing factors)
+  private[graft] def cmsDepth: Int = cmsD
+  private[graft] def cmsWidth: Int = cmsW
+  private[graft] def cmsPosCol(r: Int): Column = cmsPos(r)
   private[operators] val cmsSeeds: (Array[Long], Array[Long]) = {
     val rnd = new java.util.Random(4242)
     val p = graft.functions.Mersenne61.P
@@ -1296,7 +1301,9 @@ object EventOps extends Suite {
   // frame — ≤ 168·alphabet rows at ANY corpus size — which is
   // eager-checkpointed (the fan-out lesson: two marginal branches
   // would otherwise replay the corpus agg twice); everything after
-  // is alphabet-sized window/agg work. int64: c·lnq ≤ 2·10⁷·T.
+  // is alphabet-sized window/agg work. The c·Δlnq entropy terms and
+  // the share numerators run in DECIMAL(38,0)/HUGEINT in both
+  // engines (APPLIED r11 — int64 wrapped near ~4.6·10¹¹ events/type).
   private def evSeasonality(spark: SparkSession, dir: String): DataFrame = {
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
@@ -1318,13 +1325,19 @@ object EventOps extends Suite {
         .withColumn("rn", row_number().over(
           byType.orderBy(col("c").desc, col("k").asc)))
         .groupBy("event_type")
+        // the c·Δlnq entropy terms wrap int64 near ~4.6·10¹¹ events
+        // per type — products and sum run in DECIMAL(38,0)/HUGEINT in
+        // both engines (APPLIED r11), as does the peak_c·10⁶ share
+        // numerator (wraps near 4.6·10¹² events/slot)
         .agg(max(col("t")).as("t"),
           max(when(col("rn") === 1, col("k"))).as(peak),
           max(when(col("rn") === 1, col("c"))).as("peak_c"),
-          sum(col("c") * (Num.lnqU(col("t")) - Num.lnqU(col("c"))))
-            .as("h_sum"))
+          sum(col("c").cast(DecimalType(38, 0)) *
+            (Num.lnqU(col("t")) - Num.lnqU(col("c")))
+              .cast(DecimalType(38, 0))).as("h_sum"))
         .select(col("event_type"), col("t"), col(peak),
-          (expr("(2 * peak_c * 1000000 + t) div (2 * t)").cast("double")
+          (expr("""(2 * CAST(peak_c AS DECIMAL(38,0)) * 1000000 + t)
+              | div (2 * t)""".stripMargin).cast("double")
             / lit(1000000.0)).as(share),
           (expr("(2 * h_sum + t) div (2 * t)").cast("double")
             / lit(1000000.0)).as(ent))
@@ -1353,8 +1366,8 @@ object EventOps extends Suite {
         |  SELECT event_type, CAST(MAX(t) AS BIGINT) AS t,
         |    MAX(CASE WHEN rn = 1 THEN k END) AS peak,
         |    CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS peak_c,
-        |    CAST(SUM(c * (${Num.lnqUSql("t")} - ${Num.lnqUSql("c")}))
-        |      AS BIGINT) AS h_sum
+        |    SUM(CAST(c AS HUGEINT)
+        |      * (${Num.lnqUSql("t")} - ${Num.lnqUSql("c")})) AS h_sum
         |  FROM ${cte}w GROUP BY 1)""".stripMargin
     s"""WITH cells AS MATERIALIZED (
       |  SELECT event_type, CAST(hour(ts) AS INT) AS hod,
@@ -1364,13 +1377,13 @@ object EventOps extends Suite {
       |${marginal("dow", "d")}
       |SELECT h.event_type, h.t AS n_events,
       |  h.peak AS peak_hod,
-      |  CAST((2 * h.peak_c * 1000000 + h.t) // (2 * h.t) AS DOUBLE)
-      |    / 1000000.0 AS peak_hod_share,
+      |  CAST((2 * CAST(h.peak_c AS HUGEINT) * 1000000 + h.t)
+      |    // (2 * h.t) AS DOUBLE) / 1000000.0 AS peak_hod_share,
       |  CAST((2 * h.h_sum + h.t) // (2 * h.t) AS DOUBLE)
       |    / 1000000.0 AS hod_entropy,
       |  d.peak AS peak_dow,
-      |  CAST((2 * d.peak_c * 1000000 + d.t) // (2 * d.t) AS DOUBLE)
-      |    / 1000000.0 AS peak_dow_share,
+      |  CAST((2 * CAST(d.peak_c AS HUGEINT) * 1000000 + d.t)
+      |    // (2 * d.t) AS DOUBLE) / 1000000.0 AS peak_dow_share,
       |  CAST((2 * d.h_sum + d.t) // (2 * d.t) AS DOUBLE)
       |    / 1000000.0 AS dow_entropy
       |FROM hr h JOIN dr d ON h.event_type = d.event_type
@@ -1392,8 +1405,14 @@ object EventOps extends Suite {
   // Scale: hourly collapse is one map-side-combined agg; everything
   // after is series-sized (corpus-lifetime hours — tens of
   // thousands of rows at any SF) and rides one event_type-keyed
-  // exchange. int64: H·T ≲ 10⁵·corpus — widen to DECIMAL(38,0)
-  // past ~10¹³ events per type (ev_ab_test's pattern).
+  // exchange. int64 bound, left DELIBERATELY (r11 sweep): |S| ≤ H·T
+  // wraps past ~9·10¹³ events per type at H=10⁵ lifetime hours —
+  // >10× beyond a 100 TB event corpus (~10¹² rows over ~5 types) —
+  // and S IS the emitted statistic, so widening would flip
+  // cusum_abs_peak to the suite's only DECIMAL output column for a
+  // corpus no deployment reaches before re-stratifying the series
+  // (finer types / bounded windows). If that corpus arrives, widen
+  // S AND the output column in both engines together.
   private def evChangepoint(spark: SparkSession, dir: String): DataFrame = {
     val byType = Window.partitionBy("event_type")
     val ord = byType.orderBy("hr")

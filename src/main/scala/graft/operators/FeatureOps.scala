@@ -782,9 +782,10 @@ object FeatureOps extends Suite {
   // ln-quantization contract), the IV term = num·woe_u/den on
   // integers via the SIGN-SAFE half-up contract (num < 0 when the
   // category skews bad), and the TOTAL row is an exact integer sum.
-  // int64 bound: num·woe_u ≲ users²·2·10⁷ — overflows past ~2·10⁷
-  // users per cell product; the DECIMAL(38,0) widening ev_ab_test
-  // uses applies verbatim when a deployment gets there.
+  // num·woe_u ≲ users²·2·10⁷ wraps int64 at modest user counts, so
+  // that product runs in DECIMAL(38,0)/HUGEINT in both engines
+  // (APPLIED r11; ev_ab_test's pattern — see the inline note for why
+  // the lnq input products deliberately stay int64).
   // Scale: one (user, type) count agg + the argmax window riding the
   // user shuffle + an alphabet-sized cell agg + broadcast 1-row
   // totals. Nothing post-agg grows with the corpus.
@@ -818,9 +819,19 @@ object FeatureOps extends Suite {
         Num.lnqU(col("gp") * col("btp")) - Num.lnqU(col("bp") * col("gtp")))
       .withColumn("num", col("gp") * col("btp") - col("bp") * col("gtp"))
       .withColumn("den", col("gtp") * col("btp"))
+      // num·woe_u wraps int64 well inside real user counts — the
+      // product runs in DECIMAL(38,0)/HUGEINT in both engines
+      // (ADVICE r9 pattern, applied r11). The lnq INPUT products
+      // stay int64 deliberately: their bound (~3·10⁹ users per cell
+      // product) needs both factors at planet scale, and a decimal
+      // ln argument would reopen the decimal→double conversion seam
+      // the lnq contract exists to avoid.
+      .withColumn("p",
+        col("num").cast(DecimalType(38, 0)) *
+          col("woe_u").cast(DecimalType(38, 0)))
       .withColumn("iv_u", expr(
-        """(case when num * woe_u < 0 then -1L else 1L end) *
-          |((2 * abs(num * woe_u) + den) div (2 * den))""".stripMargin))
+        """(case when p < 0 then -1L else 1L end) *
+          |((2 * abs(p) + den) div (2 * den))""".stripMargin))
       // the alphabet-sized cell report feeds BOTH the per-category
       // output and the TOTAL row — eager-checkpoint it so the fan-out
       // reads k rows instead of replaying the corpus lineage twice
@@ -866,8 +877,10 @@ object FeatureOps extends Suite {
       |    (gt + k) * (bt + k) AS den
       |  FROM cells, tot),
       |sc2 AS (
-      |  SELECT *, (CASE WHEN num * woe_u < 0 THEN -1 ELSE 1 END) *
-      |    ((2 * abs(num * woe_u) + den) // (2 * den)) AS iv_u
+      |  SELECT *,
+      |    (CASE WHEN CAST(num AS HUGEINT) * woe_u < 0 THEN -1 ELSE 1 END) *
+      |    ((2 * abs(CAST(num AS HUGEINT) * woe_u) + den) // (2 * den))
+      |    AS iv_u
       |  FROM sc)
       |SELECT category, g AS n_good, b AS n_bad,
       |  CAST(woe_u AS DOUBLE) / 1000000.0 AS woe,
@@ -1442,10 +1455,10 @@ object FeatureOps extends Suite {
   // cell): n'_cy = n_cy+1, n'_c = n_c+2, n'_y = n_y+K, N' = N+2K.
   // Exactness: each cell's ln ratio is lnqU(n'_cy·N') −
   // lnqU(n'_c·n'_y) on integer products (the ln-quantization
-  // contract); cell terms n'_cy·Δ sum exactly; ONE final sign-safe
-  // half-up division by N' lands micro-nats. int64 bound: products
-  // are ≤ N'² — past ~3·10⁹ users the DECIMAL(38,0) widening
-  // ev_ab_test uses applies verbatim.
+  // contract); cell terms n'_cy·Δ run in DECIMAL(38,0)/HUGEINT in
+  // both engines (APPLIED r11) and sum exactly; ONE final sign-safe
+  // half-up division by N' lands micro-nats. The lnq input products
+  // (≤ N'²) stay int64 deliberately — see the inline note.
   // Scale: one (user,type) agg + the argmax window riding the
   // user_id shuffle + one per-user agg; the melted cell table is
   // 3·alphabet-sized, and every join after it is alphabet×2-sized.
@@ -1516,9 +1529,16 @@ object FeatureOps extends Suite {
       .withColumn("ny", sum(col("n")).over(
         Window.partitionBy("feature", "good")) + col("k"))
       .withColumn("nt", sum(col("n")).over(wf) + col("k") * 2)
+      // the np·Δlnq products and their sum run in DECIMAL(38,0)/
+      // HUGEINT in both engines (APPLIED r11); the lnq INPUT products
+      // stay int64 deliberately — their ~3·10⁹-users-per-cell bound
+      // needs planet-scale cells, and a decimal ln argument would
+      // reopen the decimal→double conversion seam the lnq contract
+      // avoids (documented at ft_woe_iv)
       .withColumn("term",
-        col("np") * (Num.lnqU(col("np") * col("nt")) -
-          Num.lnqU(col("nc") * col("ny"))))
+        col("np").cast(DecimalType(38, 0)) *
+          (Num.lnqU(col("np") * col("nt")) -
+            Num.lnqU(col("nc") * col("ny"))).cast(DecimalType(38, 0)))
     scored.groupBy("feature")
       .agg(max(col("k")).as("n_categories"),
         max(col("nt") - col("k") * 2).as("n_users"),
@@ -1592,12 +1612,13 @@ object FeatureOps extends Suite {
       |  FROM dense),
       |terms AS (
       |  SELECT feature, k, nt,
-      |    np * (${ln("np * nt")} - ${ln("nc * ny")}) AS term
+      |    CAST(np AS HUGEINT) * (${ln("np * nt")} - ${ln("nc * ny")})
+      |      AS term
       |  FROM scored),
       |agg AS (
       |  SELECT feature, CAST(MAX(k) AS BIGINT) AS n_categories,
       |    CAST(MAX(nt - 2 * k) AS BIGINT) AS n_users,
-      |    CAST(SUM(term) AS BIGINT) AS num, CAST(MAX(nt) AS BIGINT) AS den
+      |    SUM(term) AS num, CAST(MAX(nt) AS BIGINT) AS den
       |  FROM terms GROUP BY 1)
       |SELECT feature, n_categories, n_users,
       |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *

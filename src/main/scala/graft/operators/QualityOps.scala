@@ -293,10 +293,12 @@ object QualityOps extends Suite {
       // and a decimal downscale is no better (Spark rounds HALF_UP,
       // DuckDB truncates) — so both engines compute cents as
       // (2u+10⁴) div 2·10⁴ on the exact non-negative micro total.
-      // int64 bound: ×10⁶ overflows past ~9·10¹² currency units per
-      // status — report by finer strata long before that corpus
-      .withColumn("h_cents", (col("h_dec") * 100).cast("long"))
-      .withColumn("d_u6", (col("d_dec") * 1000000L).cast("long"))
+      // the ×10⁶ micro totals wrapped int64 past ~9·10¹² currency
+      // units per status — the micro/cent intermediates run in
+      // DECIMAL(38,0)/HUGEINT in both engines (APPLIED r11; the
+      // emitted sums are doubles, so no output type moves)
+      .withColumn("h_cents", (col("h_dec") * 100).cast(DecimalType(38, 0)))
+      .withColumn("d_u6", (col("d_dec") * 1000000L).cast(DecimalType(38, 0)))
       .withColumn("d_cents", expr("(2 * d_u6 + 10000) div 20000"))
       .select(col("status"), col("n_headers"), col("n_childless"),
         col("n_details"),
@@ -325,9 +327,9 @@ object QualityOps extends Suite {
       |      THEN 1 END) AS n_childless,
       |    CAST(SUM(COALESCE(n_li, 0)) AS BIGINT) AS n_details,
       |    CAST(SUM(COALESCE(CAST(o_totalprice AS DECIMAL(18,2)),
-      |      CAST(0 AS DECIMAL(18,2)))) * 100 AS BIGINT) AS h_cents,
+      |      CAST(0 AS DECIMAL(18,2)))) * 100 AS HUGEINT) AS h_cents,
       |    (2 * CAST(SUM(COALESCE(detail_dec, CAST(0 AS DECIMAL(22,6))))
-      |      * 1000000 AS BIGINT) + 10000) // 20000 AS d_cents
+      |      * 1000000 AS HUGEINT) + 10000) // 20000 AS d_cents
       |  FROM j GROUP BY 1)
       |SELECT status, n_headers, n_childless, n_details,
       |  CAST(h_cents AS DOUBLE) / 100.0 AS header_sum,
