@@ -58,11 +58,17 @@ object Bench {
       if (name == "txt_bpe_train")
         operators.TextOps.invalidateBpeMemo()
       val fn = SparkEntry.queries(name)
-      loads.getOrElseUpdate(name,
-        scala.collection.mutable.ArrayBuffer.empty) += loadAvg()
+      // sampled before the run, recorded only on SUCCESS — a failed
+      // run drops its sample from `samples`, so recording its load
+      // would desynchronize the two lists and make the load↔sample
+      // correlation ambiguous exactly in the flaky case this
+      // instrumentation exists to diagnose
+      val load = loadAvg()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        loads.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer.empty) += load
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
@@ -94,9 +100,11 @@ object Bench {
     val raw = timed.map { n =>
       "\"" + n + "\":[" + samples(n).map(num).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    // per-sample 1-min load averages (warmup sample included, so each
-    // list is rounds+1 long) + the max seen anywhere: "isolated" iff
-    // the whole run stayed near the bench's own footprint
+    // per-sample 1-min load averages (successful runs only, warmup
+    // included — rounds+1 entries when nothing failed; failed runs
+    // drop BOTH their sample and their load, keeping the two lists
+    // correlated) + the max seen anywhere: "isolated" iff the whole
+    // run stayed near the bench's own footprint
     val loadJson = timed.map { n =>
       "\"" + n + "\":[" + loads(n).map(num).mkString(",") + "]"
     }.mkString("{", ",", "}")

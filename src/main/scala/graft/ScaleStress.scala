@@ -349,18 +349,14 @@ object ScaleStress {
     }
   }
 
+  // the registered op's own stage builders — a re-implementation here
+  // would silently drift from what the witness claims to measure
   private val cmsVariants: Map[String, (SparkSession, String) => DataFrame] =
     Map(
-      "cms_grid" -> ((s, d) => {
-        val ev = sources.Tables.events(s, d).select(col("user_id"))
-        val posArr = array((0 until operators.EventOps.cmsDepth)
-          .map(r => operators.EventOps.cmsPosCol(r)): _*)
-        ev.select(posexplode(posArr).as(Seq("r", "pos")))
-          .groupBy("r", "pos").agg(count(lit(1)).as("n"))
-      }),
-      "cms_exact" -> ((s, d) =>
-        sources.Tables.events(s, d).select(col("user_id"))
-          .groupBy("user_id").agg(count(lit(1)).as("exact_n"))))
+      "cms_grid" -> ((s, d) => operators.EventOps.cmsGrid(
+        sources.Tables.events(s, d).select(col("user_id")))),
+      "cms_exact" -> ((s, d) => operators.EventOps.cmsExact(
+        sources.Tables.events(s, d).select(col("user_id")))))
 
   private def runCms(spark: SparkSession, factors: Seq[Int], tag: String): Unit = {
     val baseDir = "/root/testdata/sf0.1"
@@ -379,8 +375,16 @@ object ScaleStress {
         fn(spark, dir).queryExecution.executedPlan
           .execute().foreachPartition(_ => ())
         val secs = (System.nanoTime() - t0) / 1e9
-        // listener events are delivered async — drain before reading
-        Thread.sleep(500)
+        // listener events are delivered async — poll until the
+        // counters go quiet (a fixed sleep undercounts exactly on
+        // the big factors this mode exists for, when the bus lags)
+        var last = -1L
+        var spins = 0
+        while (meter.bytes.get != last && spins < 50) {
+          last = meter.bytes.get
+          Thread.sleep(200)
+          spins += 1
+        }
         spark.sparkContext.removeSparkListener(meter)
         println(s"[scale] cms:$name ${f}x  bytes=${meter.bytes.get}  " +
           s"records=${meter.records.get}  t=${num(secs)}s")

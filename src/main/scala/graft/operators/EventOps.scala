@@ -820,11 +820,8 @@ object EventOps extends Suite {
   // guarantees (est ≥ exact always; est ≤ exact + ε·N w.h.p.).
   private val cmsD = 7 // ⌈−log₂ 0.01⌉
   private val cmsW = 2000 // ⌈2 / 0.001⌉
-  // exposed for the ScaleStress cms shuffle-bytes witness (the
-  // sketch-vs-exact trade measured at growing factors)
   private[graft] def cmsDepth: Int = cmsD
   private[graft] def cmsWidth: Int = cmsW
-  private[graft] def cmsPosCol(r: Int): Column = cmsPos(r)
   private[operators] val cmsSeeds: (Array[Long], Array[Long]) = {
     val rnd = new java.util.Random(4242)
     val p = graft.functions.Mersenne61.P
@@ -845,14 +842,22 @@ object EventOps extends Suite {
       lit(cmsW.toLong)).cast("int")
   }
 
+  /** The two corpus-sized stages of ev_count_min, as shared builders
+    * so the ScaleStress shuffle-bytes witness measures EXACTLY the
+    * registered op's stages (a re-implementation there would silently
+    * drift if the seeds/width/position expression ever change). */
+  private[graft] def cmsPosArr: Column = array((0 until cmsD).map(cmsPos): _*)
+  private[graft] def cmsGrid(ev: DataFrame): DataFrame =
+    ev.select(posexplode(cmsPosArr).as(Seq("r", "pos")))
+      .groupBy("r", "pos").agg(count(lit(1)).as("n"))
+  private[graft] def cmsExact(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+
   private def evCountMin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("user_id"))
-    val posArr = array((0 until cmsD).map(cmsPos): _*)
-    val grid = ev.select(posexplode(posArr).as(Seq("r", "pos")))
-      .groupBy("r", "pos").agg(count(lit(1)).as("n"))
-    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
-    val est = exact.select(col("user_id"), col("exact_n"),
-        posexplode(posArr).as(Seq("r", "pos")))
+    val grid = cmsGrid(ev)
+    val est = cmsExact(ev).select(col("user_id"), col("exact_n"),
+        posexplode(cmsPosArr).as(Seq("r", "pos")))
       .join(broadcast(grid), Seq("r", "pos"))
       .groupBy("user_id", "exact_n")
       .agg(min(col("n")).as("est_n"))

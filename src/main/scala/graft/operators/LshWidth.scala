@@ -26,9 +26,12 @@ object LshWidth {
     * at a stale width while the oracle derives a fresh one — a
     * spurious hash-gate mismatch. The fingerprint is the parquet
     * directory's (name, mtime, length) listing for local paths
-    * (every test/bench/stress path here); non-local URIs fall back to
-    * a constant and rely on [[invalidate]] — the hook the
-    * materialization/stress paths call after rewriting a dir. */
+    * (every test/bench/stress path here, so the seam is closed
+    * automatically everywhere this build runs); for non-local URIs
+    * the fingerprint degrades to a constant, and a deployment that
+    * rewrites such a table within one session must call
+    * [[invalidate]] itself — NO in-repo path does, because none
+    * reads non-local URIs. */
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), Int]
 

@@ -37,16 +37,22 @@ class DriftStateStore(url: String, table: String = "graft_drift_state") {
   ensureSchema()
 
   private def ensureSchema(): Unit = withConn { c =>
-    def tryDdl(ddl: String): Unit =
-      try { c.createStatement().execute(ddl); () }
-      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
-    tryDdl(
+    // dialect-neutral existence check (JDBC metadata), NOT a
+    // swallowed CREATE failure: 'table exists' is SQLState X0Y32 on
+    // Derby but 42P07/42S01 elsewhere, and a state-code guard would
+    // make every RESTART (the exact path this store exists for)
+    // crash on a non-Derby backend
+    def exists(t: String): Boolean = {
+      val rs = c.getMetaData.getTables(null, null, t, null)
+      try rs.next() finally rs.close()
+    }
+    if (!exists(table)) c.createStatement().execute(
       s"""CREATE TABLE ${q(table)} (
          |${q("typ")} VARCHAR(256) NOT NULL,
          |${q("bucket")} BIGINT NOT NULL,
          |${q("n")} BIGINT NOT NULL,
          |PRIMARY KEY (${q("typ")}, ${q("bucket")}))""".stripMargin)
-    tryDdl(
+    if (!exists(table + "_meta")) c.createStatement().execute(
       s"""CREATE TABLE ${q(table + "_meta")} (
          |${q("id")} INT PRIMARY KEY,
          |${q("last_batch_id")} BIGINT NOT NULL)""".stripMargin)
@@ -67,9 +73,11 @@ class DriftStateStore(url: String, table: String = "graft_drift_state") {
   }
 
   /** Apply one micro-batch's cell DELTAS and advance the batch marker
-    * in one transaction — all land or none do. `batchId < 0` (ad-hoc
-    * non-streaming folds) persists cells without touching the
-    * marker. */
+    * in one transaction — all land or none do. The marker is what
+    * makes redelivery exactly-once, so [[DriftStream]] REJECTS
+    * unguarded (batchId < 0) folds when a store is configured; the
+    * batchId < 0 branch here (cells without marker) exists only for
+    * tooling that owns its own idempotence. */
   def commitBatch(batchId: Long,
       cells: Iterable[(String, Long, Long)]): Unit = withConn { c =>
     c.setAutoCommit(false)

@@ -49,7 +49,11 @@ class DriftStream(baseline: Map[(String, Long), Long],
   }
 
   /** Merge one reduced micro-batch histogram (rows of
-    * (event_type, bucket, n)) into the accumulated current side. */
+    * (event_type, bucket, n)) into the accumulated current side.
+    * IN-MEMORY ONLY by contract — this is the low-level fold for
+    * ad-hoc/spec use and never touches the durable store (there is
+    * no batch sequence to make it exactly-once); durable pipelines
+    * go through [[observeBatch]] with a real batchId. */
   def observe(rows: Iterable[(String, Long, Long)]): Unit = synchronized {
     rows.foreach { case (t, b, n) => cur((t, b)) += n }
   }
@@ -65,6 +69,15 @@ class DriftStream(baseline: Map[(String, Long), Long],
     * unguarded. */
   def observeBatch(batch: DataFrame, binWidth: Int,
       batchId: Long = -1L): Unit = {
+    // a durable gate REQUIRES the batch sequence: an unguarded
+    // (batchId = -1) fold would commit cells without advancing the
+    // marker, so Spark's crash-redelivery of that micro-batch would
+    // double-count PERMANENTLY in the database — worse than the old
+    // in-memory behavior a restart at least reset. Fail loudly at
+    // the wiring mistake instead.
+    require(store.isEmpty || batchId >= 0,
+      "a DriftStream with a durable store needs foreachBatch's " +
+        "batchId — pass it, or use the in-memory observe()")
     if (batchId >= 0 && synchronized(batchId <= lastBatchId)) return
     val cells = DriftStream.histogram(batch, binWidth).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -81,7 +94,7 @@ class DriftStream(baseline: Map[(String, Long), Long],
         // a crash any time after resumes from a consistent snapshot.
         store.foreach(_.commitBatch(batchId, cells))
         lastBatchId = batchId
-      } else store.foreach(_.commitBatch(-1L, cells))
+      }
       cells.foreach { case (t, b, n) => cur((t, b)) += n }
     }
   }
