@@ -401,6 +401,75 @@ object ScaleStress {
     println(s"[scale] wrote SCALE_CMS_r11$tag.json (${rows.size} runs)")
   }
 
+  // ---- byte-isolated mode ---------------------------------------------
+  // `runMain graft.ScaleStress byteiso [factor] [queries]`: tokeniso's
+  // doc-unique tags isolate WORD-token signatures, but a BYTE-level
+  // signature (mm_phash_dedup hashes hex byte-4-grams) still sees the
+  // ~2/3 of every replica's bytes that are the shared base text — so
+  // replica signatures stay within hamming ≤ 3 of each other and the
+  // op CORRECTLY reports a ~99%-duplicated corpus (measured r11:
+  // tokeniso-100× mm_phash = 1168×, i.e. C(100,2)·5000 ≈ 25M real
+  // pairs — a dup-storm artifact of the measurement, not an operator
+  // defect; the harness header's caveat at byte granularity). This
+  // mode applies a PER-REPLICA ALPHABET ROTATION (the byte analog of
+  // the embedding dimension rotation): letters Caesar-shift by
+  // rep mod 52 over [a-zA-Z], a bijection that preserves each
+  // replica's internal structure (within-replica near-dups stay
+  // near-dups, text length and token boundaries unchanged) while
+  // decorrelating almost every cross-replica byte-4-gram. Replicas
+  // sharing a shift (rep ≡ rep' mod 52) still pair — C(⌈f/52⌉,2) per
+  // base doc, 1 pair/doc at 100× — a known, bounded remainder.
+  private def materializeByteIso(
+      spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/_GRAFT_SCALE_BYTE_${factor}x")
+    if (marker.exists()) { println(s"[scale] reuse $outDir (byte ${factor}x)"); return }
+    println(s"[scale] materializing byte-iso ${factor}x into $outDir")
+    def read(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
+    def write(t: String, df: DataFrame): Unit =
+      df.repartition(32).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
+    val syms = (('a' to 'z') ++ ('A' to 'Z')).mkString
+    def shiftedAlphabet(i: Int) = syms.drop(i) + syms.take(i)
+    val rotated = (1 until 52).foldLeft(col("text")) { (acc, i) =>
+      when(pmod(col("rep"), lit(52)) === i,
+        translate(col("text"), syms, shiftedAlphabet(i))).otherwise(acc)
+    }
+    write("documents", replicate(spark, read("documents"), factor) { d =>
+      shift(d, Seq("doc_id")).withColumn("text", rotated)
+    })
+    marker.getParentFile.mkdirs(); marker.createNewFile(); ()
+  }
+
+  private def runByteIso(spark: SparkSession, factor: Int,
+      queries: Seq[String], tag: String): Unit = {
+    val baseDir = "/root/testdata/sf0.1"
+    val root = "/tmp/graft_scale"
+    val oneDir = s"$root/byte1x"
+    val bigDir = s"$root/byte$factor"
+    materializeByteIso(spark, baseDir, oneDir, 1)
+    materializeByteIso(spark, baseDir, bigDir, factor)
+    val rows = queries.flatMap { q =>
+      try {
+        runOnce(spark, q, oneDir)
+        val r1 = Seq.fill(2)(runOnce(spark, q, oneDir))
+        val rN = Seq.fill(2)(runOnce(spark, q, bigDir))
+        val (t1, tN) = (r1.map(_._1).min, rN.map(_._1).min)
+        println(s"[scale] byte:$q  1x=${num(t1)}s  ${factor}x=${num(tN)}s  " +
+          s"ratio=${num(tN / t1)}")
+        Some(s"""{"query":"$q","t_1x":${num(t1)},"t_${factor}x":${num(tN)},""" +
+          s""""ratio":${num(tN / t1)}}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] byte FAILED $q: ${e.getMessage}"); None
+      }
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"SCALE_BYTE_r11$tag.json"),
+      (s"""{"factor":$factor,"mode":"byte-isolated",""" +
+        s""""queries":[${rows.mkString(",\n")}]}""" + "\n").getBytes("UTF-8"))
+    println(s"[scale] wrote SCALE_BYTE_r11$tag.json (${rows.size} queries)")
+  }
+
   private def runTokenIso(spark: SparkSession, factor: Int,
       queries: Seq[String], tag: String): Unit = {
     val baseDir = "/root/testdata/sf0.1"
@@ -476,6 +545,17 @@ object ScaleStress {
       val tag = args.drop(1).find(_.startsWith("_")).getOrElse("")
       val spark = Engine.session("graft-scale-cms")
       runCms(spark, factors, tag)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("byteiso")) {
+      val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+      val queries = args.drop(2).headOption.filterNot(_.startsWith("_"))
+        .map(_.split(",").toSeq)
+        .getOrElse(Seq("mm_phash_dedup"))
+      val tag = args.drop(2).find(_.startsWith("_")).getOrElse("")
+      val spark = Engine.session("graft-scale-byteiso")
+      runByteIso(spark, factor, queries, tag)
       spark.stop()
       return
     }
