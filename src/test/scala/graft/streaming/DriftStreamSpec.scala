@@ -102,6 +102,64 @@ class DriftStreamSpec extends SparkSpec {
       "crash-restart run must end bit-identical to the uninterrupted run")
   }
 
+  test("end-to-end durable gate: file-source stream + checkpoint + " +
+      "store survive a full process restart with PSI continuity") {
+    // the integration the direct-call restart spec can't prove: a
+    // REAL streaming query (file source, the replayable-source shape
+    // CdcStreamSpec's restart test uses), foreachBatch feeding the
+    // durable gate, the query killed, and a SECOND incarnation (new
+    // gate instance, same Derby db, same checkpoint) resuming — PSI
+    // must end bit-identical to one uninterrupted in-memory run.
+    val s = spark
+    import s.implicits._
+    val url = "jdbc:derby:memory:driftstate3;create=true"
+    val split = lit(QualityOps.driftSplit).cast("timestamp")
+    val baseline = DriftStream.baselineOf(
+      events.filter(col("ts") < split), QualityOps.driftBinWidth)
+    val cur = events.filter(col("ts") >= split).as[DriftEvent].collect()
+      .sortBy(e => e.ts.getTime)
+    val k = cur.length / 2
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_drift_src")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_drift_ckpt").toString
+    val schema = implicitly[org.apache.spark.sql.Encoder[DriftEvent]].schema
+    def writeFile(name: String, rows: Seq[DriftEvent]): Unit =
+      java.nio.file.Files.writeString(srcDir.resolve(name), rows.map(e =>
+        s"""{"ts":"${e.ts}","event_type":"${e.event_type}","value":${e.value}}""")
+        .mkString("\n"))
+    def drain(gate: DriftStream): Unit = {
+      val q = s.readStream.schema(schema).json(srcDir.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            gate.observeBatch(batch, QualityOps.driftBinWidth, id)
+        }
+        .start()
+      q.awaitTermination(60000); ()
+    }
+
+    writeFile("a.json", cur.take(k).toSeq)
+    val g1 = new DriftStream(baseline, store = Some(new DriftStateStore(url)))
+    drain(g1)
+    // process "crashes"; the collector lands more data while down
+    writeFile("b.json", cur.drop(k).toSeq)
+    val g2 = new DriftStream(baseline, store = Some(new DriftStateStore(url)))
+    assert(g2.psi == g1.psi, "reborn gate must warm-load the cells")
+    drain(g2) // same checkpoint: only file b flows
+
+    val ref = new DriftStream(baseline)
+    ref.observe(DriftStream.histogram(cur.toSeq.toDF(),
+      QualityOps.driftBinWidth).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    assert(g2.psi == ref.psi,
+      "restarted streaming run must end bit-identical to one " +
+        s"uninterrupted fold: ${g2.psi} vs ${ref.psi}")
+  }
+
   test("a failed state commit fails the batch without any durable or " +
       "in-memory effect (retry then applies cleanly)") {
     val s = spark
