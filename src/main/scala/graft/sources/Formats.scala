@@ -106,20 +106,30 @@ object Formats {
   def compact(spark: SparkSession, path: String,
       targetRowsPerFile: Long): Int = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val df = spark.read.parquet(path)
-    val rows = df.count()
-    val nFiles = math.max(1L,
-      (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val tmp = path.stripSuffix("/") + "_compact_tmp"
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val old = Paths.get(path.stripSuffix("/") + "_compact_old")
-    Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(path),
-      StandardCopyOption.ATOMIC_MOVE)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
+    val old = Paths.get(path.stripSuffix("/") + "_compact_old")
+    val tmp = path.stripSuffix("/") + "_compact_tmp"
+    // crash recovery BEFORE touching anything: a previous compact
+    // that died between its two moves left the table at _compact_old
+    // and no dir at `path` — restore it (the swap never destroyed
+    // data, only displaced it); any leftover debris dirs from a died
+    // run would otherwise fail this run's ATOMIC_MOVE with
+    // FileAlreadyExists, making compact permanently un-re-runnable
+    if (!Files.exists(Paths.get(path)) && Files.isDirectory(old))
+      Files.move(old, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(old)) rm(old.toFile)
+    if (Files.exists(Paths.get(tmp))) rm(new java.io.File(tmp))
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1L,
+      (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(path),
+      StandardCopyOption.ATOMIC_MOVE)
     rm(old.toFile)
     nFiles
   }

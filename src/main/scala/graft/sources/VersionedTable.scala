@@ -52,15 +52,21 @@ object VersionedTable {
   private def versionFile(root: String, v: Int): Path =
     versionsDir(root).resolve(f"v$v%08d.json")
 
-  /** Committed versions, ascending (empty for a nonexistent table). */
+  /** Committed versions, ascending (empty for a nonexistent table).
+    * The listing stream is CLOSED eagerly — this runs several times
+    * per micro-batch commit on a long-lived driver, and a GC-reclaimed
+    * DirectoryStream leaks a file descriptor per call until the
+    * process hits its ulimit. */
   def versions(root: String): Seq[Int] = {
     val dir = versionsDir(root)
     if (!Files.isDirectory(dir)) return Nil
-    Files.list(dir).iterator.asScala
+    val s = Files.list(dir)
+    try s.iterator.asScala
       .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{8}\\.json") =>
-        s.substring(1, 9).toInt }
+      .collect { case n if n.matches("v\\d{8}\\.json") =>
+        n.substring(1, 9).toInt }
       .toSeq.sorted
+    finally s.close()
   }
 
   /** Data dirs (relative to root) live in version `v`. */
@@ -81,12 +87,33 @@ object VersionedTable {
     tmp
   }
 
+  /** Per-root memo of (highest manifest scanned, txns seen): commits
+    * are append-only and manifests immutable, so each commitBatch
+    * only reads manifests NEWER than the last scan — O(1) amortized
+    * instead of re-reading every retained manifest per micro-batch
+    * (O(versions)/batch = quadratic cumulative I/O over a stream's
+    * life). A manifest expired between listing and read is skipped —
+    * its txns stay remembered from the earlier scan, which is the
+    * conservative (skip-the-duplicate) direction. */
+  private val txnCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Set[Long])]
+
   /** Transaction ids already committed (streaming sink bookkeeping). */
-  def committedTxns(root: String): Set[Long] =
-    versions(root).flatMap { v =>
-      "\"txn\":(\\d+)".r.findFirstMatchIn(
-        Files.readString(versionFile(root, v))).map(_.group(1).toLong)
-    }.toSet
+  def committedTxns(root: String): Set[Long] = {
+    val (hi, known) = txnCache.getOrElse(root, (0, Set.empty[Long]))
+    val newer = versions(root).filter(_ > hi)
+    if (newer.isEmpty) known
+    else {
+      val add = newer.flatMap { v =>
+        try "\"txn\":(\\d+)".r.findFirstMatchIn(
+          Files.readString(versionFile(root, v))).map(_.group(1).toLong)
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      }
+      val merged = known ++ add
+      txnCache.put(root, (newer.max, merged))
+      merged
+    }
+  }
 
   /** Stage `df` as a new write-once data dir; returns its relative path. */
   private def stage(df: DataFrame, root: String): String = {
@@ -221,10 +248,15 @@ object VersionedTable {
     val live = versions(root).flatMap(manifestDirs(root, _)).toSet
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return Nil
-    val orphans = Files.list(dataDir).iterator.asScala.toSeq
-      .filterNot(p => live.contains(s"data/${p.getFileName}"))
+    val ls = Files.list(dataDir)
+    val orphans =
+      try ls.iterator.asScala.toSeq
+        .filterNot(p => live.contains(s"data/${p.getFileName}"))
+      finally ls.close()
     orphans.foreach { p =>
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      val w = Files.walk(p)
+      val files = try w.iterator.asScala.toSeq.reverse finally w.close()
+      files.foreach(Files.delete)
     }
     orphans.map(p => s"data/${p.getFileName}")
   }

@@ -37,22 +37,16 @@ class DriftStateStore(url: String, table: String = "graft_drift_state") {
   ensureSchema()
 
   private def ensureSchema(): Unit = withConn { c =>
-    // dialect-neutral existence check (JDBC metadata), NOT a
-    // swallowed CREATE failure: 'table exists' is SQLState X0Y32 on
-    // Derby but 42P07/42S01 elsewhere, and a state-code guard would
-    // make every RESTART (the exact path this store exists for)
-    // crash on a non-Derby backend
-    def exists(t: String): Boolean = {
-      val rs = c.getMetaData.getTables(null, null, t, null)
-      try rs.next() finally rs.close()
-    }
-    if (!exists(table)) c.createStatement().execute(
+    // vendor-portable + wildcard-escaped existence probe (Jdbc
+    // scaladoc): a SQLState guard or an unescaped getTables pattern
+    // both break exactly on the restart path this store exists for
+    Jdbc.ensureTable(c, table,
       s"""CREATE TABLE ${q(table)} (
          |${q("typ")} VARCHAR(256) NOT NULL,
          |${q("bucket")} BIGINT NOT NULL,
          |${q("n")} BIGINT NOT NULL,
          |PRIMARY KEY (${q("typ")}, ${q("bucket")}))""".stripMargin)
-    if (!exists(table + "_meta")) c.createStatement().execute(
+    Jdbc.ensureTable(c, table + "_meta",
       s"""CREATE TABLE ${q(table + "_meta")} (
          |${q("id")} INT PRIMARY KEY,
          |${q("last_batch_id")} BIGINT NOT NULL)""".stripMargin)

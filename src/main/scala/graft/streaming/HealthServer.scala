@@ -63,8 +63,10 @@ class HealthServer(
     } finally ex.close()
   }
 
-  private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  // RFC 8259-complete (control chars included): dependency-probe
+  // errors are multi-line JDBC messages, and an unescaped newline
+  // makes the /health body unparseable by strict probe tooling
+  private def jstr(s: String): String = Json.str(s)
 
   private def runChecks(): Map[String, Option[String]] =
     checks.map { case (name, probe) =>

@@ -22,7 +22,13 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * build independently per shard with no global state. Emission is
   * OutputMode.Update: each batch re-emits the updated summaries of
   * the keys it touched, stamped with the processed-count n so a
-  * consumer keeps the freshest row per (key, item).
+  * consumer keeps the freshest row per (key, item) — INCLUDING a
+  * RETRACTION row (est = 0) for any item the MG decrement evicted
+  * this batch. Without it, an item emitted once and then evicted
+  * would ghost in the consumer's freshest-row view forever, with no
+  * way to distinguish eviction from quiescence; with it, the
+  * consumer's view always equals the live summary (est = 0 rows are
+  * "no longer resident", droppable on read).
   */
 object HeavyHitterStream {
 
@@ -58,8 +64,11 @@ object HeavyHitterStream {
             }
           }
           state.update(MgState(counts, n))
-          counts.toSeq.sortBy(_._1)
-            .map { case (u, c) => Hitter(key, u, c, n) }.iterator
+          // retractions first (deterministic order), then the summary
+          val evicted = (prev.counts.keySet -- counts.keySet).toSeq.sorted
+            .map(u => Hitter(key, u, 0L, n))
+          (evicted ++ counts.toSeq.sortBy(_._1)
+            .map { case (u, c) => Hitter(key, u, c, n) }).iterator
       }
   }
 }

@@ -78,17 +78,14 @@ class JdbcCdcTarget(
       s"""${q("user_id")} BIGINT NOT NULL, ${q("event_id")} BIGINT NOT NULL,
          |${q("ts")} TIMESTAMP NOT NULL, ${q("value")} DOUBLE NOT NULL,
          |${q("is_deleted")} BOOLEAN NOT NULL""".stripMargin
-    val ddl = Seq(
-      s"CREATE TABLE $table ($body, PRIMARY KEY (${q("user_id")}))",
-      s"CREATE TABLE $landing (${q("batch_id")} BIGINT NOT NULL, $body)",
-      s"CREATE TABLE $staging ($body)")
-    val st = c.createStatement()
-    ddl.foreach { sql =>
-      try st.execute(sql)
-      catch { // X0Y32 = object already exists — idempotent re-attach
-        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
-      }
-    }
+    // vendor-portable idempotent re-attach (Jdbc scaladoc): the old
+    // Derby-only X0Y32 guard crashed every non-Derby restart against
+    // an existing target — the path the class doc promises to survive
+    Jdbc.ensureTable(c, table,
+      s"CREATE TABLE $table ($body, PRIMARY KEY (${q("user_id")}))")
+    Jdbc.ensureTable(c, landing,
+      s"CREATE TABLE $landing (${q("batch_id")} BIGINT NOT NULL, $body)")
+    Jdbc.ensureTable(c, staging, s"CREATE TABLE $staging ($body)")
   }
 
   /** seq(a) > seq(b) on the (ts, event_id) total order, in SQL. */

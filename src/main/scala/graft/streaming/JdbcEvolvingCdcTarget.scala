@@ -35,9 +35,38 @@ class JdbcEvolvingCdcTarget(
   private val landing = table + "_landing"
   private val staging = table + "_staging"
 
-  @volatile private var current: Option[StructType] = None
+  @volatile private var current: Option[StructType] = reloadFromDb()
 
   override def schema: Option[StructType] = current
+
+  /** Restart path: if the target already exists, rebuild the schema
+    * cache from the DATABASE instead of assuming first-batch — the
+    * old behavior re-ran CREATE TABLE on restart (crashing every
+    * redelivery) and, even create-tolerant, would have FORGOTTEN
+    * previously-evolved columns and silently dropped them from the
+    * MERGE column list. The evolved type set is closed (ddlType), so
+    * the JDBC type codes map back losslessly. */
+  private def reloadFromDb(): Option[StructType] = withConn { c =>
+    val cols = Jdbc.columnsWithTypes(c, table)
+    if (cols.isEmpty) None
+    else Some(StructType(cols.map { case (n, t) =>
+      StructField(n, sparkType(n, t), nullable = true)
+    }.toArray))
+  }
+
+  private def sparkType(name: String, sqlType: Int): DataType =
+    sqlType match {
+      case java.sql.Types.BIGINT => LongType
+      case java.sql.Types.INTEGER => IntegerType
+      case java.sql.Types.DOUBLE | java.sql.Types.FLOAT => DoubleType
+      case java.sql.Types.REAL => FloatType
+      case java.sql.Types.BOOLEAN => BooleanType
+      case java.sql.Types.VARCHAR => StringType
+      case java.sql.Types.TIMESTAMP => TimestampType
+      case other => throw new IllegalStateException(
+        s"$table.$name has JDBC type $other outside the evolved set — " +
+          "not a table this target created")
+    }
 
   private def q(c: String) = "\"" + c + "\""
 
@@ -68,17 +97,19 @@ class JdbcEvolvingCdcTarget(
       val st = c.createStatement()
       current match {
         case None =>
-          // first batch defines the base tables; every non-key column
-          // is nullable so later-evolved writers stay compatible
+          // first batch defines the base tables (current=None only
+          // when reloadFromDb found nothing; ensureTable still guards
+          // the create RACE); every non-key column is nullable so
+          // later-evolved writers stay compatible
           val body = newCols.map(f => s"${q(f.name)} ${ddlType(f.dataType)}")
             .mkString(", ")
           require(newCols.exists(_.name == pk),
             s"first batch must carry the primary key column '$pk'")
-          st.execute(
+          Jdbc.ensureTable(c, table,
             s"CREATE TABLE $table ($body, PRIMARY KEY (${q(pk)}))")
-          st.execute(
+          Jdbc.ensureTable(c, landing,
             s"CREATE TABLE $landing (${q("batch_id")} BIGINT NOT NULL, $body)")
-          st.execute(s"CREATE TABLE $staging ($body)")
+          Jdbc.ensureTable(c, staging, s"CREATE TABLE $staging ($body)")
         case Some(_) =>
           // the ADD COLUMN self-heal: existing rows read the new
           // columns as NULL, exactly the warehouse semantic

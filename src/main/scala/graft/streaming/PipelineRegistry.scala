@@ -47,21 +47,12 @@ class PipelineRegistry(url: String, table: String = "graft_pipelines") {
 
   ensureSchema()
 
-  /** Vendor-portable existence check: DatabaseMetaData instead of a
-    * vendor SQLState list (Derby X0Y32, Postgres 42P07, MySQL 42S01
-    * all differ). Quoted DDL creates a case-sensitive name, so probe
-    * the exact table string; re-catch a create race below. */
-  private def tableExists(c: Connection): Boolean = {
-    val md = c.getMetaData
-    // the table-name argument is a JDBC search PATTERN: a bare '_'
-    // matches any character, so escape it or "graft_pipelines" also
-    // matches a hypothetical "graftXpipelines"
-    val esc = md.getSearchStringEscape
-    val pat = table.replace(esc, esc + esc)
-      .replace("_", esc + "_").replace("%", esc + "%")
-    val rs = md.getTables(null, null, pat, null)
-    try rs.next() finally rs.close()
-  }
+  /** Vendor-portable existence check — now the shared
+    * [[Jdbc.tableExists]] (this class had the first correct
+    * implementation; r11 hoisted it so every store/target uses the
+    * one escaped, portable probe). */
+  private def tableExists(c: Connection): Boolean =
+    Jdbc.tableExists(c, table)
 
   private def ensureSchema(): Unit = withConn { c =>
     if (!tableExists(c)) {

@@ -68,15 +68,16 @@ class ReplicationStateStore(
   }
 
   private def ensureSchema(): Unit = withConn { c =>
-    val ddl =
+    // vendor-portable probe (Jdbc scaladoc) — the old Derby-only
+    // X0Y32 guard crashed every non-Derby RESTART, the exact path
+    // the 'any JDBC database' contract promises to survive
+    Jdbc.ensureTable(c, table,
       s"""CREATE TABLE ${q(table)} (
          |${q("tbl")} VARCHAR(256) PRIMARY KEY,
          |${q("phase")} VARCHAR(32) NOT NULL,
          |${q("reason")} VARCHAR(1024),
          |${q("mapping")} VARCHAR(512),
-         |${q("updated_at")} TIMESTAMP NOT NULL)""".stripMargin
-    try { c.createStatement().execute(ddl) }
-    catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+         |${q("updated_at")} TIMESTAMP NOT NULL)""".stripMargin)
   }
 
   /** Warm memory from the last durable snapshot (crash restart). */

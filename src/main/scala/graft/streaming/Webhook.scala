@@ -13,8 +13,10 @@ import java.nio.charset.StandardCharsets.UTF_8
   * channel delays alerts, never drops or reorders them. */
 object Webhook {
 
-  private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  // RFC 8259-complete (control chars included): trace ids come from
+  // arbitrary wire data, and a newline in one would make the webhook
+  // POST body malformed JSON
+  private def jstr(s: String): String = Json.str(s)
 
   /** Stable wire shape of one alert (the webhook/alert.py payload
     * fields, plus the correlation id when known). */

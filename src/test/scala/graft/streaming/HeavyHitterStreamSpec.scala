@@ -32,11 +32,26 @@ class HeavyHitterStreamSpec extends SparkSpec {
       input.addData(batch2: _*)
       q.processAllAvailable()
 
-      // freshest summary row per (key, user) = the max-n emission
+      // the documented consumer view: freshest row per (key, user),
+      // est = 0 retractions dropped on read
       val rows = s.table("hh_stream").as[Hitter].collect()
-      val maxN = rows.map(_.n).max
-      val summary = rows.filter(_.n == maxN)
+      val freshest = rows.groupBy(h => (h.event_type, h.user_id))
+        .view.mapValues(_.maxBy(_.n)).values.toSeq
+      val summary = freshest.filter(_.est > 0)
         .map(h => h.user_id -> h.est).toMap
+
+      // eviction retraction contract: any item whose freshest row is
+      // NOT in the final summary must have been retracted (est = 0) —
+      // no ghost heavy hitters survive in the freshest-row view
+      val maxN = rows.map(_.n).max
+      val live = rows.filter(r => r.n == maxN && r.est > 0)
+        .map(_.user_id).toSet
+      freshest.filterNot(h => live.contains(h.user_id)).foreach { h =>
+        assert(h.est == 0L,
+          s"evicted item ${h.user_id} ghosts with est=${h.est} at n=${h.n}")
+      }
+      assert(freshest.exists(_.est == 0L),
+        "this stream forces evictions — at least one retraction expected")
 
       val all = batch1 ++ batch2
       val exact = all.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap

@@ -104,4 +104,51 @@ class SchemaEvolutionSpec extends SparkSpec {
         "stale image regressed evolved state")
     } finally q.stop()
   }
+
+  test("a restarted evolving target reloads the EVOLVED schema from " +
+      "the database and keeps merging without re-CREATE") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val url = "jdbc:derby:memory:evotgt2;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+
+    // first incarnation: base schema + one evolution land durably
+    val t1 = new JdbcEvolvingCdcTarget(url, "evo_tgt2", connOptions = opts)
+    val in1 = MemoryStream[String]
+    val q1 = SchemaEvolution.mergeEvolvingJson(in1.toDS(), t1,
+      Files.createTempDirectory("graft_evo_restart1").toString,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      in1.addData("""{"user_id":1,"event_id":1,"ts":1000,"v":1.5}""")
+      q1.processAllAvailable()
+      in1.addData("""{"user_id":2,"event_id":2,"ts":2000,"props":"x"}""")
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // process "crashes"; the reborn target must NOT assume first-batch
+    // (the old behavior re-ran CREATE TABLE — crashing every
+    // redelivery — and would have forgotten the evolved 'props')
+    val t2 = new JdbcEvolvingCdcTarget(url, "evo_tgt2", connOptions = opts)
+    assert(t2.schema.isDefined, "restart must reload the schema cache")
+    assert(t2.schema.get.fieldNames.toSet ==
+      Set("user_id", "event_id", "ts", "v", "props"),
+      s"evolved columns lost on restart: ${t2.schema.get.fieldNames.toSeq}")
+
+    val in2 = MemoryStream[String]
+    val q2 = SchemaEvolution.mergeEvolvingJson(in2.toDS(), t2,
+      Files.createTempDirectory("graft_evo_restart2").toString,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      // a fresh row updates an existing key THROUGH the evolved
+      // column list — silently dropping 'props' would null it here
+      in2.addData(
+        """{"user_id":1,"event_id":5,"ts":5000,"v":7.5,"props":"kept"}""")
+      q2.processAllAvailable()
+      val snap = t2.snapshot
+      assert(snap(1L)("event_id") == 5L && snap(1L)("props") == "kept",
+        s"restarted merge lost evolved columns: ${snap(1L)}")
+      assert(snap(2L)("props") == "x", "pre-restart rows must survive")
+    } finally q2.stop()
+  }
 }
