@@ -29,6 +29,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * Null propagation matches too: a null element, length mismatch, or
   * quantization overflow nulls the whole dot, exactly as the null
   * product nulls the HOF aggregate.
+  *
+  * Magnitude CONTRACT (not checked at runtime — this is the hot
+  * per-pair kernel): inputs are dec_quant-scale longs (|unscaled| ≤
+  * 2×10^12, products ≤ ~2^82, 64 terms ≪ 2^127). Hand-fed arrays of
+  * ~2^61-scale longs would overflow the 128-bit accumulator
+  * SILENTLY; keep out-of-scale data out of dec_dot.
   */
 case class DecQuant(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

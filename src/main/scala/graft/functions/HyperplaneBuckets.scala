@@ -56,8 +56,6 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 case class HyperplaneBuckets(child: Expression, planes: Int)
     extends UnaryExpression {
 
-  def this(child: Expression) = this(child, HyperplaneBuckets.PLANES)
-
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _)
         if planes >= 1 && planes <= HyperplaneBuckets.MAXPLANES =>
@@ -151,10 +149,24 @@ object HyperplaneBuckets {
     * oracle replays use). */
   val weights: Array[Array[Int]] = weightsFor(PLANES)
 
-  /** Called from both the interpreted eval and the generated code. */
+  /** Called from both the interpreted eval and the generated code.
+    * The vector is hoisted into a local double[] ONCE (nulls as 0.0)
+    * instead of re-running isNullAt/getFloat accessors per (table,
+    * plane) — up to 24×16 = 384 redundant passes per row on the
+    * corpus-wide bucketing stage. Bit-identical: a null contributed
+    * nothing before and contributes a ±0.0 term now, which can only
+    * flip a zero sum's SIGN, and `>= 0` is true for both zeros (the
+    * same argument the scaladoc already makes for the oracle's
+    * COALESCE-to-0.0 twin). */
   def compute(arr: ArrayData, planes: Int): GenericArrayData = {
     val ws = wide
     val n = math.min(arr.numElements(), DIMS)
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (arr.isNullAt(i)) 0.0 else arr.getFloat(i).toDouble
+      i += 1
+    }
     val keys = new Array[Long](TABLES)
     var t = 0
     while (t < TABLES) {
@@ -163,9 +175,9 @@ object HyperplaneBuckets {
       while (p < planes) {
         val w = ws(t * MAXPLANES + p)
         var acc = 0.0
-        var i = 0
+        i = 0
         while (i < n) {
-          if (!arr.isNullAt(i)) acc += arr.getFloat(i).toDouble * (w(i) / 1024.0)
+          acc += v(i) * (w(i) / 1024.0)
           i += 1
         }
         key = (key << 1) | (if (acc >= 0) 1L else 0L)

@@ -83,7 +83,16 @@ object KmAssign {
     var acc = 0L
     var i = 0
     while (i < dims) {
-      val x = n * dv.getLong(i) - s.getLong(i) // exact in long up to n ~ 9e6
+      // null slots fail LOUDLY (DecDot's rationale: reading one as 0
+      // fabricates a coordinate and silently picks a wrong cluster),
+      // and n·d − s goes through the Exact intrinsics — past the
+      // documented ~9e6-member contract bound a giant cluster throws
+      // instead of wrapping into a garbage distance
+      if (dv.isNullAt(i) || s.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"km_assign: null element at dimension $i")
+      val x = Math.subtractExact(
+        Math.multiplyExact(n, dv.getLong(i)), s.getLong(i))
       // decimal(·,8) → double must be ONE rounding: below 2^53 the
       // long→double step is exact and /1e8 rounds once; above (giant
       // clusters) fall back to the arbitrary-precision conversion
@@ -110,6 +119,9 @@ object KmAssign {
     var first = true
     var j = 0
     while (j < k) {
+      if (cs.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"km_assign: null centroid struct at index $j")
       val c = cs.getStruct(j, 3)
       val cluster = c.getLong(0)
       val n = c.getLong(1)
@@ -119,7 +131,10 @@ object KmAssign {
           s"km_assign: dim mismatch ${sArr.numElements()} vs ${dv.numElements()}")
       // sum → double is exact-to-correctly-rounded (< 2^53), /n² the
       // same single division the oracle performs
-      val dist = (distNum6(dv, n, sArr).toDouble / 1e6) / (n * n).toDouble
+      // n·n in DOUBLE: a >3e9-member centroid would wrap the long
+      // square silently (the quotient itself is fine in double)
+      val dist =
+        (distNum6(dv, n, sArr).toDouble / 1e6) / (n.toDouble * n.toDouble)
       if (first || dist < bestDist) { bestCluster = cluster; bestDist = dist }
       first = false
       j += 1

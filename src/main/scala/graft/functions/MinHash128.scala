@@ -70,8 +70,9 @@ object MinHash128 {
     val rnd = new java.util.Random(SEED)
     var s = 0
     while (s < 2) {
-      seedsA(s) = ((rnd.nextLong() & Long.MaxValue) % (P - 1)) + 1
-      seedsB(s) = (rnd.nextLong() & Long.MaxValue) % P
+      val (a, b) = Mersenne61.drawPair(rnd) // sequence-identical to r10
+      seedsA(s) = a
+      seedsB(s) = b
       s += 1
     }
   }
@@ -80,9 +81,11 @@ object MinHash128 {
   def compute(arr: ArrayData): GenericArrayData = {
     val mins = new Array[Long](K)
     java.util.Arrays.fill(mins, Long.MaxValue)
+    var seen = false
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
+        seen = true
         val u = arr.getLong(i) & P
         var h1 = mulMod(seedsA(0), u) + seedsB(0) // < 2p < 2^62
         if (h1 >= P) h1 -= P
@@ -99,6 +102,15 @@ object MinHash128 {
       }
       i += 1
     }
+    // an empty (or all-null) shingle set has NO signature: the old
+    // Long.MaxValue sentinel rows — outside [0, p) — all band-collided
+    // with each other while the SQL replay (MIN over an empty set =
+    // NULL) produced no row at all, a silent cross-engine divergence
+    // for any caller that forgot the size(s) > 0 pre-filter. Fail the
+    // contract loudly instead.
+    if (!seen) throw new IllegalArgumentException(
+      "minhash128 of an empty shingle set is undefined — filter " +
+        "size(shingles) > 0 before signing")
     new GenericArrayData(mins)
   }
 }

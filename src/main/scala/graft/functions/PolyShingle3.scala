@@ -40,6 +40,17 @@ object Mersenne61 {
     if (s >= P) s - P else s
   }
 
+  /** One Carter–Wegman (a, b) seed pair from a seeded LCG — a ∈
+    * [1, p), b ∈ [0, p), drawn a-then-b. The draw SEQUENCE is part of
+    * each family's identity (the oracles embed the resulting
+    * literals): MinHash128 and SimHash64 both draw alternating pairs
+    * and share this helper; EventOps.cmsSeeds draws all a's then all
+    * b's and must NOT switch to it without accepting new committed
+    * seed values. */
+  def drawPair(rnd: java.util.Random): (Long, Long) = (
+    ((rnd.nextLong() & Long.MaxValue) % (P - 1)) + 1,
+    (rnd.nextLong() & Long.MaxValue) % P)
+
   /** Base-131 polynomial fold of a string's UNICODE CODEPOINTS mod P —
     * the canonical string→residue universe hash every SQL-replayable
     * family here builds on (shingle_poly3 uses a per-token
@@ -129,18 +140,27 @@ object PolyShingle3 {
   }
 
   /** Sorted distinct 3-gram polynomial hashes; shared by eval and
-    * codegen. */
+    * codegen. NULL tokens are SKIPPED (treated as absent) — the one
+    * semantic both storage paths can honor identically: previously a
+    * GenericArrayData-backed array NPE'd on a null slot while the
+    * Tungsten path silently hashed it as "", fabricating a shingle
+    * the DuckDB oracle (where the shingle string is NULL) never
+    * emits. */
   def compute(arr: ArrayData): Array[Long] = {
-    val n = arr.numElements()
-    if (n < 3) return Array.emptyLongArray
-    val vs = new Array[Long](n)
-    val ps = new Array[Long](n)
+    val total = arr.numElements()
+    val vs = new Array[Long](total)
+    val ps = new Array[Long](total)
+    var n = 0
     var i = 0
-    while (i < n) {
-      val (v, p) = tokenFold(arr.getUTF8String(i).toString)
-      vs(i) = v; ps(i) = p
+    while (i < total) {
+      if (!arr.isNullAt(i)) {
+        val (v, p) = tokenFold(arr.getUTF8String(i).toString)
+        vs(n) = v; ps(n) = p
+        n += 1
+      }
       i += 1
     }
+    if (n < 3) return Array.emptyLongArray
     val out = new Array[Long](n - 2)
     i = 0
     while (i < n - 2) {

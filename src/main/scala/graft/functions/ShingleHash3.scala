@@ -51,17 +51,27 @@ object ShingleHash3 {
   private def hashTok(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 
-  /** Sorted distinct window hashes; shared by eval and codegen. */
+  /** Sorted distinct window hashes; shared by eval and codegen.
+    * NULL tokens are SKIPPED (PolyShingle3's contract): previously
+    * the interpreted path NPE'd on a null slot while the Tungsten
+    * path silently hashed zero bytes, fabricating a shingle. */
   def compute(arr: ArrayData): Array[Long] = {
-    val n = arr.numElements()
+    val total = arr.numElements()
+    val toks = new Array[UTF8String](total)
+    var n = 0
+    var j = 0
+    while (j < total) {
+      if (!arr.isNullAt(j)) { toks(n) = arr.getUTF8String(j); n += 1 }
+      j += 1
+    }
     if (n < 3) return Array.emptyLongArray
     val out = new Array[Long](n - 2)
     var i = 0
     while (i < n - 2) {
       var h = 42L
-      h = hashTok(arr.getUTF8String(i), h)
-      h = hashTok(arr.getUTF8String(i + 1), h)
-      h = hashTok(arr.getUTF8String(i + 2), h)
+      h = hashTok(toks(i), h)
+      h = hashTok(toks(i + 1), h)
+      h = hashTok(toks(i + 2), h)
       out(i) = h
       i += 1
     }

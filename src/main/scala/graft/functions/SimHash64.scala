@@ -66,8 +66,9 @@ object SimHash64 {
     val rnd = new java.util.Random(SEED)
     var s = 0
     while (s < 2) {
-      seedsA(s) = ((rnd.nextLong() & Long.MaxValue) % (P - 1)) + 1
-      seedsB(s) = (rnd.nextLong() & Long.MaxValue) % P
+      val (a, b) = Mersenne61.drawPair(rnd) // sequence-identical to r10
+      seedsA(s) = a
+      seedsB(s) = b
       s += 1
     }
   }

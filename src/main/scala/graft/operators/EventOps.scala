@@ -823,6 +823,12 @@ object EventOps extends Suite {
   private[graft] def cmsDepth: Int = cmsD
   private[graft] def cmsWidth: Int = cmsW
   private[operators] val cmsSeeds: (Array[Long], Array[Long]) = {
+    // draws ALL a's then all b's — a different SEQUENCE from
+    // Mersenne61.drawPair's alternating order, so this family cannot
+    // switch to the shared helper without changing its committed
+    // seed values (the oracle embeds them as literals per run; the
+    // range arithmetic itself is drawPair's, kept in sync by the
+    // m61_uhash seed-range validation)
     val rnd = new java.util.Random(4242)
     val p = graft.functions.Mersenne61.P
     val a = Array.fill(cmsD)(((rnd.nextLong() & Long.MaxValue) % (p - 1)) + 1)

@@ -83,4 +83,33 @@ class KmAssignSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("null elements and overflowing clusters fail loudly instead of " +
+      "fabricating a distance") {
+    val s = spark
+    import s.implicits._
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      Option(c.getMessage).getOrElse(c.getClass.getName)
+    }
+    // a null vector slot: previously read as 0, silently assigning a
+    // wrong cluster — now IllegalArgumentException
+    val e1 = intercept[Exception] {
+      Seq(1).toDF("x").selectExpr(
+        "km_assign(array(1L, CAST(NULL AS BIGINT)), " +
+          "array(named_struct('cluster', 0L, 'n', 1L, " +
+          "'s_arr', array(1L, 1L)))) AS b").collect()
+    }
+    assert(rootMsg(e1).contains("null element"), rootMsg(e1))
+    // a giant-cluster n·d past long: previously wrapped into garbage —
+    // now the Exact intrinsics throw
+    val e2 = intercept[Exception] {
+      Seq(1).toDF("x").selectExpr(
+        "km_assign(array(999999999999L), " +
+          "array(named_struct('cluster', 0L, 'n', 100000000L, " +
+          "'s_arr', array(0L)))) AS b").collect()
+    }
+    assert(rootMsg(e2).toLowerCase.contains("overflow"), rootMsg(e2))
+  }
 }

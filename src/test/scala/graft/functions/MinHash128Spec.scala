@@ -104,6 +104,47 @@ class MinHash128Spec extends SparkSpec {
     assert(sigs(3L).zip(sigs(1L)).forall { case (sup, sub) => sup <= sub })
   }
 
+  test("edge contracts: empty signature throws, null tokens are " +
+      "skipped identically on both storage paths") {
+    val s = spark
+    import s.implicits._
+    // minhash128 of an empty/all-null shingle set: LOUD failure (the
+    // old Long.MaxValue sentinel band-collided every short doc while
+    // the SQL replay emitted no row — silent divergence)
+    val e = intercept[Exception](
+      s.sql("SELECT minhash128(CAST(array() AS array<bigint>))").collect())
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(e).contains("empty shingle set"), rootMsg(e))
+    // shingle_poly3/shingle_hash3 SKIP null tokens (previously: NPE
+    // interpreted, silent ""-hash under Tungsten) — the null-bearing
+    // array must shingle exactly like its null-stripped twin, on the
+    // SQL (Tungsten) path and via direct compute (interpreted path)
+    val withNull = Seq((Seq(Some("a"), None, Some("b"), Some("c"),
+      Some("d")): Seq[Option[String]])).toDF("t")
+    val stripped = Seq((Seq("a", "b", "c", "d"))).toDF("t")
+    Seq("shingle_poly3", "shingle_hash3").foreach { f =>
+      val got = withNull.select(expr(s"$f(t)")).head.getSeq[Long](0)
+      val want = stripped.select(expr(s"$f(t)")).head.getSeq[Long](0)
+      assert(got == want, s"$f null-skip mismatch: $got vs $want")
+    }
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val interp = new GenericArrayData(Array[Any](
+      UTF8String.fromString("a"), null, UTF8String.fromString("b"),
+      UTF8String.fromString("c"), UTF8String.fromString("d")))
+    val interpStripped = new GenericArrayData(Array[Any](
+      UTF8String.fromString("a"), UTF8String.fromString("b"),
+      UTF8String.fromString("c"), UTF8String.fromString("d")))
+    assert(PolyShingle3.compute(interp).toSeq ==
+      PolyShingle3.compute(interpStripped).toSeq)
+    assert(ShingleHash3.compute(interp).toSeq ==
+      ShingleHash3.compute(interpStripped).toSeq)
+  }
+
   test("shingle_poly3 matches the direct codepoint fold of each shingle string") {
     val s = spark
     import s.implicits._
