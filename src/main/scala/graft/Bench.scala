@@ -32,12 +32,43 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Where a run's artifact goes (VERDICT r11 item 4 — a filtered dev
+    * smoke overwrote the round's full-suite record and had to be
+    * recovered by hand): filtered runs, and any run covering FEWER
+    * queries than the incumbent record, write `bench_dev.json`; only
+    * a full-suite run at least as wide as the incumbent may replace
+    * `bench_latest.json`. Pure so the spec can pin it. */
+  private[graft] def artifactTarget(
+      filtered: Boolean, nQueries: Int, incumbentN: Option[Int]): String =
+    if (filtered || incumbentN.exists(_ > nQueries)) "bench_dev.json"
+    else "bench_latest.json"
+
+  /** Query count of an existing artifact: the explicit `n_queries`
+    * stamp, else (legacy artifacts) the key count of its `queries`
+    * object. None if unreadable — then nothing blocks the write. */
+  private[graft] def incumbentQueryCount(path: java.nio.file.Path): Option[Int] =
+    try {
+      if (!java.nio.file.Files.isRegularFile(path)) None
+      else {
+        val txt = java.nio.file.Files.readString(path)
+        "\"n_queries\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+          .orElse("\"queries\":\\{(.*?)\\}".r.findFirstMatchIn(txt)
+            .map(m => "\"[^\"]+\":".r.findAllIn(m.group(1)).size))
+      }
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-bench")
     val errors = scala.collection.mutable.Map.empty[String, String]
     val loads = scala.collection.mutable.Map.empty[String,
       scala.collection.mutable.ArrayBuffer[Double]]
+    // warmup runs record their load SEPARATELY (ADVICE r11): mixing
+    // them into `loads` offset the load↔sample alignment by one, so
+    // loads[i] did not describe samples[i] exactly in the flaky case
+    // the instrumentation exists for
+    val warmupLoads = scala.collection.mutable.Map.empty[String, Double]
+    var inWarmup = false
     def runOne(name: String): Option[Double] = {
       // timed runs must not read persisted staging warmed by a prior
       // run of the same query — clear so every run pays full cost
@@ -67,7 +98,8 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        loads.getOrElseUpdate(name,
+        if (inWarmup) warmupLoads(name) = load
+        else loads.getOrElseUpdate(name,
           scala.collection.mutable.ArrayBuffer.empty) += load
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
@@ -89,7 +121,9 @@ object Bench {
       val all = SparkEntry.queries.keys.toSeq.sorted
       if (args.nonEmpty) all.filter(args.toSet) else all
     }
+    inWarmup = true
     names.foreach(runOne) // warmup: JVM JIT + codegen cache + FS cache
+    inWarmup = false
     val samples: Map[String, Seq[Double]] =
       (1 to rounds).flatMap(_ => names.flatMap(n => runOne(n).map(n -> _)))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -100,31 +134,44 @@ object Bench {
     val raw = timed.map { n =>
       "\"" + n + "\":[" + samples(n).map(num).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    // per-sample 1-min load averages (successful runs only, warmup
-    // included — rounds+1 entries when nothing failed; failed runs
-    // drop BOTH their sample and their load, keeping the two lists
-    // correlated) + the max seen anywhere: "isolated" iff the whole
-    // run stayed near the bench's own footprint
+    // per-sample 1-min load averages (successful TIMED runs only —
+    // strictly index-aligned with `samples`: failed runs drop BOTH
+    // their sample and their load; warmup loads ship under the
+    // separate "warmup_load" key) + the max seen anywhere: "isolated"
+    // iff the whole run stayed near the bench's own footprint
     val loadJson = timed.map { n =>
       "\"" + n + "\":[" + loads(n).map(num).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val maxLoad = if (loads.isEmpty) -1.0 else loads.values.flatten.max
+    val warmupJson = timed.flatMap(n => warmupLoads.get(n).map(l =>
+      "\"" + n + "\":" + num(l))).mkString("{", ",", "}")
+    val maxLoad = {
+      val all = loads.values.flatten ++ warmupLoads.values
+      if (all.isEmpty) -1.0 else all.max
+    }
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val filtered = args.nonEmpty
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$raw,"loadavg":$loadJson,"max_load":${num(maxLoad)},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${names.size},"partial":$filtered,"queries":$qs,"samples":$raw,"loadavg":$loadJson,"warmup_load":$warmupJson,"max_load":${num(maxLoad)},"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // the driver's artifact keeps only a tail of stdout, which has
     // truncated per-query timings out of past rounds' records — also
     // write the full JSON to a file the round snapshot commits, so
-    // regressions stay diagnosable from git history alone
+    // regressions stay diagnosable from git history alone. Filtered
+    // dev smokes go to bench_dev.json — they must never replace the
+    // round's full-suite record (artifactTarget's contract).
+    val target = artifactTarget(filtered, names.size,
+      incumbentQueryCount(java.nio.file.Paths.get("bench_latest.json")))
+    if (target != "bench_latest.json")
+      System.err.println(s"[bench] partial/narrower run -> $target " +
+        "(bench_latest.json preserved)")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_latest.json"),
+      java.nio.file.Paths.get(target),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_latest.json: $e") }
+      System.err.println(s"[bench] could not write $target: $e") }
     spark.stop()
     // a failed query is visible in "errors" AND in the exit code, but
     // only after the full artifact is printed

@@ -40,8 +40,35 @@ object LshWidth {
     val fs = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
     if (fs.isEmpty) "static"
     else {
+      // (name, mtime, length) listing + file count + a CONTENT
+      // component (ADVICE r11): on filesystems with 1s mtime
+      // granularity a same-second rewrite that reproduces the same
+      // names and byte lengths would fingerprint identically while
+      // the DuckDB oracle counts the new rows live. The parquet
+      // footer (row counts, column stats) lives in the file TAIL, so
+      // a CRC of the first data file's last 64 KiB changes whenever
+      // its row population does, closing that residue for one small
+      // read per derivation call.
+      // skip zero-byte markers (_SUCCESS) — an empty tail CRCs to a
+      // constant and would void the content component entirely
+      val first = fs.filter(f => f.isFile && f.length > 0)
+        .sortBy(_.getName).headOption
+      val tailCrc = first.fold("nofile") { f =>
+        try {
+          val raf = new java.io.RandomAccessFile(f, "r")
+          try {
+            val n = math.min(f.length(), 65536L).toInt
+            raf.seek(f.length() - n)
+            val buf = new Array[Byte](n)
+            raf.readFully(buf)
+            val crc = new java.util.zip.CRC32()
+            crc.update(buf)
+            java.lang.Long.toHexString(crc.getValue)
+          } finally raf.close()
+        } catch { case _: java.io.IOException => "ioerr" }
+      }
       val listing = fs.map(f => s"${f.getName}:${f.lastModified}:${f.length}")
-        .sorted.mkString("|")
+        .sorted.mkString("|") + s"|n=${fs.length}|crc=$tailCrc"
       java.lang.Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(listing))
     }

@@ -69,19 +69,72 @@ object VersionedTable {
     finally s.close()
   }
 
-  /** Data dirs (relative to root) live in version `v`. */
+  /** Data dirs (relative to root) live in version `v`. Partitioned
+    * manifests list their dirs inside the `parts` object (with a
+    * `pid=<k>` subpath); the regex scan finds them wherever they sit,
+    * and `.distinct` guards against a path appearing in two JSON
+    * fields ever double-reading. */
   private def manifestDirs(root: String, v: Int): Seq[String] = {
     val txt = Files.readString(versionFile(root, v))
-    // manifests are written by this object only; the dirs array is
-    // uuid paths — no escapes to handle
-    "\"(data/[0-9a-f-]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+    // manifests are written by this object only; dir entries are uuid
+    // paths with an optional partition subdir — no escapes to handle
+    "\"(data/[0-9a-f-]+(?:/pid=\\d+)?)\"".r
+      .findAllMatchIn(txt).map(_.group(1)).toSeq.distinct
   }
 
+  /** Partition label → live data dirs of version `v`; empty for flat
+    * (unpartitioned) manifests. */
+  private def manifestParts(root: String, v: Int): Map[String, Seq[String]] = {
+    val txt = Files.readString(versionFile(root, v))
+    "\"parts\":\\{(.*?)\\}".r.findFirstMatchIn(txt).map(_.group(1)) match {
+      case None => Map.empty
+      case Some(body) =>
+        "\"(\\d+)\":\\[([^\\]]*)\\]".r.findAllMatchIn(body).map { m =>
+          m.group(1) -> "\"([^\"]+)\"".r.findAllMatchIn(m.group(2))
+            .map(_.group(1)).toSeq
+        }.toMap
+    }
+  }
+
+  /** Partition map of the LATEST version (empty for flat manifests or
+    * a nonexistent table). */
+  def parts(root: String): Map[String, Seq[String]] =
+    versions(root).lastOption
+      .map(manifestParts(root, _)).getOrElse(Map.empty)
+
+  /** Table schema carried by version `v`'s manifest (evolving tables
+    * only — see [[commitPartitions]]' schemaDdl): the read schema that
+    * makes files written BEFORE a widen serve the added columns as
+    * NULLs. None for manifests that never stored one. */
+  def manifestSchema(spark: SparkSession, root: String, v: Int)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val txt = Files.readString(versionFile(root, v))
+    "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt)
+      .map(m => org.apache.spark.sql.types.StructType.fromDDL(
+        m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")))
+  }
+
+  private def jsonEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   private def writeManifest(root: String, v: Int, op: String,
-      dirs: Seq[String], txn: Option[Long]): Path = {
+      dirs: Seq[String], txn: Option[Long],
+      parts: Option[Map[String, Seq[String]]] = None,
+      schemaDdl: Option[String] = None): Path = {
     val txnField = txn.fold("")(id => s""""txn":$id,""")
-    val body = dirs.map("\"" + _ + "\"").mkString(
-      s"""{"version":$v,"op":"$op",$txnField"dirs":[""", ",", "]}")
+    val schemaField = schemaDdl.fold("")(d => s""""schema":"${jsonEsc(d)}",""")
+    val body = parts match {
+      case None =>
+        dirs.map("\"" + _ + "\"").mkString(
+          s"""{"version":$v,"op":"$op",$txnField$schemaField"dirs":[""",
+          ",", "]}")
+      case Some(pm) =>
+        pm.toSeq.sortBy(_._1.toInt).map { case (k, ds) =>
+          "\"" + k + "\":[" + ds.map("\"" + _ + "\"").mkString(",") + "]"
+        }.mkString(
+          s"""{"version":$v,"op":"$op",$txnField$schemaField"parts":{""",
+          ",", "}}")
+    }
     val tmp = versionsDir(root).resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, body)
     tmp
@@ -98,10 +151,28 @@ object VersionedTable {
   private val txnCache =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Set[Long])]
 
+  /** Drop the txn memo for `root` — for callers that delete/recreate a
+    * table root through a path this object cannot observe. */
+  def invalidateTxns(root: String): Unit = { txnCache.remove(root); () }
+
   /** Transaction ids already committed (streaming sink bookkeeping). */
   def committedTxns(root: String): Set[Long] = {
-    val (hi, known) = txnCache.getOrElse(root, (0, Set.empty[Long]))
-    val newer = versions(root).filter(_ > hi)
+    val vs = versions(root)
+    // History-reset guard (ADVICE r11): the memo assumes versions only
+    // ever GROW under a root. A deleted-and-recreated root (or an
+    // expire() below the scanned watermark is fine — expire keeps the
+    // max) restarts its version numbering, and the stale txn set would
+    // make commitBatch silently DROP fresh batches whose ids collide
+    // with the old incarnation's. If the listing is empty or its max
+    // is below the scanned watermark, the history was reset: drop the
+    // memo and rescan from scratch.
+    val (hi, known) = txnCache.get(root) match {
+      case Some((h, _)) if vs.isEmpty || vs.max < h =>
+        txnCache.remove(root); (0, Set.empty[Long])
+      case Some(pair) => pair
+      case None => (0, Set.empty[Long])
+    }
+    val newer = vs.filter(_ > hi)
     if (newer.isEmpty) known
     else {
       val add = newer.flatMap { v =>
@@ -120,6 +191,127 @@ object VersionedTable {
     val rel = s"data/${UUID.randomUUID()}"
     df.write.parquet(Paths.get(root, rel).toString)
     rel
+  }
+
+  /** Stage `df` partitioned by integer column `partCol` — ONE Spark
+    * job for however many partitions the frame touches (each becomes
+    * a `pid=<k>` subdir of one fresh uuid dir, and each subdir is an
+    * independent commit unit for [[commitPartitions]]). The frame is
+    * hash-repartitioned on `partCol` first so a partition's rows
+    * co-locate into one task → one file per touched partition; at
+    * cluster scale raise `tasksPerWrite` so large batches spread over
+    * more writers (more, smaller files per partition — compact()
+    * owns the file-count budget either way). Returns partition label
+    * → relative dir, only for partitions the frame actually touched. */
+  private[graft] def stagePartitioned(df: DataFrame, root: String,
+      partCol: String, tasksPerWrite: Int = 0): Map[String, String] = {
+    import org.apache.spark.sql.functions.col
+    val rel = s"data/${UUID.randomUUID()}"
+    val out = Paths.get(root, rel)
+    val arranged =
+      if (tasksPerWrite > 0) df.repartition(tasksPerWrite, col(partCol))
+      else df.repartition(col(partCol))
+    arranged.write.partitionBy(partCol).parquet(out.toString)
+    val ls = Files.list(out)
+    val subdirs =
+      try ls.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(s"$partCol=")).toSeq
+      finally ls.close()
+    subdirs.map { d =>
+      // manifest labels use the canonical pid= layout regardless of
+      // the caller's column name (manifestDirs' regex contract)
+      val k = d.substring(partCol.length + 1)
+      if (partCol != "pid") {
+        Files.move(out.resolve(d), out.resolve(s"pid=$k"))
+      }
+      k -> s"$rel/pid=$k"
+    }.toMap
+  }
+
+  /** Bytes under every dir of a staged partition map. */
+  private def stagedPartBytes(root: String, parts: Map[String, String]): Long =
+    parts.values.map(stagedBytes(root, _)).sum
+
+  /** One optimistic PARTITION-SCOPED commit attempt at `expected + 1`:
+    * the new manifest carries the previous version's partition map
+    * with ONLY the staged labels replaced — untouched partitions keep
+    * their existing dirs verbatim (never rewritten, never copied),
+    * which is what turns the copy-on-write merge's O(table)/batch
+    * write amplification into O(touched partitions). The atomic-link
+    * publish, crash, and concurrency arguments are [[commitOnce]]'s
+    * unchanged.
+    *
+    * A previous FLAT manifest (no partition map) cannot be merged
+    * into incrementally — pass `overwriteAll = true` with a staged
+    * map covering the whole keyspace to migrate (or to truncate-load
+    * a partitioned table); otherwise this throws rather than silently
+    * dropping the flat dirs.
+    *
+    * @param schemaDdl evolving tables store their CURRENT logical
+    *   schema in every manifest so (a) readers serve pre-widen files
+    *   with the added columns as NULLs and (b) a restarted writer
+    *   reloads the evolved schema from the table itself. */
+  def commitPartitionsOnce(stagedParts: Map[String, String], root: String,
+      expected: Int, overwriteAll: Boolean = false,
+      txn: Option[Long] = None, schemaDdl: Option[String] = None,
+      meter: Option[graft.streaming.EgressMeter] = None,
+      pipeline: String = "default"): Int = {
+    Files.createDirectories(versionsDir(root))
+    val next = expected + 1
+    val prev: Map[String, Seq[String]] =
+      if (overwriteAll || expected == 0) Map.empty
+      else {
+        val pm = manifestParts(root, expected)
+        if (pm.isEmpty && manifestDirs(root, expected).nonEmpty)
+          throw new IllegalStateException(
+            s"$root v$expected is an unpartitioned manifest; migrate with " +
+              "a full rewrite (overwriteAll = true, staged map covering " +
+              "every live key)")
+        pm
+      }
+    val mergedParts = prev ++ stagedParts.view.mapValues(Seq(_)).toMap
+    meter.foreach(_.add(pipeline, root,
+      if (txn.isDefined) "streaming" else "table_copy",
+      stagedPartBytes(root, stagedParts)))
+    val tmp = writeManifest(root, next,
+      if (overwriteAll) "overwrite_parts" else "merge_parts",
+      Nil, txn, parts = Some(mergedParts), schemaDdl = schemaDdl)
+    try Files.createLink(versionFile(root, next), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.delete(tmp)
+      throw new ConcurrentCommit(next)
+    }
+    Files.delete(tmp)
+    next
+  }
+
+  /** Exactly-once partition-scoped micro-batch merge: [[commitBatch]]'s
+    * txn-guarded retry loop over [[commitPartitionsOnce]]. The staged
+    * dirs are write-once, so a lost race retries with the SAME staged
+    * data against the re-read partition map — no restaging, and a
+    * duplicate batch id skips whole (its staged dirs become vacuum
+    * debris, bytes already metered as moved). */
+  def commitPartitions(stagedParts: Map[String, String], root: String,
+      batchId: Long, overwriteAll: Boolean = false,
+      schemaDdl: Option[String] = None, maxAttempts: Int = 5,
+      meter: Option[graft.streaming.EgressMeter] = None,
+      pipeline: String = "default"): Option[Int] = {
+    // meter ONCE, outside the retry loop: the staged dirs are written
+    // exactly once by the caller — a retried commit relinks the same
+    // bytes and must not bill them again (commitOnce meters per
+    // attempt because it also STAGES per attempt)
+    meter.foreach(_.add(pipeline, root, "streaming",
+      stagedPartBytes(root, stagedParts)))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (committedTxns(root).contains(batchId)) return None
+      val base = versions(root).lastOption.getOrElse(0)
+      try return Some(commitPartitionsOnce(stagedParts, root, base,
+        overwriteAll, txn = Some(batchId), schemaDdl = schemaDdl))
+      catch { case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e }
+    }
+    None // unreachable
   }
 
   /** Exact on-disk bytes of one staged data dir — the byte-accounting
@@ -207,11 +399,18 @@ object VersionedTable {
     readAt(spark, root, versions(root).lastOption.getOrElse(
       throw new IllegalStateException(s"no committed version under $root")))
 
-  /** Time travel: the table exactly as of version `v`. */
+  /** Time travel: the table exactly as of version `v`. A manifest
+    * that carries a schema (evolving tables) is read UNDER it — data
+    * dirs written before a widen then serve the later columns as
+    * typed NULLs instead of the footer-sampled schema silently
+    * dropping them. */
   def readAt(spark: SparkSession, root: String, v: Int): DataFrame = {
     val paths = manifestDirs(root, v)
       .map(rel => Paths.get(root, rel).toString)
-    spark.read.parquet(paths: _*)
+    manifestSchema(spark, root, v) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   /** Compaction (the OPTIMIZE analog): rewrite the current snapshot's
@@ -249,15 +448,43 @@ object VersionedTable {
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return Nil
     val ls = Files.list(dataDir)
+    // a partitioned manifest references pid= SUBDIRS of a uuid dir —
+    // the top-level dir is live iff any referenced path sits under it
+    // (matching the bare name alone would vacuum live partitions)
     val orphans =
       try ls.iterator.asScala.toSeq
-        .filterNot(p => live.contains(s"data/${p.getFileName}"))
+        .filterNot { p =>
+          val rel = s"data/${p.getFileName}"
+          live.contains(rel) || live.exists(_.startsWith(rel + "/"))
+        }
       finally ls.close()
     orphans.foreach { p =>
       val w = Files.walk(p)
       val files = try w.iterator.asScala.toSeq.reverse finally w.close()
       files.foreach(Files.delete)
     }
-    orphans.map(p => s"data/${p.getFileName}")
+    // partition rewrites orphan pid= SUBDIRS of uuid dirs whose other
+    // partitions are still live — reclaim those too (the whole-dir
+    // pass above only catches uuid dirs with NO live subpath)
+    val ls2 = Files.list(dataDir)
+    val partial =
+      try ls2.iterator.asScala.toSeq
+        .filter(p => live.exists(_.startsWith(s"data/${p.getFileName}/")))
+      finally ls2.close()
+    val deadSubs = partial.flatMap { p =>
+      val subs = Files.list(p)
+      val dead =
+        try subs.iterator.asScala.toSeq
+          .filter(s => s.getFileName.toString.startsWith("pid=") &&
+            !live.contains(s"data/${p.getFileName}/${s.getFileName}"))
+        finally subs.close()
+      dead.foreach { s =>
+        val w = Files.walk(s)
+        val files = try w.iterator.asScala.toSeq.reverse finally w.close()
+        files.foreach(Files.delete)
+      }
+      dead.map(s => s"data/${p.getFileName}/${s.getFileName}")
+    }
+    orphans.map(p => s"data/${p.getFileName}") ++ deadSubs
   }
 }

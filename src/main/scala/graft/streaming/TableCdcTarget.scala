@@ -31,11 +31,13 @@ import graft.sources.VersionedTable
   * them, mirroring InMemoryCdcTarget/JdbcCdcTarget.
   *
   * Scale note: whole-table copy-on-write is the correct shape only
-  * below ~table=O(batch) sizes; at 100 TB the same merge runs
-  * partition-scoped (rewrite only the hash/date partitions the
-  * batch's keys touch — dirs are already the commit unit here) or
-  * merge-on-read with tombstone files. The contract, guard, and
-  * manifest game are unchanged by either upgrade.
+  * below ~table=O(batch) sizes — [[PartitionedTableCdcTarget]] is the
+  * 100 TB form (rewrite only the key-hash partitions the batch
+  * touches, same contract/guard/manifest game; it migrates a table
+  * written by THIS class in place on its first merge). This class
+  * stays as the small-table fast path: below one partition's worth of
+  * data the partitioned form's extra distinct+manifest bookkeeping
+  * buys nothing.
   */
 class TableCdcTarget(spark: SparkSession, root: String) extends CdcTarget {
 
