@@ -43,7 +43,7 @@ import org.apache.spark.sql.functions._
   * committed artifact, not just a timing delta.
   *
   * Usage: runMain graft.ScaleStress [factor] [q1,q2,...]
-  * Writes SCALE_r11.json + SCALE.md in the repo root.
+  * Writes SCALE_r12.json + SCALE.md in the repo root.
   */
 object ScaleStress {
 
@@ -394,11 +394,11 @@ object ScaleStress {
       }
     }
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"SCALE_CMS_r11$tag.json"),
+      java.nio.file.Paths.get(s"SCALE_CMS_r12$tag.json"),
       (s"""{"mode":"cms-shuffle-bytes","grid":"d=${
         operators.EventOps.cmsDepth} w=${operators.EventOps.cmsWidth}",""" +
         s""""runs":[${rows.mkString(",\n")}]}""" + "\n").getBytes("UTF-8"))
-    println(s"[scale] wrote SCALE_CMS_r11$tag.json (${rows.size} runs)")
+    println(s"[scale] wrote SCALE_CMS_r12$tag.json (${rows.size} runs)")
   }
 
   // ---- byte-isolated mode ---------------------------------------------
@@ -464,10 +464,10 @@ object ScaleStress {
       }
     }
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"SCALE_BYTE_r11$tag.json"),
+      java.nio.file.Paths.get(s"SCALE_BYTE_r12$tag.json"),
       (s"""{"factor":$factor,"mode":"byte-isolated",""" +
         s""""queries":[${rows.mkString(",\n")}]}""" + "\n").getBytes("UTF-8"))
-    println(s"[scale] wrote SCALE_BYTE_r11$tag.json (${rows.size} queries)")
+    println(s"[scale] wrote SCALE_BYTE_r12$tag.json (${rows.size} queries)")
   }
 
   private def runTokenIso(spark: SparkSession, factor: Int,
@@ -493,10 +493,10 @@ object ScaleStress {
       }
     }
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"SCALE_TOK_r11$tag.json"),
+      java.nio.file.Paths.get(s"SCALE_TOK_r12$tag.json"),
       (s"""{"factor":$factor,"mode":"token-isolated",""" +
         s""""queries":[${rows.mkString(",\n")}]}""" + "\n").getBytes("UTF-8"))
-    println(s"[scale] wrote SCALE_TOK_r11$tag.json (${rows.size} queries)")
+    println(s"[scale] wrote SCALE_TOK_r12$tag.json (${rows.size} queries)")
   }
 
   private def runSkew(spark: SparkSession, factor: Int,
@@ -532,13 +532,67 @@ object ScaleStress {
         s""""splits_even":${sigE("skewSplit")},"splits_skew":${sigS("skewSplit")}}"""
     }.mkString("[", ",\n", "]")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"SCALE_SKEW_r09$tag.json"),
+      java.nio.file.Paths.get(s"SCALE_SKEW_r12$tag.json"),
       (s"""{"factor":$factor,"hot_share":0.2,"queries":$items}""" + "\n")
         .getBytes("UTF-8"))
-    println(s"[scale] wrote SCALE_SKEW_r09$tag.json (${rows.size} queries)")
+    println(s"[scale] wrote SCALE_SKEW_r12$tag.json (${rows.size} queries)")
+  }
+
+  // ---- full-suite tail sweep ------------------------------------------
+  // `runMain graft.ScaleStress tailsweep [factor]`: every diagnosed-
+  // heavy family has multi-decade scale evidence, but most of the
+  // registered suite had never run above sf0.1 — and an unswept
+  // superlinear hides exactly there (dedup_embedding's 21.8× was
+  // found this way in r8). One warmup + one timed sample at 1× and at
+  // N× for EVERY registered query — a smoke for outliers, not a bench
+  // (single samples carry this host's noise; anything near the flag
+  // line gets re-measured by the focused modes above before being
+  // believed). Queries already covered by dedicated iso modes run
+  // here too — cheap, and the redundancy cross-checks the harness.
+  private def runTailSweep(spark: SparkSession, factor: Int,
+      tag: String): Unit = {
+    val baseDir = "/root/testdata/sf0.1"
+    val root = "/tmp/graft_scale"
+    val oneDir = s"$root/b1x"
+    val bigDir = s"$root/sf$factor"
+    materialize(spark, baseDir, oneDir, 1)
+    materialize(spark, baseDir, bigDir, factor)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val rows = names.flatMap { q =>
+      try {
+        runOnce(spark, q, oneDir) // warmup (JIT + codegen cache)
+        val t1 = runOnce(spark, q, oneDir)._1
+        val tN = runOnce(spark, q, bigDir)._1
+        val ratio = tN / t1
+        // flag line: 2× over linear scaling on the measured factor
+        val flag = ratio > 2.0 * factor
+        println(s"[scale] sweep:$q  1x=${num(t1)}s  ${factor}x=${num(tN)}s" +
+          s"  ratio=${num(ratio)}${if (flag) "  ** OVER 2x-LINEAR **" else ""}")
+        Some(s"""{"query":"$q","t_1x":${num(t1)},"t_${factor}x":${num(tN)},""" +
+          s""""ratio":${num(ratio)},"over_2x_linear":$flag}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] sweep FAILED $q: ${e.getMessage}")
+        Some(s"""{"query":"$q","error":${"\""}${Option(e.getMessage)
+          .getOrElse(e.getClass.getName).linesIterator.take(1)
+          .mkString.take(200).replace("\\", "\\\\").replace("\"", "'")}${"\""}}""")
+      }
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"SCALE_SWEEP_r12$tag.json"),
+      (s"""{"factor":$factor,"mode":"full-suite-tail-sweep","n":${names.size},""" +
+        s""""queries":[${rows.mkString(",\n")}]}""" + "\n").getBytes("UTF-8"))
+    println(s"[scale] wrote SCALE_SWEEP_r12$tag.json (${rows.size} queries)")
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("tailsweep")) {
+      val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+      val tag = args.drop(2).headOption.getOrElse("")
+      val spark = Engine.session("graft-scale-tailsweep")
+      runTailSweep(spark, factor, tag)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("cms")) {
       val factors = args.drop(1).headOption.filterNot(_.startsWith("_"))
         .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(1, 10, 30))
@@ -627,7 +681,7 @@ object ScaleStress {
         s""""plan_flips":$flips}"""
     }.mkString("[", ",\n", "]")
     val json = s"""{"factor":$factor,"base":"$baseDir","queries":$items}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"SCALE_r11$tag.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"SCALE_r12$tag.json"),
       (json + "\n").getBytes("UTF-8"))
 
     val md = new StringBuilder
@@ -650,7 +704,7 @@ object ScaleStress {
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(s"SCALE$tag.md"),
       md.toString.getBytes("UTF-8"))
-    println(s"[scale] wrote SCALE_r11$tag.json + SCALE$tag.md (${rows.size} queries)")
+    println(s"[scale] wrote SCALE_r12$tag.json + SCALE$tag.md (${rows.size} queries)")
     spark.stop()
   }
 }

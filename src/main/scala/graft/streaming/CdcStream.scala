@@ -71,13 +71,21 @@ object CdcStream {
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       breaker: Option[CircuitBreaker] = None,
-      mergeAttempts: Int = 1): StreamingQuery = {
+      mergeAttempts: Int = 1,
+      drift: Option[DriftGate] = None): StreamingQuery = {
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[CdcEvent], batchId: Long) =>
         import batch.sparkSession.implicits._
+        // drift gate first, OUTSIDE the breaker: its batchId guard
+        // (+ durable store txn) makes redelivery exactly-once, and a
+        // failed histogram commit fails the micro-batch BEFORE the
+        // merge so Spark re-delivers both together — the gate can
+        // never observe a batch the target then didn't apply twice,
+        // nor vice versa (each side is idempotent under its own guard)
+        drift.foreach(_.observe(batch, batchId))
         val deduped = batch.groupByKey(_.user_id)
           .reduceGroups(newer _).map(_._2).map(applied)
         // retry INSIDE the breaker: transient write errors burn

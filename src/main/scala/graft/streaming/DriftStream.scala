@@ -107,9 +107,26 @@ class DriftStream(baseline: Map[(String, Long), Long],
     if (p >= dangerPsi) Danger else if (p >= warnPsi) Warning else Ok
 
   /** Drive an [[AlertManager]] from the current PSI map (the
-    * control-plane hop, AnomalyStream.observe's shape). */
-  def sweep(manager: AlertManager): Unit =
-    psi.foreach { case (t, p) => manager.update(s"drift:$t", tierOf(p)) }
+    * control-plane hop, AnomalyStream.observe's shape). `scope`
+    * prefixes the alert keys so fleet sweeps keep per-pipeline gates
+    * distinct ([[PipelineManager.sweep]] passes the pipeline name). */
+  def sweep(manager: AlertManager, scope: String = ""): Unit = {
+    val pre = if (scope.isEmpty) "drift:" else s"$scope:drift:"
+    psi.foreach { case (t, p) => manager.update(pre + t, tierOf(p)) }
+  }
+}
+
+/** A pipeline-attachable drift gate: [[DriftStream]] plus the binning
+  * it observes under — what [[PipelineManager.startCdc]] provisions
+  * alongside the breaker and lag listener, so a reconciled pipeline
+  * gets durable PSI continuity without bespoke foreachBatch wiring
+  * (VERDICT r11 item 7). */
+final case class DriftGate(stream: DriftStream, binWidth: Int) {
+  /** Observe one micro-batch of CDC events (exactly-once under the
+    * batch id, durable when the stream has a store). */
+  def observe(batch: org.apache.spark.sql.Dataset[CdcEvent],
+      batchId: Long): Unit =
+    stream.observeBatch(batch.toDF(), binWidth, batchId)
 }
 
 object DriftStream {

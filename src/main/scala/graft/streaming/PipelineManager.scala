@@ -30,7 +30,8 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
       name: String,
       query: StreamingQuery,
       listener: LagListener,
-      breaker: CircuitBreaker)
+      breaker: CircuitBreaker,
+      drift: Option[DriftGate] = None)
 
   private val pipelines = TrieMap.empty[String, Pipeline]
 
@@ -48,7 +49,8 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       breaker: CircuitBreaker = new CircuitBreaker(),
       warnBatchMillis: Long = 10000,
-      dangerBatchMillis: Long = 30000): Pipeline = synchronized {
+      dangerBatchMillis: Long = 30000,
+      drift: Option[DriftGate] = None): Pipeline = synchronized {
     require(!pipelines.get(name).exists(_.query.isActive),
       s"pipeline '$name' is already running")
     pipelines.remove(name).foreach(old =>
@@ -57,7 +59,7 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
     spark.streams.addListener(listener)
     val query =
       try CdcStream.mergeInto(events, target, checkpoint, trigger,
-        breaker = Some(breaker))
+        breaker = Some(breaker), drift = drift)
       catch { case e: Throwable =>
         spark.streams.removeListener(listener); throw e
       }
@@ -66,7 +68,7 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
     // first event in practice — an unscoped listener would merely
     // over-count a batch from a sibling pipeline in that window
     listener.bindTo(query.id)
-    val p = Pipeline(name, query, listener, breaker)
+    val p = Pipeline(name, query, listener, breaker, drift)
     pipelines.put(name, p)
     p
   }
@@ -118,7 +120,12 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
     * (alert_manager.rs:113). Call on a monitor cadence; sustained-state
     * windows, escalation, and recovery live in [[AlertManager]]. */
   def sweep(alerts: AlertManager): Unit =
-    pipelines.foreach { case (name, p) => alerts.update(name, p.listener.health) }
+    pipelines.foreach { case (name, p) =>
+      alerts.update(name, p.listener.health)
+      // a provisioned drift gate pages through the same sweep, keyed
+      // <pipeline>:drift:<event_type> so fleet gates stay distinct
+      p.drift.foreach(_.stream.sweep(alerts, scope = name))
+    }
 
   /** [[sweep]] over the full health status (not just lag): an Open
     * breaker pages as Danger and a HalfOpen one as Warning even when
@@ -137,6 +144,7 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
         if (tier == LagListener.Ok) None
         else traces.lastFailure(name).flatMap(_.firstRecordTrace)
       alerts.update(name, tier, trace)
+      p.drift.foreach(_.stream.sweep(alerts, scope = name))
     }
 
   /** Stop one pipeline and release its listener. The registration is

@@ -179,6 +179,25 @@ class PipelineRegistry(url: String, table: String = "graft_pipelines") {
       mgr.startCdc(spec.name, events, target, spec.checkpoint); ()
     }
 
+  /** [[reconcile]] whose builder also provisions a per-pipeline
+    * [[DriftGate]] (VERDICT r11 item 7): the gate rides the managed
+    * pipeline exactly like its breaker and lag listener — observed
+    * in-batch by the merge query, swept into alerts by
+    * [[PipelineManager.sweep]] under `<pipeline>:drift:<type>` keys —
+    * so a reconciled (or crash-reconverged) pipeline gets durable PSI
+    * continuity with NO bespoke foreachBatch wiring: the builder just
+    * constructs the gate from its durable store, and the reloaded
+    * store resumes the accumulated histogram (DriftStateStore's
+    * crash-restart contract). */
+  def reconcileGated(mgr: PipelineManager)(
+      build: PipelineSpec =>
+        (org.apache.spark.sql.Dataset[CdcEvent], CdcTarget, Option[DriftGate]))
+      : ReconcileReport =
+    reconcileCore(mgr) { spec =>
+      val (events, target, gate) = build(spec)
+      mgr.startCdc(spec.name, events, target, spec.checkpoint, drift = gate); ()
+    }
+
   /** [[reconcile]] for MULTI-TABLE demux pipelines: the builder
     * resolves a spec to one multiplexed change stream plus its
     * per-table targets, started through [[PipelineManager.startDemux]]

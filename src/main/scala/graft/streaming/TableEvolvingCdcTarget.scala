@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.sources.VersionedTable
+
+/** Schema-evolving LAKEHOUSE target (VERDICT r11 item 2): the
+  * reference destination self-heals its schema regardless of
+  * destination kind (/root/reference/src/schema_cache.rs — "add
+  * missing columns, then retry"; docs/data_flow.md §7), but only the
+  * JDBC target had the evolving contract — this mirrors
+  * [[JdbcEvolvingCdcTarget]] onto the transactional file table, with
+  * the PARTITION-SCOPED merge of [[PartitionedTableCdcTarget]].
+  *
+  * How the warehouse semantics map onto immutable parquet:
+  *  - '''ADD COLUMN''' is metadata-only: the widened schema rides the
+  *    NEXT data commit's manifest (`schema` field); data dirs written
+  *    before the widen are never rewritten — [[VersionedTable.readAt]]
+  *    reads every dir UNDER the manifest schema, so pre-widen rows
+  *    serve the added columns as typed NULLs, exactly the warehouse
+  *    `ALTER TABLE ADD COLUMN` read semantic at zero write cost.
+  *  - '''Restart reload''': a restarted writer rebuilds its schema
+  *    cache from the latest manifest (the JDBC target's
+  *    reloadFromDb analog) — previously evolved columns are never
+  *    forgotten, and the redelivered batch re-heals to the same
+  *    schema. A widen that crashed before its commit left NO trace
+  *    (schema and data land atomically together), so the redelivery
+  *    replays the identical widen — same outcome, no torn state.
+  *  - '''Merge guard''': rows carry a full-row image per key;
+  *    `seqCols` order images lexicographically and one max_by keeps
+  *    the newest per key — stale images lose to committed state, and
+  *    the manifest txn id makes batch redelivery a whole-batch no-op,
+  *    as in the fixed-schema targets.
+  *
+  * Single writer per table root, as with the JDBC evolving target.
+  */
+class TableEvolvingCdcTarget(
+    spark: SparkSession, root: String,
+    pk: String = "user_id",
+    seqCols: Seq[String] = Seq("ts", "event_id"),
+    numPartitions: Int = 32) extends EvolvingCdcTarget {
+  require(numPartitions > 0, "numPartitions must be positive")
+
+  @volatile private var current: Option[StructType] = reloadFromManifest()
+
+  override def schema: Option[StructType] = current
+
+  /** Restart path: the evolved schema is table state, not process
+    * state — reload it from the latest manifest so a restarted writer
+    * keeps serving (and healing against) every column the table ever
+    * gained. None for a table with no commits yet. */
+  private def reloadFromManifest(): Option[StructType] =
+    VersionedTable.versions(root).lastOption
+      .flatMap(v => VersionedTable.manifestSchema(spark, root, v))
+
+  override def addColumns(newCols: Seq[StructField]): Unit = synchronized {
+    if (current.isEmpty)
+      require(newCols.exists(_.name == pk),
+        s"first batch must carry the primary key column '$pk'")
+    // nullable regardless of inference: pre-widen rows READ this
+    // column as NULL, so a non-nullable evolved column is a lie
+    val widened = newCols.map(_.copy(nullable = true))
+    current = Some(StructType(
+      current.map(_.fields).getOrElse(Array.empty[StructField]) ++ widened))
+  }
+
+  override def merge(batchId: Long, rows: DataFrame): Unit = {
+    val want = current.getOrElse(
+      throw new IllegalStateException("merge before first addColumns"))
+    require((pk +: seqCols).forall(c => want.exists(_.name == c)),
+      s"schema must carry the key and sequence columns ($pk, $seqCols)")
+    if (VersionedTable.committedTxns(root).contains(batchId)) return
+    val cols = want.fieldNames.toSeq
+    val batch = rows
+      .withColumn("pid", pmod(hash(col(pk)), lit(numPartitions)))
+    val touched = batch.select("pid").distinct().collect()
+      .map(_.getInt(0)).toSet
+    if (touched.isEmpty) return
+    val parts = VersionedTable.parts(root)
+    val existing: DataFrame = {
+      val dirs = touched.toSeq.sorted
+        .flatMap(k => parts.getOrElse(k.toString, Nil))
+        .map(rel => Paths.get(root, rel).toString)
+      if (dirs.isEmpty) batch.limit(0)
+      // read the touched dirs UNDER the current (possibly just-
+      // widened) schema: pre-widen files fill the new columns with
+      // NULL here, so the union below needs no per-file surgery
+      else spark.read.schema(want).parquet(dirs: _*)
+        .withColumn("pid", pmod(hash(col(pk)), lit(numPartitions)))
+    }
+    val merged = existing.unionByName(batch)
+      .groupBy(pk)
+      .agg(max_by(
+        struct((cols :+ "pid").map(col): _*),
+        struct(seqCols.map(col): _*)).as("r"))
+      .select("r.*")
+    val staged = VersionedTable.stagePartitioned(merged, root, "pid")
+    VersionedTable.commitPartitions(staged, root, batchId,
+      schemaDdl = Some(want.toDDL))
+    ()
+  }
+
+  /** The table as of the latest commit, under its evolved schema. */
+  def snapshot: DataFrame = VersionedTable.read(spark, root)
+}
