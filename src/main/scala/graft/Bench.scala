@@ -34,13 +34,20 @@ object Bench {
 
   /** Where a run's artifact goes (VERDICT r11 item 4 — a filtered dev
     * smoke overwrote the round's full-suite record and had to be
-    * recovered by hand): filtered runs, and any run covering FEWER
-    * queries than the incumbent record, write `bench_dev.json`; only
-    * a full-suite run at least as wide as the incumbent may replace
-    * `bench_latest.json`. Pure so the spec can pin it. */
+    * recovered by hand): filtered runs, any run covering FEWER
+    * queries than the incumbent record, and any run at a DIFFERENT
+    * scale factor than the incumbent (r12: a full-suite sf0.01 verify
+    * smoke clobbered the sf0.1 record through the width-only guard —
+    * same defect, different axis) write `bench_dev.json`; only a
+    * full-suite run at least as wide as the incumbent AND at its
+    * scale factor may replace `bench_latest.json`. Retargeting the
+    * record to a new SF is an explicit act: remove the incumbent.
+    * Pure so the spec can pin it. */
   private[graft] def artifactTarget(
-      filtered: Boolean, nQueries: Int, incumbentN: Option[Int]): String =
-    if (filtered || incumbentN.exists(_ > nQueries)) "bench_dev.json"
+      filtered: Boolean, nQueries: Int, incumbentN: Option[Int],
+      sfDir: String = "", incumbentSf: Option[String] = None): String =
+    if (filtered || incumbentN.exists(_ > nQueries) ||
+        incumbentSf.exists(_ != sfDir)) "bench_dev.json"
     else "bench_latest.json"
 
   /** Query count of an existing artifact: the explicit `n_queries`
@@ -55,6 +62,15 @@ object Bench {
           .orElse("\"queries\":\\{(.*?)\\}".r.findFirstMatchIn(txt)
             .map(m => "\"[^\"]+\":".r.findAllIn(m.group(1)).size))
       }
+    } catch { case _: Throwable => None }
+
+  /** Scale-factor stamp of an existing artifact (None if absent or
+    * unreadable — then the SF guard does not block the write). */
+  private[graft] def incumbentSfDir(path: java.nio.file.Path): Option[String] =
+    try {
+      if (!java.nio.file.Files.isRegularFile(path)) None
+      else "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(
+        java.nio.file.Files.readString(path)).map(_.group(1))
     } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
@@ -162,8 +178,9 @@ object Bench {
     // regressions stay diagnosable from git history alone. Filtered
     // dev smokes go to bench_dev.json — they must never replace the
     // round's full-suite record (artifactTarget's contract).
+    val incumbent = java.nio.file.Paths.get("bench_latest.json")
     val target = artifactTarget(filtered, names.size,
-      incumbentQueryCount(java.nio.file.Paths.get("bench_latest.json")))
+      incumbentQueryCount(incumbent), sfDir, incumbentSfDir(incumbent))
     if (target != "bench_latest.json")
       System.err.println(s"[bench] partial/narrower run -> $target " +
         "(bench_latest.json preserved)")

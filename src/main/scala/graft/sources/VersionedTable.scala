@@ -416,15 +416,94 @@ object VersionedTable {
   /** Compaction (the OPTIMIZE analog): rewrite the current snapshot's
     * accumulated append dirs into one dir of `numFiles` files and
     * publish it as a normal commit — data-identical, so readers are
-    * indifferent to when it runs, and the manifest game gives it the
-    * same guarantees as any write (an append racing the compaction
-    * simply wins or retries; nothing is lost either way). At scale
-    * the FILE COUNT from micro-batch appends, not bytes, is what
-    * kills listing/open/task-launch — compaction is the sink-side
+    * indifferent to when it runs. At scale the FILE COUNT from
+    * micro-batch appends, not bytes, is what kills
+    * listing/open/task-launch — compaction is the sink-side
     * maintenance loop. Old versions still reference the small files
-    * until [[vacuum]] after their retention lapses. */
-  def compact(spark: SparkSession, root: String, numFiles: Int = 1): Int =
-    commit(read(spark, root).coalesce(numFiles), root, overwrite = true)
+    * until [[vacuum]] after their retention lapses.
+    *
+    * Race semantics: a compaction must publish a snapshot that is
+    * data-identical to SOME committed version — so on a lost commit
+    * race it cannot simply retry at the new head (the staged rewrite
+    * predates the racer's commit; overwriting with it would DROP the
+    * racer's rows from latest). Instead each attempt re-resolves the
+    * current version and restages from it: the racer always wins,
+    * compaction rebases. Partitioned tables refuse here — their
+    * layout and manifest schema must survive compaction, which is
+    * [[compactPartitions]]' job. */
+  def compact(spark: SparkSession, root: String, numFiles: Int = 1,
+      maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = versions(root).lastOption.getOrElse(
+        throw new IllegalStateException(s"no committed version under $root"))
+      if (manifestParts(root, base).nonEmpty)
+        throw new IllegalStateException(
+          s"$root v$base is partitioned; compact() would flatten its " +
+            "layout and drop its manifest schema — use compactPartitions()")
+      val df = readAt(spark, root, base).coalesce(numFiles)
+      try return commitOnce(df, root, overwrite = true, expected = base)
+      catch { case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e }
+    }
+    -1 // unreachable
+  }
+
+  /** Partition-scoped OPTIMIZE — the maintenance loop for tables
+    * written by [[commitPartitions]]: rewrite ONLY partitions whose
+    * live file count exceeds `maxFilesPerPart` (or that span several
+    * dirs), carry every untouched partition's dirs into the new
+    * manifest verbatim, and carry the manifest SCHEMA forward so an
+    * evolving table's restart-reload contract survives its own
+    * maintenance. One Spark job regardless of how many partitions are
+    * over budget: each row's partition is recovered from its file
+    * path (`pid=` is the on-disk layout invariant of
+    * [[stagePartitioned]]), so no knowledge of the writer's key→pid
+    * hash is needed. Rebase-on-race as in [[compact]]: every attempt
+    * re-resolves the head manifest and restages from it. Returns the
+    * rewritten partition labels (empty = nothing over budget, no
+    * commit). */
+  def compactPartitions(spark: SparkSession, root: String,
+      maxFilesPerPart: Int = 1, tasksPerWrite: Int = 0,
+      maxAttempts: Int = 5): Seq[String] = {
+    def parquetFiles(rel: String): Int = {
+      val s = Files.walk(Paths.get(root, rel))
+      try s.iterator.asScala.count(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = versions(root).lastOption.getOrElse(
+        throw new IllegalStateException(s"no committed version under $root"))
+      val pm = manifestParts(root, base)
+      require(pm.nonEmpty,
+        s"$root v$base is unpartitioned; use compact()")
+      val over = pm.filter { case (_, ds) =>
+        ds.size > 1 || ds.map(parquetFiles).sum > maxFilesPerPart }
+      if (over.isEmpty) return Nil
+      val schema = manifestSchema(spark, root, base)
+      val dirs = over.values.flatten.toSeq.sorted
+        .map(rel => Paths.get(root, rel).toString)
+      import org.apache.spark.sql.functions.{col, regexp_extract}
+      val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+      val df = reader.parquet(dirs: _*)
+        .withColumn("pid", regexp_extract(
+          col("_metadata.file_path"), "/pid=(\\d+)/", 1).cast("int"))
+      val staged = stagePartitioned(df, root, "pid", tasksPerWrite)
+      try {
+        commitPartitionsOnce(staged, root, base,
+          schemaDdl = schema.map(_.toDDL))
+        return over.keys.toSeq.sorted
+      } catch {
+        case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e
+        // lost race: the staged dirs become vacuum debris; loop
+        // re-reads the head (racer's merge included) and restages
+      }
+    }
+    Nil // unreachable
+  }
 
   /** Time-travel retention: drop all but the last `keepLast` version
     * manifests. Data dirs are untouched until [[vacuum]] reclaims the

@@ -32,6 +32,30 @@ class BenchArtifactSpec extends AnyFunSuite {
       incumbentN = None) == "bench_latest.json")
   }
 
+  test("a different scale factor never replaces the record (r12 clobber)") {
+    // the exact r12 incident: full-suite verify smoke at sf0.01 vs the
+    // incumbent sf0.1 record — width passes, SF must block
+    assert(Bench.artifactTarget(filtered = false, nQueries = 195,
+      incumbentN = Some(195), sfDir = "/root/testdata/sf0.01",
+      incumbentSf = Some("/root/testdata/sf0.1")) == "bench_dev.json")
+    // same SF still replaces; no incumbent stamp doesn't block
+    assert(Bench.artifactTarget(filtered = false, nQueries = 195,
+      incumbentN = Some(195), sfDir = "/root/testdata/sf0.1",
+      incumbentSf = Some("/root/testdata/sf0.1")) == "bench_latest.json")
+    assert(Bench.artifactTarget(filtered = false, nQueries = 195,
+      incumbentN = Some(195), sfDir = "/root/testdata/sf0.1",
+      incumbentSf = None) == "bench_latest.json")
+  }
+
+  test("incumbent sf stamp reads back; absent file reads None") {
+    val stamped = Files.createTempFile("bench", ".json")
+    Files.writeString(stamped,
+      """{"metric":"total","n_queries":195,"sf":"/root/testdata/sf0.1"}""")
+    assert(Bench.incumbentSfDir(stamped).contains("/root/testdata/sf0.1"))
+    assert(Bench.incumbentSfDir(
+      java.nio.file.Paths.get("/nonexistent/bench.json")).isEmpty)
+  }
+
   test("incumbent width reads the n_queries stamp, else counts legacy keys") {
     val stamped = Files.createTempFile("bench", ".json")
     Files.writeString(stamped,
