@@ -105,6 +105,40 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
     p
   }
 
+  /** Start a named EVOLVING pipeline — raw JSON change records merged
+    * through [[SchemaEvolution.mergeEvolvingJson]]'s per-batch heal
+    * into a schema-widening target. The reference's manager runs
+    * drifting pipelines under the same monitors as fixed-schema ones
+    * (schema self-heal is a destination property, not a pipeline
+    * kind — schema_cache.rs); here likewise: same scoped lag
+    * listener, breaker, and sweep surface as [[startCdc]]. */
+  def startEvolving(
+      name: String,
+      raw: Dataset[String],
+      target: EvolvingCdcTarget,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      breaker: CircuitBreaker = new CircuitBreaker(),
+      warnBatchMillis: Long = 10000,
+      dangerBatchMillis: Long = 30000): Pipeline = synchronized {
+    require(!pipelines.get(name).exists(_.query.isActive),
+      s"pipeline '$name' is already running")
+    pipelines.remove(name).foreach(old =>
+      spark.streams.removeListener(old.listener))
+    val listener = new LagListener(warnBatchMillis, dangerBatchMillis)
+    spark.streams.addListener(listener)
+    val query =
+      try SchemaEvolution.mergeEvolvingJson(raw, target, checkpoint, trigger,
+        breaker = Some(breaker))
+      catch { case e: Throwable =>
+        spark.streams.removeListener(listener); throw e
+      }
+    listener.bindTo(query.id)
+    val p = Pipeline(name, query, listener, breaker)
+    pipelines.put(name, p)
+    p
+  }
+
   def get(name: String): Option[Pipeline] = pipelines.get(name)
 
   /** Names of every registered pipeline (live or dead — pair with

@@ -198,6 +198,25 @@ class PipelineRegistry(url: String, table: String = "graft_pipelines") {
       mgr.startCdc(spec.name, events, target, spec.checkpoint, drift = gate); ()
     }
 
+  /** [[reconcile]] for EVOLVING pipelines — raw JSON change streams
+    * into schema-widening targets via
+    * [[PipelineManager.startEvolving]]: the reference manages
+    * drifting pipelines through the same desired-state machinery as
+    * fixed-schema ones (the self-heal lives at the destination,
+    * schema_cache.rs), so a drift-prone source is enabled, disabled,
+    * crash-reconverged, and swept exactly like any other registry
+    * row — and on re-start the target's restart-reload contract
+    * (manifest/DB schema) means the reborn pipeline keeps every
+    * column the stream ever gained. */
+  def reconcileEvolving(mgr: PipelineManager)(
+      build: PipelineSpec =>
+        (org.apache.spark.sql.Dataset[String], EvolvingCdcTarget))
+      : ReconcileReport =
+    reconcileCore(mgr) { spec =>
+      val (raw, target) = build(spec)
+      mgr.startEvolving(spec.name, raw, target, spec.checkpoint); ()
+    }
+
   /** [[reconcile]] for MULTI-TABLE demux pipelines: the builder
     * resolves a spec to one multiplexed change stream plus its
     * per-table targets, started through [[PipelineManager.startDemux]]

@@ -48,12 +48,20 @@ object SchemaEvolution {
     * from) into an evolving target. Each batch's schema is inferred
     * from its own payloads, healed against the target, then merged —
     * a mid-stream batch that gains a column widens the target and
-    * keeps flowing instead of failing the sink. */
+    * keeps flowing instead of failing the sink.
+    *
+    * Breaker/retry order mirrors [[CdcStream.mergeInto]]: retries
+    * burn INSIDE the breaker, so only an exhausted retry counts as a
+    * breaker failure. The heal sits inside the retry too — it is
+    * idempotent (a re-run finds no new columns), and a target whose
+    * widen itself failed transiently re-heals on the retry. */
   def mergeEvolvingJson(
       raw: Dataset[String],
       target: EvolvingCdcTarget,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      breaker: Option[CircuitBreaker] = None,
+      mergeAttempts: Int = 1): StreamingQuery =
     raw.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -61,7 +69,10 @@ object SchemaEvolution {
       .foreachBatch { (batch: Dataset[String], batchId: Long) =>
         if (!batch.isEmpty) {
           val parsed = batch.sparkSession.read.json(batch)
-          target.merge(batchId, heal(target, parsed))
+          def run(): Unit = Retry.withBackoff(mergeAttempts) {
+            target.merge(batchId, heal(target, parsed))
+          }
+          breaker.fold(run())(_.protect(run()))
         }
       }
       .start()
