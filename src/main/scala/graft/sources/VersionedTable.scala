@@ -465,7 +465,9 @@ object VersionedTable {
     * commit). */
   def compactPartitions(spark: SparkSession, root: String,
       maxFilesPerPart: Int = 1, tasksPerWrite: Int = 0,
-      maxAttempts: Int = 5): Seq[String] = {
+      maxAttempts: Int = 5,
+      meter: Option[graft.streaming.EgressMeter] = None,
+      pipeline: String = "default"): Seq[String] = {
     def parquetFiles(rel: String): Int = {
       val s = Files.walk(Paths.get(root, rel))
       try s.iterator.asScala.count(p => Files.isRegularFile(p) &&
@@ -492,6 +494,11 @@ object VersionedTable {
         .withColumn("pid", regexp_extract(
           col("_metadata.file_path"), "/pid=(\\d+)/", 1).cast("int"))
       val staged = stagePartitioned(df, root, "pid", tasksPerWrite)
+      // meter per attempt: a lost race's staged dirs are real bytes
+      // physically written (vacuum reclaims files, not the bill) —
+      // same accounting rule as commitOnce's table_copy path
+      meter.foreach(_.add(pipeline, root, "table_copy",
+        stagedPartBytes(root, staged)))
       try {
         commitPartitionsOnce(staged, root, base,
           schemaDdl = schema.map(_.toDDL))

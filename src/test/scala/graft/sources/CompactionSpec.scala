@@ -164,6 +164,96 @@ class CompactionSpec extends SparkSpec {
       .apply(1L).getAs[String]("note") == "n1")
   }
 
+  test("compaction bytes are metered as table_copy egress") {
+    val root = freshRoot()
+    multiFileTable(root)
+    val meter = new graft.streaming.EgressMeter
+    val rewritten = VersionedTable.compactPartitions(spark, root,
+      meter = Some(meter), pipeline = "maint")
+    assert(rewritten.nonEmpty)
+    val billed = meter.bytes("maint", root, "table_copy")
+    // exact contract: billed = on-disk bytes of the rewritten
+    // partitions' new dirs (the staged data that got published)
+    val newBytes = VersionedTable.parts(root)
+      .filter { case (k, _) => rewritten.contains(k) }
+      .values.flatten.map { rel =>
+        val w = Files.walk(Paths.get(root, rel))
+        try w.iterator.asScala.filter(Files.isRegularFile(_))
+          .map(Files.size(_)).sum
+        finally w.close()
+      }.sum
+    assert(billed == newBytes, s"billed $billed != staged $newBytes")
+  }
+
+  test("compact rebases on a racing append: the racer's rows survive") {
+    // The r12 fix under test: the old compact retried its OVERWRITE at
+    // the new head with the pre-race snapshot, dropping a concurrent
+    // append's rows from latest. Here a writer thread appends rows
+    // while the main thread compacts in a loop — every append must be
+    // in the final snapshot no matter how the commits interleave.
+    // (Compaction attempts take ~0.5s between version-read and link;
+    // appends land inside that window nearly every time.)
+    val root = freshRoot()
+    VersionedTable.commit(
+      s.range(0, 50).toDF("id"), root, overwrite = true)
+    val appended = 8
+    val writer = new Thread(() => {
+      for (i <- 1 to appended) {
+        VersionedTable.commit(
+          Seq(1000L + i).toDF("id"), root, maxAttempts = 50)
+      }
+    })
+    writer.start()
+    try {
+      while (writer.isAlive) {
+        VersionedTable.compact(spark, root, maxAttempts = 50)
+      }
+    } finally writer.join()
+    VersionedTable.compact(spark, root, maxAttempts = 50)
+    val ids = VersionedTable.read(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    val want = (0L until 50L).toSet ++ (1L to appended.toLong).map(1000L + _)
+    assert(ids == want,
+      s"lost rows: ${want -- ids}; phantom rows: ${ids -- want}")
+  }
+
+  test("compactPartitions rebases on a racing merge: merged state survives") {
+    // Single merge writer + concurrent compaction — the documented
+    // safe pairing (compaction is data-identical, so the merge's
+    // staged content stays valid whichever side wins each race; the
+    // loser rebases). Final state must equal the sequential merge
+    // outcome exactly.
+    val root = freshRoot()
+    val target = new PartitionedTableCdcTarget(spark, root, P)
+    target.merge(0, (1L to 60L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+    val batches = (1 to 6).map { b =>
+      b.toLong -> (1L to 10L).map(i => ap(b * 10L + i, 1000L * b + i,
+        50000L * b + i, b * 100.0 + i))
+    }
+    val writer = new Thread(() => {
+      batches.foreach { case (id, rows) => target.merge(id, rows.toDS()) }
+    })
+    writer.start()
+    try {
+      while (writer.isAlive) {
+        // maxFilesPerPart=0: every populated partition is always over
+        // budget, so each loop turn really rewrites under the merge
+        VersionedTable.compactPartitions(spark, root,
+          maxFilesPerPart = 0, maxAttempts = 50)
+      }
+    } finally writer.join()
+    val got = target.snapshot.as[CdcApplied].collect()
+      .map(r => r.user_id -> r).toMap
+    // sequential oracle: replay the same batches on a quiet table
+    val quiet = freshRoot()
+    val t2 = new PartitionedTableCdcTarget(spark, quiet, P)
+    t2.merge(0, (1L to 60L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+    batches.foreach { case (id, rows) => t2.merge(id, rows.toDS()) }
+    val want = t2.snapshot.as[CdcApplied].collect()
+      .map(r => r.user_id -> r).toMap
+    assert(got == want, "concurrent compaction diverged from sequential merges")
+  }
+
   test("expire + vacuum reclaim pre-compaction dirs, never live ones") {
     val root = freshRoot()
     val target = multiFileTable(root)
