@@ -512,6 +512,90 @@ object VersionedTable {
     Nil // unreachable
   }
 
+  /** Incremental CHANGE FEED between two committed versions — the
+    * Delta CDF / Iceberg incremental-scan analog, the read-side
+    * complement of the partition-scoped merge: downstream consumers
+    * get the keyed delta without snapshot-diffing the table.
+    *
+    * PARTITION-PRUNED: for partitioned manifests only the partitions
+    * whose dir set CHANGED between the two versions are read (an
+    * untouched partition cannot contain a changed row — its files are
+    * write-once), so the scan is O(changed partitions), table-size
+    * independent — the property that makes a change feed usable at
+    * 100 TB. Flat manifests fall back to a full two-snapshot diff.
+    *
+    * Both sides are read under `toV`'s manifest schema when one is
+    * stored (evolving tables): pre-widen rows serve the added columns
+    * as NULLs, so a schema widen alone never fabricates a change.
+    * Rows are compared null-safely over all non-pk columns:
+    *  - pk present only in `toV`  → `insert` (post-image)
+    *  - pk present only in `fromV`→ `delete` (pre-image)
+    *  - pk in both, row differs  → `update` (post-image)
+    *  - pk in both, row equal    → no emission — a compaction or
+    *    data-identical rewrite produces ZERO phantom changes.
+    * (CDC-target tables tombstone via their own is_deleted flag, so
+    * their deletes surface as updates; the `delete` class covers
+    * true row removal by overwrite commits.) */
+  def changes(spark: SparkSession, root: String, fromV: Int, toV: Int,
+      pk: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val pmFrom = manifestParts(root, fromV)
+    val pmTo = manifestParts(root, toV)
+    val schema = manifestSchema(spark, root, toV)
+    def readDirs(rels: Seq[String]): Option[DataFrame] =
+      if (rels.isEmpty) None
+      else {
+        val paths = rels.map(rel => Paths.get(root, rel).toString)
+        Some(schema.map(spark.read.schema(_)).getOrElse(spark.read)
+          .parquet(paths: _*))
+      }
+    val (oldDf, newDf) =
+      if (pmFrom.nonEmpty && pmTo.nonEmpty) {
+        // prune: a label reads only if its dir set moved (covers
+        // replaced, added, and removed partitions)
+        val labels = (pmFrom.keySet ++ pmTo.keySet)
+          .filter(l => pmFrom.get(l) != pmTo.get(l)).toSeq.sorted
+        (readDirs(labels.flatMap(pmFrom.getOrElse(_, Nil))),
+          readDirs(labels.flatMap(pmTo.getOrElse(_, Nil))))
+      } else
+        // flat (or migration-boundary) fallback: full two-snapshot
+        // diff, both sides still under toV's schema via readDirs
+        (readDirs(manifestDirs(root, fromV)),
+          readDirs(manifestDirs(root, toV)))
+    (oldDf, newDf) match {
+      case (None, None) =>
+        // no partition moved: an empty typed frame under the table
+        // schema + change column
+        readAt(spark, root, toV).limit(0)
+          .withColumn("_change_type", lit(""))
+      case _ =>
+        val base = oldDf.orElse(newDf).get
+        val cols = base.columns.toSeq
+        val dataCols = cols.filterNot(_ == pk)
+        def keyed(df: Option[DataFrame], side: String): DataFrame =
+          df.getOrElse(base.limit(0))
+            .select(col(pk), struct(cols.map(col): _*).as(side))
+        val o = keyed(oldDf, "o_img")
+        val n = keyed(newDf, "n_img")
+        val oData = struct(dataCols.map(c => col(s"o_img.$c")): _*)
+        val nData = struct(dataCols.map(c => col(s"n_img.$c")): _*)
+        o.join(n, Seq(pk), "full_outer")
+          .withColumn("_change_type",
+            when(col("o_img").isNull, lit("insert"))
+              .when(col("n_img").isNull, lit("delete"))
+              .when(!(oData <=> nData), lit("update")))
+          .filter(col("_change_type").isNotNull)
+          // image side is chosen PER ROW (pre-image only for deletes)
+          // — a per-column coalesce would resurrect the old value
+          // when an update legitimately writes NULL into a column
+          .select((cols.map(c =>
+            when(col("n_img").isNull, col(s"o_img.$c"))
+              .otherwise(col(s"n_img.$c")).as(c)) :+
+            col("_change_type")): _*)
+    }
+  }
+
   /** Time-travel retention: drop all but the last `keepLast` version
     * manifests. Data dirs are untouched until [[vacuum]] reclaims the
     * now-unreferenced ones — the two-step (expire, then vacuum after
