@@ -255,7 +255,8 @@ object VersionedTable {
       expected: Int, overwriteAll: Boolean = false,
       txn: Option[Long] = None, schemaDdl: Option[String] = None,
       meter: Option[graft.streaming.EgressMeter] = None,
-      pipeline: String = "default"): Int = {
+      pipeline: String = "default",
+      dropParts: Set[String] = Set.empty): Int = {
     Files.createDirectories(versionsDir(root))
     val next = expected + 1
     val prev: Map[String, Seq[String]] =
@@ -269,7 +270,12 @@ object VersionedTable {
               "every live key)")
         pm
       }
-    val mergedParts = prev ++ stagedParts.view.mapValues(Seq(_)).toMap
+    // dropParts: partitions whose merge result is EMPTY — a staged
+    // write emits no dir for a row-less partition, so without an
+    // explicit drop the previous dir would ride into the new manifest
+    // and its (all-deleted) rows resurrect
+    val mergedParts = (prev -- dropParts) ++
+      stagedParts.view.mapValues(Seq(_)).toMap
     meter.foreach(_.add(pipeline, root,
       if (txn.isDefined) "streaming" else "table_copy",
       stagedPartBytes(root, stagedParts)))
@@ -295,7 +301,8 @@ object VersionedTable {
       batchId: Long, overwriteAll: Boolean = false,
       schemaDdl: Option[String] = None, maxAttempts: Int = 5,
       meter: Option[graft.streaming.EgressMeter] = None,
-      pipeline: String = "default"): Option[Int] = {
+      pipeline: String = "default",
+      dropParts: Set[String] = Set.empty): Option[Int] = {
     // meter ONCE, outside the retry loop: the staged dirs are written
     // exactly once by the caller — a retried commit relinks the same
     // bytes and must not bill them again (commitOnce meters per
@@ -308,7 +315,8 @@ object VersionedTable {
       if (committedTxns(root).contains(batchId)) return None
       val base = versions(root).lastOption.getOrElse(0)
       try return Some(commitPartitionsOnce(stagedParts, root, base,
-        overwriteAll, txn = Some(batchId), schemaDdl = schemaDdl))
+        overwriteAll, txn = Some(batchId), schemaDdl = schemaDdl,
+        dropParts = dropParts))
       catch { case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e }
     }
     None // unreachable
