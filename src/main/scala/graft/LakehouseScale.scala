@@ -36,7 +36,79 @@ object LakehouseScale {
     finally w.close()
   }
 
+  /** Follower leg: measure the change-feed consumer's per-tick cost
+    * as the SOURCE table grows — bytes written at the destination and
+    * files scanned by the diff must track the (constant) batch, not
+    * the table, or the "O(changed partitions)" claim is talk.
+    * Usage: runMain graft.LakehouseScale follower [out.json] */
+  private def followerLeg(spark: org.apache.spark.sql.SparkSession,
+      out: String): Unit = {
+    import spark.implicits._
+    import graft.streaming.TableFollower
+    import graft.sources.VersionedTable
+    val updateKeys = 32
+    val updateBatches = 5
+    val rng = new scala.util.Random(7)
+    val rows = Seq.newBuilder[String]
+    for (tableKeys <- Seq(10000, 30000, 100000, 300000)) {
+      val p = math.max(16, tableKeys / 800)
+      val srcRoot = Files.createTempDirectory(s"tf_src_$tableKeys").toString
+      val dstRoot = Files.createTempDirectory(s"tf_dst_$tableKeys").toString
+      val src = new graft.streaming.PartitionedTableCdcTarget(
+        spark, srcRoot, p)
+      src.merge(0, (1L to tableKeys.toLong)
+        .map(k => ap(k, k, 1000L + k, k.toDouble)).toDS())
+      val follower = new TableFollower(spark, srcRoot, dstRoot, "user_id", p)
+      follower.tick() // bootstrap (full copy, not part of the measure)
+      var dstBytes = 0L; var scannedFiles = 0L; var scannedBytes = 0L
+      for (b <- 1 to updateBatches) {
+        val batch = Seq.fill(updateKeys)(rng.nextInt(tableKeys).toLong + 1L)
+          .distinct
+          .map(k => ap(k, 1000000L * b + k, 10000000L * b + k, -k.toDouble))
+        src.merge(b.toLong, batch.toDS())
+        val from = follower.cursor
+        val head = VersionedTable.versions(srcRoot).last
+        val diff = VersionedTable.changes(spark, srcRoot, from, head,
+          "user_id")
+        val files = diff.inputFiles
+        scannedFiles += files.length
+        scannedBytes += files.map(f => java.nio.file.Files.size(
+          Paths.get(new java.net.URI(f)))).sum
+        val d0 = dataBytes(dstRoot)
+        follower.tick()
+        dstBytes += dataBytes(dstRoot) - d0
+      }
+      val srcTotal = dataBytes(srcRoot)
+      println(s"[follower-scale] rows=$tableKeys P=$p " +
+        s"dst=${dstBytes / updateBatches} B/tick " +
+        s"scan=${scannedBytes / updateBatches} B/tick " +
+        s"(src table $srcTotal B)")
+      rows += s"""{"table_rows":$tableKeys,"partitions":$p,""" +
+        s""""batch_keys":$updateKeys,""" +
+        s""""dst_bytes_per_tick":${dstBytes / updateBatches},""" +
+        s""""scan_bytes_per_tick":${scannedBytes / updateBatches},""" +
+        s""""scan_files_per_tick":${scannedFiles / updateBatches},""" +
+        s""""src_table_bytes":$srcTotal}"""
+      // equality witness after the replay
+      val a = VersionedTable.read(spark, srcRoot)
+        .orderBy("user_id").collect().toSeq
+      val b2 = follower.snapshot.orderBy("user_id").collect().toSeq
+      require(a == b2, s"follower diverged from source at $tableKeys")
+    }
+    val json =
+      s"""{"metric":"follower_tick_cost","unit":"bytes_per_tick","update_keys":$updateKeys,"tables":[${rows.result().mkString(",")}]}"""
+    println(json)
+    Files.write(Paths.get(out), (json + "\n").getBytes("UTF-8"))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("follower")) {
+      val out = args.drop(1).headOption.getOrElse("SCALE_FOLLOWER_r12.json")
+      val spark = Engine.session("graft-follower-scale")
+      followerLeg(spark, out)
+      spark.stop()
+      return
+    }
     val out = args.headOption.getOrElse("SCALE_LAKEHOUSE_r12.json")
     val spark = Engine.session("graft-lakehouse-scale")
     import spark.implicits._
