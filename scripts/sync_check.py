@@ -100,8 +100,21 @@ def main():
             ok = False
             print(f"  FAILED markers: {sorted(failed)}")
         ok &= diff("survey", sq, "queries", vq)
+        # oracle leg: every registered query needs an oracleSql entry
+        # EXCEPT the declared rows-only digest ops (no DuckDB twin by
+        # design -- each is bound to its exact twin by an invariant
+        # spec; see VERDICT r11's "no_oracle by design" rows)
+        ROWS_ONLY = {"q_approx_distinct", "q_approx_percentiles",
+                     "ft_quantile_bins_approx", "ev_inter_event_approx"}
+        ok &= diff("queries-needing-oracle", vq - ROWS_ONLY,
+                   "oracle_sql", oracles - ROWS_ONLY)
+        stray = ROWS_ONLY - vq
+        if stray:
+            ok = False
+            print(f"  DRIFT rows-only allowlist names unknown: {sorted(stray)}")
     else:
-        print("verify outdir absent -- skipping registered-queries leg")
+        print("verify outdir absent -- skipping registered-queries leg "
+              "(pass a Verify output dir to run the oracle-coverage leg)")
 
     if correctness and os.path.isfile(correctness):
         cq = correctness_queries(correctness)

@@ -38,15 +38,18 @@ object Bench {
     * queries than the incumbent record, and any run at a DIFFERENT
     * scale factor than the incumbent (r12: a full-suite sf0.01 verify
     * smoke clobbered the sf0.1 record through the width-only guard —
-    * same defect, different axis) write `bench_dev.json`; only a
-    * full-suite run at least as wide as the incumbent AND at its
-    * scale factor may replace `bench_latest.json`. Retargeting the
-    * record to a new SF is an explicit act: remove the incumbent.
-    * Pure so the spec can pin it. */
+    * same defect, different axis), and any run with ERRORED queries
+    * (its total sums only the successes — an artificially fast
+    * "record", third axis of the same defect) write `bench_dev.json`;
+    * only a clean full-suite run at least as wide as the incumbent
+    * AND at its scale factor may replace `bench_latest.json`.
+    * Retargeting the record to a new SF is an explicit act: remove
+    * the incumbent. Pure so the spec can pin it. */
   private[graft] def artifactTarget(
       filtered: Boolean, nQueries: Int, incumbentN: Option[Int],
-      sfDir: String = "", incumbentSf: Option[String] = None): String =
-    if (filtered || incumbentN.exists(_ > nQueries) ||
+      sfDir: String = "", incumbentSf: Option[String] = None,
+      hadErrors: Boolean = false): String =
+    if (filtered || hadErrors || incumbentN.exists(_ > nQueries) ||
         incumbentSf.exists(_ != sfDir)) "bench_dev.json"
     else "bench_latest.json"
 
@@ -180,7 +183,8 @@ object Bench {
     // round's full-suite record (artifactTarget's contract).
     val incumbent = java.nio.file.Paths.get("bench_latest.json")
     val target = artifactTarget(filtered, names.size,
-      incumbentQueryCount(incumbent), sfDir, incumbentSfDir(incumbent))
+      incumbentQueryCount(incumbent), sfDir, incumbentSfDir(incumbent),
+      hadErrors = errors.nonEmpty)
     if (target != "bench_latest.json")
       System.err.println(s"[bench] partial/narrower run -> $target " +
         "(bench_latest.json preserved)")

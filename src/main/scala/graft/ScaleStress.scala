@@ -581,9 +581,13 @@ object ScaleStress {
           s""""ratio":${num(ratio)},"over_2x_linear":$flag}""")
       } catch { case e: Throwable =>
         System.err.println(s"[scale] sweep FAILED $q: ${e.getMessage}")
-        Some(s"""{"query":"$q","error":${"\""}${Option(e.getMessage)
+        // control chars (tabs in Spark plan fragments!) must not
+        // reach the JSON raw — same rule as Verify's escaper
+        val msg = Option(e.getMessage)
           .getOrElse(e.getClass.getName).linesIterator.take(1)
-          .mkString.take(200).replace("\\", "\\\\").replace("\"", "'")}${"\""}}""")
+          .mkString.take(200).replace("\\", "\\\\").replace("\"", "'")
+          .map(c => if (c < ' ') ' ' else c)
+        Some(s"""{"query":"$q","error":${"\""}$msg${"\""}}""")
       }
     }
     java.nio.file.Files.write(

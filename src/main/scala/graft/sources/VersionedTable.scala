@@ -102,6 +102,24 @@ object VersionedTable {
     versions(root).lastOption
       .map(manifestParts(root, _)).getOrElse(Map.empty)
 
+  /** The reserved internal partition-column name writers attach while
+    * staging. NOT a legal data column: a source row carrying it would
+    * be silently clobbered by the key-hash. */
+  val PidCol = "__graft_pid"
+
+  private def partCountAt(root: String, v: Int): Option[Int] =
+    "\"nparts\":(\\d+)".r.findFirstMatchIn(
+      Files.readString(versionFile(root, v))).map(_.group(1).toInt)
+
+  /** The key-hash partition COUNT recorded by the latest manifest —
+    * table state, not process config: a writer/follower must hash
+    * with the count the table was laid out under, or a restart with
+    * a different configured count silently splits keys across
+    * partitions (stale rows stop being replaced). None for flat
+    * tables and manifests that predate the stamp. */
+  def partCount(root: String): Option[Int] =
+    versions(root).lastOption.flatMap(partCountAt(root, _))
+
   /** Table schema carried by version `v`'s manifest (evolving tables
     * only — see [[commitPartitions]]' schemaDdl): the read schema that
     * makes files written BEFORE a widen serve the added columns as
@@ -120,9 +138,11 @@ object VersionedTable {
   private def writeManifest(root: String, v: Int, op: String,
       dirs: Seq[String], txn: Option[Long],
       parts: Option[Map[String, Seq[String]]] = None,
-      schemaDdl: Option[String] = None): Path = {
+      schemaDdl: Option[String] = None,
+      nParts: Option[Int] = None): Path = {
     val txnField = txn.fold("")(id => s""""txn":$id,""")
     val schemaField = schemaDdl.fold("")(d => s""""schema":"${jsonEsc(d)}",""")
+    val nPartsField = nParts.fold("")(n => s""""nparts":$n,""")
     val body = parts match {
       case None =>
         dirs.map("\"" + _ + "\"").mkString(
@@ -132,7 +152,7 @@ object VersionedTable {
         pm.toSeq.sortBy(_._1.toInt).map { case (k, ds) =>
           "\"" + k + "\":[" + ds.map("\"" + _ + "\"").mkString(",") + "]"
         }.mkString(
-          s"""{"version":$v,"op":"$op",$txnField$schemaField"parts":{""",
+          s"""{"version":$v,"op":"$op",$txnField$schemaField$nPartsField"parts":{""",
           ",", "}}")
     }
     val tmp = versionsDir(root).resolve(s".tmp-${UUID.randomUUID()}")
@@ -256,7 +276,8 @@ object VersionedTable {
       txn: Option[Long] = None, schemaDdl: Option[String] = None,
       meter: Option[graft.streaming.EgressMeter] = None,
       pipeline: String = "default",
-      dropParts: Set[String] = Set.empty): Int = {
+      dropParts: Set[String] = Set.empty,
+      nParts: Option[Int] = None): Int = {
     Files.createDirectories(versionsDir(root))
     val next = expected + 1
     val prev: Map[String, Seq[String]] =
@@ -279,9 +300,17 @@ object VersionedTable {
     meter.foreach(_.add(pipeline, root,
       if (txn.isDefined) "streaming" else "table_copy",
       stagedPartBytes(root, stagedParts)))
+    // the partition count is table state: carry the previous
+    // manifest's stamp forward whenever the caller doesn't supply one
+    // (compaction, metadata-only commits), so it survives every
+    // commit after the first writer records it
+    val carriedN = nParts.orElse(
+      if (overwriteAll || expected == 0) None
+      else partCountAt(root, expected))
     val tmp = writeManifest(root, next,
       if (overwriteAll) "overwrite_parts" else "merge_parts",
-      Nil, txn, parts = Some(mergedParts), schemaDdl = schemaDdl)
+      Nil, txn, parts = Some(mergedParts), schemaDdl = schemaDdl,
+      nParts = carriedN)
     try Files.createLink(versionFile(root, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.delete(tmp)
@@ -302,7 +331,8 @@ object VersionedTable {
       schemaDdl: Option[String] = None, maxAttempts: Int = 5,
       meter: Option[graft.streaming.EgressMeter] = None,
       pipeline: String = "default",
-      dropParts: Set[String] = Set.empty): Option[Int] = {
+      dropParts: Set[String] = Set.empty,
+      nParts: Option[Int] = None): Option[Int] = {
     // meter ONCE, outside the retry loop: the staged dirs are written
     // exactly once by the caller — a retried commit relinks the same
     // bytes and must not bill them again (commitOnce meters per
@@ -316,7 +346,7 @@ object VersionedTable {
       val base = versions(root).lastOption.getOrElse(0)
       try return Some(commitPartitionsOnce(stagedParts, root, base,
         overwriteAll, txn = Some(batchId), schemaDdl = schemaDdl,
-        dropParts = dropParts))
+        dropParts = dropParts, nParts = nParts))
       catch { case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e }
     }
     None // unreachable
@@ -498,10 +528,13 @@ object VersionedTable {
         .map(rel => Paths.get(root, rel).toString)
       import org.apache.spark.sql.functions.{col, regexp_extract}
       val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+      // recovery column uses the RESERVED name: a data column named
+      // "pid" is legal and must not be clobbered by the path-derived
+      // partition label
       val df = reader.parquet(dirs: _*)
-        .withColumn("pid", regexp_extract(
+        .withColumn(PidCol, regexp_extract(
           col("_metadata.file_path"), "/pid=(\\d+)/", 1).cast("int"))
-      val staged = stagePartitioned(df, root, "pid", tasksPerWrite)
+      val staged = stagePartitioned(df, root, PidCol, tasksPerWrite)
       // meter per attempt: a lost race's staged dirs are real bytes
       // physically written (vacuum reclaims files, not the bill) —
       // same accounting rule as commitOnce's table_copy path
@@ -548,6 +581,11 @@ object VersionedTable {
       pk: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, struct, when}
     require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val vs = versions(root)
+    Seq(fromV, toV).foreach(v => require(vs.contains(v),
+      s"$root has no retained version $v (expired or never committed) — " +
+        "re-bootstrap from a full snapshot (TableFollower does this " +
+        "automatically)"))
     val pmFrom = manifestParts(root, fromV)
     val pmTo = manifestParts(root, toV)
     val schema = manifestSchema(spark, root, toV)

@@ -41,6 +41,36 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
     * otherwise stay registered forever). Synchronized so concurrent
     * same-name starts cannot both pass the liveness check and orphan
     * a running query. */
+  /** The shared register/start/bind sequence of every start* entry
+    * point: liveness check, dead-registration listener release, query
+    * start with listener cleanup on a throwing builder, post-start
+    * id binding (the id exists only after start(); progress events
+    * are delivered async after a batch completes, so binding here
+    * precedes the first event in practice — an unscoped listener
+    * would merely over-count a batch from a sibling pipeline in that
+    * window). One body, not three — a fix to the leak/error path
+    * applies everywhere. */
+  private def register(name: String, warnBatchMillis: Long,
+      dangerBatchMillis: Long, breaker: CircuitBreaker,
+      drift: Option[DriftGate])(
+      start: LagListener => StreamingQuery): Pipeline = synchronized {
+    require(!pipelines.get(name).exists(_.query.isActive),
+      s"pipeline '$name' is already running")
+    pipelines.remove(name).foreach(old =>
+      spark.streams.removeListener(old.listener))
+    val listener = new LagListener(warnBatchMillis, dangerBatchMillis)
+    spark.streams.addListener(listener)
+    val query =
+      try start(listener)
+      catch { case e: Throwable =>
+        spark.streams.removeListener(listener); throw e
+      }
+    listener.bindTo(query.id)
+    val p = Pipeline(name, query, listener, breaker, drift)
+    pipelines.put(name, p)
+    p
+  }
+
   def startCdc(
       name: String,
       events: Dataset[CdcEvent],
@@ -50,28 +80,10 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
       breaker: CircuitBreaker = new CircuitBreaker(),
       warnBatchMillis: Long = 10000,
       dangerBatchMillis: Long = 30000,
-      drift: Option[DriftGate] = None): Pipeline = synchronized {
-    require(!pipelines.get(name).exists(_.query.isActive),
-      s"pipeline '$name' is already running")
-    pipelines.remove(name).foreach(old =>
-      spark.streams.removeListener(old.listener))
-    val listener = new LagListener(warnBatchMillis, dangerBatchMillis)
-    spark.streams.addListener(listener)
-    val query =
-      try CdcStream.mergeInto(events, target, checkpoint, trigger,
-        breaker = Some(breaker), drift = drift)
-      catch { case e: Throwable =>
-        spark.streams.removeListener(listener); throw e
-      }
-    // the id exists only after start(); progress events are delivered
-    // async after a batch completes, so binding here precedes the
-    // first event in practice — an unscoped listener would merely
-    // over-count a batch from a sibling pipeline in that window
-    listener.bindTo(query.id)
-    val p = Pipeline(name, query, listener, breaker, drift)
-    pipelines.put(name, p)
-    p
-  }
+      drift: Option[DriftGate] = None): Pipeline =
+    register(name, warnBatchMillis, dangerBatchMillis, breaker, drift)(_ =>
+      CdcStream.mergeInto(events, target, checkpoint, trigger,
+        breaker = Some(breaker), drift = drift))
 
   /** Start a named MULTI-TABLE demux pipeline (one replication slot →
     * many table targets, the reference's per-source worker shape) —
@@ -86,24 +98,10 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
       breaker: CircuitBreaker = new CircuitBreaker(),
       onUnrouted: Long => Unit = _ => (),
       warnBatchMillis: Long = 10000,
-      dangerBatchMillis: Long = 30000): Pipeline = synchronized {
-    require(!pipelines.get(name).exists(_.query.isActive),
-      s"pipeline '$name' is already running")
-    pipelines.remove(name).foreach(old =>
-      spark.streams.removeListener(old.listener))
-    val listener = new LagListener(warnBatchMillis, dangerBatchMillis)
-    spark.streams.addListener(listener)
-    val query =
-      try CdcDemux.mergeInto(events, targets, checkpoint, trigger,
-        onUnrouted, breaker = Some(breaker))
-      catch { case e: Throwable =>
-        spark.streams.removeListener(listener); throw e
-      }
-    listener.bindTo(query.id)
-    val p = Pipeline(name, query, listener, breaker)
-    pipelines.put(name, p)
-    p
-  }
+      dangerBatchMillis: Long = 30000): Pipeline =
+    register(name, warnBatchMillis, dangerBatchMillis, breaker, None)(_ =>
+      CdcDemux.mergeInto(events, targets, checkpoint, trigger,
+        onUnrouted, breaker = Some(breaker)))
 
   /** Start a named EVOLVING pipeline — raw JSON change records merged
     * through [[SchemaEvolution.mergeEvolvingJson]]'s per-batch heal
@@ -120,24 +118,10 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       breaker: CircuitBreaker = new CircuitBreaker(),
       warnBatchMillis: Long = 10000,
-      dangerBatchMillis: Long = 30000): Pipeline = synchronized {
-    require(!pipelines.get(name).exists(_.query.isActive),
-      s"pipeline '$name' is already running")
-    pipelines.remove(name).foreach(old =>
-      spark.streams.removeListener(old.listener))
-    val listener = new LagListener(warnBatchMillis, dangerBatchMillis)
-    spark.streams.addListener(listener)
-    val query =
-      try SchemaEvolution.mergeEvolvingJson(raw, target, checkpoint, trigger,
-        breaker = Some(breaker))
-      catch { case e: Throwable =>
-        spark.streams.removeListener(listener); throw e
-      }
-    listener.bindTo(query.id)
-    val p = Pipeline(name, query, listener, breaker)
-    pipelines.put(name, p)
-    p
-  }
+      dangerBatchMillis: Long = 30000): Pipeline =
+    register(name, warnBatchMillis, dangerBatchMillis, breaker, None)(_ =>
+      SchemaEvolution.mergeEvolvingJson(raw, target, checkpoint, trigger,
+        breaker = Some(breaker)))
 
   def get(name: String): Option[Pipeline] = pipelines.get(name)
 

@@ -68,40 +68,56 @@ class TableEvolvingCdcTarget(
       current.map(_.fields).getOrElse(Array.empty[StructField]) ++ widened))
   }
 
+  private val Pid = VersionedTable.PidCol
+
+  /** Table-state partition count, as in [[PartitionedTableCdcTarget]]:
+    * the manifest's stamp wins over the constructor after the first
+    * commit. */
+  private def effP: Int =
+    VersionedTable.partCount(root).getOrElse(numPartitions)
+
   override def merge(batchId: Long, rows: DataFrame): Unit = {
     val want = current.getOrElse(
       throw new IllegalStateException("merge before first addColumns"))
     require((pk +: seqCols).forall(c => want.exists(_.name == c)),
       s"schema must carry the key and sequence columns ($pk, $seqCols)")
+    // the internal partition column uses a reserved name precisely so
+    // a drifting source that grows a natural "pid" column keeps
+    // working; the reserved name itself is the one thing off-limits
+    require(!want.exists(_.name == Pid),
+      s"'$Pid' is the reserved internal partition column")
     if (VersionedTable.committedTxns(root).contains(batchId)) return
+    val p = effP
     val cols = want.fieldNames.toSeq
     val batch = rows
-      .withColumn("pid", pmod(hash(col(pk)), lit(numPartitions)))
-    val touched = batch.select("pid").distinct().collect()
-      .map(_.getInt(0)).toSet
-    if (touched.isEmpty) return
-    val parts = VersionedTable.parts(root)
-    val existing: DataFrame = {
-      val dirs = touched.toSeq.sorted
-        .flatMap(k => parts.getOrElse(k.toString, Nil))
-        .map(rel => Paths.get(root, rel).toString)
-      if (dirs.isEmpty) batch.limit(0)
-      // read the touched dirs UNDER the current (possibly just-
-      // widened) schema: pre-widen files fill the new columns with
-      // NULL here, so the union below needs no per-file surgery
-      else spark.read.schema(want).parquet(dirs: _*)
-        .withColumn("pid", pmod(hash(col(pk)), lit(numPartitions)))
-    }
-    val merged = existing.unionByName(batch)
-      .groupBy(pk)
-      .agg(max_by(
-        struct((cols :+ "pid").map(col): _*),
-        struct(seqCols.map(col): _*)).as("r"))
-      .select("r.*")
-    val staged = VersionedTable.stagePartitioned(merged, root, "pid")
-    VersionedTable.commitPartitions(staged, root, batchId,
-      schemaDdl = Some(want.toDDL))
-    ()
+      .withColumn(Pid, pmod(hash(col(pk)), lit(p))).persist()
+    try {
+      val touched = batch.select(Pid).distinct().collect()
+        .map(_.getInt(0)).toSet
+      if (touched.isEmpty) return
+      val parts = VersionedTable.parts(root)
+      val existing: DataFrame = {
+        val dirs = touched.toSeq.sorted
+          .flatMap(k => parts.getOrElse(k.toString, Nil))
+          .map(rel => Paths.get(root, rel).toString)
+        if (dirs.isEmpty) batch.limit(0)
+        // read the touched dirs UNDER the current (possibly just-
+        // widened) schema: pre-widen files fill the new columns with
+        // NULL here, so the union below needs no per-file surgery
+        else spark.read.schema(want).parquet(dirs: _*)
+          .withColumn(Pid, pmod(hash(col(pk)), lit(p)))
+      }
+      val merged = existing.unionByName(batch)
+        .groupBy(pk)
+        .agg(max_by(
+          struct((cols :+ Pid).map(col): _*),
+          struct(seqCols.map(col): _*)).as("r"))
+        .select("r.*")
+      val staged = VersionedTable.stagePartitioned(merged, root, Pid)
+      VersionedTable.commitPartitions(staged, root, batchId,
+        schemaDdl = Some(want.toDDL), nParts = Some(p))
+      ()
+    } finally batch.unpersist()
   }
 
   /** The table as of the latest commit, under its evolved schema. */

@@ -39,12 +39,19 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
     pk: String, numPartitions: Int = 32) {
   require(numPartitions > 0, "numPartitions must be positive")
 
+  private val Pid = VersionedTable.PidCol
+
   /** Last source version applied to the destination (0 = nothing). */
   def cursor: Int =
     VersionedTable.committedTxns(dstRoot).foldLeft(0L)(math.max).toInt
 
-  private def withPid(df: DataFrame): DataFrame =
-    df.withColumn("pid", pmod(hash(col(pk)), lit(numPartitions)))
+  /** Destination-manifest partition count wins over the constructor
+    * (table state, as in the CDC targets). */
+  private def effP: Int =
+    VersionedTable.partCount(dstRoot).getOrElse(numPartitions)
+
+  private def withPid(df: DataFrame, p: Int): DataFrame =
+    df.withColumn(Pid, pmod(hash(col(pk)), lit(p)))
 
   /** Apply everything committed upstream since the last tick. Returns
     * the applied (fromVersion, headVersion) window, or None when the
@@ -54,55 +61,62 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
     val head = srcVersions.lastOption.getOrElse(return None)
     val from = cursor
     if (head <= from) return None
+    val p = effP
     val schemaDdl = VersionedTable
       .manifestSchema(spark, srcRoot, head).map(_.toDDL)
     val bootstrap = from == 0 || !srcVersions.contains(from)
     if (bootstrap) {
       // initial sync, or the cursor version was expired upstream:
       // full snapshot, overwrite commit, same txn guard
-      val snap = withPid(VersionedTable.readAt(spark, srcRoot, head))
-      val staged = VersionedTable.stagePartitioned(snap, dstRoot, "pid")
+      val snap = withPid(VersionedTable.readAt(spark, srcRoot, head), p)
+      val staged = VersionedTable.stagePartitioned(snap, dstRoot, Pid)
       VersionedTable.commitPartitions(staged, dstRoot, batchId = head,
-        overwriteAll = true, schemaDdl = schemaDdl)
+        overwriteAll = true, schemaDdl = schemaDdl, nParts = Some(p))
     } else {
+      // persist: the pruned diff job otherwise re-runs for the empty
+      // check, the touched-pid collect, AND the staged write — at the
+      // design point each re-run re-reads every changed src partition
       val delta = VersionedTable.changes(spark, srcRoot, from, head, pk)
-      if (delta.isEmpty) {
-        // a data-identical upstream window (e.g. compaction): advance
-        // the cursor with a metadata-only commit — untouched
-        // partitions carry verbatim, no data moves
-        VersionedTable.commitPartitions(Map.empty, dstRoot, batchId = head,
-          schemaDdl = schemaDdl)
-      } else {
-        val withP = withPid(delta)
-        val touched = withP.select("pid").distinct().collect()
-          .map(_.getInt(0)).toSet // bounded by numPartitions
-        val parts = VersionedTable.parts(dstRoot)
-        val existing: DataFrame = {
-          val dirs = touched.toSeq.sorted
-            .flatMap(k => parts.getOrElse(k.toString, Nil))
-            .map(rel => java.nio.file.Paths.get(dstRoot, rel).toString)
-          if (dirs.isEmpty) withP.drop("_change_type").limit(0)
-          else {
-            val reader = VersionedTable
-              .manifestSchema(spark, srcRoot, head)
-              .map(spark.read.schema(_)).getOrElse(spark.read)
-            withPid(reader.parquet(dirs: _*))
+        .persist()
+      try {
+        if (delta.isEmpty) {
+          // a data-identical upstream window (e.g. compaction): advance
+          // the cursor with a metadata-only commit — untouched
+          // partitions carry verbatim, no data moves
+          VersionedTable.commitPartitions(Map.empty, dstRoot, batchId = head,
+            schemaDdl = schemaDdl)
+        } else {
+          val withP = withPid(delta, p)
+          val touched = withP.select(Pid).distinct().collect()
+            .map(_.getInt(0)).toSet // bounded by the partition count
+          val parts = VersionedTable.parts(dstRoot)
+          val existing: DataFrame = {
+            val dirs = touched.toSeq.sorted
+              .flatMap(k => parts.getOrElse(k.toString, Nil))
+              .map(rel => java.nio.file.Paths.get(dstRoot, rel).toString)
+            if (dirs.isEmpty) withP.drop("_change_type").limit(0)
+            else {
+              val reader = VersionedTable
+                .manifestSchema(spark, srcRoot, head)
+                .map(spark.read.schema(_)).getOrElse(spark.read)
+              withPid(reader.parquet(dirs: _*), p)
+            }
           }
+          // replace-or-drop by pk: every changed key's old row leaves,
+          // upserts (insert/update post-images) come back in
+          val merged = existing
+            .join(withP.select(col(pk)), Seq(pk), "left_anti")
+            .unionByName(withP.filter(col("_change_type") =!= "delete")
+              .drop("_change_type"))
+          val staged = VersionedTable.stagePartitioned(merged, dstRoot, Pid)
+          // a touched partition with NO surviving rows (every key
+          // deleted) stages nothing — drop its label explicitly or the
+          // old dir would ride the manifest and resurrect the rows
+          val emptied = touched.map(_.toString) -- staged.keySet
+          VersionedTable.commitPartitions(staged, dstRoot, batchId = head,
+            schemaDdl = schemaDdl, dropParts = emptied, nParts = Some(p))
         }
-        // replace-or-drop by pk: every changed key's old row leaves,
-        // upserts (insert/update post-images) come back in
-        val merged = existing
-          .join(withP.select(col(pk)), Seq(pk), "left_anti")
-          .unionByName(withP.filter(col("_change_type") =!= "delete")
-            .drop("_change_type"))
-        val staged = VersionedTable.stagePartitioned(merged, dstRoot, "pid")
-        // a touched partition with NO surviving rows (every key
-        // deleted) stages nothing — drop its label explicitly or the
-        // old dir would ride the manifest and resurrect the rows
-        val emptied = touched.map(_.toString) -- staged.keySet
-        VersionedTable.commitPartitions(staged, dstRoot, batchId = head,
-          schemaDdl = schemaDdl, dropParts = emptied)
-      }
+      } finally delta.unpersist()
     }
     Some((from, head))
   }

@@ -32,6 +32,17 @@ class BenchArtifactSpec extends AnyFunSuite {
       incumbentN = None) == "bench_latest.json")
   }
 
+  test("a run with errored queries never replaces the record") {
+    // errors make the summed total artificially fast — third axis of
+    // the clobber defect
+    assert(Bench.artifactTarget(filtered = false, nQueries = 195,
+      incumbentN = Some(195), sfDir = "/d", incumbentSf = Some("/d"),
+      hadErrors = true) == "bench_dev.json")
+    assert(Bench.artifactTarget(filtered = false, nQueries = 195,
+      incumbentN = Some(195), sfDir = "/d", incumbentSf = Some("/d"),
+      hadErrors = false) == "bench_latest.json")
+  }
+
   test("a different scale factor never replaces the record (r12 clobber)") {
     // the exact r12 incident: full-suite verify smoke at sf0.01 vs the
     // incumbent sf0.1 record — width passes, SF must block

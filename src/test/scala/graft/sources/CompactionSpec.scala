@@ -126,6 +126,10 @@ class CompactionSpec extends SparkSpec {
     assert(VersionedTable.compactPartitions(spark, root).isEmpty)
     assert(VersionedTable.versions(root).size == vBefore,
       "a no-op compaction committed a version")
+
+    // the partition-count stamp rides through compaction commits
+    assert(VersionedTable.partCount(root).contains(P),
+      "compaction dropped the partition-count stamp")
   }
 
   test("the evolving manifest schema survives compaction") {

@@ -147,6 +147,26 @@ class PartitionedTableCdcTargetSpec extends SparkSpec {
     assert(byKey(part.snapshot)(3L).value == 3.9)
   }
 
+  test("the manifest's partition count survives a misconfigured restart") {
+    val root = freshRoot()
+    val t1 = new PartitionedTableCdcTarget(spark, root, P)
+    t1.merge(0, (1L to 20L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+    assert(VersionedTable.partCount(root).contains(P),
+      "first partitioned commit must stamp the partition count")
+
+    // reborn writer configured with the WRONG count: the manifest
+    // wins, so the update still lands in (and replaces) the key's
+    // actual partition instead of hashing into a different one and
+    // leaving a stale duplicate behind
+    val t2 = new PartitionedTableCdcTarget(spark, root, numPartitions = 64)
+    t2.merge(1, Seq(ap(5, 100, 90000, 5.5)).toDS())
+    val snap = byKey(t2.snapshot)
+    assert(snap.size == 20 && snap(5L).value == 5.5,
+      s"misconfigured restart corrupted the table: ${snap.get(5L)}")
+    assert(VersionedTable.partCount(root).contains(P),
+      "the stamp must not drift to the misconfigured value")
+  }
+
   test("expire + vacuum reclaim replaced partition dirs, never live ones") {
     val root = freshRoot()
     val target = new PartitionedTableCdcTarget(spark, root, P)

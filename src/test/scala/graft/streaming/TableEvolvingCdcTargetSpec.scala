@@ -124,6 +124,32 @@ class TableEvolvingCdcTargetSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("a natural source column named 'pid' survives the merge intact") {
+    // the internal partition column uses a reserved name so a legal
+    // source field called pid is data, not plumbing
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    val t = new TableEvolvingCdcTarget(spark, root, numPartitions = 4)
+    t.addColumns(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pid",
+        org.apache.spark.sql.types.LongType)))
+    t.merge(0, Seq((1L, 1L, 1000L, 777L), (2L, 2L, 1000L, 888L))
+      .toDF("user_id", "event_id", "ts", "pid"))
+    t.merge(1, Seq((1L, 9L, 9000L, 999L))
+      .toDF("user_id", "event_id", "ts", "pid"))
+    val snap = t.snapshot.collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("pid")).toMap
+    assert(snap == Map(1L -> 999L, 2L -> 888L),
+      s"source pid column was clobbered: $snap")
+  }
+
   test("stale images lose the seq guard; in-batch duplicates dedupe") {
     val s = spark
     import s.implicits._
