@@ -50,8 +50,20 @@ object Bench {
       sfDir: String = "", incumbentSf: Option[String] = None,
       hadErrors: Boolean = false): String =
     if (filtered || hadErrors || incumbentN.exists(_ > nQueries) ||
-        incumbentSf.exists(_ != sfDir)) "bench_dev.json"
+        incumbentSf.exists(canonPath(_) != canonPath(sfDir))) "bench_dev.json"
     else "bench_latest.json"
+
+  /** Canonical form of an SF-dir path for the record guard: the raw
+    * string compare routed a legitimate full-suite run spelled with a
+    * trailing slash / relative segment / symlink to bench_dev.json —
+    * the record would then never refresh (ADVICE r12). Symlinks
+    * resolve only when the path exists (the spec's synthetic paths
+    * don't); normalization never throws. */
+  private[graft] def canonPath(p: String): String = {
+    val norm = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+    try norm.toRealPath().toString
+    catch { case _: java.io.IOException => norm.toString }
+  }
 
   /** Query count of an existing artifact: the explicit `n_queries`
     * stamp, else (legacy artifacts) the key count of its `queries`

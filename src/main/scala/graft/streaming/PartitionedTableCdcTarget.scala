@@ -49,59 +49,17 @@ class PartitionedTableCdcTarget(spark: SparkSession, root: String,
     numPartitions: Int = 32) extends CdcTarget {
   require(numPartitions > 0, "numPartitions must be positive")
 
-  private val Pid = VersionedTable.PidCol
-
-  /** The partition count is TABLE state (recorded in the manifest by
-    * the first partitioned commit); the constructor arg only seeds a
-    * fresh or migrating table. A restarted writer configured with a
-    * different count would otherwise hash keys into the wrong
-    * partitions and stop replacing their current rows. */
-  private def effP: Int =
-    VersionedTable.partCount(root).getOrElse(numPartitions)
-
-  private def withPid(df: DataFrame, p: Int): DataFrame =
-    df.withColumn(Pid, pmod(hash(col("user_id")), lit(p)))
-
-  override def merge(batchId: Long, rows: Dataset[CdcApplied]): Unit = {
-    // redelivery fast-path: skip BEFORE staging any data (the txn
-    // check inside commitPartitions still guards the race window)
-    if (VersionedTable.committedTxns(root).contains(batchId)) return
-    val p = effP
-    val parts = VersionedTable.parts(root)
-    val flatLegacy =
-      parts.isEmpty && VersionedTable.versions(root).nonEmpty
-    val batch = withPid(rows.toDF(), p).persist()
-    try {
-      val touched: Set[Int] =
-        if (flatLegacy) (0 until p).toSet
-        else batch.select(Pid).distinct().collect().map(_.getInt(0)).toSet
-      if (touched.isEmpty) return // empty batch: merging nothing is idempotent
-      val existing: DataFrame = {
-        if (flatLegacy) withPid(VersionedTable.read(spark, root), p)
-        else {
-          // partition files are written under pid= dirs (the column is
-          // the dir, not a parquet column) — recompute it on read; it
-          // is a pure function of user_id so the recomputation is exact
-          val dirs = touched.toSeq.sorted
-            .flatMap(k => parts.getOrElse(k.toString, Nil))
-            .map(rel => Paths.get(root, rel).toString)
-          if (dirs.isEmpty) batch.limit(0)
-          else withPid(spark.read.parquet(dirs: _*), p)
-        }
-      }
-      val merged = existing.unionByName(batch)
-        .groupBy("user_id")
-        .agg(max_by(
-          struct(col("user_id"), col("event_id"), col("ts"), col("value"),
-            col("is_deleted"), col(Pid)),
-          struct(col("ts"), col("event_id"))).as("r"))
-        .select("r.*")
-      val staged = VersionedTable.stagePartitioned(merged, root, Pid)
-      VersionedTable.commitPartitions(staged, root, batchId,
-        overwriteAll = flatLegacy, nParts = Some(p))
-      ()
-    } finally batch.unpersist()
-  }
+  /** The merge body is [[PartitionedMerge]] — ONE implementation
+    * shared with the evolving target (VERDICT r12 item 3); this class
+    * is the CdcApplied-shaped parametrization of it. The partition
+    * count is TABLE state (the manifest stamp wins over the
+    * constructor after the first commit), and a merge racing a
+    * rescale restages inside the core. */
+  override def merge(batchId: Long, rows: Dataset[CdcApplied]): Unit =
+    PartitionedMerge.merge(spark, root, batchId, rows.toDF(),
+      pk = "user_id", seqCols = Seq("ts", "event_id"),
+      cols = Seq("user_id", "event_id", "ts", "value", "is_deleted"),
+      configuredP = numPartitions, migrateFlat = true)
 
   /** Live rows (tombstones excluded), as of the latest commit. */
   def snapshot: DataFrame =

@@ -70,12 +70,12 @@ class TableEvolvingCdcTarget(
 
   private val Pid = VersionedTable.PidCol
 
-  /** Table-state partition count, as in [[PartitionedTableCdcTarget]]:
-    * the manifest's stamp wins over the constructor after the first
-    * commit. */
-  private def effP: Int =
-    VersionedTable.partCount(root).getOrElse(numPartitions)
-
+  /** The merge body is [[PartitionedMerge]] — the same core the
+    * fixed-schema target runs (VERDICT r12 item 3); this target
+    * parametrizes it with the EVOLVED schema: touched dirs are read
+    * UNDER the current (possibly just-widened) schema so pre-widen
+    * files serve the new columns as NULLs, and the schema DDL rides
+    * the commit for the restart-reload contract. */
   override def merge(batchId: Long, rows: DataFrame): Unit = {
     val want = current.getOrElse(
       throw new IllegalStateException("merge before first addColumns"))
@@ -86,38 +86,10 @@ class TableEvolvingCdcTarget(
     // working; the reserved name itself is the one thing off-limits
     require(!want.exists(_.name == Pid),
       s"'$Pid' is the reserved internal partition column")
-    if (VersionedTable.committedTxns(root).contains(batchId)) return
-    val p = effP
-    val cols = want.fieldNames.toSeq
-    val batch = rows
-      .withColumn(Pid, pmod(hash(col(pk)), lit(p))).persist()
-    try {
-      val touched = batch.select(Pid).distinct().collect()
-        .map(_.getInt(0)).toSet
-      if (touched.isEmpty) return
-      val parts = VersionedTable.parts(root)
-      val existing: DataFrame = {
-        val dirs = touched.toSeq.sorted
-          .flatMap(k => parts.getOrElse(k.toString, Nil))
-          .map(rel => Paths.get(root, rel).toString)
-        if (dirs.isEmpty) batch.limit(0)
-        // read the touched dirs UNDER the current (possibly just-
-        // widened) schema: pre-widen files fill the new columns with
-        // NULL here, so the union below needs no per-file surgery
-        else spark.read.schema(want).parquet(dirs: _*)
-          .withColumn(Pid, pmod(hash(col(pk)), lit(p)))
-      }
-      val merged = existing.unionByName(batch)
-        .groupBy(pk)
-        .agg(max_by(
-          struct((cols :+ Pid).map(col): _*),
-          struct(seqCols.map(col): _*)).as("r"))
-        .select("r.*")
-      val staged = VersionedTable.stagePartitioned(merged, root, Pid)
-      VersionedTable.commitPartitions(staged, root, batchId,
-        schemaDdl = Some(want.toDDL), nParts = Some(p))
-      ()
-    } finally batch.unpersist()
+    PartitionedMerge.merge(spark, root, batchId, rows,
+      pk = pk, seqCols = seqCols, cols = want.fieldNames.toSeq,
+      configuredP = numPartitions, readSchema = Some(want),
+      schemaDdl = Some(want.toDDL))
   }
 
   /** The table as of the latest commit, under its evolved schema. */

@@ -13,15 +13,34 @@ import graft.sources.VersionedTable
   * [[VersionedTable.changes]] windows, one commit per tick.
   *
   * The cursor design is the point: the follower commits each window
-  * `(from, head]` into the destination with `txn = head` (the SOURCE
-  * version number), so
+  * `(from, head]` into the destination with the SOURCE version number
+  * riding the destination manifest txn, so
   *  - exactly-once is the destination's existing manifest-txn guard —
   *    a replayed window is a whole-batch no-op;
-  *  - the cursor IS `max(committedTxns(dst))` — there is no separate
-  *    state store to keep consistent, and a crash anywhere leaves
-  *    either the old cursor (window re-applies, guarded) or the new
-  *    one (window done): the apply and the cursor write are the same
-  *    atomic manifest link.
+  *  - the cursor is read back from `committedTxns(dst)` — there is no
+  *    separate state store to keep consistent, and a crash anywhere
+  *    leaves either the old cursor (window re-applies, guarded) or the
+  *    new one (window done): the apply and the cursor write are the
+  *    same atomic manifest link.
+  *
+  * Cursor txns are NAMESPACED by the source's incarnation identity
+  * (r13, ADVICE r12): the committed txn is
+  * `(hash(srcTableId) << 32) | srcVersion`, and the cursor reads only
+  * txns in the current namespace. Two failure modes this closes:
+  *  - '''foreign writer''': a CdcTarget batch id committed to the
+  *    followed destination shares the plain-integer txn space the old
+  *    cursor read its max from — windows would silently skip. Now any
+  *    plain (sub-2³²) txn on the destination makes the next tick
+  *    THROW: a followed destination accepts follower commits only.
+  *  - '''upstream deleted-and-recreated''': the new incarnation mints
+  *    a new [[VersionedTable.tableId]], the recorded
+  *    [[VersionedTable.followSrc]] no longer matches, and the tick
+  *    re-bootstraps from the new table's snapshot — even when the new
+  *    head is below the old cursor (previously wedged forever) or its
+  *    version numbers overlap the old incarnation's (previously a
+  *    garbage cross-incarnation delta under the exactly-once guard).
+  *  - a cursor ABOVE the source head within the SAME incarnation has
+  *    no benign cause (history tampering); the tick throws.
   *
   * Data motion is O(changed partitions) per tick (the change feed's
   * pruning) + O(touched destination partitions) for the merge — never
@@ -30,10 +49,14 @@ import graft.sources.VersionedTable
   * semantics. If the cursor version has been expired upstream
   * (retention shorter than follower lag), the tick auto-re-bootstraps
   * from the full snapshot under the same txn guard — heavy but
-  * correct, and the operator sees it in the returned window.
+  * correct, and the operator sees it in the returned window. An
+  * upstream [[VersionedTable.rescalePartitions]] moves every
+  * partition's dir set, so that tick's diff degrades to a full
+  * two-snapshot scan yielding zero phantom changes (the documented
+  * one-time boundary cost); the destination keeps its own partition
+  * count.
   *
-  * Single follower per destination root (the txn-cursor reads every
-  * destination txn as a source version).
+  * Single follower per destination root.
   */
 class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
     pk: String, numPartitions: Int = 32) {
@@ -41,9 +64,33 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
 
   private val Pid = VersionedTable.PidCol
 
-  /** Last source version applied to the destination (0 = nothing). */
-  def cursor: Int =
-    VersionedTable.committedTxns(dstRoot).foldLeft(0L)(math.max).toInt
+  /** The source's current incarnation identity. "unstamped" only for
+    * manifests predating the tableId stamp — when a later commit
+    * mints one, the namespace changes and the follower pays a single
+    * re-bootstrap (documented migration cost). */
+  private def srcId: String =
+    VersionedTable.tableId(srcRoot).getOrElse("unstamped")
+
+  /** 31-bit nonzero namespace for `srcId` — follower txns are
+    * `(namespace << 32) | srcVersion`, so they can never collide with
+    * a plain micro-batch id and never straddle incarnations. Exposed
+    * package-private so specs can forge in-namespace txns. */
+  private[streaming] def namespace: Long = {
+    val h = srcId.hashCode & 0x7fffffff
+    if (h == 0) 1L else h.toLong
+  }
+
+  private def nsTxn(v: Int): Long = (namespace << 32) | (v.toLong & 0xffffffffL)
+
+  /** Last source version applied to the destination (0 = nothing),
+    * read from the current namespace's txns only. */
+  def cursor: Int = {
+    val ns = namespace
+    VersionedTable.committedTxns(dstRoot).iterator
+      .filter(t => (t >>> 32) == ns)
+      .map(t => (t & 0xffffffffL).toInt)
+      .foldLeft(0)(math.max)
+  }
 
   /** Destination-manifest partition count wins over the constructor
     * (table state, as in the CDC targets). */
@@ -51,7 +98,20 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
     VersionedTable.partCount(dstRoot).getOrElse(numPartitions)
 
   private def withPid(df: DataFrame, p: Int): DataFrame =
-    df.withColumn(Pid, pmod(hash(col(pk)), lit(p)))
+    df.withColumn(Pid, VersionedTable.keyPid(pk, p))
+
+  /** Full-snapshot overwrite of the destination at source version
+    * `head` — initial sync, expired-cursor recovery, and upstream
+    * identity change all land here. */
+  private def bootstrap(head: Int, p: Int, sid: String,
+      schemaDdl: Option[String]): Unit = {
+    val snap = withPid(VersionedTable.readAt(spark, srcRoot, head), p)
+    val staged = VersionedTable.stagePartitioned(snap, dstRoot, Pid)
+    VersionedTable.commitPartitions(staged, dstRoot, batchId = nsTxn(head),
+      overwriteAll = true, schemaDdl = schemaDdl, nParts = Some(p),
+      followSrc = Some(sid))
+    ()
+  }
 
   /** Apply everything committed upstream since the last tick. Returns
     * the applied (fromVersion, headVersion) window, or None when the
@@ -59,19 +119,53 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
   def tick(): Option[(Int, Int)] = {
     val srcVersions = VersionedTable.versions(srcRoot)
     val head = srcVersions.lastOption.getOrElse(return None)
-    val from = cursor
-    if (head <= from) return None
+    val sid = srcId
     val p = effP
     val schemaDdl = VersionedTable
       .manifestSchema(spark, srcRoot, head).map(_.toDDL)
-    val bootstrap = from == 0 || !srcVersions.contains(from)
-    if (bootstrap) {
+    val recorded = VersionedTable.followSrc(dstRoot)
+    // every follower commit stamps followSrc, and maintenance commits
+    // carry it — a non-empty destination WITHOUT it was written by
+    // someone else (including txn-less commit() calls the plain-txn
+    // check below can't see): refuse rather than overwrite it
+    if (recorded.isEmpty && VersionedTable.versions(dstRoot).nonEmpty)
+      throw new IllegalStateException(
+        s"destination $dstRoot has commits but no follower provenance — " +
+          "follow into an empty root, or one this follower wrote")
+    if (recorded.exists(_ != sid)) {
+      // the table at srcRoot is not the one this replica was built
+      // from (deleted-and-recreated upstream): cross-incarnation
+      // deltas are garbage even when version numbers line up —
+      // re-bootstrap under the new identity's namespace (the old
+      // namespace's txns become inert history)
+      bootstrap(head, p, sid, schemaDdl)
+      return Some((0, head))
+    }
+    val txns = VersionedTable.committedTxns(dstRoot)
+    // misuse must be loud (VERDICT r12 item 2): a plain micro-batch
+    // txn means a CdcTarget (or other non-follower writer) committed
+    // to the followed destination — its data diverges the replica and
+    // its txn id lives in the space the old cursor read. Other-
+    // namespace FOLLOWER txns are prior-incarnation history, expected
+    // after a re-bootstrap.
+    val plain = txns.filter(t => (t >>> 32) == 0)
+    if (plain.nonEmpty)
+      throw new IllegalStateException(
+        s"destination $dstRoot carries non-follower txns " +
+          s"${plain.toSeq.sorted.mkString(",")} — a followed destination " +
+          "accepts follower commits only (single-follower constraint)")
+    val from = cursor
+    if (from > head)
+      throw new IllegalStateException(
+        s"follower cursor v$from is beyond source head v$head under the " +
+          "same table identity — source history was truncated or the " +
+          "destination carries a forged txn; re-create the replica")
+    if (head == from) return None
+    val needBootstrap = from == 0 || !srcVersions.contains(from)
+    if (needBootstrap) {
       // initial sync, or the cursor version was expired upstream:
       // full snapshot, overwrite commit, same txn guard
-      val snap = withPid(VersionedTable.readAt(spark, srcRoot, head), p)
-      val staged = VersionedTable.stagePartitioned(snap, dstRoot, Pid)
-      VersionedTable.commitPartitions(staged, dstRoot, batchId = head,
-        overwriteAll = true, schemaDdl = schemaDdl, nParts = Some(p))
+      bootstrap(head, p, sid, schemaDdl)
     } else {
       // persist: the pruned diff job otherwise re-runs for the empty
       // check, the touched-pid collect, AND the staged write — at the
@@ -83,8 +177,9 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
           // a data-identical upstream window (e.g. compaction): advance
           // the cursor with a metadata-only commit — untouched
           // partitions carry verbatim, no data moves
-          VersionedTable.commitPartitions(Map.empty, dstRoot, batchId = head,
-            schemaDdl = schemaDdl)
+          VersionedTable.commitPartitions(Map.empty, dstRoot,
+            batchId = nsTxn(head), schemaDdl = schemaDdl,
+            followSrc = Some(sid))
         } else {
           val withP = withPid(delta, p)
           val touched = withP.select(Pid).distinct().collect()
@@ -113,8 +208,9 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
           // deleted) stages nothing — drop its label explicitly or the
           // old dir would ride the manifest and resurrect the rows
           val emptied = touched.map(_.toString) -- staged.keySet
-          VersionedTable.commitPartitions(staged, dstRoot, batchId = head,
-            schemaDdl = schemaDdl, dropParts = emptied, nParts = Some(p))
+          VersionedTable.commitPartitions(staged, dstRoot,
+            batchId = nsTxn(head), schemaDdl = schemaDdl,
+            dropParts = emptied, nParts = Some(p), followSrc = Some(sid))
         }
       } finally delta.unpersist()
     }

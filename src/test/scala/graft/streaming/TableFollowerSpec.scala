@@ -1,7 +1,9 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -148,5 +150,85 @@ class TableFollowerSpec extends SparkSpec {
       r.getAs[Long]("user_id") -> r).toMap
       .apply(1L).getAs[String]("note") == "n1")
     assert(follower.tick().isEmpty)
+  }
+
+  test("a foreign txn on the destination makes the next tick throw") {
+    val src = freshRoot("tf-src5"); val dst = freshRoot("tf-dst5")
+    val upstream = new PartitionedTableCdcTarget(spark, src, P)
+    val follower = new TableFollower(spark, src, dst, "user_id", P)
+    upstream.merge(0, (1L to 10L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+    follower.tick()
+
+    // a CdcTarget-style plain batch id committed to the FOLLOWED
+    // destination (the ADVICE r12 scenario: shared txn space used to
+    // silently skip replication windows) — must now be loud
+    VersionedTable.commitPartitions(Map.empty, dst, batchId = 7)
+    upstream.merge(1, Seq(ap(2, 100, 90000, 2.2)).toDS())
+    val e = intercept[IllegalStateException] { follower.tick() }
+    assert(e.getMessage.contains("non-follower"), e.getMessage)
+  }
+
+  test("a destination with non-follower history refuses to be followed") {
+    val src = freshRoot("tf-src6"); val dst = freshRoot("tf-dst6")
+    new PartitionedTableCdcTarget(spark, src, P)
+      .merge(0, Seq(ap(1, 1, 1000, 1.0)).toDS())
+    // txn-LESS foreign commit: invisible to committedTxns, caught by
+    // the provenance check instead
+    val s2 = spark; import s2.implicits._
+    VersionedTable.commit(Seq(1L).toDF("id"), dst)
+    val follower = new TableFollower(spark, src, dst, "user_id", P)
+    val e = intercept[IllegalStateException] { follower.tick() }
+    assert(e.getMessage.contains("no follower provenance"), e.getMessage)
+  }
+
+  test("upstream deleted-and-recreated: re-bootstrap, not wedge/garbage") {
+    val src = freshRoot("tf-src7"); val dst = freshRoot("tf-dst7")
+    val up1 = new PartitionedTableCdcTarget(spark, src, P)
+    up1.merge(0, (1L to 20L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+    up1.merge(1, Seq(ap(2, 100, 90000, 2.2)).toDS())
+    up1.merge(2, Seq(ap(3, 101, 90001, 3.3)).toDS())
+    val follower = new TableFollower(spark, src, dst, "user_id", P)
+    follower.tick()
+    assert(follower.cursor == 3)
+
+    // nuke and recreate the upstream root: NEW incarnation, new
+    // tableId; its head (1) is BELOW the recorded cursor (3) — the
+    // old follower wedged forever here, and with overlapping version
+    // numbers it applied a cross-incarnation garbage delta
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val w = Files.walk(p)
+      val files = try w.iterator.asScala.toSeq.reverse finally w.close()
+      files.foreach(Files.delete)
+    }
+    rmTree(Paths.get(src))
+    VersionedTable.invalidateTxns(src)
+    val up2 = new PartitionedTableCdcTarget(spark, src, P)
+    up2.merge(0, (100L to 104L).map(k => ap(k, k, 5000 + k, -k.toDouble)).toDS())
+
+    val w = follower.tick()
+    assert(w.contains((0, 1)), s"expected identity re-bootstrap, got $w")
+    assert(byKey(follower.snapshot) == byKey(VersionedTable.read(spark, src)),
+      "replica diverged after upstream recreation")
+    // and normal incremental replication resumes under the new identity
+    up2.merge(1, Seq(ap(100, 200, 99000, 100.5)).toDS())
+    assert(follower.tick().isDefined && follower.tick().isEmpty)
+    assert(byKey(follower.snapshot)(100L).value == 100.5)
+  }
+
+  test("an in-namespace cursor beyond the source head throws") {
+    val src = freshRoot("tf-src8"); val dst = freshRoot("tf-dst8")
+    val upstream = new PartitionedTableCdcTarget(spark, src, P)
+    upstream.merge(0, Seq(ap(1, 1, 1000, 1.0)).toDS())
+    val follower = new TableFollower(spark, src, dst, "user_id", P)
+    follower.tick()
+    val head = VersionedTable.versions(src).last
+    // forge a future-version follower txn (same namespace, same
+    // recorded source id — i.e. NOT explainable by recreation)
+    VersionedTable.commitPartitions(Map.empty, dst,
+      batchId = (follower.namespace << 32) | (head + 5).toLong,
+      followSrc = VersionedTable.followSrc(dst))
+    upstream.merge(1, Seq(ap(2, 2, 2000, 2.0)).toDS())
+    val e = intercept[IllegalStateException] { follower.tick() }
+    assert(e.getMessage.contains("beyond source head"), e.getMessage)
   }
 }
