@@ -729,6 +729,43 @@ object VersionedTable {
     Some((p, newP))
   }
 
+  /** What one [[maintain]] pass did — every field names the table
+    * versions/labels it produced so an operator log of reports is an
+    * audit trail. */
+  final case class Maintenance(
+      rescaled: Option[(Int, Int)], compacted: Seq[String],
+      expired: Seq[Int], vacuumed: Seq[String])
+
+  /** One-call table maintenance — the loop the rescale trigger was
+    * designed to live in: byte-budget rescale check FIRST (if it
+    * fires, this pass skips compaction — the rescale just rewrote
+    * every partition into fresh single-dir layout, so compacting the
+    * old layout would be wasted work), then partition-scoped
+    * compaction, then retention expiry and vacuum. Run it on the
+    * maintenance cadence per table (the reference runs cleanup.py on
+    * a schedule; a Spark deployment runs this from its housekeeping
+    * job).
+    *
+    * `keepLast` is the reader-safety grace: vacuum only reclaims dirs
+    * referenced by NO retained version, so keep enough versions to
+    * outlast the longest in-flight reader (the expire/vacuum
+    * two-step documented on [[expire]]). */
+  def maintain(spark: SparkSession, root: String, pk: String,
+      targetBytesPerPart: Long = 1L << 30, maxFilesPerPart: Int = 1,
+      keepLast: Int = 1, tasksPerWrite: Int = 0,
+      meter: Option[graft.streaming.EgressMeter] = None,
+      pipeline: String = "default"): Maintenance = {
+    val rescaled = rescaleIfNeeded(spark, root, pk, targetBytesPerPart,
+      tasksPerWrite, meter = meter, pipeline = pipeline)
+    val compacted =
+      if (rescaled.isDefined) Nil
+      else compactPartitions(spark, root, maxFilesPerPart, tasksPerWrite,
+        meter = meter, pipeline = pipeline)
+    val expired = expire(root, keepLast)
+    val vacuumed = vacuum(root)
+    Maintenance(rescaled, compacted, expired, vacuumed)
+  }
+
   /** Incremental CHANGE FEED between two committed versions — the
     * Delta CDF / Iceberg incremental-scan analog, the read-side
     * complement of the partition-scoped merge: downstream consumers

@@ -231,6 +231,41 @@ class RescaleSpec extends SparkSpec {
     assert(VersionedTable.partCount(root).contains(8))
   }
 
+  test("maintain: rescale preempts compaction, then compaction resumes") {
+    val root = freshRoot()
+    val s2 = spark; import s2.implicits._
+    val staged = VersionedTable.stagePartitioned(
+      (1L to 400L).toDF("user_id")
+        .withColumn(VersionedTable.PidCol, VersionedTable.keyPid("user_id", 4)),
+      root, VersionedTable.PidCol)
+    VersionedTable.commitPartitions(staged, root, batchId = 0,
+      nParts = Some(4))
+    val before = VersionedTable.read(spark, root)
+      .collect().map(_.getLong(0)).toSet
+
+    // pass 1, generous byte budget + always-over file budget
+    // (CompactionSpec's forcing convention): no rescale, compaction
+    // fires
+    val m1 = VersionedTable.maintain(spark, root, "user_id",
+      targetBytesPerPart = Long.MaxValue, maxFilesPerPart = 0)
+    assert(m1.rescaled.isEmpty && m1.compacted.nonEmpty, m1.toString)
+    assert(m1.expired.nonEmpty && m1.vacuumed.nonEmpty,
+      s"retention must reclaim the pre-compaction layout: $m1")
+
+    // pass 2, tiny byte budget, file budget still always-over: the
+    // rescale fires and PREEMPTS compaction (everything compaction
+    // would rewrite was just rewritten)
+    val m2 = VersionedTable.maintain(spark, root, "user_id",
+      targetBytesPerPart = 256, maxFilesPerPart = 0)
+    assert(m2.rescaled.exists(_._1 == 4) && m2.compacted.isEmpty,
+      m2.toString)
+    assert(VersionedTable.partCount(root).contains(m2.rescaled.get._2))
+    assert(VersionedTable.read(spark, root)
+      .collect().map(_.getLong(0)).toSet == before,
+      "maintenance changed table data")
+    assertLayout(root, m2.rescaled.get._2)
+  }
+
   test("zero phantom changes across a rescale; follower crosses cheaply") {
     val root = freshRoot(); val dst = freshRoot()
     val target = new PartitionedTableCdcTarget(spark, root, 4)

@@ -215,6 +215,23 @@ class TableFollowerSpec extends SparkSpec {
     assert(byKey(follower.snapshot)(100L).value == 100.5)
   }
 
+  test("a destination-side rescale is adopted by the next tick") {
+    val src = freshRoot("tf-src9"); val dst = freshRoot("tf-dst9")
+    val upstream = new PartitionedTableCdcTarget(spark, src, P)
+    val follower = new TableFollower(spark, src, dst, "user_id", P)
+    upstream.merge(0, (1L to 30L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+    follower.tick()
+
+    // the replica fattened: rescale IT (its maintenance is independent
+    // of the source's partition count)
+    VersionedTable.rescalePartitions(spark, dst, "user_id", P * 4)
+    upstream.merge(1, Seq(ap(5, 100, 90000, 5.5)).toDS())
+    assert(follower.tick().isDefined)
+    assert(VersionedTable.partCount(dst).contains(P * 4),
+      "the follower's merge must not regress the destination's count")
+    assert(byKey(follower.snapshot) == byKey(VersionedTable.read(spark, src)))
+  }
+
   test("an in-namespace cursor beyond the source head throws") {
     val src = freshRoot("tf-src8"); val dst = freshRoot("tf-dst8")
     val upstream = new PartitionedTableCdcTarget(spark, src, P)
