@@ -138,13 +138,13 @@ object LakehouseScale {
     val rows = Seq.newBuilder[String]
     for (tableKeys <- Seq(10000L, 30000L, 100000L, 300000L)) {
       grow(tableKeys + 1)
-      VersionedTable.expire(root, keepLast = 1); VersionedTable.vacuum(root)
+      VersionedTable.expire(root, keepLast = 1); VersionedTable.vacuum(root, graceMillis = 0)
       VersionedTable.rescaleIfNeeded(spark, root, "user_id", budget)
         .foreach { case (o, n) =>
           println(s"[rescale-scale] at $tableKeys keys: P $o -> $n")
           rescales += s"""{"at_rows":$tableKeys,"from":$o,"to":$n}"""
           VersionedTable.expire(root, keepLast = 1)
-          VersionedTable.vacuum(root) // measure live bytes, not debris
+          VersionedTable.vacuum(root, graceMillis = 0) // quiesced: measure live bytes
         }
       val p = VersionedTable.partCount(root).get
       var partTotal = 0L

@@ -123,6 +123,51 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
       SchemaEvolution.mergeEvolvingJson(raw, target, checkpoint, trigger,
         breaker = Some(breaker)))
 
+  /** Start a named REPLICATION pipeline — a [[TableFollower]] ticked
+    * by [[TickStream]] under the same scoped listener/breaker/sweep
+    * surface as the merge pipelines: replication joins the fleet's
+    * desired-state loop instead of living in an operator's crontab.
+    * Cursor state is entirely in the destination manifests, so a
+    * crash-reconverged pipeline resumes exactly; a misused
+    * destination (foreign txns, identity drift the follower refuses)
+    * throws per tick, burns the breaker, and pages through the sweep
+    * like a dead sink would. */
+  def startFollower(
+      name: String,
+      follower: TableFollower,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      breaker: CircuitBreaker = new CircuitBreaker(),
+      warnBatchMillis: Long = 10000,
+      dangerBatchMillis: Long = 30000): Pipeline =
+    register(name, warnBatchMillis, dangerBatchMillis, breaker, None)(_ =>
+      TickStream.ticks(spark, checkpoint, trigger, Some(breaker)) { () =>
+        follower.tick(); ()
+      })
+
+  /** Start a named table-MAINTENANCE pipeline: one
+    * [[graft.sources.VersionedTable.maintain]] pass per tick
+    * (byte-budget rescale check → partition-scoped compaction →
+    * retention expiry → vacuum), managed like every other pipeline.
+    * Each pass is data-identical, so tick redelivery is free. */
+  def startMaintenance(
+      name: String,
+      root: String,
+      pk: String,
+      targetBytesPerPart: Long = 1L << 30,
+      maxFilesPerPart: Int = 1,
+      keepLast: Int = 1,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      breaker: CircuitBreaker = new CircuitBreaker(),
+      warnBatchMillis: Long = 10000,
+      dangerBatchMillis: Long = 30000): Pipeline =
+    register(name, warnBatchMillis, dangerBatchMillis, breaker, None)(_ =>
+      TickStream.ticks(spark, checkpoint, trigger, Some(breaker)) { () =>
+        graft.sources.VersionedTable.maintain(spark, root, pk,
+          targetBytesPerPart, maxFilesPerPart, keepLast); ()
+      })
+
   def get(name: String): Option[Pipeline] = pipelines.get(name)
 
   /** Names of every registered pipeline (live or dead — pair with

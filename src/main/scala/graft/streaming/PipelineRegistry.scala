@@ -217,6 +217,18 @@ class PipelineRegistry(url: String, table: String = "graft_pipelines") {
       mgr.startEvolving(spec.name, raw, target, spec.checkpoint); ()
     }
 
+  /** [[reconcile]] for REPLICATION pipelines — the builder resolves a
+    * spec row to a [[TableFollower]], started through
+    * [[PipelineManager.startFollower]]: replica fan-out is provisioned,
+    * disabled, and crash-reconverged from the same desired-state table
+    * as the merge pipelines (the reference manages its per-warehouse
+    * replication workers through the same manager loop). */
+  def reconcileFollower(mgr: PipelineManager)(
+      build: PipelineSpec => TableFollower): ReconcileReport =
+    reconcileCore(mgr) { spec =>
+      mgr.startFollower(spec.name, build(spec), spec.checkpoint); ()
+    }
+
   /** [[reconcile]] for MULTI-TABLE demux pipelines: the builder
     * resolves a spec to one multiplexed change stream plus its
     * per-table targets, started through [[PipelineManager.startDemux]]

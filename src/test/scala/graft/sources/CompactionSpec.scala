@@ -265,7 +265,7 @@ class CompactionSpec extends SparkSpec {
       .map(r => r.user_id -> r).toMap
     assert(VersionedTable.compactPartitions(spark, root).nonEmpty)
     VersionedTable.expire(root, keepLast = 1)
-    val reclaimed = VersionedTable.vacuum(root)
+    val reclaimed = VersionedTable.vacuum(root, graceMillis = 0)
     assert(reclaimed.nonEmpty, "the replaced small-file dirs must be reclaimed")
     assert(target.snapshot.as[CdcApplied].collect()
       .map(r => r.user_id -> r).toMap == expected,

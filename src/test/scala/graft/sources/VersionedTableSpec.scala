@@ -47,10 +47,27 @@ class VersionedTableSpec extends SparkSpec {
       Paths.get(root, "data/deadbeef-0000-0000-0000-000000000000").toString)
     assert(VersionedTable.versions(root) == Seq(1))
     assert(VersionedTable.read(spark, root).as[Int].collect() === Array(1))
-    val removed = VersionedTable.vacuum(root)
+    val removed = VersionedTable.vacuum(root, graceMillis = 0)
     assert(removed == Seq("data/deadbeef-0000-0000-0000-000000000000"))
     // referenced dirs survive vacuum
     assert(VersionedTable.read(spark, root).as[Int].collect() === Array(1))
+  }
+
+  test("vacuum's age grace protects in-flight staging") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1).toDF("x"), root)
+    // an unreferenced dir that is BEING STAGED right now looks exactly
+    // like commit debris — only its file age tells them apart (the
+    // r13 managed-maintenance race: immediate vacuum deleted a
+    // concurrent merge's staged files and the merge published a
+    // manifest over partial data)
+    val staging = "data/deadbeef-1111-0000-0000-000000000000"
+    Seq(99).toDF("x").write.parquet(Paths.get(root, staging).toString)
+    assert(VersionedTable.vacuum(root).isEmpty,
+      "default grace must skip a freshly-written unreferenced dir")
+    assert(Files.isDirectory(Paths.get(root, staging)))
+    // past the grace (here: grace 0 stands in for aged-out), reclaim
+    assert(VersionedTable.vacuum(root, graceMillis = 0) == Seq(staging))
   }
 
   test("a lost commit race throws ConcurrentCommit; retry lands on top") {
@@ -109,7 +126,7 @@ class VersionedTableSpec extends SparkSpec {
       === Array(1, 2, 3), "compaction changed data")
     // retention: keep only the compacted version, then reclaim
     assert(VersionedTable.expire(root, keepLast = 1) == Seq(1, 2, 3))
-    val removed = VersionedTable.vacuum(root)
+    val removed = VersionedTable.vacuum(root, graceMillis = 0)
     assert(removed.size == 3, s"3 append dirs should be reclaimed: $removed")
     assert(VersionedTable.read(spark, root).as[Int].collect().sorted
       === Array(1, 2, 3))
@@ -122,7 +139,7 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.commit(Seq(1, 2).toDF("x"), root)
     val snap = VersionedTable.read(spark, root) // resolves v1's manifest
     VersionedTable.commit(Seq(100).toDF("x"), root, overwrite = true)
-    VersionedTable.vacuum(root) // must not touch v1's referenced dirs
+    VersionedTable.vacuum(root, graceMillis = 0) // must not touch v1 refs
     assert(snap.as[Int].collect().sorted === Array(1, 2),
       "in-flight reader saw a concurrent overwrite")
   }

@@ -174,7 +174,7 @@ class PartitionedTableCdcTargetSpec extends SparkSpec {
     target.merge(1, Seq(ap(5, 100, 90000, 5.5)).toDS())
     val expected = byKey(target.snapshot)
     VersionedTable.expire(root, keepLast = 1)
-    val reclaimed = VersionedTable.vacuum(root)
+    val reclaimed = VersionedTable.vacuum(root, graceMillis = 0)
     assert(reclaimed.nonEmpty, "the replaced pid dir must be reclaimed")
     assert(byKey(target.snapshot) == expected,
       "vacuum touched live partition data")

@@ -79,7 +79,7 @@ class RescaleSpec extends SparkSpec {
 
     // old dirs are vacuumable debris once the old version expires
     VersionedTable.expire(root, keepLast = 1)
-    assert(VersionedTable.vacuum(root).nonEmpty,
+    assert(VersionedTable.vacuum(root, graceMillis = 0).nonEmpty,
       "the pre-rescale layout must become reclaimable")
     assert(byKey(target.snapshot) == before, "vacuum touched live data")
   }
@@ -247,7 +247,8 @@ class RescaleSpec extends SparkSpec {
     // (CompactionSpec's forcing convention): no rescale, compaction
     // fires
     val m1 = VersionedTable.maintain(spark, root, "user_id",
-      targetBytesPerPart = Long.MaxValue, maxFilesPerPart = 0)
+      targetBytesPerPart = Long.MaxValue, maxFilesPerPart = 0,
+      vacuumGraceMillis = 0) // quiesced table: immediate reclaim is safe
     assert(m1.rescaled.isEmpty && m1.compacted.nonEmpty, m1.toString)
     assert(m1.expired.nonEmpty && m1.vacuumed.nonEmpty,
       s"retention must reclaim the pre-compaction layout: $m1")
@@ -256,7 +257,8 @@ class RescaleSpec extends SparkSpec {
     // rescale fires and PREEMPTS compaction (everything compaction
     // would rewrite was just rewritten)
     val m2 = VersionedTable.maintain(spark, root, "user_id",
-      targetBytesPerPart = 256, maxFilesPerPart = 0)
+      targetBytesPerPart = 256, maxFilesPerPart = 0,
+      vacuumGraceMillis = 0)
     assert(m2.rescaled.exists(_._1 == 4) && m2.compacted.isEmpty,
       m2.toString)
     assert(VersionedTable.partCount(root).contains(m2.rescaled.get._2))

@@ -215,6 +215,35 @@ class TableFollowerSpec extends SparkSpec {
     assert(byKey(follower.snapshot)(100L).value == 100.5)
   }
 
+  test("replica chains: a follower's destination can itself be followed") {
+    val src = freshRoot("tf-chain-src")
+    val mid = freshRoot("tf-chain-mid")
+    val leaf = freshRoot("tf-chain-leaf")
+    val upstream = new PartitionedTableCdcTarget(spark, src, P)
+    val hop1 = new TableFollower(spark, src, mid, "user_id", P)
+    val hop2 = new TableFollower(spark, mid, leaf, "user_id", P)
+
+    upstream.merge(0, (1L to 15L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+    hop1.tick(); hop2.tick()
+    assert(byKey(VersionedTable.read(spark, leaf)) ==
+      byKey(VersionedTable.read(spark, src)))
+
+    // an update flows hop by hop; each hop's replay is a no-op
+    upstream.merge(1, Seq(ap(7, 100, 90000, 7.7)).toDS())
+    assert(hop2.tick().isEmpty, "leaf must see nothing before mid ticks")
+    assert(hop1.tick().isDefined && hop1.tick().isEmpty)
+    assert(hop2.tick().isDefined && hop2.tick().isEmpty)
+    assert(byKey(hop2.snapshot)(7L).value == 7.7)
+    assert(byKey(hop2.snapshot) == byKey(VersionedTable.read(spark, src)))
+
+    // the two hops' cursors are independent namespaces: mid carries
+    // hop1's txns AND its own identity for hop2 without collision
+    assert(VersionedTable.followSrc(mid) ==
+      VersionedTable.tableId(src))
+    assert(VersionedTable.followSrc(leaf) ==
+      VersionedTable.tableId(mid))
+  }
+
   test("a destination-side rescale is adopted by the next tick") {
     val src = freshRoot("tf-src9"); val dst = freshRoot("tf-dst9")
     val upstream = new PartitionedTableCdcTarget(spark, src, P)
