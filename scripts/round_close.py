@@ -59,8 +59,11 @@ def main():
                  "(no oracle_sql.json) -- run graft.Verify first")
 
     corr = newest_correctness()
+    if corr is None:
+        sys.exit("round_close: no CORRECTNESS_r*.json in the repo -- the "
+                 "driver's correctness artifact is missing; do not close")
     cmd = [sys.executable, os.path.join(REPO, "scripts", "sync_check.py"),
-           os.path.join(REPO, "SURVEY.md"), corr or "/dev/null", outdir]
+           os.path.join(REPO, "SURVEY.md"), corr, outdir]
     print("+", " ".join(cmd))
     if subprocess.run(cmd, cwd=REPO).returncode != 0:
         sys.exit("round_close: sync_check FAILED")
@@ -71,13 +74,17 @@ def main():
         hits = []
         for line in out.splitlines():
             path = line[3:].strip()
+            # rename lines read 'R  old -> new'; the artifact that must
+            # be committed is the NEW path
+            if " -> " in path:
+                path = path.split(" -> ", 1)[1]
             if ARTIFACT.match(os.path.basename(path)):
                 hits.append(line)
         return hits
 
     hits = dirty()
     if hits and commit:
-        paths = [h[3:].strip() for h in hits]
+        paths = [h[3:].strip().split(" -> ", 1)[-1] for h in hits]
         subprocess.run(["git", "add", "--"] + paths, cwd=REPO, check=True)
         subprocess.run(["git", "commit", "-m",
                         "round close: commit round evidence artifacts\n\n"

@@ -59,11 +59,16 @@ object Bench {
     * the record would then never refresh (ADVICE r12). Symlinks
     * resolve only when the path exists (the spec's synthetic paths
     * don't); normalization never throws. */
-  private[graft] def canonPath(p: String): String = {
-    val norm = java.nio.file.Paths.get(p).toAbsolutePath.normalize
-    try norm.toRealPath().toString
-    catch { case _: java.io.IOException => norm.toString }
-  }
+  private[graft] def canonPath(p: String): String =
+    try {
+      val norm = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+      try norm.toRealPath().toString
+      catch { case _: java.io.IOException => norm.toString }
+    } catch {
+      // a malformed incumbent string (hand-edited artifact) must not
+      // crash the guard — fall back to the raw compare it replaced
+      case _: Exception => p
+    }
 
   /** Query count of an existing artifact: the explicit `n_queries`
     * stamp, else (legacy artifacts) the key count of its `queries`

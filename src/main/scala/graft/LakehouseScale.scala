@@ -110,7 +110,8 @@ object LakehouseScale {
     * production table cannot do). Requires ≥2 rescale events or the
     * leg fails. Usage: runMain graft.LakehouseScale rescale [out.json] */
   private def rescaleLeg(spark: org.apache.spark.sql.SparkSession,
-      out: String): Unit = {
+      out: String,
+      sizes: Seq[Long] = Seq(10000L, 30000L, 100000L, 300000L)): Unit = {
     import spark.implicits._
     import graft.sources.VersionedTable
     val updateKeys = 32
@@ -128,7 +129,7 @@ object LakehouseScale {
         (nextKey until to).map(k => ap(k, k, 1000L + k, k.toDouble)).toDS())
       nextKey = to
     }
-    grow(10001L) // seed at 10k keys, P=16
+    grow(sizes.head + 1) // seed at the first size, P=16
     // budget = the seed table's measured mean partition bytes: the
     // table starts exactly at budget, so every decade of growth must
     // force rescales to hold the mean there (the production rule with
@@ -136,7 +137,7 @@ object LakehouseScale {
     val budget = math.max(1L, dataBytes(root) / 16)
     val rescales = Seq.newBuilder[String]
     val rows = Seq.newBuilder[String]
-    for (tableKeys <- Seq(10000L, 30000L, 100000L, 300000L)) {
+    for (tableKeys <- sizes) {
       grow(tableKeys + 1)
       VersionedTable.expire(root, keepLast = 1); VersionedTable.vacuum(root, graceMillis = 0)
       VersionedTable.rescaleIfNeeded(spark, root, "user_id", budget)
@@ -168,7 +169,7 @@ object LakehouseScale {
     require(events.size >= 2,
       s"the leg must cross >=2 rescales, saw ${events.size}")
     // integrity witness: every key's latest value present
-    require(target.snapshot.count() == 300000L,
+    require(target.snapshot.count() == sizes.last,
       "rescaled table lost rows")
     val json = s"""{"metric":"lakehouse_rescale_bytes",""" +
       s""""unit":"bytes_per_batch","update_keys":$updateKeys,""" +
@@ -237,8 +238,11 @@ object LakehouseScale {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("rescale")) {
       val out = args.drop(1).headOption.getOrElse("SCALE_RESCALE_r13.json")
+      val sizes = args.drop(2).headOption
+        .map(_.split(",").toSeq.map(_.trim.toLong))
+        .getOrElse(Seq(10000L, 30000L, 100000L, 300000L))
       val spark = Engine.session("graft-rescale-scale")
-      rescaleLeg(spark, out)
+      rescaleLeg(spark, out, sizes)
       spark.stop()
       return
     }

@@ -340,17 +340,28 @@ object VersionedTable {
       followSrc: Option[String] = None): Int = {
     Files.createDirectories(versionsDir(root))
     val next = expected + 1
+    // Every read of `expected`'s manifest below can race a retention
+    // expire() that deleted it between the caller's versions() listing
+    // and here (a maintenance loop running beside a writer) — that is
+    // a CONCURRENCY event, not corruption: surface it as the commit
+    // race so the caller's retry loop re-reads the new base instead of
+    // dying on NoSuchFileException.
+    def raceGuard[T](body: => T): T =
+      try body
+      catch { case _: java.nio.file.NoSuchFileException =>
+        throw new ConcurrentCommit(next) }
     // layout guard: an incremental commit whose dirs were hashed under
     // a count the table no longer has must restage, not merge (see
     // PartitionCountChanged). A full rewrite (overwriteAll) DEFINES
     // the new layout — that's rescale itself — so it is exempt.
     if (!overwriteAll && expected > 0)
-      for (stamped <- partCountAt(root, expected); supplied <- nParts)
+      for (stamped <- raceGuard(partCountAt(root, expected));
+           supplied <- nParts)
         if (stamped != supplied)
           throw new PartitionCountChanged(stamped, supplied)
     val prev: Map[String, Seq[String]] =
       if (overwriteAll || expected == 0) Map.empty
-      else {
+      else raceGuard {
         val pm = manifestParts(root, expected)
         if (pm.isEmpty && manifestDirs(root, expected).nonEmpty)
           throw new IllegalStateException(
@@ -374,17 +385,18 @@ object VersionedTable {
     // commit after the first writer records it
     val carriedN = nParts.orElse(
       if (overwriteAll || expected == 0) None
-      else partCountAt(root, expected))
+      else raceGuard(partCountAt(root, expected)))
     // identity is INCARNATION state: minted once per root lifetime,
     // carried by every later commit (overwriteAll included — a
     // truncate-load is still the same table; only deleting the root
     // itself retires the id)
-    val id = (if (expected == 0) None else tableIdAt(root, expected))
+    val id = (if (expected == 0) None
+              else raceGuard(tableIdAt(root, expected)))
       .getOrElse(UUID.randomUUID().toString)
     // follower provenance carries like nparts so maintenance commits
     // (compaction) on a replica don't erase it
     val carriedFollow = followSrc.orElse(
-      if (expected == 0) None else followSrcAt(root, expected))
+      if (expected == 0) None else raceGuard(followSrcAt(root, expected)))
     val tmp = writeManifest(root, next,
       if (overwriteAll) "overwrite_parts" else "merge_parts",
       Nil, txn, parts = Some(mergedParts), schemaDdl = schemaDdl,
@@ -458,10 +470,17 @@ object VersionedTable {
     meter.foreach(_.add(pipeline, root,
       if (txn.isDefined) "streaming" else "table_copy",
       stagedBytes(root, staged)))
+    // expire() racing these reads of prior manifests surfaces as the
+    // commit race (caller retries against the new base), not a crash
+    def raceGuard[T](body: => T): T =
+      try body
+      catch { case _: java.nio.file.NoSuchFileException =>
+        throw new ConcurrentCommit(next) }
     val dirs = (if (overwrite) Nil
-                else versions(root).lastOption.toSeq
-                  .flatMap(manifestDirs(root, _))) :+ staged
-    val id = (if (expected == 0) None else tableIdAt(root, expected))
+                else raceGuard(versions(root).lastOption.toSeq
+                  .flatMap(manifestDirs(root, _)))) :+ staged
+    val id = (if (expected == 0) None
+              else raceGuard(tableIdAt(root, expected)))
       .getOrElse(UUID.randomUUID().toString)
     val tmp = writeManifest(root, next,
       if (overwrite) "overwrite" else "append", dirs, txn,
@@ -600,32 +619,36 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       attempt += 1
-      val base = versions(root).lastOption.getOrElse(
-        throw new IllegalStateException(s"no committed version under $root"))
-      val pm = manifestParts(root, base)
-      require(pm.nonEmpty,
-        s"$root v$base is unpartitioned; use compact()")
-      val over = pm.filter { case (_, ds) =>
-        ds.size > 1 || ds.map(parquetFiles).sum > maxFilesPerPart }
-      if (over.isEmpty) return Nil
-      val schema = manifestSchema(spark, root, base)
-      val dirs = over.values.flatten.toSeq.sorted
-        .map(rel => Paths.get(root, rel).toString)
-      import org.apache.spark.sql.functions.{col, regexp_extract}
-      val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-      // recovery column uses the RESERVED name: a data column named
-      // "pid" is legal and must not be clobbered by the path-derived
-      // partition label
-      val df = reader.parquet(dirs: _*)
-        .withColumn(PidCol, regexp_extract(
-          col("_metadata.file_path"), "/pid=(\\d+)/", 1).cast("int"))
-      val staged = stagePartitioned(df, root, PidCol, tasksPerWrite)
-      // meter per attempt: a lost race's staged dirs are real bytes
-      // physically written (vacuum reclaims files, not the bill) —
-      // same accounting rule as commitOnce's table_copy path
-      meter.foreach(_.add(pipeline, root, "table_copy",
-        stagedPartBytes(root, staged)))
+      // the WHOLE attempt is guarded: the base's manifest (or its
+      // small files) can be expired/vacuumed by a maintenance racer
+      // between the versions() listing and any read below — rebase
+      // exactly like a lost commit race
       try {
+        val base = versions(root).lastOption.getOrElse(
+          throw new IllegalStateException(s"no committed version under $root"))
+        val pm = manifestParts(root, base)
+        require(pm.nonEmpty,
+          s"$root v$base is unpartitioned; use compact()")
+        val over = pm.filter { case (_, ds) =>
+          ds.size > 1 || ds.map(parquetFiles).sum > maxFilesPerPart }
+        if (over.isEmpty) return Nil
+        val schema = manifestSchema(spark, root, base)
+        val dirs = over.values.flatten.toSeq.sorted
+          .map(rel => Paths.get(root, rel).toString)
+        import org.apache.spark.sql.functions.{col, regexp_extract}
+        val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+        // recovery column uses the RESERVED name: a data column named
+        // "pid" is legal and must not be clobbered by the path-derived
+        // partition label
+        val df = reader.parquet(dirs: _*)
+          .withColumn(PidCol, regexp_extract(
+            col("_metadata.file_path"), "/pid=(\\d+)/", 1).cast("int"))
+        val staged = stagePartitioned(df, root, PidCol, tasksPerWrite)
+        // meter per attempt: a lost race's staged dirs are real bytes
+        // physically written (vacuum reclaims files, not the bill) —
+        // same accounting rule as commitOnce's table_copy path
+        meter.foreach(_.add(pipeline, root, "table_copy",
+          stagedPartBytes(root, staged)))
         commitPartitionsOnce(staged, root, base,
           schemaDdl = schema.map(_.toDDL))
         return over.keys.toSeq.sorted
@@ -633,6 +656,8 @@ object VersionedTable {
         case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e
         // lost race: the staged dirs become vacuum debris; loop
         // re-reads the head (racer's merge included) and restages
+        case e: java.nio.file.NoSuchFileException =>
+          if (attempt >= maxAttempts) throw e
       }
     }
     Nil // unreachable
@@ -673,29 +698,38 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       attempt += 1
-      val base = versions(root).lastOption.getOrElse(
-        throw new IllegalStateException(s"no committed version under $root"))
-      val pm = manifestParts(root, base)
-      require(pm.nonEmpty,
-        s"$root v$base is unpartitioned; rescale applies to partitioned " +
-          "tables (seed one with commitPartitions)")
-      val schema = manifestSchema(spark, root, base)
-      val dirs = pm.values.flatten.toSeq.sorted
-        .map(rel => Paths.get(root, rel).toString)
-      val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-      val df = reader.parquet(dirs: _*)
-      require(!df.columns.contains(PidCol),
-        s"'$PidCol' is the reserved internal partition column")
-      val staged = stagePartitioned(
-        df.withColumn(PidCol, keyPid(pk, newP)), root, PidCol, tasksPerWrite)
-      // per attempt, like compactPartitions: a lost race's staged dirs
-      // are bytes physically written (vacuum reclaims files, not bills)
-      meter.foreach(_.add(pipeline, root, "table_copy",
-        stagedPartBytes(root, staged)))
-      try return commitPartitionsOnce(staged, root, base,
-        overwriteAll = true, schemaDdl = schema.map(_.toDDL),
-        nParts = Some(newP))
-      catch { case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e }
+      // whole attempt guarded: the base manifest can be expired by a
+      // maintenance racer between listing and read — rebase like a
+      // lost commit race (see compactPartitions)
+      try {
+        val base = versions(root).lastOption.getOrElse(
+          throw new IllegalStateException(s"no committed version under $root"))
+        val pm = manifestParts(root, base)
+        require(pm.nonEmpty,
+          s"$root v$base is unpartitioned; rescale applies to partitioned " +
+            "tables (seed one with commitPartitions)")
+        val schema = manifestSchema(spark, root, base)
+        val dirs = pm.values.flatten.toSeq.sorted
+          .map(rel => Paths.get(root, rel).toString)
+        val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+        val df = reader.parquet(dirs: _*)
+        require(!df.columns.contains(PidCol),
+          s"'$PidCol' is the reserved internal partition column")
+        val staged = stagePartitioned(
+          df.withColumn(PidCol, keyPid(pk, newP)), root, PidCol, tasksPerWrite)
+        // per attempt, like compactPartitions: a lost race's staged
+        // dirs are bytes physically written (vacuum reclaims files,
+        // not bills)
+        meter.foreach(_.add(pipeline, root, "table_copy",
+          stagedPartBytes(root, staged)))
+        return commitPartitionsOnce(staged, root, base,
+          overwriteAll = true, schemaDdl = schema.map(_.toDDL),
+          nParts = Some(newP))
+      } catch {
+        case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e
+        case e: java.nio.file.NoSuchFileException =>
+          if (attempt >= maxAttempts) throw e
+      }
     }
     -1 // unreachable
   }
@@ -900,10 +934,20 @@ object VersionedTable {
   def vacuum(root: String, graceMillis: Long = 20 * 60 * 1000L): Seq[String] = {
     val cutoff = System.currentTimeMillis() - graceMillis
     def inFlight(p: Path): Boolean = graceMillis > 0 && {
-      val w = Files.walk(p)
-      try w.iterator.asScala.exists(f =>
-        Files.getLastModifiedTime(f).toMillis > cutoff)
-      finally w.close()
+      // the probe walks dirs that may be ACTIVELY mutating (that's
+      // what it exists to detect) — a file vanishing between the walk
+      // listing and its stat (staging's partCol=→pid= rename, Spark's
+      // _temporary cleanup) proves the dir is in flight, it must not
+      // crash the maintenance pass
+      try {
+        val w = Files.walk(p)
+        try w.iterator.asScala.exists(f =>
+          Files.getLastModifiedTime(f).toMillis > cutoff)
+        finally w.close()
+      } catch {
+        case _: java.nio.file.NoSuchFileException => true
+        case _: java.io.UncheckedIOException => true
+      }
     }
     val live = versions(root).flatMap(manifestDirs(root, _)).toSet
     val dataDir = Paths.get(root, "data")

@@ -149,7 +149,13 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
     * [[graft.sources.VersionedTable.maintain]] pass per tick
     * (byte-budget rescale check → partition-scoped compaction →
     * retention expiry → vacuum), managed like every other pipeline.
-    * Each pass is data-identical, so tick redelivery is free. */
+    * Each pass is data-identical, so tick redelivery is free.
+    *
+    * Idle ticks are CHEAP: a pass only runs when the table's head
+    * version moved since the last one — maintenance work (file
+    * counts, partition bytes) can only change with a commit, so a
+    * quiet table costs one versions() listing per tick instead of an
+    * O(table file count) stat walk per second. */
   def startMaintenance(
       name: String,
       root: String,
@@ -162,11 +168,21 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
       breaker: CircuitBreaker = new CircuitBreaker(),
       warnBatchMillis: Long = 10000,
       dangerBatchMillis: Long = 30000): Pipeline =
-    register(name, warnBatchMillis, dangerBatchMillis, breaker, None)(_ =>
+    register(name, warnBatchMillis, dangerBatchMillis, breaker, None) { _ =>
+      var lastHead = -1
       TickStream.ticks(spark, checkpoint, trigger, Some(breaker)) { () =>
-        graft.sources.VersionedTable.maintain(spark, root, pk,
-          targetBytesPerPart, maxFilesPerPart, keepLast); ()
-      })
+        val head = graft.sources.VersionedTable.versions(root)
+          .lastOption.getOrElse(-1)
+        if (head != lastHead && head >= 0) {
+          graft.sources.VersionedTable.maintain(spark, root, pk,
+            targetBytesPerPart, maxFilesPerPart, keepLast)
+          // re-read: maintain's own commits (compaction/rescale) must
+          // not re-trigger a pass on the next tick
+          lastHead = graft.sources.VersionedTable.versions(root)
+            .lastOption.getOrElse(head)
+        }
+      }
+    }
 
   def get(name: String): Option[Pipeline] = pipelines.get(name)
 

@@ -100,17 +100,49 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
   private def withPid(df: DataFrame, p: Int): DataFrame =
     df.withColumn(Pid, VersionedTable.keyPid(pk, p))
 
+  /** Test seam: runs between a tick's staging and its commit so specs
+    * can interleave a destination rescale into the race window
+    * deterministically (the PartitionedMerge seam's twin). */
+  private[streaming] var beforeCommit: () => Unit = () => ()
+
   /** Full-snapshot overwrite of the destination at source version
     * `head` — initial sync, expired-cursor recovery, and upstream
-    * identity change all land here. */
+    * identity change all land here.
+    *
+    * `force` (identity-change path only) bypasses the txn-dedup
+    * guard: the same (identity, version) txn may have been burnt by a
+    * PRIOR ERA of this identity — a source restored from backup after
+    * an interloper table lived at the path re-presents a tableId
+    * whose nsTxn(head) the destination already carries, and a
+    * guard-skipped bootstrap would leave the replica serving the
+    * interloper's rows while reporting success. The forced commit
+    * still records the txn and still retries commit races. */
   private def bootstrap(head: Int, p: Int, sid: String,
-      schemaDdl: Option[String]): Unit = {
+      schemaDdl: Option[String], force: Boolean = false): Unit = {
     val snap = withPid(VersionedTable.readAt(spark, srcRoot, head), p)
     val staged = VersionedTable.stagePartitioned(snap, dstRoot, Pid)
-    VersionedTable.commitPartitions(staged, dstRoot, batchId = nsTxn(head),
-      overwriteAll = true, schemaDdl = schemaDdl, nParts = Some(p),
-      followSrc = Some(sid))
-    ()
+    if (!force) {
+      VersionedTable.commitPartitions(staged, dstRoot, batchId = nsTxn(head),
+        overwriteAll = true, schemaDdl = schemaDdl, nParts = Some(p),
+        followSrc = Some(sid))
+      ()
+    } else {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        attempt += 1
+        val base = VersionedTable.versions(dstRoot).lastOption.getOrElse(0)
+        try {
+          VersionedTable.commitPartitionsOnce(staged, dstRoot, base,
+            overwriteAll = true, txn = Some(nsTxn(head)),
+            schemaDdl = schemaDdl, nParts = Some(p), followSrc = Some(sid))
+          done = true
+        } catch {
+          case e: VersionedTable.ConcurrentCommit =>
+            if (attempt >= 5) throw e
+        }
+      }
+    }
   }
 
   /** Apply everything committed upstream since the last tick. Returns
@@ -120,47 +152,59 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
     val srcVersions = VersionedTable.versions(srcRoot)
     val head = srcVersions.lastOption.getOrElse(return None)
     val sid = srcId
-    val p = effP
-    val schemaDdl = VersionedTable
-      .manifestSchema(spark, srcRoot, head).map(_.toDDL)
     val recorded = VersionedTable.followSrc(dstRoot)
     // every follower commit stamps followSrc, and maintenance commits
     // carry it — a non-empty destination WITHOUT it was written by
     // someone else (including txn-less commit() calls the plain-txn
-    // check below can't see): refuse rather than overwrite it
+    // check below can't see, and replicas from before the provenance
+    // stamp existed: those must be re-created, loudly, not guessed
+    // at): refuse rather than overwrite it
     if (recorded.isEmpty && VersionedTable.versions(dstRoot).nonEmpty)
       throw new IllegalStateException(
         s"destination $dstRoot has commits but no follower provenance — " +
           "follow into an empty root, or one this follower wrote")
-    if (recorded.exists(_ != sid)) {
-      // the table at srcRoot is not the one this replica was built
-      // from (deleted-and-recreated upstream): cross-incarnation
-      // deltas are garbage even when version numbers line up —
-      // re-bootstrap under the new identity's namespace (the old
-      // namespace's txns become inert history)
-      bootstrap(head, p, sid, schemaDdl)
-      return Some((0, head))
-    }
-    val txns = VersionedTable.committedTxns(dstRoot)
-    // misuse must be loud (VERDICT r12 item 2): a plain micro-batch
+    // misuse must be loud (VERDICT r12 item 2), and it must be loud
+    // BEFORE the identity branch below — an identity change must not
+    // silently overwrite a foreign writer's data. A plain micro-batch
     // txn means a CdcTarget (or other non-follower writer) committed
-    // to the followed destination — its data diverges the replica and
-    // its txn id lives in the space the old cursor read. Other-
-    // namespace FOLLOWER txns are prior-incarnation history, expected
-    // after a re-bootstrap.
-    val plain = txns.filter(t => (t >>> 32) == 0)
+    // to the followed destination. Other-namespace FOLLOWER-SHAPED
+    // txns (≥ 2³²) are prior-incarnation history, expected after a
+    // re-bootstrap — a foreign writer that chooses huge batch ids is
+    // indistinguishable from that history and slips this net; the
+    // single-follower constraint remains the contract, this guard
+    // catches its realistic violation (micro-batch ids count from 0).
+    val plain = VersionedTable.committedTxns(dstRoot)
+      .filter(t => (t >>> 32) == 0)
     if (plain.nonEmpty)
       throw new IllegalStateException(
         s"destination $dstRoot carries non-follower txns " +
           s"${plain.toSeq.sorted.mkString(",")} — a followed destination " +
           "accepts follower commits only (single-follower constraint)")
+    if (recorded.exists(_ != sid)) {
+      // the table at srcRoot is not the one this replica was built
+      // from (deleted-and-recreated upstream): cross-incarnation
+      // deltas are garbage even when version numbers line up —
+      // re-bootstrap under the new identity's namespace (the old
+      // namespace's txns become inert history), FORCED past the
+      // txn-dedup guard (see bootstrap)
+      bootstrap(head, effP, sid, VersionedTable
+        .manifestSchema(spark, srcRoot, head).map(_.toDDL), force = true)
+      return Some((0, head))
+    }
     val from = cursor
     if (from > head)
       throw new IllegalStateException(
         s"follower cursor v$from is beyond source head v$head under the " +
-          "same table identity — source history was truncated or the " +
-          "destination carries a forged txn; re-create the replica")
+          "same table identity — source history was truncated/rewound " +
+          "(restore from an older backup) or the destination carries a " +
+          "forged txn; re-create the replica")
     if (head == from) return None
+    // everything below the idle early-return is commit-path-only
+    // work: an idle 1s-trigger fleet tick pays manifest listings and
+    // the memoized txn scan, never a schema parse or partition read
+    val p = effP
+    val schemaDdl = VersionedTable
+      .manifestSchema(spark, srcRoot, head).map(_.toDDL)
     val needBootstrap = from == 0 || !srcVersions.contains(from)
     if (needBootstrap) {
       // initial sync, or the cursor version was expired upstream:
@@ -181,36 +225,54 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
             batchId = nsTxn(head), schemaDdl = schemaDdl,
             followSrc = Some(sid))
         } else {
-          val withP = withPid(delta, p)
-          val touched = withP.select(Pid).distinct().collect()
-            .map(_.getInt(0)).toSet // bounded by the partition count
-          val parts = VersionedTable.parts(dstRoot)
-          val existing: DataFrame = {
-            val dirs = touched.toSeq.sorted
-              .flatMap(k => parts.getOrElse(k.toString, Nil))
-              .map(rel => java.nio.file.Paths.get(dstRoot, rel).toString)
-            if (dirs.isEmpty) withP.drop("_change_type").limit(0)
-            else {
-              val reader = VersionedTable
-                .manifestSchema(spark, srcRoot, head)
-                .map(spark.read.schema(_)).getOrElse(spark.read)
-              withPid(reader.parquet(dirs: _*), p)
+          // restage loop (PartitionedMerge's twin): a DESTINATION
+          // rescale landing inside this stage→commit window means the
+          // staged dirs hash under a dead count — re-read the stamp
+          // and restage instead of failing the tick
+          var attempt = 0
+          var done = false
+          while (!done) {
+            attempt += 1
+            val pNow = effP
+            val withP = withPid(delta, pNow)
+            val touched = withP.select(Pid).distinct().collect()
+              .map(_.getInt(0)).toSet // bounded by the partition count
+            val parts = VersionedTable.parts(dstRoot)
+            val existing: DataFrame = {
+              val dirs = touched.toSeq.sorted
+                .flatMap(k => parts.getOrElse(k.toString, Nil))
+                .map(rel => java.nio.file.Paths.get(dstRoot, rel).toString)
+              if (dirs.isEmpty) withP.drop("_change_type").limit(0)
+              else {
+                val reader = VersionedTable
+                  .manifestSchema(spark, srcRoot, head)
+                  .map(spark.read.schema(_)).getOrElse(spark.read)
+                withPid(reader.parquet(dirs: _*), pNow)
+              }
+            }
+            // replace-or-drop by pk: every changed key's old row
+            // leaves, upserts (insert/update post-images) come back in
+            val merged = existing
+              .join(withP.select(col(pk)), Seq(pk), "left_anti")
+              .unionByName(withP.filter(col("_change_type") =!= "delete")
+                .drop("_change_type"))
+            val staged = VersionedTable.stagePartitioned(merged, dstRoot, Pid)
+            // a touched partition with NO surviving rows (every key
+            // deleted) stages nothing — drop its label explicitly or
+            // the old dir would ride the manifest and resurrect rows
+            val emptied = touched.map(_.toString) -- staged.keySet
+            beforeCommit()
+            try {
+              VersionedTable.commitPartitions(staged, dstRoot,
+                batchId = nsTxn(head), schemaDdl = schemaDdl,
+                dropParts = emptied, nParts = Some(pNow),
+                followSrc = Some(sid))
+              done = true
+            } catch {
+              case e: VersionedTable.PartitionCountChanged =>
+                if (attempt >= 3) throw e
             }
           }
-          // replace-or-drop by pk: every changed key's old row leaves,
-          // upserts (insert/update post-images) come back in
-          val merged = existing
-            .join(withP.select(col(pk)), Seq(pk), "left_anti")
-            .unionByName(withP.filter(col("_change_type") =!= "delete")
-              .drop("_change_type"))
-          val staged = VersionedTable.stagePartitioned(merged, dstRoot, Pid)
-          // a touched partition with NO surviving rows (every key
-          // deleted) stages nothing — drop its label explicitly or the
-          // old dir would ride the manifest and resurrect the rows
-          val emptied = touched.map(_.toString) -- staged.keySet
-          VersionedTable.commitPartitions(staged, dstRoot,
-            batchId = nsTxn(head), schemaDdl = schemaDdl,
-            dropParts = emptied, nParts = Some(p), followSrc = Some(sid))
         }
       } finally delta.unpersist()
     }

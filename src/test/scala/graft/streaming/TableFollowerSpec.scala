@@ -215,6 +215,55 @@ class TableFollowerSpec extends SparkSpec {
     assert(byKey(follower.snapshot)(100L).value == 100.5)
   }
 
+  test("a restored prior identity re-bootstraps even over a burnt txn") {
+    // era A replicated through head 2 → dst holds nsTxn_A(2); an
+    // interloper table B lives at the path for a while (follower
+    // re-bootstraps to B); then A is RESTORED FROM BACKUP at the same
+    // head. The txn-dedup guard would skip A's re-bootstrap (its txn
+    // is burnt from era 1) and the replica would keep serving B's
+    // rows while tick() reports success — the forced identity
+    // bootstrap exists for exactly this.
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val w = Files.walk(from)
+      val all = try w.iterator.asScala.toSeq finally w.close()
+      all.foreach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+      }
+    }
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val w = Files.walk(p)
+      val files = try w.iterator.asScala.toSeq.reverse finally w.close()
+      files.foreach(Files.delete)
+    }
+    val src = freshRoot("tf-era-src"); val dst = freshRoot("tf-era-dst")
+    val eraA = new PartitionedTableCdcTarget(spark, src, P)
+    eraA.merge(0, (1L to 10L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+    eraA.merge(1, Seq(ap(3, 100, 90000, 3.3)).toDS())
+    val follower = new TableFollower(spark, src, dst, "user_id", P)
+    follower.tick()
+    val aSnapshot = byKey(VersionedTable.read(spark, src))
+    val backup = Files.createTempDirectory("tf-era-backup")
+    copyTree(Paths.get(src), backup)
+
+    // interloper era B at the same path
+    rmTree(Paths.get(src)); VersionedTable.invalidateTxns(src)
+    new PartitionedTableCdcTarget(spark, src, P)
+      .merge(0, (100L to 110L).map(k => ap(k, k, 5000 + k, -k.toDouble)).toDS())
+    follower.tick()
+    assert(byKey(follower.snapshot).contains(100L), "B never replicated")
+
+    // restore era A from backup: same tableId, same head, burnt txn
+    rmTree(Paths.get(src)); copyTree(backup, Paths.get(src))
+    VersionedTable.invalidateTxns(src)
+    assert(follower.tick().isDefined)
+    assert(byKey(follower.snapshot) == aSnapshot,
+      "replica still serves the interloper's rows after A's restore")
+    assert(VersionedTable.followSrc(dst) == VersionedTable.tableId(src))
+    assert(follower.tick().isEmpty)
+  }
+
   test("replica chains: a follower's destination can itself be followed") {
     val src = freshRoot("tf-chain-src")
     val mid = freshRoot("tf-chain-mid")
@@ -259,6 +308,28 @@ class TableFollowerSpec extends SparkSpec {
     assert(VersionedTable.partCount(dst).contains(P * 4),
       "the follower's merge must not regress the destination's count")
     assert(byKey(follower.snapshot) == byKey(VersionedTable.read(spark, src)))
+  }
+
+  test("a destination rescale racing a tick restages under the new count") {
+    val src = freshRoot("tf-src10"); val dst = freshRoot("tf-dst10")
+    val upstream = new PartitionedTableCdcTarget(spark, src, P)
+    val follower = new TableFollower(spark, src, dst, "user_id", P)
+    upstream.merge(0, (1L to 25L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+    follower.tick()
+
+    upstream.merge(1, Seq(ap(9, 100, 90000, 9.9)).toDS())
+    var fired = false
+    follower.beforeCommit = () => if (!fired) {
+      fired = true
+      VersionedTable.rescalePartitions(spark, dst, "user_id", P * 4)
+    }
+    assert(follower.tick().isDefined)
+    assert(fired, "the race seam never ran")
+    assert(VersionedTable.partCount(dst).contains(P * 4),
+      "the restaged tick must adopt the rescaled count, not regress it")
+    assert(byKey(follower.snapshot) == byKey(VersionedTable.read(spark, src)))
+    // and the tick is not double-applied: the window is committed once
+    assert(follower.tick().isEmpty)
   }
 
   test("an in-namespace cursor beyond the source head throws") {
