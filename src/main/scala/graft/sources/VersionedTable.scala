@@ -167,6 +167,43 @@ object VersionedTable {
   private def followSrcAt(root: String, v: Int): Option[String] =
     stringFieldAt(root, v, "followsrc")
 
+  /** Per-partition (live bytes, parquet file count) stamped on
+    * version `v`'s manifest; empty for manifests predating the stamp.
+    * These are what let the maintenance triggers run on O(P) manifest
+    * metadata instead of stat-walking every live data file. */
+  private def manifestPStatsAt(root: String, v: Int)
+      : Map[String, (Long, Int)] = {
+    val txt = Files.readString(versionFile(root, v))
+    "\"pstats\":\\{(.*?)\\}".r.findFirstMatchIn(txt).map(_.group(1)) match {
+      case None => Map.empty
+      case Some(body) =>
+        "\"(\\d+)\":\\[(\\d+),(\\d+)\\]".r.findAllMatchIn(body).map { m =>
+          m.group(1) -> ((m.group(2).toLong, m.group(3).toInt))
+        }.toMap
+    }
+  }
+
+  /** Latest stamped per-partition stats (label → (bytes, files)). */
+  def partStats(root: String): Map[String, (Long, Int)] =
+    versions(root).lastOption
+      .map(manifestPStatsAt(root, _)).getOrElse(Map.empty)
+
+  /** (bytes, parquet files) physically under one relative dir. */
+  private def dirStats(root: String, rel: String): (Long, Int) = {
+    val w = Files.walk(Paths.get(root, rel))
+    try {
+      var b = 0L; var n = 0
+      w.iterator.asScala.filter(Files.isRegularFile(_)).foreach { f =>
+        b += Files.size(f)
+        if (f.getFileName.toString.endsWith(".parquet")) n += 1
+      }
+      (b, n)
+    } finally w.close()
+  }
+
+  private def sumStats(a: (Long, Int), b: (Long, Int)): (Long, Int) =
+    (a._1 + b._1, a._2 + b._2)
+
   /** The upstream-table identity recorded by a follower's commits to
     * this (destination) root — carried forward by maintenance commits
     * like `nparts`, so compaction on a replica doesn't amnesia its
@@ -195,12 +232,22 @@ object VersionedTable {
       schemaDdl: Option[String] = None,
       nParts: Option[Int] = None,
       tableId: Option[String] = None,
-      followSrc: Option[String] = None): Path = {
+      followSrc: Option[String] = None,
+      pStats: Option[Map[String, (Long, Int)]] = None): Path = {
     val txnField = txn.fold("")(id => s""""txn":$id,""")
     val schemaField = schemaDdl.fold("")(d => s""""schema":"${jsonEsc(d)}",""")
     val nPartsField = nParts.fold("")(n => s""""nparts":$n,""")
     val idField = tableId.fold("")(i => s""""tableid":"$i",""")
     val followField = followSrc.fold("")(i => s""""followsrc":"$i",""")
+    // per-partition (bytes, parquet file count), stamped at commit
+    // time so the maintenance triggers read O(P) metadata instead of
+    // stat-walking every live data file (the Iceberg manifest-metrics
+    // idea): "pstats":{"<label>":[bytes,files],...}
+    val statsField = pStats.fold("") { m =>
+      m.toSeq.sortBy(_._1.toInt).map { case (k, (b, f)) =>
+        "\"" + k + "\":[" + b + "," + f + "]"
+      }.mkString("\"pstats\":{", ",", "},")
+    }
     val common = s"$txnField$schemaField$idField$followField"
     val body = parts match {
       case None =>
@@ -211,7 +258,7 @@ object VersionedTable {
         pm.toSeq.sortBy(_._1.toInt).map { case (k, ds) =>
           "\"" + k + "\":[" + ds.map("\"" + _ + "\"").mkString(",") + "]"
         }.mkString(
-          s"""{"version":$v,"op":"$op",$common$nPartsField"parts":{""",
+          s"""{"version":$v,"op":"$op",$common$nPartsField$statsField"parts":{""",
           ",", "}}")
     }
     val tmp = versionsDir(root).resolve(s".tmp-${UUID.randomUUID()}")
@@ -376,6 +423,19 @@ object VersionedTable {
     // and its (all-deleted) rows resurrect
     val mergedParts = (prev -- dropParts) ++
       stagedParts.view.mapValues(Seq(_)).toMap
+    // stamp per-partition stats: fresh walks ONLY over this commit's
+    // staged dirs; untouched labels carry their stamped stats forward
+    // (labels whose previous manifest predates the stamp pay a
+    // one-time walk here — the migration cost, raceGuarded like every
+    // other read of expected-version state)
+    val prevStats =
+      if (overwriteAll || expected == 0) Map.empty[String, (Long, Int)]
+      else raceGuard(manifestPStatsAt(root, expected))
+    val mergedStats: Map[String, (Long, Int)] =
+      (prev -- dropParts).map { case (k, ds) =>
+        k -> prevStats.getOrElse(k,
+          raceGuard(ds.map(dirStats(root, _)).foldLeft((0L, 0))(sumStats)))
+      } ++ stagedParts.view.mapValues(dirStats(root, _)).toMap
     meter.foreach(_.add(pipeline, root,
       if (txn.isDefined) "streaming" else "table_copy",
       stagedPartBytes(root, stagedParts)))
@@ -400,7 +460,8 @@ object VersionedTable {
     val tmp = writeManifest(root, next,
       if (overwriteAll) "overwrite_parts" else "merge_parts",
       Nil, txn, parts = Some(mergedParts), schemaDdl = schemaDdl,
-      nParts = carriedN, tableId = Some(id), followSrc = carriedFollow)
+      nParts = carriedN, tableId = Some(id), followSrc = carriedFollow,
+      pStats = Some(mergedStats))
     try Files.createLink(versionFile(root, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.delete(tmp)
@@ -629,8 +690,13 @@ object VersionedTable {
         val pm = manifestParts(root, base)
         require(pm.nonEmpty,
           s"$root v$base is unpartitioned; use compact()")
-        val over = pm.filter { case (_, ds) =>
-          ds.size > 1 || ds.map(parquetFiles).sum > maxFilesPerPart }
+        // budget check from stamped manifest stats when present —
+        // O(P) metadata instead of an O(table files) stat walk;
+        // unstamped labels (pre-stamp manifests) walk once
+        val stats = manifestPStatsAt(root, base)
+        val over = pm.filter { case (k, ds) =>
+          ds.size > 1 || stats.get(k).map(_._2)
+            .getOrElse(ds.map(parquetFiles).sum) > maxFilesPerPart }
         if (over.isEmpty) return Nil
         val schema = manifestSchema(spark, root, base)
         val dirs = over.values.flatten.toSeq.sorted
@@ -754,7 +820,13 @@ object VersionedTable {
     val p = partCountAt(root, head).getOrElse(return None)
     val pm = manifestParts(root, head)
     if (pm.isEmpty) return None
-    val total = pm.values.flatten.map(stagedBytes(root, _)).sum
+    // stamped stats make the trigger an O(P) manifest read; a table
+    // whose manifests predate the stamp pays the walk until its next
+    // commit re-stamps it
+    val stats = manifestPStatsAt(root, head)
+    val total =
+      if (pm.keySet.subsetOf(stats.keySet)) pm.keysIterator.map(stats(_)._1).sum
+      else pm.values.flatten.map(stagedBytes(root, _)).sum
     if (total <= targetBytesPerPart.toDouble * p) return None
     var newP = p
     while (total > targetBytesPerPart.toDouble * newP) newP *= 2

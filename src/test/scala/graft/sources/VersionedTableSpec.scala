@@ -53,6 +53,49 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).as[Int].collect() === Array(1))
   }
 
+  test("manifests stamp per-partition stats the maintenance loop reads") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    val P = 4
+    def stage(keys: Seq[Long]) = VersionedTable.stagePartitioned(
+      keys.toDF("id").withColumn("pid", pmod(hash(col("id")), lit(P))),
+      root, "pid")
+    def walked(rel: String): (Long, Int) = {
+      val w = Files.walk(Paths.get(root, rel))
+      try {
+        val fs = w.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
+        (fs.map(Files.size(_)).sum,
+          fs.count(_.getFileName.toString.endsWith(".parquet")))
+      } finally w.close()
+    }
+    VersionedTable.commitPartitions(stage(1L to 40L), root, batchId = 0,
+      nParts = Some(P))
+    val parts1 = VersionedTable.parts(root)
+    val s1 = VersionedTable.partStats(root)
+    assert(s1.keySet == parts1.keySet, "every live label must be stamped")
+    // truth: the stamp equals the physical walk, label by label
+    parts1.foreach { case (k, ds) =>
+      val truth = ds.map(walked).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      assert(s1(k) == truth, s"label $k stamp $s1 != walked $truth")
+    }
+
+    // a one-label merge refreshes that label's stamp, carries the rest
+    // VERBATIM (no walk of untouched partitions — the O(P) contract)
+    val k7 = s.range(1).select(pmod(hash(lit(7L)), lit(P)))
+      .first().getInt(0).toString
+    VersionedTable.commitPartitions(stage(Seq(7L)), root, batchId = 1)
+    val s2 = VersionedTable.partStats(root)
+    assert(s2 - k7 == s1 - k7, "untouched labels' stats must carry")
+    assert(s2(k7) != s1(k7), "the touched label's stats must refresh")
+
+    // a dropped (emptied) label loses its stamp with its dirs
+    VersionedTable.commitPartitions(Map.empty, root, batchId = 2,
+      dropParts = Set(k7))
+    val s3 = VersionedTable.partStats(root)
+    assert(!s3.contains(k7) && s3 == s2 - k7)
+  }
+
   test("vacuum's age grace protects in-flight staging") {
     val root = freshRoot()
     VersionedTable.commit(Seq(1).toDF("x"), root)
