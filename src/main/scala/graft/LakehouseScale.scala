@@ -235,7 +235,128 @@ object LakehouseScale {
     Files.write(Paths.get(out), (json + "\n").getBytes("UTF-8"))
   }
 
+  /** Replica-CHAIN leg (VERDICT r13 item 3): a 2-hop chain
+    * src → mid → leaf, per-tick wall time AND bytes measured at EACH
+    * hop as the source grows — the namespaced-cursor independence
+    * claim as a measurement: every hop's cost must track its own
+    * (constant) delta, not the table, and not the other hop. Run ONE
+    * SIZE PER JVM (the SCALE_CYCLE_r13 lesson: accumulated session/GC
+    * pressure fakes a 4× at the last leg of a combined run).
+    * Usage: runMain graft.LakehouseScale chain out.json <size> */
+  private def chainLeg(spark: org.apache.spark.sql.SparkSession,
+      out: String, tableKeys: Int): Unit = {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import graft.streaming.TableFollower
+    val updateKeys = 32
+    val ticks = 5
+    val rng = new scala.util.Random(13)
+    def sec(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val p = math.max(16, tableKeys / 800)
+    val srcRoot = Files.createTempDirectory(s"ch_src_$tableKeys").toString
+    val midRoot = Files.createTempDirectory(s"ch_mid_$tableKeys").toString
+    val leafRoot = Files.createTempDirectory(s"ch_leaf_$tableKeys").toString
+    val src = new PartitionedTableCdcTarget(spark, srcRoot, p)
+    src.merge(0, (1L to tableKeys.toLong)
+      .map(k => ap(k, k, 1000L + k, k.toDouble)).toDS())
+    val hop1 = new TableFollower(spark, srcRoot, midRoot, "user_id", p)
+    val hop2 = new TableFollower(spark, midRoot, leafRoot, "user_id", p)
+    hop1.tick(); hop2.tick() // bootstraps excluded from the measure
+    var h1S = 0.0; var h2S = 0.0; var h1B = 0L; var h2B = 0L
+    for (b <- 1 to ticks) {
+      val batch = Seq.fill(updateKeys)(rng.nextInt(tableKeys).toLong + 1L)
+        .distinct
+        .map(k => ap(k, 1000000L * b + k, 10000000L * b + k, -k.toDouble))
+      src.merge(b.toLong, batch.toDS())
+      val m0 = dataBytes(midRoot)
+      h1S += sec { hop1.tick() }
+      h1B += dataBytes(midRoot) - m0
+      val l0 = dataBytes(leafRoot)
+      h2S += sec { hop2.tick() }
+      h2B += dataBytes(leafRoot) - l0
+    }
+    // end-to-end equality witness through both hops
+    val a = VersionedTable.read(spark, srcRoot)
+      .orderBy("user_id").collect().toSeq
+    val c = hop2.snapshot.orderBy("user_id").collect().toSeq
+    require(a == c, s"leaf diverged from source at $tableKeys")
+    val json = f"""{"metric":"lakehouse_chain","unit":"per_tick",""" +
+      f""""table_rows":$tableKeys,"partitions":$p,""" +
+      f""""update_keys":$updateKeys,""" +
+      f""""hop1_s":${h1S / ticks}%.4f,"hop2_s":${h2S / ticks}%.4f,""" +
+      f""""hop1_bytes":${h1B / ticks},"hop2_bytes":${h2B / ticks},""" +
+      f""""src_table_bytes":${dataBytes(srcRoot)}}"""
+    println(json)
+    Files.write(Paths.get(out), (json + "\n").getBytes("UTF-8"))
+  }
+
+  /** Manifest-WRITE scaling probe (VERDICT r13 item 4): the commit
+    * path serializes every label's full dir list per manifest —
+    * measure that constant directly at P = 1k/10k/100k labels with
+    * empty staged dirs (no data I/O, no Spark job: the probe isolates
+    * manifest serialize+parse+link). Reports per-commit milliseconds
+    * for a 32-label incremental merge and the manifest size on disk —
+    * the number that decides whether the flat manifest needs the
+    * Iceberg manifest-list split before the design point.
+    * Usage: runMain graft.LakehouseScale manifest [out.json] */
+  private def manifestLeg(out: String): Unit = {
+    import graft.sources.VersionedTable
+    val reps = 5
+    val touched = 32
+    def mkStaged(root: String, labels: Seq[Int]): Map[String, String] = {
+      val uuid = java.util.UUID.randomUUID().toString
+      labels.map { k =>
+        val rel = s"data/$uuid/pid=$k"
+        Files.createDirectories(Paths.get(root, rel))
+        k.toString -> rel
+      }.toMap
+    }
+    val rows = Seq.newBuilder[String]
+    for (p <- Seq(1000, 10000, 100000)) {
+      val root = Files.createTempDirectory(s"mf_probe_$p").toString
+      val t0 = System.nanoTime()
+      VersionedTable.commitPartitionsOnce(
+        mkStaged(root, 0 until p), root, expected = 0,
+        overwriteAll = true, nParts = Some(p))
+      val fullMs = (System.nanoTime() - t0) / 1e6
+      var incMs = 0.0
+      for (r <- 1 to reps) {
+        val staged = mkStaged(root, 0 until touched)
+        val base = VersionedTable.versions(root).last
+        val t1 = System.nanoTime()
+        VersionedTable.commitPartitionsOnce(staged, root, base,
+          nParts = Some(p))
+        incMs += (System.nanoTime() - t1) / 1e6
+      }
+      val mBytes = Files.size(Paths.get(root,
+        f"_versions/v${VersionedTable.versions(root).last}%08d.json"))
+      println(f"[manifest-probe] P=$p full=$fullMs%.1f ms " +
+        f"inc=${incMs / reps}%.1f ms manifest=$mBytes B")
+      rows += f"""{"partitions":$p,"full_commit_ms":$fullMs%.1f,""" +
+        f""""incremental_commit_ms":${incMs / reps}%.1f,""" +
+        f""""manifest_bytes":$mBytes}"""
+    }
+    val json = s"""{"metric":"manifest_write_cost","unit":"ms_per_commit",""" +
+      s""""touched_labels":$touched,"rows":[${rows.result().mkString(",")}]}"""
+    println(json)
+    Files.write(Paths.get(out), (json + "\n").getBytes("UTF-8"))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("chain")) {
+      val out = args.drop(1).headOption.getOrElse("SCALE_CHAIN_r14.json")
+      val size = args.drop(2).headOption.map(_.trim.toInt).getOrElse(10000)
+      val spark = Engine.session("graft-chain-scale")
+      chainLeg(spark, out, size)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("manifest")) {
+      manifestLeg(args.drop(1).headOption.getOrElse("SCALE_MANIFEST_r14.json"))
+      return
+    }
     if (args.headOption.contains("rescale")) {
       val out = args.drop(1).headOption.getOrElse("SCALE_RESCALE_r13.json")
       val sizes = args.drop(2).headOption

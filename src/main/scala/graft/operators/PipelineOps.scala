@@ -446,24 +446,38 @@ object PipelineOps extends Suite {
   private def pipeIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val isNew = pmod(col("doc_id"), lit(5)) === 4
     val docs = Tables.documents(spark, dir)
-    val histFp = docs.filter(!isNew)
-      .select(col("doc_id"), md5(col("text")).as("fp"))
-    val newFp = docs.filter(isNew)
-      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val sh = DedupOps.hashedShingles(spark, dir)
+      .select(col("doc_id"), col("lang"), col("band"),
+        size(col("s")).as("n"), explode(col("s")).as("h"))
+    incrementalDedupCore(
+      newIds = docs.filter(isNew).select("doc_id"),
+      newFp = fp.filter(isNew), histFp = fp.filter(!isNew),
+      shNew = sh.filter(isNew), shHist = sh.filter(!isNew))
+  }
+
+  /** The exact/near/unique classification core of
+    * pipe_incremental_dedup, parameterized by FRAMES instead of the
+    * documents table's mod-5 split (VERDICT r13 item 7): the same
+    * plan classifies a lakehouse change-feed delta against a
+    * maintained corpus (LakehouseCurationSpec) and the registered
+    * query's deterministic 20% slice. `*Fp` are (doc_id, fp) digests,
+    * `sh*` exploded shingle frames (doc_id, lang, band, n, h),
+    * `newIds` the (doc_id) universe to classify. The scale shape is
+    * unchanged: the NEW side broadcasts everywhere, the corpus is
+    * read once and never re-shuffled. */
+  private[operators] def incrementalDedupCore(newIds: DataFrame,
+      newFp: DataFrame, histFp: DataFrame,
+      shNew: DataFrame, shHist: DataFrame): DataFrame = {
     val exact = histFp
       .join(broadcast(newFp.select("fp").distinct()), Seq("fp"), "leftsemi")
       .groupBy("fp").agg(min(col("doc_id")).as("exact_id"))
       .join(newFp, Seq("fp"))
       .select(col("doc_id"), col("exact_id"))
-    val sh = DedupOps.hashedShingles(spark, dir)
-      .select(col("doc_id"), col("lang"), col("band"),
-        size(col("s")).as("n"), explode(col("s")).as("h"))
-    val a = sh.filter(pmod(col("doc_id"), lit(5)) =!= 4)
-      .select(col("h"), col("lang"), col("band"),
-        col("doc_id").as("a_id"), col("n").as("na"))
-    val b = sh.filter(pmod(col("doc_id"), lit(5)) === 4)
-      .select(col("h"), col("lang"), col("band"),
-        col("doc_id").as("b_id"), col("n").as("nb"))
+    val a = shHist.select(col("h"), col("lang"), col("band"),
+      col("doc_id").as("a_id"), col("n").as("na"))
+    val b = shNew.select(col("h"), col("lang"), col("band"),
+      col("doc_id").as("b_id"), col("n").as("nb"))
     val near = a.join(broadcast(b), Seq("h", "lang", "band"))
       .filter(col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
       .groupBy("a_id", "b_id", "na", "nb")
@@ -472,7 +486,7 @@ object PipelineOps extends Suite {
         (col("na") + col("nb") - col("inter")) >= 0.5)
       .groupBy(col("b_id").as("doc_id"))
       .agg(min(col("a_id")).as("near_id"))
-    docs.filter(isNew).select("doc_id")
+    newIds.select("doc_id")
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -481,6 +495,24 @@ object PipelineOps extends Suite {
           .otherwise("unique").as("status"),
         coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
       .orderBy("doc_id")
+  }
+
+  /** [[incrementalDedupCore]] from raw corpus frames (doc_id, lang,
+    * text) — the entry the lakehouse composition runs: `newDocs` is
+    * today's change-feed delta, `hist` the standing corpus snapshot.
+    * Shingle construction mirrors [[DedupOps.hashedShingles]]
+    * (tokenize → shingle_hash3 → (lang, len/50) block). */
+  def incrementalDedupFrames(newDocs: DataFrame, hist: DataFrame): DataFrame = {
+    def fp(df: DataFrame) = df.select(col("doc_id"), md5(col("text")).as("fp"))
+    def sh(df: DataFrame) = df
+      .select(col("doc_id"), col("lang"), Tok.toks.as("t"))
+      .select(col("doc_id"), col("lang"),
+        (size(col("t")).cast("long") / 50).cast("long").as("band"),
+        expr("shingle_hash3(t)").as("s"))
+      .select(col("doc_id"), col("lang"), col("band"),
+        size(col("s")).as("n"), explode(col("s")).as("h"))
+    incrementalDedupCore(newDocs.select("doc_id"),
+      fp(newDocs), fp(hist), sh(newDocs), sh(hist))
   }
 
   private val pipeIncrementalDedupSql = {

@@ -123,6 +123,17 @@ object VersionedTable {
     * be silently clobbered by the key-hash. */
   val PidCol = "__graft_pid"
 
+  /** Writer-provenance kinds stamped per commit (`wkind` in the
+    * manifest). A followed destination admits [[KindFollower]] and
+    * [[KindMaintenance]] commits only — any [[KindBatch]] commit
+    * there is a foreign writer, loud regardless of its txn id. */
+  val KindBatch = "batch"
+  val KindMaintenance = "maintenance"
+  val KindFollower = "follower"
+  /** Sentinel [[committedKinds]] reports for manifests written before
+    * the provenance stamp existed (pre-r14 history). */
+  val KindUnstamped = "unstamped"
+
   private def partCountAt(root: String, v: Int): Option[Int] =
     "\"nparts\":(\\d+)".r.findFirstMatchIn(
       Files.readString(versionFile(root, v))).map(_.group(1).toInt)
@@ -233,12 +244,18 @@ object VersionedTable {
       nParts: Option[Int] = None,
       tableId: Option[String] = None,
       followSrc: Option[String] = None,
-      pStats: Option[Map[String, (Long, Int)]] = None): Path = {
+      pStats: Option[Map[String, (Long, Int)]] = None,
+      writerKind: String = KindBatch): Path = {
     val txnField = txn.fold("")(id => s""""txn":$id,""")
     val schemaField = schemaDdl.fold("")(d => s""""schema":"${jsonEsc(d)}",""")
     val nPartsField = nParts.fold("")(n => s""""nparts":$n,""")
     val idField = tableId.fold("")(i => s""""tableid":"$i",""")
     val followField = followSrc.fold("")(i => s""""followsrc":"$i",""")
+    // per-commit writer provenance (VERDICT r13 item 1): the txn id
+    // says WHICH batch, wkind says WHO wrote it — what lets a
+    // follower refuse ANY foreign data commit on its destination
+    // instead of guessing from the id's shape
+    val kindField = s""""wkind":"$writerKind","""
     // per-partition (bytes, parquet file count), stamped at commit
     // time so the maintenance triggers read O(P) metadata instead of
     // stat-walking every live data file (the Iceberg manifest-metrics
@@ -248,7 +265,7 @@ object VersionedTable {
         "\"" + k + "\":[" + b + "," + f + "]"
       }.mkString("\"pstats\":{", ",", "},")
     }
-    val common = s"$txnField$schemaField$idField$followField"
+    val common = s"$txnField$schemaField$idField$followField$kindField"
     val body = parts match {
       case None =>
         dirs.map("\"" + _ + "\"").mkString(
@@ -277,9 +294,12 @@ object VersionedTable {
   private val txnCache =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Set[Long])]
 
-  /** Drop the txn memo for `root` — for callers that delete/recreate a
-    * table root through a path this object cannot observe. */
-  def invalidateTxns(root: String): Unit = { txnCache.remove(root); () }
+  /** Drop the txn (and provenance-kind) memo for `root` — for callers
+    * that delete/recreate a table root through a path this object
+    * cannot observe. */
+  def invalidateTxns(root: String): Unit = {
+    txnCache.remove(root); kindCache.remove(root); ()
+  }
 
   /** Transaction ids already committed (streaming sink bookkeeping). */
   def committedTxns(root: String): Set[Long] = {
@@ -308,6 +328,45 @@ object VersionedTable {
       }
       val merged = known ++ add
       txnCache.put(root, (newer.max, merged))
+      merged
+    }
+  }
+
+  /** Same incremental-scan memo as [[committedTxns]], over the
+    * `wkind` provenance stamp: manifests are immutable and versions
+    * append-only, so each call reads only manifests newer than the
+    * last scan. */
+  private val kindCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Set[String])]
+
+  /** DISTINCT writer kinds across the table's retained history —
+    * what a follower scans to refuse a foreign writer on its
+    * destination ([[KindUnstamped]] marks pre-stamp manifests, whose
+    * provenance only the txn-shape heuristic can guess at). The
+    * history-reset guard mirrors [[committedTxns]]: a version listing
+    * whose max fell below the scanned watermark is a recreated root,
+    * so the memo is dropped and the scan restarts. A manifest expired
+    * between listing and read is skipped — its kind stays remembered
+    * from the earlier scan (same conservative direction as the txn
+    * memo: a remembered foreign kind keeps the refusal loud even
+    * after the offending manifest is expired). */
+  def committedKinds(root: String): Set[String] = {
+    val vs = versions(root)
+    val (hi, known) = kindCache.get(root) match {
+      case Some((h, _)) if vs.isEmpty || vs.max < h =>
+        kindCache.remove(root); (0, Set.empty[String])
+      case Some(pair) => pair
+      case None => (0, Set.empty[String])
+    }
+    val newer = vs.filter(_ > hi)
+    if (newer.isEmpty) known
+    else {
+      val add = newer.flatMap { v =>
+        try Some(stringFieldAt(root, v, "wkind").getOrElse(KindUnstamped))
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      }
+      val merged = known ++ add
+      kindCache.put(root, (newer.max, merged))
       merged
     }
   }
@@ -384,7 +443,8 @@ object VersionedTable {
       pipeline: String = "default",
       dropParts: Set[String] = Set.empty,
       nParts: Option[Int] = None,
-      followSrc: Option[String] = None): Int = {
+      followSrc: Option[String] = None,
+      writerKind: String = KindBatch): Int = {
     Files.createDirectories(versionsDir(root))
     val next = expected + 1
     // Every read of `expected`'s manifest below can race a retention
@@ -392,11 +452,19 @@ object VersionedTable {
     // and here (a maintenance loop running beside a writer) — that is
     // a CONCURRENCY event, not corruption: surface it as the commit
     // race so the caller's retry loop re-reads the new base instead of
-    // dying on NoSuchFileException.
+    // dying on NoSuchFileException. The stats walk (dirStats via
+    // Files.walk) surfaces the SAME race as
+    // UncheckedIOException(NoSuchFileException) — unwrap it so the
+    // guard absorbs both shapes (ADVICE r13).
     def raceGuard[T](body: => T): T =
       try body
-      catch { case _: java.nio.file.NoSuchFileException =>
-        throw new ConcurrentCommit(next) }
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new ConcurrentCommit(next)
+        case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+          throw new ConcurrentCommit(next)
+      }
     // layout guard: an incremental commit whose dirs were hashed under
     // a count the table no longer has must restage, not merge (see
     // PartitionCountChanged). A full rewrite (overwriteAll) DEFINES
@@ -461,7 +529,7 @@ object VersionedTable {
       if (overwriteAll) "overwrite_parts" else "merge_parts",
       Nil, txn, parts = Some(mergedParts), schemaDdl = schemaDdl,
       nParts = carriedN, tableId = Some(id), followSrc = carriedFollow,
-      pStats = Some(mergedStats))
+      pStats = Some(mergedStats), writerKind = writerKind)
     try Files.createLink(versionFile(root, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.delete(tmp)
@@ -484,7 +552,8 @@ object VersionedTable {
       pipeline: String = "default",
       dropParts: Set[String] = Set.empty,
       nParts: Option[Int] = None,
-      followSrc: Option[String] = None): Option[Int] = {
+      followSrc: Option[String] = None,
+      writerKind: String = KindBatch): Option[Int] = {
     // meter ONCE, outside the retry loop: the staged dirs are written
     // exactly once by the caller — a retried commit relinks the same
     // bytes and must not bill them again (commitOnce meters per
@@ -498,7 +567,8 @@ object VersionedTable {
       val base = versions(root).lastOption.getOrElse(0)
       try return Some(commitPartitionsOnce(stagedParts, root, base,
         overwriteAll, txn = Some(batchId), schemaDdl = schemaDdl,
-        dropParts = dropParts, nParts = nParts, followSrc = followSrc))
+        dropParts = dropParts, nParts = nParts, followSrc = followSrc,
+        writerKind = writerKind))
       // PartitionCountChanged deliberately NOT caught: a version-race
       // retry can succeed with the same staged dirs, a count change
       // cannot — the caller must restage under the new layout
@@ -524,7 +594,8 @@ object VersionedTable {
   def commitOnce(df: DataFrame, root: String, overwrite: Boolean,
       expected: Int, txn: Option[Long] = None,
       meter: Option[graft.streaming.EgressMeter] = None,
-      pipeline: String = "default"): Int = {
+      pipeline: String = "default",
+      writerKind: String = KindBatch): Int = {
     Files.createDirectories(versionsDir(root))
     val next = expected + 1
     val staged = stage(df, root)
@@ -532,11 +603,17 @@ object VersionedTable {
       if (txn.isDefined) "streaming" else "table_copy",
       stagedBytes(root, staged)))
     // expire() racing these reads of prior manifests surfaces as the
-    // commit race (caller retries against the new base), not a crash
+    // commit race (caller retries against the new base), not a crash;
+    // walks surface it wrapped in UncheckedIOException — unwrap both
     def raceGuard[T](body: => T): T =
       try body
-      catch { case _: java.nio.file.NoSuchFileException =>
-        throw new ConcurrentCommit(next) }
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new ConcurrentCommit(next)
+        case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+          throw new ConcurrentCommit(next)
+      }
     val dirs = (if (overwrite) Nil
                 else raceGuard(versions(root).lastOption.toSeq
                   .flatMap(manifestDirs(root, _)))) :+ staged
@@ -545,7 +622,7 @@ object VersionedTable {
       .getOrElse(UUID.randomUUID().toString)
     val tmp = writeManifest(root, next,
       if (overwrite) "overwrite" else "append", dirs, txn,
-      tableId = Some(id))
+      tableId = Some(id), writerKind = writerKind)
     try Files.createLink(versionFile(root, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.delete(tmp)
@@ -646,7 +723,8 @@ object VersionedTable {
           s"$root v$base is partitioned; compact() would flatten its " +
             "layout and drop its manifest schema — use compactPartitions()")
       val df = readAt(spark, root, base).coalesce(numFiles)
-      try return commitOnce(df, root, overwrite = true, expected = base)
+      try return commitOnce(df, root, overwrite = true, expected = base,
+        writerKind = KindMaintenance)
       catch { case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e }
     }
     -1 // unreachable
@@ -716,7 +794,7 @@ object VersionedTable {
         meter.foreach(_.add(pipeline, root, "table_copy",
           stagedPartBytes(root, staged)))
         commitPartitionsOnce(staged, root, base,
-          schemaDdl = schema.map(_.toDDL))
+          schemaDdl = schema.map(_.toDDL), writerKind = KindMaintenance)
         return over.keys.toSeq.sorted
       } catch {
         case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e
@@ -790,7 +868,7 @@ object VersionedTable {
           stagedPartBytes(root, staged)))
         return commitPartitionsOnce(staged, root, base,
           overwriteAll = true, schemaDdl = schema.map(_.toDDL),
-          nParts = Some(newP))
+          nParts = Some(newP), writerKind = KindMaintenance)
       } catch {
         case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e
         case e: java.nio.file.NoSuchFileException =>
@@ -804,9 +882,10 @@ object VersionedTable {
     * guessed (the LshWidth pattern): when the mean live partition
     * size exceeds `targetBytesPerPart` (the scaladoc's ≈1 GB
     * object-store sweet spot at production scale), rescale to the
-    * smallest power-of-two count that brings the mean back under
-    * budget. Powers of two keep successive rescales sparse — each at
-    * least halves the mean — so a steadily growing table pays
+    * smallest power-of-two MULTIPLE of the current count that brings
+    * the mean back under budget (a power of two outright when the
+    * seed count is one). Doubling keeps successive rescales sparse —
+    * each at least halves the mean — so a steadily growing table pays
     * O(log growth) full rewrites over its life. Run it where
     * [[compactPartitions]] runs (the table-maintenance loop); returns
     * the (oldP, newP) transition or None when under budget. */
@@ -816,23 +895,49 @@ object VersionedTable {
       meter: Option[graft.streaming.EgressMeter] = None,
       pipeline: String = "default"): Option[(Int, Int)] = {
     require(targetBytesPerPart > 0, "budget must be positive")
-    val head = versions(root).lastOption.getOrElse(return None)
-    val p = partCountAt(root, head).getOrElse(return None)
-    val pm = manifestParts(root, head)
-    if (pm.isEmpty) return None
-    // stamped stats make the trigger an O(P) manifest read; a table
-    // whose manifests predate the stamp pays the walk until its next
-    // commit re-stamps it
-    val stats = manifestPStatsAt(root, head)
-    val total =
-      if (pm.keySet.subsetOf(stats.keySet)) pm.keysIterator.map(stats(_)._1).sum
-      else pm.values.flatten.map(stagedBytes(root, _)).sum
-    if (total <= targetBytesPerPart.toDouble * p) return None
-    var newP = p
-    while (total > targetBytesPerPart.toDouble * newP) newP *= 2
-    rescalePartitions(spark, root, pk, newP, tasksPerWrite, maxAttempts,
-      meter, pipeline)
-    Some((p, newP))
+    // The trigger reads the head manifest beside other maintenance
+    // actors (a racing expire can delete it mid-read) — rebase like
+    // compactPartitions does, bowing out quietly once retries are
+    // spent: the next maintenance tick re-runs the check anyway.
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try {
+        val head = versions(root).lastOption.getOrElse(return None)
+        val p = partCountAt(root, head).getOrElse(return None)
+        val pm = manifestParts(root, head)
+        if (pm.isEmpty) return None
+        // stamped stats make the trigger an O(P) manifest read; a
+        // table whose manifests predate the stamp pays the walk until
+        // its next commit re-stamps it
+        val stats = manifestPStatsAt(root, head)
+        val total =
+          if (pm.keySet.subsetOf(stats.keySet))
+            pm.keysIterator.map(stats(_)._1).sum
+          else pm.values.flatten.map(stagedBytes(root, _)).sum
+        if (total <= targetBytesPerPart.toDouble * p) return None
+        // Long arithmetic with a hard cap: a pathological
+        // bytes/budget ratio above 2³¹ would wrap an Int doubling
+        // loop negative and spin forever. 2³⁰ partitions is already
+        // beyond any addressable layout (the label set alone would
+        // be gigabytes of manifest) — cap there rather than loop.
+        var newP = p.toLong
+        while (total > targetBytesPerPart.toDouble * newP &&
+            newP < (1L << 30)) newP *= 2
+        rescalePartitions(spark, root, pk,
+          math.min(newP, 1L << 30).toInt, tasksPerWrite, maxAttempts,
+          meter, pipeline)
+        return Some((p, newP.toInt))
+      } catch {
+        // a file vanishing mid-walk surfaces from Files.walk as
+        // UncheckedIOException(NoSuchFileException) — same race,
+        // same rebase (see raceGuard in commitPartitionsOnce)
+        case _: java.nio.file.NoSuchFileException => // rebase and retry
+        case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+      }
+    }
+    None
   }
 
   /** What one [[maintain]] pass did — every field names the table
@@ -855,8 +960,12 @@ object VersionedTable {
     * `keepLast` is the reader-safety grace: vacuum only reclaims dirs
     * referenced by NO retained version, so keep enough versions to
     * outlast the longest in-flight reader (the expire/vacuum
-    * two-step documented on [[expire]]). `vacuumGraceMillis` is the
-    * writer-safety grace ([[vacuum]]'s in-flight-staging rule) —
+    * two-step documented on [[expire]]). The default (1) is for
+    * QUIESCED tables only — beside a live writer/follower it lets
+    * vacuum reclaim dirs an in-flight merge is still reading; managed
+    * loops ([[graft.streaming.PipelineManager.startMaintenance]])
+    * default to a reader-safe window instead. `vacuumGraceMillis` is
+    * the writer-safety grace ([[vacuum]]'s in-flight-staging rule) —
     * leave it at the default when any writer may be live. */
   def maintain(spark: SparkSession, root: String, pk: String,
       targetBytesPerPart: Long = 1L << 30, maxFilesPerPart: Int = 1,

@@ -122,6 +122,35 @@ class JdbcEvolvingCdcTarget(
       current.map(_.fields).getOrElse(Array.empty[StructField]) ++ newCols))
   }
 
+  /** TYPE promotion twin (`ALTER TABLE ALTER COLUMN SET DATA TYPE`),
+    * attempted on all three tables in ONE transaction so a vendor
+    * rejection cannot leave them diverged. Vendors differ on what SET
+    * DATA TYPE permits (Derby allows only VARCHAR length growth;
+    * warehouses allow the numeric chain) — a rejected promotion rolls
+    * back and returns false, keeping the heal on its cast-to-target
+    * fallback, which is exactly this target's pre-widen behavior. */
+  override def widenColumn(name: String, to: DataType): Boolean =
+    synchronized {
+      val ddl =
+        try ddlType(to)
+        catch { case _: IllegalArgumentException => return false }
+      withConn { c =>
+        c.setAutoCommit(false)
+        try {
+          val st = c.createStatement()
+          for (t <- Seq(table, landing, staging))
+            st.execute(s"ALTER TABLE $t ALTER COLUMN ${q(name)} " +
+              s"SET DATA TYPE $ddl")
+          c.commit()
+          current = current.map(s => StructType(s.fields.map(f =>
+            if (f.name.equalsIgnoreCase(name)) f.copy(dataType = to) else f)))
+          true
+        } catch {
+          case _: java.sql.SQLException => c.rollback(); false
+        }
+      }
+    }
+
   /** seq(a) > seq(b) on the lexicographic `seqCols` order, in SQL. */
   private def newer(a: String, b: String): String =
     seqCols.reverse.foldLeft("1 = 0") { (rest, c0) =>

@@ -5,6 +5,45 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+/** Live-tunable budgets for a managed maintenance pipeline — the
+  * desired-state analog of the reference's cleanup configuration
+  * (cleanup.py's retention/compaction knobs): stored on the
+  * [[PipelineRegistry]] row as an opaque descriptor string, re-read
+  * per maintenance pass, so an operator retunes a LIVE table's
+  * budgets with one UPDATE — no restart, no redeploy.
+  *
+  * `keepLast` defaults to the reader-safe window (see
+  * [[PipelineManager.startMaintenance]]'s grace note). */
+final case class MaintenanceConfig(
+    pk: String,
+    targetBytesPerPart: Long = 1L << 30,
+    maxFilesPerPart: Int = 1,
+    keepLast: Int = 20) {
+  require(pk.nonEmpty, "pk must name the table's merge key column")
+  require(targetBytesPerPart > 0, "targetBytesPerPart must be positive")
+  require(keepLast >= 1, "keepLast must retain at least the head version")
+
+  /** Registry-row descriptor form (the `target` column). */
+  def encode: String =
+    s"pk=$pk;bytes=$targetBytesPerPart;files=$maxFilesPerPart;keep=$keepLast"
+}
+
+object MaintenanceConfig {
+  /** Parse the registry-row descriptor; unknown keys are ignored so a
+    * newer writer's descriptor still drives an older reconciler. */
+  def decode(s: String): MaintenanceConfig = {
+    val kv = s.split(";").iterator.map(_.split("=", 2))
+      .collect { case Array(k, v) => k.trim -> v.trim }.toMap
+    MaintenanceConfig(
+      pk = kv.getOrElse("pk",
+        throw new IllegalArgumentException(
+          s"maintenance descriptor '$s' lacks pk=<column>")),
+      targetBytesPerPart = kv.get("bytes").map(_.toLong).getOrElse(1L << 30),
+      maxFilesPerPart = kv.get("files").map(_.toInt).getOrElse(1),
+      keepLast = kv.get("keep").map(_.toInt).getOrElse(20))
+  }
+}
+
 /** Multi-pipeline orchestration — the pipeline-manager analog
   * (/root/reference/src/pipeline_manager.rs runs one decode→buffer→
   * merge pipeline per registered source database and the monitors
@@ -155,14 +194,45 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
     * version moved since the last one — maintenance work (file
     * counts, partition bytes) can only change with a commit, so a
     * quiet table costs one versions() listing per tick instead of an
-    * O(table file count) stat walk per second. */
+    * O(table file count) stat walk per second.
+    *
+    * `keepLast` is the READER grace: vacuum only reclaims dirs
+    * referenced by no retained version, so the retained window must
+    * outlast the longest in-flight reader — including a concurrent
+    * writer's read-merge-write pass over the same table. The default
+    * (20) is sized for a merge pipeline running beside this loop;
+    * keepLast=1 is safe ONLY on a quiesced table (with a live writer
+    * it lets vacuum reclaim dirs an in-flight merge is still reading
+    * — FileNotFound mid-merge, proven in ManagedFollowerSpec). */
   def startMaintenance(
       name: String,
       root: String,
       pk: String,
       targetBytesPerPart: Long = 1L << 30,
       maxFilesPerPart: Int = 1,
-      keepLast: Int = 1,
+      keepLast: Int = 20,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      breaker: CircuitBreaker = new CircuitBreaker(),
+      warnBatchMillis: Long = 10000,
+      dangerBatchMillis: Long = 30000): Pipeline =
+    startMaintenanceFrom(name, root,
+      () => MaintenanceConfig(pk, targetBytesPerPart, maxFilesPerPart,
+        keepLast),
+      checkpoint, trigger, breaker, warnBatchMillis, dangerBatchMillis)
+
+  /** [[startMaintenance]] with LIVE budgets: `config` is re-read at
+    * every maintenance pass (not at start), so budgets stored in a
+    * desired-state table ([[PipelineRegistry.reconcileMaintenance]])
+    * take effect on the next pass after an operator's UPDATE — the
+    * registry row is the tuning surface, exactly as the reference's
+    * config table drives its cleanup job. Passes only run when the
+    * table's head moved, so the config read costs nothing on idle
+    * ticks. */
+  def startMaintenanceFrom(
+      name: String,
+      root: String,
+      config: () => MaintenanceConfig,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       breaker: CircuitBreaker = new CircuitBreaker(),
@@ -174,12 +244,22 @@ class PipelineManager(spark: SparkSession, stopTimeoutMillis: Long = 30000) {
         val head = graft.sources.VersionedTable.versions(root)
           .lastOption.getOrElse(-1)
         if (head != lastHead && head >= 0) {
-          graft.sources.VersionedTable.maintain(spark, root, pk,
-            targetBytesPerPart, maxFilesPerPart, keepLast)
-          // re-read: maintain's own commits (compaction/rescale) must
-          // not re-trigger a pass on the next tick
-          lastHead = graft.sources.VersionedTable.versions(root)
+          val cfg = config()
+          val rep = graft.sources.VersionedTable.maintain(spark, root,
+            cfg.pk, cfg.targetBytesPerPart, cfg.maxFilesPerPart,
+            cfg.keepLast)
+          // Advance past maintain's OWN commits only (rescale and
+          // compaction land at most one version each; expire/vacuum
+          // never commit). A head beyond that is a foreign writer's
+          // commit that landed DURING the pass — leave lastHead at
+          // the pre-pass head so the next tick runs another pass
+          // instead of silently skipping that commit's maintenance
+          // (a then-quiet table would otherwise never be compacted).
+          val own = (if (rep.rescaled.isDefined) 1 else 0) +
+            (if (rep.compacted.nonEmpty) 1 else 0)
+          val after = graft.sources.VersionedTable.versions(root)
             .lastOption.getOrElse(head)
+          lastHead = if (after > head + own) head else after
         }
       }
     }

@@ -68,6 +68,21 @@ class TableEvolvingCdcTarget(
       current.map(_.fields).getOrElse(Array.empty[StructField]) ++ widened))
   }
 
+  /** TYPE promotion is metadata-only, exactly like ADD COLUMN: the
+    * widened type rides the NEXT commit's manifest schema, and
+    * [[VersionedTable.readAt]] reads every dir under it — the parquet
+    * reader upcasts pre-widen files in place (int32 pages under a
+    * BIGINT/DECIMAL read schema), so no data is rewritten. Restart
+    * reload hands back the widened DDL; a widen that crashed before
+    * its commit left no trace and the redelivered batch replays it —
+    * the same atomicity story as ADD COLUMN. */
+  override def widenColumn(name: String,
+      to: org.apache.spark.sql.types.DataType): Boolean = synchronized {
+    current = current.map(st => StructType(st.fields.map(f =>
+      if (f.name.equalsIgnoreCase(name)) f.copy(dataType = to) else f)))
+    true
+  }
+
   private val Pid = VersionedTable.PidCol
 
   /** The merge body is [[PartitionedMerge]] — the same core the

@@ -27,11 +27,15 @@ import graft.sources.VersionedTable
   * (r13, ADVICE r12): the committed txn is
   * `(hash(srcTableId) << 32) | srcVersion`, and the cursor reads only
   * txns in the current namespace. Two failure modes this closes:
-  *  - '''foreign writer''': a CdcTarget batch id committed to the
-  *    followed destination shares the plain-integer txn space the old
-  *    cursor read its max from — windows would silently skip. Now any
-  *    plain (sub-2³²) txn on the destination makes the next tick
-  *    THROW: a followed destination accepts follower commits only.
+  *  - '''foreign writer''': a CdcTarget batch committed to the
+  *    followed destination would silently skip windows (its plain
+  *    txn shares the integer space the old cursor read its max from)
+  *    or stale-shadow replicated rows. Every commit now stamps its
+  *    writer kind in the manifest (`wkind`, VERDICT r13), so the next
+  *    tick THROWS on ANY non-follower data commit — whatever txn id
+  *    the writer chose, follower-shaped (≥ 2³²) ids included; replica
+  *    maintenance (compaction/rescale) is the one sanctioned
+  *    co-writer. Pre-stamp history falls back to the plain-txn net.
   *  - '''upstream deleted-and-recreated''': the new incarnation mints
   *    a new [[VersionedTable.tableId]], the recorded
   *    [[VersionedTable.followSrc]] no longer matches, and the tick
@@ -124,7 +128,7 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
     if (!force) {
       VersionedTable.commitPartitions(staged, dstRoot, batchId = nsTxn(head),
         overwriteAll = true, schemaDdl = schemaDdl, nParts = Some(p),
-        followSrc = Some(sid))
+        followSrc = Some(sid), writerKind = VersionedTable.KindFollower)
       ()
     } else {
       var attempt = 0
@@ -135,7 +139,8 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
         try {
           VersionedTable.commitPartitionsOnce(staged, dstRoot, base,
             overwriteAll = true, txn = Some(nsTxn(head)),
-            schemaDdl = schemaDdl, nParts = Some(p), followSrc = Some(sid))
+            schemaDdl = schemaDdl, nParts = Some(p), followSrc = Some(sid),
+            writerKind = VersionedTable.KindFollower)
           done = true
         } catch {
           case e: VersionedTable.ConcurrentCommit =>
@@ -165,14 +170,22 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
           "follow into an empty root, or one this follower wrote")
     // misuse must be loud (VERDICT r12 item 2), and it must be loud
     // BEFORE the identity branch below — an identity change must not
-    // silently overwrite a foreign writer's data. A plain micro-batch
-    // txn means a CdcTarget (or other non-follower writer) committed
-    // to the followed destination. Other-namespace FOLLOWER-SHAPED
-    // txns (≥ 2³²) are prior-incarnation history, expected after a
-    // re-bootstrap — a foreign writer that chooses huge batch ids is
-    // indistinguishable from that history and slips this net; the
-    // single-follower constraint remains the contract, this guard
-    // catches its realistic violation (micro-batch ids count from 0).
+    // silently overwrite a foreign writer's data. Every commit stamps
+    // its writer kind in the manifest (VERDICT r13 item 1), so ANY
+    // non-follower data commit on the destination — whatever txn id
+    // it chose, follower-shaped (≥ 2³²) included — throws here;
+    // maintenance commits (compaction/rescale on the replica) are the
+    // one sanctioned co-writer. The txn-shape check below remains as
+    // the fallback net for history written before the stamp existed.
+    val foreign = VersionedTable.committedKinds(dstRoot) -
+      VersionedTable.KindFollower - VersionedTable.KindMaintenance -
+      VersionedTable.KindUnstamped
+    if (foreign.nonEmpty)
+      throw new IllegalStateException(
+        s"destination $dstRoot carries commits from foreign writer " +
+          s"kind(s) ${foreign.toSeq.sorted.mkString(",")} — a followed " +
+          "destination accepts follower and maintenance commits only " +
+          "(single-follower constraint)")
     val plain = VersionedTable.committedTxns(dstRoot)
       .filter(t => (t >>> 32) == 0)
     if (plain.nonEmpty)
@@ -223,7 +236,8 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
           // partitions carry verbatim, no data moves
           VersionedTable.commitPartitions(Map.empty, dstRoot,
             batchId = nsTxn(head), schemaDdl = schemaDdl,
-            followSrc = Some(sid))
+            followSrc = Some(sid),
+            writerKind = VersionedTable.KindFollower)
         } else {
           // restage loop (PartitionedMerge's twin): a DESTINATION
           // rescale landing inside this stage→commit window means the
@@ -266,7 +280,8 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
               VersionedTable.commitPartitions(staged, dstRoot,
                 batchId = nsTxn(head), schemaDdl = schemaDdl,
                 dropParts = emptied, nParts = Some(pNow),
-                followSrc = Some(sid))
+                followSrc = Some(sid),
+                writerKind = VersionedTable.KindFollower)
               done = true
             } catch {
               case e: VersionedTable.PartitionCountChanged =>

@@ -16,7 +16,10 @@ import graft.sources.VersionedTable
   *      opens the breaker after its threshold, and surfaces as
   *      Unhealthy through the same health map as a dead sink;
   *  (c) a managed maintenance pipeline rescales a growing table from
-  *      its byte budget without any operator call.
+  *      its byte budget without any operator call;
+  *  (d) maintenance budgets live on the registry row and are re-read
+  *      per pass — an operator UPDATE retunes the live pipeline with
+  *      no restart (VERDICT r13 item 6).
   */
 class ManagedFollowerSpec extends SparkSpec {
 
@@ -133,6 +136,47 @@ class ManagedFollowerSpec extends SparkSpec {
       awaitUntil()(VersionedTable.partCount(root).exists(_ > 4))
       assert(new PartitionedTableCdcTarget(spark, root).snapshot
         .count() == 5000, "maintenance changed table data")
+    } finally mgr.stopAll()
+  }
+
+  test("registry-row budgets retune a LIVE maintenance pipeline") {
+    val root = freshRoot("mf-tune")
+    val target = new PartitionedTableCdcTarget(spark, root, 4)
+    target.merge(0, (1L to 40L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+
+    val reg = new PipelineRegistry(
+      "jdbc:derby:memory:mftune;create=true", "pipes_tune")
+    // generous budgets: nothing to do (files ≤ 5 per partition,
+    // byte budget unbounded)
+    val lax = MaintenanceConfig("user_id",
+      targetBytesPerPart = Long.MaxValue, maxFilesPerPart = 5,
+      keepLast = 20)
+    val ckpt = freshRoot("mf-ckpt4")
+    reg.upsert(PipelineSpec("mf_tune", source = root,
+      target = lax.encode, checkpoint = ckpt, enabled = true))
+    val mgr = new PipelineManager(s)
+    assert(reg.reconcileMaintenance(mgr).started == Seq("mf_tune"))
+    try {
+      target.merge(1, Seq(ap(2, 100, 90000, 2.2)).toDS())
+      Thread.sleep(2500) // passes run; lax budgets find nothing to do
+      val quiet = VersionedTable.versions(root).last
+      assert(VersionedTable.committedKinds(root)
+        .forall(_ != VersionedTable.KindMaintenance),
+        "lax budgets must not compact")
+
+      // the operator retunes the ROW only — no reconcile, no restart:
+      // always-over file budget (the forcing convention) makes the
+      // very next pass compact
+      reg.upsert(PipelineSpec("mf_tune", source = root,
+        target = lax.copy(maxFilesPerPart = 0).encode,
+        checkpoint = ckpt, enabled = true))
+      target.merge(2, Seq(ap(3, 101, 90001, 3.3)).toDS())
+      awaitUntil()(VersionedTable.committedKinds(root)
+        .contains(VersionedTable.KindMaintenance))
+      assert(VersionedTable.versions(root).last > quiet + 1,
+        "the retuned pass must have committed a compaction")
+      assert(new PartitionedTableCdcTarget(spark, root).snapshot
+        .count() == 40, "maintenance changed table data")
     } finally mgr.stopAll()
   }
 }

@@ -3,7 +3,8 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType,
+  IntegerType, LongType, StringType}
 
 import graft.SparkSpec
 
@@ -60,6 +61,78 @@ class SchemaEvolutionSpec extends SparkSpec {
       assert(target.widenLog.map(_.toSet) ==
         Seq(Set("event_id", "user_id", "v"), Set("props")))
     } finally q.stop()
+  }
+
+  test("canWiden sanctions exactly the lossless containment chain") {
+    import SchemaEvolution.canWiden
+    // the chain
+    assert(canWiden(IntegerType, LongType))
+    assert(canWiden(IntegerType, DecimalType(10, 0)))
+    assert(canWiden(LongType, DecimalType(20, 0)))
+    assert(canWiden(FloatType, DoubleType))
+    assert(canWiden(DecimalType(10, 2), DecimalType(12, 2)))
+    assert(canWiden(DecimalType(10, 2), DecimalType(13, 4)))
+    // narrowings and non-containments stay on the cast path
+    assert(!canWiden(LongType, IntegerType))
+    assert(!canWiden(LongType, DecimalType(18, 0)), "18 digits < long's 19")
+    assert(!canWiden(DoubleType, FloatType))
+    assert(!canWiden(DoubleType, LongType))
+    assert(!canWiden(LongType, DoubleType), "53-bit mantissa loses longs")
+    assert(!canWiden(DecimalType(10, 2), DecimalType(10, 4)),
+      "scale growth that eats integer digits truncates")
+    assert(!canWiden(StringType, LongType) && !canWiden(LongType, StringType))
+    assert(!canWiden(LongType, LongType), "same type is not a widen")
+  }
+
+  test("type drift on an existing column promotes the target in place") {
+    val s = spark
+    import s.implicits._
+    val target = new InMemoryEvolvingTarget
+    target.merge(0, SchemaEvolution.heal(target,
+      Seq((1L, 7)).toDF("event_id", "cnt")))
+    assert(target.schema.get("cnt").dataType == IntegerType)
+
+    // cnt arrives as LONG beyond int range: the target retypes and
+    // the value lands intact — no ANSI overflow, no silent narrowing
+    target.merge(1, SchemaEvolution.heal(target,
+      Seq((2L, 9999999999L)).toDF("event_id", "cnt")))
+    assert(target.schema.get("cnt").dataType == LongType)
+    assert(target.retypeLog == Seq("cnt" -> "BIGINT"))
+    assert(target.mergedRows.last._2.head("cnt") == 9999999999L)
+
+    // a later narrower batch still casts UP to the widened type
+    target.merge(2, SchemaEvolution.heal(target,
+      Seq((3L, 5)).toDF("event_id", "cnt")))
+    assert(target.schema.get("cnt").dataType == LongType)
+    assert(target.mergedRows.last._2.head("cnt") == 5L)
+  }
+
+  test("a vendor that refuses ALTER COLUMN declines the widen and the " +
+      "heal falls back to cast-to-target") {
+    val s = spark
+    import s.implicits._
+    // Derby permits SET DATA TYPE only for VARCHAR length growth —
+    // the numeric chain is refused, widenColumn returns false, and
+    // in-range values keep flowing through the old cast path (an
+    // out-of-range value would fail the ANSI cast loudly, which is
+    // the honest outcome when the store cannot hold it)
+    val target = new JdbcEvolvingCdcTarget(
+      "jdbc:derby:memory:evowiden;create=true", "evw", pk = "event_id",
+      seqCols = Seq("seq"))
+    target.addColumns(Seq(
+      org.apache.spark.sql.types.StructField("event_id", LongType),
+      org.apache.spark.sql.types.StructField("seq", LongType),
+      org.apache.spark.sql.types.StructField("cnt", IntegerType)))
+    assert(!target.widenColumn("cnt", LongType),
+      "Derby must refuse a numeric SET DATA TYPE")
+    assert(target.schema.get("cnt").dataType == IntegerType,
+      "a declined widen must not retype the cache")
+
+    target.merge(0, SchemaEvolution.heal(target,
+      Seq((1L, 1L, 42L)).toDF("event_id", "seq", "cnt")))
+    assert(target.snapshot(1L)("cnt") == 42,
+      "in-range long must cast down and merge")
+    assert(target.schema.get("cnt").dataType == IntegerType)
   }
 
   test("drifted JSON stream self-heals into Derby via real ALTER TABLE") {

@@ -161,11 +161,43 @@ class TableFollowerSpec extends SparkSpec {
 
     // a CdcTarget-style plain batch id committed to the FOLLOWED
     // destination (the ADVICE r12 scenario: shared txn space used to
-    // silently skip replication windows) — must now be loud
+    // silently skip replication windows) — must now be loud (the
+    // provenance net fires first: the commit stamped wkind=batch)
     VersionedTable.commitPartitions(Map.empty, dst, batchId = 7)
     upstream.merge(1, Seq(ap(2, 100, 90000, 2.2)).toDS())
     val e = intercept[IllegalStateException] { follower.tick() }
-    assert(e.getMessage.contains("non-follower"), e.getMessage)
+    assert(e.getMessage.contains("foreign writer kind"), e.getMessage)
+  }
+
+  test("a follower-SHAPED foreign txn (≥ 2³²) is refused by provenance") {
+    val src = freshRoot("tf-src5b"); val dst = freshRoot("tf-dst5b")
+    val upstream = new PartitionedTableCdcTarget(spark, src, P)
+    val follower = new TableFollower(spark, src, dst, "user_id", P)
+    upstream.merge(0, (1L to 10L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+    follower.tick()
+
+    // VERDICT r13 item 1: a foreign writer choosing a huge batch id
+    // used to be indistinguishable from prior-incarnation follower
+    // history and slipped the txn-shape net — the wkind stamp makes
+    // it loud regardless of the id it picked
+    VersionedTable.commitPartitions(Map.empty, dst,
+      batchId = (77L << 32) | 5L)
+    upstream.merge(1, Seq(ap(2, 100, 90000, 2.2)).toDS())
+    val e = intercept[IllegalStateException] { follower.tick() }
+    assert(e.getMessage.contains("foreign writer kind"), e.getMessage)
+
+    // ...and replica MAINTENANCE stays sanctioned: on a healthy
+    // follower pair, compacting the destination must not trip the net
+    val src2 = freshRoot("tf-src5c"); val dst2 = freshRoot("tf-dst5c")
+    val up2 = new PartitionedTableCdcTarget(spark, src2, P)
+    val f2 = new TableFollower(spark, src2, dst2, "user_id", P)
+    up2.merge(0, (1L to 10L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+    f2.tick()
+    VersionedTable.compactPartitions(spark, dst2, maxFilesPerPart = 0)
+    up2.merge(1, Seq(ap(3, 101, 90001, 3.3)).toDS())
+    assert(f2.tick().isDefined, "maintenance on the replica must not " +
+      "be mistaken for a foreign writer")
+    assert(byKey(f2.snapshot) == byKey(VersionedTable.read(spark, src2)))
   }
 
   test("a destination with non-follower history refuses to be followed") {
@@ -340,10 +372,12 @@ class TableFollowerSpec extends SparkSpec {
     follower.tick()
     val head = VersionedTable.versions(src).last
     // forge a future-version follower txn (same namespace, same
-    // recorded source id — i.e. NOT explainable by recreation)
+    // recorded source id, follower-stamped provenance — i.e. NOT
+    // explainable by recreation or a foreign writer)
     VersionedTable.commitPartitions(Map.empty, dst,
       batchId = (follower.namespace << 32) | (head + 5).toLong,
-      followSrc = VersionedTable.followSrc(dst))
+      followSrc = VersionedTable.followSrc(dst),
+      writerKind = VersionedTable.KindFollower)
     upstream.merge(1, Seq(ap(2, 2, 2000, 2.0)).toDS())
     val e = intercept[IllegalStateException] { follower.tick() }
     assert(e.getMessage.contains("beyond source head"), e.getMessage)
