@@ -173,11 +173,25 @@ class PartitionedTableCdcTargetSpec extends SparkSpec {
     target.merge(0, (1L to 20L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
     target.merge(1, Seq(ap(5, 100, 90000, 5.5)).toDS())
     val expected = byKey(target.snapshot)
+    // the head is a DELTA manifest (r14): retention floors at its
+    // chain root, so the replaced dir is still referenced and must
+    // SURVIVE — reclaiming it would break resolution of the retained
+    // head (Delta's vacuum-below-the-checkpoint rule)
     VersionedTable.expire(root, keepLast = 1)
-    val reclaimed = VersionedTable.vacuum(root, graceMillis = 0)
-    assert(reclaimed.nonEmpty, "the replaced pid dir must be reclaimed")
+    assert(VersionedTable.vacuum(root, graceMillis = 0).isEmpty,
+      "vacuum reclaimed a dir the retained delta chain references")
     assert(byKey(target.snapshot) == expected,
       "vacuum touched live partition data")
+    // a CHECKPOINT cuts the chain: compaction forces one, after which
+    // retention drops the pre-checkpoint manifests and vacuum
+    // reclaims the replaced dirs
+    VersionedTable.compactPartitions(spark, root, maxFilesPerPart = 0)
+    VersionedTable.expire(root, keepLast = 1)
+    val reclaimed = VersionedTable.vacuum(root, graceMillis = 0)
+    assert(reclaimed.nonEmpty,
+      "post-checkpoint retention must reclaim the replaced pid dirs")
+    assert(byKey(target.snapshot) == expected,
+      "checkpoint/vacuum changed table data")
     // every manifest-referenced path still exists on disk
     VersionedTable.parts(root).values.flatten.foreach { rel =>
       assert(Files.isDirectory(Paths.get(root, rel)), s"live dir $rel gone")
