@@ -316,9 +316,11 @@ object LakehouseScale {
     val rows = Seq.newBuilder[String]
     for (p <- Seq(1000, 10000, 100000)) {
       val root = Files.createTempDirectory(s"mf_probe_$p").toString
+      // stage OUTSIDE the timer: the probe measures the commit path
+      // (stat+serialize+link), not the P createDirectories of setup
+      val seed = mkStaged(root, 0 until p)
       val t0 = System.nanoTime()
-      VersionedTable.commitPartitionsOnce(
-        mkStaged(root, 0 until p), root, expected = 0,
+      VersionedTable.commitPartitionsOnce(seed, root, expected = 0,
         overwriteAll = true, nParts = Some(p))
       val fullMs = (System.nanoTime() - t0) / 1e6
       var incMs = 0.0

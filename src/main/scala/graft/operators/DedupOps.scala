@@ -59,7 +59,15 @@ object DedupOps extends Suite {
     * (collisions ~2^-64 per pair) and every downstream consumer
     * (jaccard counts, MinHash) works on fixed-size longs. */
   private[operators] def hashedShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    hashedShinglesOf(Tables.documents(spark, dir))
+
+  /** The ONE shingle construction (tokenize → (lang, len/50) block →
+    * shingle_hash3), frame-parameterized so the table-bound query
+    * path and the lakehouse change-feed path (PipelineOps
+    * .incrementalDedupFrames) cannot drift — a retuned band width or
+    * shingle expression applies to both or neither. */
+  private[operators] def hashedShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), toks.as("t"))
       .select(col("doc_id"), col("lang"),
         (size(col("t")).cast("long") / 50).cast("long").as("band"),

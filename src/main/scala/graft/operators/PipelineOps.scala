@@ -500,15 +500,12 @@ object PipelineOps extends Suite {
   /** [[incrementalDedupCore]] from raw corpus frames (doc_id, lang,
     * text) — the entry the lakehouse composition runs: `newDocs` is
     * today's change-feed delta, `hist` the standing corpus snapshot.
-    * Shingle construction mirrors [[DedupOps.hashedShingles]]
-    * (tokenize → shingle_hash3 → (lang, len/50) block). */
+    * Shingle construction IS [[DedupOps.hashedShinglesOf]] — one
+    * definition, so the table-bound query and this path block
+    * identically. */
   def incrementalDedupFrames(newDocs: DataFrame, hist: DataFrame): DataFrame = {
     def fp(df: DataFrame) = df.select(col("doc_id"), md5(col("text")).as("fp"))
-    def sh(df: DataFrame) = df
-      .select(col("doc_id"), col("lang"), Tok.toks.as("t"))
-      .select(col("doc_id"), col("lang"),
-        (size(col("t")).cast("long") / 50).cast("long").as("band"),
-        expr("shingle_hash3(t)").as("s"))
+    def sh(df: DataFrame) = DedupOps.hashedShinglesOf(df)
       .select(col("doc_id"), col("lang"), col("band"),
         size(col("s")).as("n"), explode(col("s")).as("h"))
     incrementalDedupCore(newDocs.select("doc_id"),

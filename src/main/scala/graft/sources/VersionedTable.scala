@@ -90,7 +90,7 @@ object VersionedTable {
     * manifests regex-scan their one file, and `.distinct` guards
     * against a path appearing in two JSON fields ever double-reading. */
   private def manifestDirs(root: String, v: Int): Seq[String] = {
-    val txt = Files.readString(versionFile(root, v))
+    val txt = mverGuard(root, v, Files.readString(versionFile(root, v)))
     if (txt.contains("\"parts\":") || txt.contains("\"base\":"))
       resolved(root, v, txt)._1.values.flatten.toSeq.distinct
     else
@@ -136,6 +136,18 @@ object VersionedTable {
     ("\"" + field + "\":\"([0-9a-zA-Z-]+)\"").r.findFirstMatchIn(txt)
       .map(_.group(1))
 
+  /** The CUMULATIVE writer-kind set a manifest carries (every kind
+    * that ever committed in this incarnation, expiry-proof). A
+    * manifest from before the carry contributes its own stamped kind
+    * plus [[KindUnstamped]] — the history before it is unknowable, so
+    * the txn-shape fallback stays in force for such tables. */
+  private def kindsOf(txt: String): Set[String] =
+    "\"kinds\":\"([0-9a-zA-Z,-]+)\"".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(",").toSet)
+      .getOrElse(
+        Set(stringFieldOf(txt, "wkind").getOrElse(KindUnstamped),
+          KindUnstamped))
+
   /** DELTA manifests (r14, the Delta-log shape): an incremental
     * partitioned commit writes ONLY its touched labels + dropped
     * labels + a `base` pointer at the previous version, instead of
@@ -172,8 +184,8 @@ object VersionedTable {
       case Some(b) =>
         val (pParts, pStats) = resolveCache.get(root) match {
           case Some((cv, cid, cp, cs)) if cv == b && cid == id => (cp, cs)
-          case _ =>
-            resolved(root, b, Files.readString(versionFile(root, b)))
+          case _ => resolved(root, b,
+            mverGuard(root, b, Files.readString(versionFile(root, b))))
         }
         val drops = dropsOf(txt)
         ((pParts -- drops) ++ partsOf(txt),
@@ -192,7 +204,7 @@ object VersionedTable {
     * through the delta chain; empty for flat (unpartitioned)
     * manifests. */
   private def manifestParts(root: String, v: Int): Map[String, Seq[String]] =
-    resolved(root, v, Files.readString(versionFile(root, v)))._1
+    resolved(root, v, mverGuard(root, v, Files.readString(versionFile(root, v))))._1
 
   /** Partition map of the LATEST version (empty for flat manifests or
     * a nonexistent table). */
@@ -215,6 +227,24 @@ object VersionedTable {
   /** Sentinel [[committedKinds]] reports for manifests written before
     * the provenance stamp existed (pre-r14 history). */
   val KindUnstamped = "unstamped"
+
+  /** Manifest FORMAT version this build writes and the newest it can
+    * read (Delta's minReaderVersion rule): 2 = delta chains +
+    * provenance stamps. A reader opening a manifest that declares a
+    * HIGHER version throws instead of silently misreading semantics
+    * it doesn't know (a pre-chain reader would have served a
+    * 32-label delta as the whole table); manifests with no `mver`
+    * are version-1 history, always readable. */
+  val ManifestVersion = 2
+
+  private def mverGuard(root: String, v: Int, txt: String): String = {
+    for (m <- "\"mver\":(\\d+)".r.findFirstMatchIn(txt))
+      if (m.group(1).toInt > ManifestVersion)
+        throw new IllegalStateException(
+          s"$root v$v declares manifest format ${m.group(1)}, newer than " +
+            s"this reader's $ManifestVersion — upgrade before reading")
+    txt
+  }
 
   private def partCountAt(root: String, v: Int): Option[Int] =
     "\"nparts\":(\\d+)".r.findFirstMatchIn(
@@ -266,7 +296,7 @@ object VersionedTable {
     * data file. */
   private def manifestPStatsAt(root: String, v: Int)
       : Map[String, (Long, Int)] =
-    resolved(root, v, Files.readString(versionFile(root, v)))._2
+    resolved(root, v, mverGuard(root, v, Files.readString(versionFile(root, v))))._2
 
   /** Latest stamped per-partition stats (label → (bytes, files)). */
   def partStats(root: String): Map[String, (Long, Int)] =
@@ -322,8 +352,18 @@ object VersionedTable {
       writerKind: String = KindBatch,
       base: Option[Int] = None,
       chain: Int = 0,
-      drops: Set[String] = Set.empty): Path = {
+      drops: Set[String] = Set.empty,
+      kinds: Set[String] = Set.empty): Path = {
     val txnField = txn.fold("")(id => s""""txn":$id,""")
+    // format version: readers refuse manifests newer than they speak
+    // (Delta's minReaderVersion rule); 2 = delta chains + provenance
+    val mverField = s""""mver":$ManifestVersion,"""
+    // the incarnation's CUMULATIVE writer-kind set, carried forward
+    // like tableid: retention can expire the manifest a foreign
+    // writer committed, but the kinds it contributed ride every later
+    // commit — a cold reader's foreign-writer check survives expiry
+    val kindsField =
+      s""""kinds":"${(kinds + writerKind).toSeq.sorted.mkString(",")}","""
     val schemaField = schemaDdl.fold("")(d => s""""schema":"${jsonEsc(d)}",""")
     val nPartsField = nParts.fold("")(n => s""""nparts":$n,""")
     val idField = tableId.fold("")(i => s""""tableid":"$i",""")
@@ -350,8 +390,8 @@ object VersionedTable {
         "\"" + k + "\":[" + b + "," + f + "]"
       }.mkString("\"pstats\":{", ",", "},")
     }
-    val common =
-      s"$txnField$schemaField$idField$followField$kindField$baseField"
+    val common = s"$mverField$txnField$schemaField$idField$followField" +
+      s"$kindField$kindsField$baseField"
     val body = parts match {
       case None =>
         dirs.map("\"" + _ + "\"").mkString(
@@ -426,17 +466,19 @@ object VersionedTable {
   private val kindCache =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Set[String])]
 
-  /** DISTINCT writer kinds across the table's retained history —
-    * what a follower scans to refuse a foreign writer on its
-    * destination ([[KindUnstamped]] marks pre-stamp manifests, whose
-    * provenance only the txn-shape heuristic can guess at). The
-    * history-reset guard mirrors [[committedTxns]]: a version listing
-    * whose max fell below the scanned watermark is a recreated root,
-    * so the memo is dropped and the scan restarts. A manifest expired
-    * between listing and read is skipped — its kind stays remembered
-    * from the earlier scan (same conservative direction as the txn
-    * memo: a remembered foreign kind keeps the refusal loud even
-    * after the offending manifest is expired). */
+  /** EVERY writer kind that ever committed under this root's current
+    * incarnation — what a follower scans to refuse a foreign writer
+    * on its destination ([[KindUnstamped]] marks history whose
+    * provenance only the txn-shape heuristic can guess at). Each
+    * manifest's CARRIED cumulative `kinds` set (stamped forward like
+    * tableid) is what makes the answer EXPIRY-PROOF: retention can
+    * drop the manifest a foreign writer committed before any cold
+    * reader scans it, but the kind it contributed rides every later
+    * commit, so a fresh JVM still sees it. The incremental memo and
+    * its history-reset guard mirror [[committedTxns]]; a manifest
+    * expired between listing and read is skipped — its kinds stay
+    * remembered from the earlier scan AND from every later manifest's
+    * carry. */
   def committedKinds(root: String): Set[String] = {
     val vs = versions(root)
     val (hi, known) = kindCache.get(root) match {
@@ -449,9 +491,9 @@ object VersionedTable {
     if (newer.isEmpty) known
     else {
       val add = newer.flatMap { v =>
-        try Some(stringFieldAt(root, v, "wkind").getOrElse(KindUnstamped))
+        try Some(kindsOf(Files.readString(versionFile(root, v))))
         catch { case _: java.nio.file.NoSuchFileException => None }
-      }
+      }.flatten
       val merged = known ++ add
       kindCache.put(root, (newer.max, merged))
       merged
@@ -560,7 +602,8 @@ object VersionedTable {
     // P=100k (SCALE_MANIFEST probe)
     val prevTxt: Option[String] =
       if (expected == 0) None
-      else Some(raceGuard(Files.readString(versionFile(root, expected))))
+      else Some(raceGuard(mverGuard(root, expected,
+        Files.readString(versionFile(root, expected)))))
     // layout guard: an incremental commit whose dirs were hashed under
     // a count the table no longer has must restage, not merge (see
     // PartitionCountChanged). A full rewrite (overwriteAll) DEFINES
@@ -653,7 +696,8 @@ object VersionedTable {
       pStats = Some(mergedStats), writerKind = writerKind,
       base = if (asDelta) Some(expected) else None,
       chain = if (asDelta) parentChain + 1 else 0,
-      drops = if (asDelta) dropParts else Set.empty)
+      drops = if (asDelta) dropParts else Set.empty,
+      kinds = prevTxt.map(kindsOf).getOrElse(Set.empty))
     try Files.createLink(versionFile(root, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.delete(tmp)
@@ -741,12 +785,15 @@ object VersionedTable {
     val dirs = (if (overwrite) Nil
                 else raceGuard(versions(root).lastOption.toSeq
                   .flatMap(manifestDirs(root, _)))) :+ staged
-    val id = (if (expected == 0) None
-              else raceGuard(tableIdAt(root, expected)))
+    val prevTxt: Option[String] =
+      if (expected == 0) None
+      else Some(raceGuard(Files.readString(versionFile(root, expected))))
+    val id = prevTxt.flatMap(stringFieldOf(_, "tableid"))
       .getOrElse(UUID.randomUUID().toString)
     val tmp = writeManifest(root, next,
       if (overwrite) "overwrite" else "append", dirs, txn,
-      tableId = Some(id), writerKind = writerKind)
+      tableId = Some(id), writerKind = writerKind,
+      kinds = prevTxt.map(kindsOf).getOrElse(Set.empty))
     try Files.createLink(versionFile(root, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.delete(tmp)
@@ -1229,15 +1276,22 @@ object VersionedTable {
     val vs = versions(root)
     val nominal = vs.dropRight(keepLast)
     if (nominal.isEmpty) return Nil
-    var floor = vs(math.max(0, vs.size - keepLast))
-    var txt = Files.readString(versionFile(root, floor))
-    while (baseOf(txt).isDefined) {
-      floor = baseOf(txt).get
-      txt = Files.readString(versionFile(root, floor))
+    // the walk and the deletes race other retention actors (a manual
+    // maintain beside a managed loop): a vanished manifest means the
+    // racer is doing this same work — bow out with what's done, like
+    // the commit-path raceGuards, instead of crashing the pass
+    try {
+      var floor = vs(math.max(0, vs.size - keepLast))
+      var txt = Files.readString(versionFile(root, floor))
+      while (baseOf(txt).isDefined) {
+        floor = baseOf(txt).get
+        txt = Files.readString(versionFile(root, floor))
+      }
+      val drop = nominal.filter(_ < floor)
+      drop.filter(v => Files.deleteIfExists(versionFile(root, v)))
+    } catch {
+      case _: java.nio.file.NoSuchFileException => Nil
     }
-    val drop = nominal.filter(_ < floor)
-    drop.foreach(v => Files.delete(versionFile(root, v)))
-    drop
   }
 
   /** Delete data dirs referenced by NO retained version (failed/raced

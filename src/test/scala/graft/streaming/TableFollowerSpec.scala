@@ -141,10 +141,17 @@ class TableFollowerSpec extends SparkSpec {
     assert(snap(11L).getAs[String]("note") == "n11" &&
       snap(1L).getAs[Any]("note") == null)
 
-    // expire the cursor version upstream → the next tick re-bootstraps
+    // expire the cursor version upstream → the next tick re-bootstraps.
+    // r14 delta chains floor retention at the chain root, so force a
+    // CHECKPOINT first (compaction) — only then does expire actually
+    // drop the cursor version and exercise the bootstrap path
+    val cursorV = follower.cursor
     upstream.merge(2, Seq((1L, 99L, 99000L, 1.9, "n1"))
       .toDF("user_id", "event_id", "ts", "v", "note"))
+    VersionedTable.compactPartitions(spark, src, maxFilesPerPart = 0)
     VersionedTable.expire(src, keepLast = 1)
+    assert(!VersionedTable.versions(src).contains(cursorV),
+      "precondition: the cursor version must really be expired")
     assert(follower.tick().isDefined, "expired cursor must re-bootstrap")
     assert(follower.snapshot.collect().map(r =>
       r.getAs[Long]("user_id") -> r).toMap
@@ -185,6 +192,18 @@ class TableFollowerSpec extends SparkSpec {
     upstream.merge(1, Seq(ap(2, 100, 90000, 2.2)).toDS())
     val e = intercept[IllegalStateException] { follower.tick() }
     assert(e.getMessage.contains("foreign writer kind"), e.getMessage)
+
+    // the net is EXPIRY-PROOF: retention can drop the foreign commit's
+    // own manifest before any cold reader scans it, but the kind it
+    // contributed is carried forward by every later manifest (like
+    // tableid) — a fresh JVM (cold memo) still refuses
+    VersionedTable.compactPartitions(spark, dst, maxFilesPerPart = 0)
+    VersionedTable.expire(dst, keepLast = 1)
+    assert(VersionedTable.versions(dst).size == 1,
+      "precondition: the foreign commit's manifest must be expired")
+    VersionedTable.invalidateTxns(dst) // simulate a cold reader
+    val e2 = intercept[IllegalStateException] { follower.tick() }
+    assert(e2.getMessage.contains("foreign writer kind"), e2.getMessage)
 
     // ...and replica MAINTENANCE stays sanctioned: on a healthy
     // follower pair, compacting the destination must not trip the net
