@@ -172,6 +172,42 @@ class TableEvolvingCdcTargetSpec extends SparkSpec {
     assert(rowsByKey(t2)(1L)("cnt") == 8888888888L)
   }
 
+  test("JSON inference drives a long→decimal widen through the stream") {
+    // the drift that actually reaches a JSON pipeline: integer
+    // literals beyond 19 digits infer as DECIMAL(p,0), so an evolved
+    // LONG column widens in-stream — no operator intervention
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val root = freshRoot()
+    val target = new TableEvolvingCdcTarget(spark, root, numPartitions = 4)
+    val input = MemoryStream[String]
+    val checkpoint = Files.createTempDirectory("graft_evotbl_wd").toString
+    val q = SchemaEvolution.mergeEvolvingJson(input.toDS(), target, checkpoint,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      input.addData("""{"user_id":1,"event_id":1,"ts":1000,"cnt":7}""")
+      q.processAllAvailable()
+      assert(target.schema.get("cnt").dataType ==
+        org.apache.spark.sql.types.LongType)
+
+      // 21-digit literal: DuckDB-sized HUGEINT territory — inference
+      // yields DECIMAL(21,0), canWiden(long→decimal(21,0)) sanctions
+      // the promotion, the stream keeps flowing
+      input.addData(
+        """{"user_id":2,"event_id":2,"ts":2000,"cnt":123456789012345678901}""")
+      q.processAllAvailable()
+      val dt = target.schema.get("cnt").dataType
+      assert(dt.isInstanceOf[org.apache.spark.sql.types.DecimalType],
+        s"stream widen did not promote: $dt")
+      val snap = rowsByKey(target)
+      assert(snap(2L)("cnt").toString == "123456789012345678901")
+      assert(snap(1L)("cnt").toString == "7",
+        "pre-widen long rows must upcast under the decimal read schema")
+    } finally q.stop()
+  }
+
   test("a natural source column named 'pid' survives the merge intact") {
     // the internal partition column uses a reserved name so a legal
     // source field called pid is data, not plumbing
