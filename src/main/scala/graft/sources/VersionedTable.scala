@@ -1327,7 +1327,42 @@ object VersionedTable {
         case _: java.io.UncheckedIOException => true
       }
     }
-    val live = versions(root).flatMap(manifestDirs(root, _)).toSet
+    // live set across ALL retained versions, walked ASCENDING with
+    // the delta applied incrementally: chains are contiguous (base =
+    // version − 1), so each retained delta extends the running map —
+    // one file read and O(touched) work per version, instead of an
+    // independent O(P) chain resolution per retained version
+    // (keepLast × P map builds at the 100k-partition design point).
+    // Flat manifests and chain roots fall back to their own full
+    // parse, exactly what resolution would do.
+    val live: Set[String] =
+      try {
+        val acc = Set.newBuilder[String]
+        var running: Option[(Int, Map[String, Seq[String]])] = None
+        versions(root).foreach { v =>
+          val txt = mverGuard(root, v, Files.readString(versionFile(root, v)))
+          if (txt.contains("\"parts\":") || txt.contains("\"base\":")) {
+            val pm = (baseOf(txt), running) match {
+              case (Some(b), Some((rv, rm))) if rv == b =>
+                (rm -- dropsOf(txt)) ++ partsOf(txt)
+              case _ => resolved(root, v, txt)._1
+            }
+            running = Some((v, pm))
+            acc ++= pm.values.flatten
+          } else {
+            running = None
+            acc ++= "\"(data/[0-9a-f-]+(?:/pid=\\d+)?)\"".r
+              .findAllMatchIn(txt).map(_.group(1))
+          }
+        }
+        acc.result()
+      } catch {
+        // an expire racing this walk deleted a manifest mid-read: a
+        // retention actor is active RIGHT NOW, and an incomplete live
+        // set must never feed a delete decision — bow out, the next
+        // maintenance tick vacuums against the settled state
+        case _: java.nio.file.NoSuchFileException => return Nil
+      }
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return Nil
     val ls = Files.list(dataDir)
