@@ -96,8 +96,7 @@ object VersionedTable {
     else
       // manifests are written by this object only; dir entries are
       // uuid paths with an optional partition subdir — no escapes
-      "\"(data/[0-9a-f-]+(?:/pid=\\d+)?)\"".r
-        .findAllMatchIn(txt).map(_.group(1)).toSeq.distinct
+      flatDirsOf(txt)
   }
 
   // ---- single-file field extraction (one readString per manifest) --
@@ -126,6 +125,34 @@ object VersionedTable {
   private def chainOf(txt: String): Int =
     "\"chain\":(\\d+)".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt).getOrElse(0)
+
+  /** The kind set a new commit carries forward: the parent's carried
+    * set when it has one; at the FORMAT BOUNDARY (a parent written
+    * before the carry existed) the full retained-history scan is
+    * folded in ONCE — without this, a pre-carry foreign commit older
+    * than the parent would vanish from the carry and the expiry-proof
+    * guarantee would not survive the migration. */
+  private def carryKinds(root: String, prevTxt: Option[String]): Set[String] =
+    prevTxt match {
+      case None => Set.empty
+      case Some(txt) if txt.contains("\"kinds\":") => kindsOf(txt)
+      case Some(_) => committedKinds(root)
+    }
+
+  /** Apply one delta manifest's parts on top of a resolved base —
+    * THE delta-application semantic, shared by [[resolved]] and
+    * vacuum's live walk so the two can never drift (a divergence
+    * here makes vacuum compute a wrong live set, and a too-small
+    * live set deletes live data). */
+  private def applyDelta(base: Map[String, Seq[String]],
+      txt: String): Map[String, Seq[String]] =
+    (base -- dropsOf(txt)) ++ partsOf(txt)
+
+  /** Data-dir paths referenced directly by one FLAT manifest's text —
+    * the one definition of the path shape (see [[manifestDirs]]). */
+  private def flatDirsOf(txt: String): Seq[String] =
+    "\"(data/[0-9a-f-]+(?:/pid=\\d+)?)\"".r
+      .findAllMatchIn(txt).map(_.group(1)).toSeq.distinct
 
   private def dropsOf(txt: String): Set[String] =
     "\"drops\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt).map(_.group(1))
@@ -187,9 +214,8 @@ object VersionedTable {
           case _ => resolved(root, b,
             mverGuard(root, b, Files.readString(versionFile(root, b))))
         }
-        val drops = dropsOf(txt)
-        ((pParts -- drops) ++ partsOf(txt),
-          (pStats -- drops) ++ pStatsOf(txt))
+        (applyDelta(pParts, txt),
+          (pStats -- dropsOf(txt)) ++ pStatsOf(txt))
     }
     // keep the newest resolution only — resolving an old version for
     // a change-feed read must not regress the head commit's memo
@@ -697,7 +723,7 @@ object VersionedTable {
       base = if (asDelta) Some(expected) else None,
       chain = if (asDelta) parentChain + 1 else 0,
       drops = if (asDelta) dropParts else Set.empty,
-      kinds = prevTxt.map(kindsOf).getOrElse(Set.empty))
+      kinds = raceGuard(carryKinds(root, prevTxt)))
     try Files.createLink(versionFile(root, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.delete(tmp)
@@ -787,13 +813,14 @@ object VersionedTable {
                   .flatMap(manifestDirs(root, _)))) :+ staged
     val prevTxt: Option[String] =
       if (expected == 0) None
-      else Some(raceGuard(Files.readString(versionFile(root, expected))))
+      else Some(raceGuard(mverGuard(root, expected,
+        Files.readString(versionFile(root, expected)))))
     val id = prevTxt.flatMap(stringFieldOf(_, "tableid"))
       .getOrElse(UUID.randomUUID().toString)
     val tmp = writeManifest(root, next,
       if (overwrite) "overwrite" else "append", dirs, txn,
       tableId = Some(id), writerKind = writerKind,
-      kinds = prevTxt.map(kindsOf).getOrElse(Set.empty))
+      kinds = raceGuard(carryKinds(root, prevTxt)))
     try Files.createLink(versionFile(root, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.delete(tmp)
@@ -1282,10 +1309,12 @@ object VersionedTable {
     // the commit-path raceGuards, instead of crashing the pass
     try {
       var floor = vs(math.max(0, vs.size - keepLast))
-      var txt = Files.readString(versionFile(root, floor))
+      var txt = mverGuard(root, floor,
+        Files.readString(versionFile(root, floor)))
       while (baseOf(txt).isDefined) {
         floor = baseOf(txt).get
-        txt = Files.readString(versionFile(root, floor))
+        txt = mverGuard(root, floor,
+          Files.readString(versionFile(root, floor)))
       }
       val drop = nominal.filter(_ < floor)
       drop.filter(v => Files.deleteIfExists(versionFile(root, v)))
@@ -1342,17 +1371,24 @@ object VersionedTable {
         versions(root).foreach { v =>
           val txt = mverGuard(root, v, Files.readString(versionFile(root, v)))
           if (txt.contains("\"parts\":") || txt.contains("\"base\":")) {
-            val pm = (baseOf(txt), running) match {
+            (baseOf(txt), running) match {
               case (Some(b), Some((rv, rm))) if rv == b =>
-                (rm -- dropsOf(txt)) ++ partsOf(txt)
-              case _ => resolved(root, v, txt)._1
+                // the base's dirs are already in acc (it is itself a
+                // retained version the loop visited): only THIS
+                // delta's own labels add — truly O(touched); a label
+                // it drops stays live through the earlier versions
+                // that reference it, which is exactly the union the
+                // live set wants
+                running = Some((v, applyDelta(rm, txt)))
+                acc ++= partsOf(txt).values.flatten
+              case _ =>
+                val pm = resolved(root, v, txt)._1
+                running = Some((v, pm))
+                acc ++= pm.values.flatten
             }
-            running = Some((v, pm))
-            acc ++= pm.values.flatten
           } else {
             running = None
-            acc ++= "\"(data/[0-9a-f-]+(?:/pid=\\d+)?)\"".r
-              .findAllMatchIn(txt).map(_.group(1))
+            acc ++= flatDirsOf(txt)
           }
         }
         acc.result()

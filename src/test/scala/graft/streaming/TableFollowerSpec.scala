@@ -205,6 +205,35 @@ class TableFollowerSpec extends SparkSpec {
     val e2 = intercept[IllegalStateException] { follower.tick() }
     assert(e2.getMessage.contains("foreign writer kind"), e2.getMessage)
 
+    // MIGRATION boundary: a destination whose manifests predate the
+    // cumulative-kinds carry (strip the field to forge the old
+    // format) must fold the retained history into the FIRST carried
+    // commit — else a pre-carry foreign commit older than the parent
+    // vanishes from the carry and expiry reopens the hole
+    val src3 = freshRoot("tf-src5d"); val dst3 = freshRoot("tf-dst5d")
+    val up3 = new PartitionedTableCdcTarget(spark, src3, P)
+    val f3 = new TableFollower(spark, src3, dst3, "user_id", P)
+    up3.merge(0, (1L to 10L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+    f3.tick()
+    VersionedTable.commitPartitions(Map.empty, dst3,
+      batchId = (91L << 32) | 2L) // foreign, follower-shaped id
+    for (v <- VersionedTable.versions(dst3)) {
+      val mf = java.nio.file.Paths.get(dst3, "_versions", f"v$v%08d.json")
+      Files.writeString(mf, Files.readString(mf)
+        .replaceAll("\"kinds\":\"[^\"]*\",", ""))
+    }
+    VersionedTable.invalidateTxns(dst3)
+    // first post-migration commit: maintenance (also the checkpoint
+    // that lets retention drop the foreign manifest itself)
+    VersionedTable.compactPartitions(spark, dst3, maxFilesPerPart = 0)
+    VersionedTable.expire(dst3, keepLast = 1)
+    assert(VersionedTable.versions(dst3).size == 1,
+      "precondition: pre-carry history incl. the foreign commit expired")
+    VersionedTable.invalidateTxns(dst3) // cold reader
+    up3.merge(1, Seq(ap(3, 102, 90002, 3.3)).toDS())
+    val e3 = intercept[IllegalStateException] { f3.tick() }
+    assert(e3.getMessage.contains("foreign writer kind"), e3.getMessage)
+
     // ...and replica MAINTENANCE stays sanctioned: on a healthy
     // follower pair, compacting the destination must not trip the net
     val src2 = freshRoot("tf-src5c"); val dst2 = freshRoot("tf-dst5c")
