@@ -486,9 +486,9 @@ object VersionedTable {
   }
 
   /** Same incremental-scan memo as [[committedTxns]], over the
-    * `wkind` provenance stamp: manifests are immutable and versions
-    * append-only, so each call reads only manifests newer than the
-    * last scan. */
+    * carried `kinds` provenance sets: manifests are immutable and
+    * versions append-only, so each call reads only manifests newer
+    * than the last scan. */
   private val kindCache =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Set[String])]
 
