@@ -346,7 +346,72 @@ object LakehouseScale {
     Files.write(Paths.get(out), (json + "\n").getBytes("UTF-8"))
   }
 
+  /** Snapshot-management scaling probe (r14): RESTORE must cost one
+    * checkpoint write — O(P) manifest serialize+link, ZERO data
+    * bytes — tag/dropTag must be O(1) files, and expire's tag-pin
+    * walk must stay a metadata constant. Same empty-dir isolation as
+    * [[manifestLeg]] (no data I/O, no Spark job on the timed path).
+    * Usage: runMain graft.LakehouseScale snapshot [out.json] */
+  private def snapshotLeg(spark: org.apache.spark.sql.SparkSession,
+      out: String): Unit = {
+    import graft.sources.VersionedTable
+    val touched = 32
+    def mkStaged(root: String, labels: Seq[Int]): Map[String, String] = {
+      val uuid = java.util.UUID.randomUUID().toString
+      labels.map { k =>
+        val rel = s"data/$uuid/pid=$k"
+        Files.createDirectories(Paths.get(root, rel))
+        k.toString -> rel
+      }.toMap
+    }
+    def dataDirCount(root: String): Int = {
+      val s = Files.list(Paths.get(root, "data"))
+      try s.iterator.asScala.size finally s.close()
+    }
+    val rows = Seq.newBuilder[String]
+    for (p <- Seq(1000, 10000, 100000)) {
+      val root = Files.createTempDirectory(s"snap_probe_$p").toString
+      VersionedTable.commitPartitionsOnce(mkStaged(root, 0 until p), root,
+        expected = 0, overwriteAll = true, nParts = Some(p))
+      val target = VersionedTable.versions(root).last
+      // advance the head: 5 incremental merges the restore abandons
+      for (_ <- 1 to 5)
+        VersionedTable.commitPartitionsOnce(mkStaged(root, 0 until touched),
+          root, VersionedTable.versions(root).last, nParts = Some(p))
+      val t0 = System.nanoTime()
+      VersionedTable.tag(root, "release", target)
+      val tagMs = (System.nanoTime() - t0) / 1e6
+      val dirsBefore = dataDirCount(root)
+      val t1 = System.nanoTime()
+      VersionedTable.restore(spark, root, target)
+      val restoreMs = (System.nanoTime() - t1) / 1e6
+      require(dataDirCount(root) == dirsBefore,
+        "restore must be metadata-only: no staged data dirs")
+      val t2 = System.nanoTime()
+      VersionedTable.expire(root, keepLast = 1)
+      val expireMs = (System.nanoTime() - t2) / 1e6
+      require(VersionedTable.versions(root).contains(target),
+        "the tag pin must survive expire")
+      println(f"[snapshot-probe] P=$p tag=$tagMs%.2f ms " +
+        f"restore=$restoreMs%.1f ms expire_pinned=$expireMs%.1f ms")
+      rows += f"""{"partitions":$p,"tag_ms":$tagMs%.2f,""" +
+        f""""restore_ms":$restoreMs%.1f,"expire_pinned_ms":$expireMs%.1f,""" +
+        f""""restore_data_bytes":0}"""
+    }
+    val json = s"""{"metric":"snapshot_mgmt_cost","unit":"ms_per_op",""" +
+      s""""rows":[${rows.result().mkString(",")}]}"""
+    println(json)
+    Files.write(Paths.get(out), (json + "\n").getBytes("UTF-8"))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("snapshot")) {
+      val out = args.drop(1).headOption.getOrElse("SCALE_SNAPSHOT_r14.json")
+      val spark = Engine.session("graft-snapshot-scale")
+      snapshotLeg(spark, out)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("chain")) {
       val out = args.drop(1).headOption.getOrElse("SCALE_CHAIN_r14.json")
       val size = args.drop(2).headOption.map(_.trim.toInt).getOrElse(10000)

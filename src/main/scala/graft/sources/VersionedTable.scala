@@ -352,17 +352,21 @@ object VersionedTable {
   def followSrc(root: String): Option[String] =
     versions(root).lastOption.flatMap(followSrcAt(root, _))
 
+  /** The raw (unescaped) schema DDL one manifest's text carries, if
+    * any — the single extraction [[manifestSchema]] parses and
+    * [[restore]] re-stamps verbatim. */
+  private def schemaDdlOf(txt: String): Option[String] =
+    "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+
   /** Table schema carried by version `v`'s manifest (evolving tables
     * only — see [[commitPartitions]]' schemaDdl): the read schema that
     * makes files written BEFORE a widen serve the added columns as
     * NULLs. None for manifests that never stored one. */
   def manifestSchema(spark: SparkSession, root: String, v: Int)
-      : Option[org.apache.spark.sql.types.StructType] = {
-    val txt = Files.readString(versionFile(root, v))
-    "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt)
-      .map(m => org.apache.spark.sql.types.StructType.fromDDL(
-        m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")))
-  }
+      : Option[org.apache.spark.sql.types.StructType] =
+    schemaDdlOf(Files.readString(versionFile(root, v)))
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
 
   private def jsonEsc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -384,6 +388,11 @@ object VersionedTable {
     // format version: readers refuse manifests newer than they speak
     // (Delta's minReaderVersion rule); 2 = delta chains + provenance
     val mverField = s""""mver":$ManifestVersion,"""
+    // commit wall-clock (epoch millis) — what timestamp time travel
+    // resolves against. Monotonic non-decreasing per root: a commit at
+    // v+1 only links after v's link, and v's manifest text (this
+    // stamp included) was written before v linked.
+    val tsField = s""""ts":${System.currentTimeMillis()},"""
     // the incarnation's CUMULATIVE writer-kind set, carried forward
     // like tableid: retention can expire the manifest a foreign
     // writer committed, but the kinds it contributed ride every later
@@ -416,8 +425,8 @@ object VersionedTable {
         "\"" + k + "\":[" + b + "," + f + "]"
       }.mkString("\"pstats\":{", ",", "},")
     }
-    val common = s"$mverField$txnField$schemaField$idField$followField" +
-      s"$kindField$kindsField$baseField"
+    val common = s"$mverField$tsField$txnField$schemaField$idField" +
+      s"$followField$kindField$kindsField$baseField"
     val body = parts match {
       case None =>
         dirs.map("\"" + _ + "\"").mkString(
@@ -891,6 +900,274 @@ object VersionedTable {
     }
   }
 
+  // ==== snapshot management: timestamps, tags, restore (r14) =======
+
+  /** Wall-clock (epoch millis) version `v` was committed at — the
+    * manifest's own stamp; pre-stamp history (r13 and earlier) falls
+    * back to the manifest file's mtime, which the atomic-link publish
+    * makes an honest commit time on a filesystem. */
+  def commitTime(root: String, v: Int): Long = {
+    val f = versionFile(root, v)
+    "\"ts\":(\\d+)".r.findFirstMatchIn(Files.readString(f))
+      .map(_.group(1).toLong)
+      .getOrElse(Files.getLastModifiedTime(f).toMillis)
+  }
+
+  /** TIMESTAMP time travel (Delta's `timestampAsOf`): the newest
+    * retained version committed at or before `tsMillis`, or None when
+    * the table's oldest retained commit is already newer. Commit
+    * stamps are monotonic per root (see writeManifest), so the answer
+    * is well-defined. */
+  def versionAsOf(root: String, tsMillis: Long): Option[Int] =
+    versions(root).filter(commitTime(root, _) <= tsMillis).lastOption
+
+  /** The table exactly as of wall-clock `tsMillis` — [[readAt]] of
+    * [[versionAsOf]]. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    readAt(spark, root, versionAsOf(root, tsMillis).getOrElse(
+      throw new IllegalStateException(
+        s"$root has no retained version at or before $tsMillis")))
+
+  /** One row of [[history]]: a retained commit's audit fields. */
+  final case class CommitInfo(version: Int, ts: java.sql.Timestamp,
+      op: String, writer: String, txn: Option[Long], nparts: Option[Int],
+      labels: Int, drops: Int, is_delta: Boolean)
+
+  /** The commit log as a DataFrame (Delta's `DESCRIBE HISTORY`
+    * analog): one row per RETAINED version — commit time, operation,
+    * writer-kind provenance, txn id, partition count, and how many
+    * labels the commit itself serialized (deltas: touched; full
+    * manifests: all) — the operator's first stop in any incident
+    * ("who wrote v37 and when"). Control-plane: O(retained versions)
+    * manifest reads on the driver, no data I/O. A manifest expired
+    * between listing and read is skipped, like every other
+    * retention-racing reader here. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val rows = versions(root).flatMap { v =>
+      try {
+        val f = versionFile(root, v)
+        val txt = mverGuard(root, v, Files.readString(f))
+        val ts = "\"ts\":(\\d+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toLong)
+          .getOrElse(Files.getLastModifiedTime(f).toMillis)
+        Some(CommitInfo(v, new java.sql.Timestamp(ts),
+          "\"op\":\"([a-z_]+)\"".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse(""),
+          stringFieldOf(txt, "wkind").getOrElse(KindUnstamped),
+          "\"txn\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong),
+          "\"nparts\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt),
+          if (txt.contains("\"parts\":")) partsOf(txt).size
+          else flatDirsOf(txt).size,
+          dropsOf(txt).size,
+          baseOf(txt).isDefined))
+      } catch { case _: java.nio.file.NoSuchFileException => None }
+    }
+    spark.createDataFrame(rows)
+  }
+
+  /** POINT LOOKUP: the rows of `pk = value`, reading ONLY the one
+    * key-hash partition the value lives in — O(table/P) I/O, the
+    * "serve this key" path that needs no external index because the
+    * layout IS the index (the same [[keyPid]] arithmetic the writers
+    * hash with). At the design point (100k partitions) a lookup reads
+    * 1/100k of the table instead of scanning every footer.
+    *
+    * `value` must be the pk column's VALUE; when the manifest stores
+    * a schema it is cast to the column's exact type first (Spark's
+    * hash is type-sensitive: hash(1) != hash(1L)). For schema-less
+    * manifests pass the exact runtime type the writer used. Flat
+    * tables have no key layout — this refuses; use readAt + filter. */
+  def readKey(spark: SparkSession, root: String, pk: String,
+      value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val head = versions(root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val pm = manifestParts(root, head)
+    val p = partCountAt(root, head).getOrElse(
+      throw new IllegalStateException(
+        s"$root has no partition-count stamp — point lookups need the " +
+          "key-hash layout (readAt + filter scans flat tables)"))
+    val schema = manifestSchema(spark, root, head)
+    val keyLit = schema.flatMap(_.fields.find(_.name == pk))
+      .map(f => lit(value).cast(f.dataType)).getOrElse(lit(value))
+    // one-row local projection: evaluates the SAME codegen'd hash the
+    // writers use — never reimplement the key→pid arithmetic
+    val label = spark.range(1)
+      .select(pmod(hash(keyLit), lit(p)).cast("int")).head().getInt(0)
+    pm.get(label.toString) match {
+      case None => readAt(spark, root, head).limit(0)
+      case Some(dirs) =>
+        val paths = dirs.map(rel => Paths.get(root, rel).toString)
+        schema.map(spark.read.schema(_)).getOrElse(spark.read)
+          .parquet(paths: _*)
+          .filter(col(pk) === keyLit)
+    }
+  }
+
+  private def tagsDir(root: String): Path = Paths.get(root, "_tags")
+
+  private def tagFile(root: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]{1,128}"),
+      s"tag name '$name' — use filename-safe [A-Za-z0-9._-], <=128 chars")
+    tagsDir(root).resolve(s"$name.json")
+  }
+
+  /** Pin a NAMED TAG to version `v` (default: the current head) — the
+    * Iceberg tag / Delta named-snapshot analog. A tag is an immutable
+    * reference: [[expire]] keeps the tagged version (and the delta
+    * chain that resolves it) retained however far the head advances,
+    * so [[vacuum]] never reclaims its data — the release/audit pin a
+    * 100 TB corpus needs ("the snapshot train run X read") without
+    * copying a byte. Tags record the table's incarnation id, so a tag
+    * from a deleted-and-recreated root pins nothing and reads loudly
+    * stale. Creation is CREATE_NEW-atomic like a commit; re-pointing
+    * a name is dropTag + tag, never a silent overwrite. Returns the
+    * pinned version. */
+  def tag(root: String, name: String, v: Int = -1): Int = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val target = if (v < 0) vs.last else v
+    require(vs.contains(target),
+      s"$root has no retained version $target to tag")
+    val id = tableId(root).getOrElse("")
+    Files.createDirectories(tagsDir(root))
+    val tmp = tagsDir(root).resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, s"""{"version":$target,"tableid":"$id"}""")
+    try Files.createLink(tagFile(root, name), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.delete(tmp)
+      throw new IllegalStateException(
+        s"tag '$name' already exists on $root — tags are immutable " +
+          "references; dropTag first to re-point the name")
+    }
+    Files.delete(tmp)
+    target
+  }
+
+  /** All tags of the root's CURRENT incarnation (name → version). A
+    * tag stamped by a previous incarnation (deleted-and-recreated
+    * root) is excluded — its version numbers describe a dead table,
+    * so it must neither pin retention nor resolve reads; [[readAtTag]]
+    * surfaces it as a loud error instead. */
+  def tags(root: String): Map[String, Int] = {
+    val dir = tagsDir(root)
+    if (!Files.isDirectory(dir)) return Map.empty
+    val id = tableId(root).getOrElse("")
+    val s = Files.list(dir)
+    val raw =
+      try s.iterator.asScala
+        .map(p => p.getFileName.toString -> p)
+        .collect { case (n, p) if n.endsWith(".json") && !n.startsWith(".") =>
+          n.stripSuffix(".json") ->
+            Files.readString(p) }.toSeq
+      finally s.close()
+    raw.flatMap { case (name, txt) =>
+      val v = "\"version\":(\\d+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt)
+      val tid = stringFieldOf(txt, "tableid").getOrElse("")
+      v.filter(_ => tid == id).map(name -> _)
+    }.toMap
+  }
+
+  /** Remove a tag (its version re-enters normal retention at the next
+    * [[expire]]). Returns whether the tag existed. */
+  def dropTag(root: String, name: String): Boolean =
+    Files.deleteIfExists(tagFile(root, name))
+
+  /** The table exactly as the named tag pinned it. Throws on an
+    * unknown tag and on a STALE one (stamped by a previous incarnation
+    * of the root) — a stale tag's version numbers describe a deleted
+    * table and must never silently resolve against the new one. */
+  def readAtTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val f = tagFile(root, name)
+    require(Files.exists(f), s"no tag '$name' on $root")
+    tags(root).get(name) match {
+      case Some(v) => readAt(spark, root, v)
+      case None => throw new IllegalStateException(
+        s"tag '$name' on $root is stale — it was stamped by a previous " +
+          "incarnation of this root (deleted-and-recreated table); " +
+          "dropTag and re-tag against the live table")
+    }
+  }
+
+  /** RESTORE the table to the content of retained version `toV`
+    * (Delta's `RESTORE TABLE ... VERSION AS OF`): publishes a NEW
+    * head commit whose resolved content IS `toV`'s — history moves
+    * only forward, the bad commits stay readable for forensics, and
+    * under write-once data dirs the operation is METADATA-ONLY (zero
+    * data bytes move; the new manifest re-references `toV`'s dirs,
+    * which retention has kept live). Partitioned restores re-stamp
+    * `toV`'s partition count and schema — a writer that staged under
+    * the abandoned head's layout hits [[PartitionCountChanged]] and
+    * restages, the same guard a rescale race uses — and always write
+    * a FULL manifest (a checkpoint), cutting the delta chain exactly
+    * like compaction does.
+    *
+    * Stamped [[KindBatch]]: a restore CHANGES CONTENT, so on a
+    * followed destination the follower's foreign-writer net refuses
+    * the replica afterwards — restore the SOURCE and let replication
+    * converge (the change feed across the restore commit emits the
+    * inverse delta, partition-pruned, phantom-free). */
+  def restore(spark: SparkSession, root: String, toV: Int,
+      maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val vs = versions(root)
+        val head = vs.lastOption.getOrElse(throw new IllegalStateException(
+          s"no committed version under $root"))
+        require(vs.contains(toV),
+          s"$root has no retained version $toV (expired or never " +
+            "committed) — restore targets must be retained (pin release " +
+            "candidates with tag())")
+        val next = head + 1
+        val txt = mverGuard(root, toV,
+          Files.readString(versionFile(root, toV)))
+        val headTxt = mverGuard(root, head,
+          Files.readString(versionFile(root, head)))
+        // identity/provenance are INCARNATION state — carried from the
+        // head like any commit; content/layout/schema come from toV
+        val id = stringFieldOf(headTxt, "tableid")
+        val follow = stringFieldOf(headTxt, "followsrc")
+        val kinds = carryKinds(root, Some(headTxt))
+        val tmp =
+          if (txt.contains("\"parts\":") || txt.contains("\"base\":")) {
+            val (pm, ps) = resolved(root, toV, txt)
+            writeManifest(root, next, "restore", Nil, None,
+              parts = Some(pm), schemaDdl = schemaDdlOf(txt),
+              nParts = partCountAt(root, toV), tableId = id,
+              followSrc = follow, pStats = Some(ps), kinds = kinds)
+          } else
+            writeManifest(root, next, "restore", flatDirsOf(txt), None,
+              tableId = id, followSrc = follow, kinds = kinds)
+        try Files.createLink(versionFile(root, next), tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp)
+          throw new ConcurrentCommit(next)
+        }
+        Files.delete(tmp)
+        return next
+      } catch {
+        // lost race, or a racing expire deleted a manifest mid-read:
+        // rebase against the settled listing, like compactPartitions
+        case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e
+        case e: java.nio.file.NoSuchFileException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** [[restore]] to the version a tag pinned — the named form an
+    * operator actually types in an incident. */
+  def restoreTag(spark: SparkSession, root: String, name: String,
+      maxAttempts: Int = 5): Int =
+    restore(spark, root, tags(root).getOrElse(name,
+      throw new IllegalStateException(
+        s"no tag '$name' on $root (or it is stale — see readAtTag)")),
+      maxAttempts)
+
   /** Compaction (the OPTIMIZE analog): rewrite the current snapshot's
     * accumulated append dirs into one dir of `numFiles` files and
     * publish it as a normal commit — data-identical, so readers are
@@ -1297,7 +1574,16 @@ object VersionedTable {
     * checkpoint interval of extra manifests, exactly Delta's
     * log-before-checkpoint rule. Chains are contiguous (base =
     * version − 1), so the floor covers every retained version's
-    * ancestry at once. */
+    * ancestry at once.
+    *
+    * TAGS pin (r14): every tagged version keeps its whole chain
+    * segment `[chain root, tag]` retained no matter how far below the
+    * floor it falls — what makes a tag a durable release reference
+    * rather than a name that silently dies at the next maintenance
+    * pass. The retained set stays resolution-closed: each kept delta's
+    * base is kept (segments are contiguous), and the first retained
+    * version after any expiry gap is a chain ROOT (full manifest), so
+    * [[vacuum]]'s incremental live walk needs no change. */
   def expire(root: String, keepLast: Int = 1): Seq[Int] = {
     require(keepLast >= 1, "must retain at least the current version")
     val vs = versions(root)
@@ -1308,15 +1594,22 @@ object VersionedTable {
     // racer is doing this same work — bow out with what's done, like
     // the commit-path raceGuards, instead of crashing the pass
     try {
-      var floor = vs(math.max(0, vs.size - keepLast))
-      var txt = mverGuard(root, floor,
-        Files.readString(versionFile(root, floor)))
-      while (baseOf(txt).isDefined) {
-        floor = baseOf(txt).get
-        txt = mverGuard(root, floor,
-          Files.readString(versionFile(root, floor)))
+      def chainRoot(v: Int): Int = {
+        var f = v
+        var txt = mverGuard(root, f, Files.readString(versionFile(root, f)))
+        while (baseOf(txt).isDefined) {
+          f = baseOf(txt).get
+          txt = mverGuard(root, f, Files.readString(versionFile(root, f)))
+        }
+        f
       }
-      val drop = nominal.filter(_ < floor)
+      val floor = chainRoot(vs(math.max(0, vs.size - keepLast)))
+      // stale-incarnation tags pin nothing (tags() excludes them);
+      // a tag of an already-expired version likewise
+      val pinned: Set[Int] = tags(root).values.toSet[Int]
+        .filter(t => vs.contains(t))
+        .flatMap(t => chainRoot(t) to t)
+      val drop = nominal.filter(v => v < floor && !pinned.contains(v))
       drop.filter(v => Files.deleteIfExists(versionFile(root, v)))
     } catch {
       case _: java.nio.file.NoSuchFileException => Nil

@@ -22,7 +22,11 @@ import graft.sources.VersionedTable
   *      every key was deleted (the dropParts seam);
   *  (d) an upstream schema widen replicates: the destination's
   *      manifest schema follows the source's;
-  *  (e) an expired-cursor follower auto-re-bootstraps. */
+  *  (e) an expired-cursor follower auto-re-bootstraps;
+  *  (f) an upstream RESTORE replicates like any commit — the tick
+  *      applies its inverse delta and the replica converges — while a
+  *      restore aimed at the DESTINATION is refused as a foreign
+  *      write (restore the source, not the replica). */
 class TableFollowerSpec extends SparkSpec {
 
   private lazy val s = spark
@@ -429,5 +433,49 @@ class TableFollowerSpec extends SparkSpec {
     upstream.merge(1, Seq(ap(2, 2, 2000, 2.0)).toDS())
     val e = intercept[IllegalStateException] { follower.tick() }
     assert(e.getMessage.contains("beyond source head"), e.getMessage)
+  }
+
+  test("a replica converges across an upstream RESTORE in one tick") {
+    val src = freshRoot("tf-src11"); val dst = freshRoot("tf-dst11")
+    val upstream = new PartitionedTableCdcTarget(spark, src, P)
+    val follower = new TableFollower(spark, src, dst, "user_id", P)
+    upstream.merge(0, (1L to 30L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+    follower.tick()
+    val good = VersionedTable.versions(src).last
+
+    // the bad batch replicates...
+    upstream.merge(1, Seq(ap(7, 700, 99000, -777.0)).toDS())
+    follower.tick()
+    assert(byKey(follower.snapshot)(7L).value == -777.0)
+
+    // ...and the upstream restore replicates right back: the tick's
+    // change window contains the restore commit's inverse delta, so
+    // the replica converges to the RESTORED content — no re-bootstrap,
+    // no operator action on the destination
+    VersionedTable.restore(spark, src, good)
+    assert(follower.tick().isDefined)
+    assert(byKey(follower.snapshot) == byKey(VersionedTable.read(spark, src)))
+    assert(byKey(follower.snapshot)(7L).value == 7.0)
+    // converged: nothing further to apply, nothing fabricated
+    assert(follower.tick().isEmpty)
+  }
+
+  test("restoring a followed DESTINATION directly is refused as a foreign write") {
+    val src = freshRoot("tf-src12"); val dst = freshRoot("tf-dst12")
+    val upstream = new PartitionedTableCdcTarget(spark, src, P)
+    val follower = new TableFollower(spark, src, dst, "user_id", P)
+    upstream.merge(0, (1L to 10L).map(k => ap(k, k, 1000 + k, k.toDouble)).toDS())
+    follower.tick()
+    upstream.merge(1, Seq(ap(3, 300, 90000, 3.3)).toDS())
+    follower.tick()
+
+    // an operator "fixes" the replica by restoring it directly: the
+    // restore commit changes content outside the replication stream
+    // (KindBatch), so the next tick refuses the diverged destination
+    // instead of silently merging on top — restore the SOURCE instead
+    VersionedTable.restore(spark, dst, VersionedTable.versions(dst).head)
+    upstream.merge(2, Seq(ap(4, 400, 91000, 4.4)).toDS())
+    val e = intercept[IllegalStateException] { follower.tick() }
+    assert(e.getMessage.contains("foreign writer"), e.getMessage)
   }
 }
