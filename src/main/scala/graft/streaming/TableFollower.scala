@@ -60,11 +60,43 @@ import graft.sources.VersionedTable
   * one-time boundary cost); the destination keeps its own partition
   * count.
   *
+  * DERIVED TABLES (r14): `transform` turns the follower into an
+  * incrementally-maintained materialized view — the destination holds
+  * `transform(source)` (a deterministic row-wise filter + projection,
+  * e.g. "high-quality English docs only, scored") converged at
+  * O(delta) per tick, never recomputed from the full source. The
+  * semantics fall out of the keyed merge: every changed key's old
+  * rows leave the destination, and only the TRANSFORMED post-images
+  * that survive the transform's filter come back — so an update that
+  * moves a row out of the filter deletes it downstream, and one that
+  * moves it in inserts it. Contract: the transform must be
+  * deterministic and key-preserving (every output row carries the
+  * source `pk` unchanged; 1→N per key is fine — replacement is by
+  * key). Aggregations, joins, or key-rewriting maps are out of
+  * contract — they need retraction semantics, not a keyed merge.
+  *
   * Single follower per destination root.
   */
 class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
-    pk: String, numPartitions: Int = 32) {
+    pk: String, numPartitions: Int = 32,
+    transform: DataFrame => DataFrame = TableFollower.Identity) {
   require(numPartitions > 0, "numPartitions must be positive")
+
+  private def isIdentity = transform eq TableFollower.Identity
+
+  /** Apply the derivation and insist its output still carries the
+    * merge key — a transform that drops or renames `pk` would merge
+    * garbage downstream, so it fails here instead. */
+  private def derived(df: DataFrame): DataFrame = {
+    val out = transform(df)
+    require(out.columns.contains(pk),
+      s"derived-table transform must preserve the key column '$pk' " +
+        s"(got ${out.columns.mkString(", ")})")
+    require(!out.columns.contains(VersionedTable.PidCol),
+      s"'${VersionedTable.PidCol}' is the reserved internal partition " +
+        "column — the transform must not emit it")
+    out
+  }
 
   private val Pid = VersionedTable.PidCol
 
@@ -121,9 +153,20 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
     * guard-skipped bootstrap would leave the replica serving the
     * interloper's rows while reporting success. The forced commit
     * still records the txn and still retries commit races. */
+  /** The DESTINATION schema DDL riding each commit: the source's
+    * manifest schema for plain replication (typed-NULL widen
+    * semantics carry through verbatim); the transform's OUTPUT schema
+    * for derived tables — computed by analysis over an empty frame,
+    * no job runs. */
+  private def dstSchemaDdl(head: Int): Option[String] =
+    if (isIdentity)
+      VersionedTable.manifestSchema(spark, srcRoot, head).map(_.toDDL)
+    else Some(derived(
+      VersionedTable.readAt(spark, srcRoot, head).limit(0)).schema.toDDL)
+
   private def bootstrap(head: Int, p: Int, sid: String,
       schemaDdl: Option[String], force: Boolean = false): Unit = {
-    val snap = withPid(VersionedTable.readAt(spark, srcRoot, head), p)
+    val snap = withPid(derived(VersionedTable.readAt(spark, srcRoot, head)), p)
     val staged = VersionedTable.stagePartitioned(snap, dstRoot, Pid)
     if (!force) {
       VersionedTable.commitPartitions(staged, dstRoot, batchId = nsTxn(head),
@@ -200,8 +243,7 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
       // re-bootstrap under the new identity's namespace (the old
       // namespace's txns become inert history), FORCED past the
       // txn-dedup guard (see bootstrap)
-      bootstrap(head, effP, sid, VersionedTable
-        .manifestSchema(spark, srcRoot, head).map(_.toDDL), force = true)
+      bootstrap(head, effP, sid, dstSchemaDdl(head), force = true)
       return Some((0, head))
     }
     val from = cursor
@@ -216,8 +258,7 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
     // work: an idle 1s-trigger fleet tick pays manifest listings and
     // the memoized txn scan, never a schema parse or partition read
     val p = effP
-    val schemaDdl = VersionedTable
-      .manifestSchema(spark, srcRoot, head).map(_.toDDL)
+    val schemaDdl = dstSchemaDdl(head)
     val needBootstrap = from == 0 || !srcVersions.contains(from)
     if (needBootstrap) {
       // initial sync, or the cursor version was expired upstream:
@@ -251,25 +292,35 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
             val withP = withPid(delta, pNow)
             val touched = withP.select(Pid).distinct().collect()
               .map(_.getInt(0)).toSet // bounded by the partition count
+            // the rows coming back in: insert/update post-images,
+            // through the derivation — a post-image the transform
+            // filters out simply doesn't return, which IS the derived
+            // delete (the key-removal below already took it out)
+            val upserts = withPid(derived(
+              delta.filter(col("_change_type") =!= "delete")
+                .drop("_change_type")), pNow)
             val parts = VersionedTable.parts(dstRoot)
             val existing: DataFrame = {
               val dirs = touched.toSeq.sorted
                 .flatMap(k => parts.getOrElse(k.toString, Nil))
                 .map(rel => java.nio.file.Paths.get(dstRoot, rel).toString)
-              if (dirs.isEmpty) withP.drop("_change_type").limit(0)
+              if (dirs.isEmpty) upserts.limit(0)
               else {
-                val reader = VersionedTable
-                  .manifestSchema(spark, srcRoot, head)
-                  .map(spark.read.schema(_)).getOrElse(spark.read)
+                // destination rows read under the DESTINATION schema
+                // (= source schema for plain replication, transform
+                // output schema for derived tables)
+                val reader = schemaDdl
+                  .map(d => spark.read.schema(
+                    org.apache.spark.sql.types.StructType.fromDDL(d)))
+                  .getOrElse(spark.read)
                 withPid(reader.parquet(dirs: _*), pNow)
               }
             }
-            // replace-or-drop by pk: every changed key's old row
-            // leaves, upserts (insert/update post-images) come back in
+            // replace-or-drop by pk: every changed key's old rows
+            // leave, surviving (transformed) post-images come back in
             val merged = existing
-              .join(withP.select(col(pk)), Seq(pk), "left_anti")
-              .unionByName(withP.filter(col("_change_type") =!= "delete")
-                .drop("_change_type"))
+              .join(withP.select(col(pk)).distinct(), Seq(pk), "left_anti")
+              .unionByName(upserts)
             val staged = VersionedTable.stagePartitioned(merged, dstRoot, Pid)
             // a touched partition with NO surviving rows (every key
             // deleted) stages nothing — drop its label explicitly or
@@ -296,4 +347,11 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
 
   /** The destination as of its latest commit. */
   def snapshot: DataFrame = VersionedTable.read(spark, dstRoot)
+}
+
+object TableFollower {
+  /** The no-transform marker — compared by REFERENCE so the plain
+    * replication path (schema riding, merge frames) stays exactly its
+    * pre-derived-table self. */
+  val Identity: DataFrame => DataFrame = df => df
 }
