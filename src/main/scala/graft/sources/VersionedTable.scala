@@ -1168,6 +1168,160 @@ object VersionedTable {
         s"no tag '$name' on $root (or it is stale — see readAtTag)")),
       maxAttempts)
 
+  /** TARGETED DELETE BY KEY (the GDPR-erasure path; Delta's
+    * `DELETE WHERE pk IN (...)` with partition pruning): physically
+    * remove every row whose `pk` appears in `keys` (a DataFrame
+    * carrying a `pk` column — scales to million-key erasure batches
+    * without a driver-side list), touching ONLY the key-hash
+    * partitions those keys live in. Work is O(touched partitions):
+    * the key set's pids bound the read, a semi-join finds which of
+    * those actually HOLD doomed rows, and only hit partitions are
+    * rewritten — erasing already-absent keys moves zero bytes and
+    * commits nothing. The old versions still serve the rows until
+    * [[expire]] + [[vacuum]] retire them — completing an erasure
+    * requires the retention pass, and a [[tag]] pinning an old
+    * version deliberately blocks it (drop the tag first); the change
+    * feed across the commit emits true `delete` rows, so replicas
+    * converge through the ordinary follower tick.
+    *
+    * Rebase-on-race like [[compactPartitions]]: a racing writer wins,
+    * the delete re-applies on top. Stamped [[KindBatch]] — content
+    * changes on a followed replica are refused; erase at the SOURCE.
+    * Returns (rows deleted, rewritten partition labels). */
+  def deleteKeys(spark: SparkSession, root: String, pk: String,
+      keys: DataFrame, tasksPerWrite: Int = 0, maxAttempts: Int = 5,
+      meter: Option[graft.streaming.EgressMeter] = None,
+      pipeline: String = "default"): (Long, Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    require(keys.columns.contains(pk),
+      s"keys frame must carry the key column '$pk'")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val head = versions(root).lastOption.getOrElse(
+          throw new IllegalStateException(s"no committed version under $root"))
+        val pm = manifestParts(root, head)
+        val p = partCountAt(root, head).getOrElse(
+          throw new IllegalStateException(
+            s"$root has no key-hash layout — delete on flat tables by " +
+              "overwrite commit"))
+        require(pm.nonEmpty, s"$root v$head is unpartitioned")
+        val schema = manifestSchema(spark, root, head)
+        // hash with the table's OWN pk type (Spark's hash is
+        // type-sensitive), then prune to labels that exist
+        val typedPk = schema.flatMap(_.fields.find(_.name == pk))
+          .map(f => col(pk).cast(f.dataType)).getOrElse(col(pk))
+        val k = keys.select(typedPk.as(pk)).distinct()
+          .withColumn(PidCol, keyPid(pk, p)).persist()
+        try {
+          val candidates = k.select(PidCol).distinct().collect()
+            .map(_.getInt(0).toString).filter(pm.contains).sorted
+          if (candidates.isEmpty) return (0L, Nil)
+          val dirs = candidates.flatMap(pm(_))
+            .map(rel => Paths.get(root, rel).toString)
+          val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+          // partition recovered from the path (the stagePartitioned
+          // layout invariant), as compactPartitions does
+          val existing = reader.parquet(dirs: _*)
+            .withColumn(PidCol, regexp_extract(
+              col("_metadata.file_path"), "/pid=(\\d+)/", 1).cast("int"))
+            .persist()
+          try {
+            val doomed = existing.join(k.select(col(pk)), Seq(pk), "left_semi")
+            val hit = doomed.select(PidCol).distinct().collect()
+              .map(_.getInt(0)).toSet
+            if (hit.isEmpty) return (0L, Nil)
+            val deleted = doomed.count()
+            val rewrite = existing
+              .filter(col(PidCol).isInCollection(hit.toSeq))
+              .join(k.select(col(pk)), Seq(pk), "left_anti")
+            val staged = stagePartitioned(rewrite, root, PidCol, tasksPerWrite)
+            meter.foreach(_.add(pipeline, root, "table_copy",
+              stagedPartBytes(root, staged)))
+            val emptied = hit.map(_.toString) -- staged.keySet
+            // an erasure commit CHECKPOINTS the chain: retention can
+            // then drop every pre-delete manifest at the next expire
+            // instead of keeping them as delta ancestry — the erasure
+            // completes on the retention cadence, not the checkpoint
+            // interval's (Delta's checkpoint-then-clean shape)
+            commitPartitionsOnce(staged, root, head,
+              dropParts = emptied, nParts = Some(p),
+              schemaDdl = schema.map(_.toDDL), forceCheckpoint = true)
+            return (deleted, hit.toSeq.map(_.toString).sorted)
+          } finally existing.unpersist()
+        } finally k.unpersist()
+      } catch {
+        case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e
+        case e: java.nio.file.NoSuchFileException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    (0L, Nil) // unreachable
+  }
+
+  /** PREDICATE DELETE (Delta's `DELETE WHERE cond`): remove every row
+    * the condition holds TRUE for (null and false keep their rows,
+    * the SQL rule). Without column statistics a predicate can live
+    * anywhere, so this pays ONE full scan to find the hit partitions —
+    * but rewrites only those, and commits nothing when the predicate
+    * matches nowhere. Key-based erasure should use [[deleteKeys]]
+    * (pruned read, no full scan). Returns (rows deleted, rewritten
+    * partition labels). */
+  def deleteWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column, tasksPerWrite: Int = 0,
+      maxAttempts: Int = 5,
+      meter: Option[graft.streaming.EgressMeter] = None,
+      pipeline: String = "default"): (Long, Seq[String]) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not, regexp_extract}
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val head = versions(root).lastOption.getOrElse(
+          throw new IllegalStateException(s"no committed version under $root"))
+        val pm = manifestParts(root, head)
+        require(pm.nonEmpty,
+          s"$root v$head is unpartitioned — delete on flat tables by " +
+            "overwrite commit")
+        val schema = manifestSchema(spark, root, head)
+        val dirs = pm.values.flatten.toSeq.sorted
+          .map(rel => Paths.get(root, rel).toString)
+        val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+        val existing = reader.parquet(dirs: _*)
+          .withColumn(PidCol, regexp_extract(
+            col("_metadata.file_path"), "/pid=(\\d+)/", 1).cast("int"))
+          .persist()
+        try {
+          val doomed = existing.filter(coalesce(cond, lit(false)))
+          val hit = doomed.select(PidCol).distinct().collect()
+            .map(_.getInt(0)).toSet
+          if (hit.isEmpty) return (0L, Nil)
+          val deleted = doomed.count()
+          val rewrite = existing
+            .filter(col(PidCol).isInCollection(hit.toSeq))
+            .filter(not(coalesce(cond, lit(false))))
+          val staged = stagePartitioned(rewrite, root, PidCol, tasksPerWrite)
+          meter.foreach(_.add(pipeline, root, "table_copy",
+            stagedPartBytes(root, staged)))
+          val emptied = hit.map(_.toString) -- staged.keySet
+          // checkpoint for the same retention-promptness reason as
+          // deleteKeys
+          commitPartitionsOnce(staged, root, head,
+            dropParts = emptied,
+            nParts = partCountAt(root, head),
+            schemaDdl = schema.map(_.toDDL), forceCheckpoint = true)
+          return (deleted, hit.toSeq.map(_.toString).sorted)
+        } finally existing.unpersist()
+      } catch {
+        case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e
+        case e: java.nio.file.NoSuchFileException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    (0L, Nil) // unreachable
+  }
+
   /** Compaction (the OPTIMIZE analog): rewrite the current snapshot's
     * accumulated append dirs into one dir of `numFiles` files and
     * publish it as a normal commit — data-identical, so readers are
