@@ -404,7 +404,86 @@ object LakehouseScale {
     Files.write(Paths.get(out), (json + "\n").getBytes("UTF-8"))
   }
 
+  /** Erasure scaling probe (r14): deleteKeys of a CONSTANT 32-key set
+    * against a table growing 10× with its partition count rescaled to
+    * hold per-partition bytes at a budget (the production sizing
+    * rule). Expected: bytes rewritten and wall time per erasure stay
+    * FLAT — the key set's pids bound the work at touched-partitions ×
+    * the constant partition size, table growth invisible. That is the
+    * claim that makes a GDPR erasure affordable at 100 TB.
+    * Usage: runMain graft.LakehouseScale erase [out.json] */
+  private def eraseLeg(spark: org.apache.spark.sql.SparkSession,
+      out: String,
+      sizes: Seq[Long] = Seq(100000L, 300000L, 1000000L)): Unit = {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val eraseKeys = 32
+    val rng = new scala.util.Random(17)
+    val root = Files.createTempDirectory("lh_erase").toString
+    val target = new PartitionedTableCdcTarget(spark, root, 16)
+    var nextKey = 1L
+    var batchId = 0L
+    def grow(to: Long): Unit = {
+      target.merge({ batchId += 1; batchId },
+        (nextKey until to).map(k => ap(k, k, 1000L + k, k.toDouble)).toDS())
+      nextKey = to
+    }
+    grow(sizes.head + 1)
+    val budget = math.max(1L, dataBytes(root) / 16)
+    val erased = scala.collection.mutable.Set[Long]()
+    val rows = Seq.newBuilder[String]
+    for (tableKeys <- sizes) {
+      grow(tableKeys + 1)
+      VersionedTable.expire(root, keepLast = 1)
+      VersionedTable.vacuum(root, graceMillis = 0)
+      VersionedTable.rescaleIfNeeded(spark, root, "user_id", budget).foreach {
+        case (o, n) =>
+          println(s"[erase-scale] at $tableKeys keys: P $o -> $n")
+          VersionedTable.expire(root, keepLast = 1)
+          VersionedTable.vacuum(root, graceMillis = 0)
+      }
+      val p = VersionedTable.partCount(root).get
+      // sample keys not erased by an earlier size's pass, so the
+      // erased-count and remaining-rows witnesses stay exact
+      val pool = scala.collection.mutable.LinkedHashSet[Long]()
+      while (pool.size < eraseKeys) {
+        val c = (rng.nextLong().abs % tableKeys) + 1L
+        if (!erased.contains(c)) pool += c
+      }
+      val doomed = pool.toSeq
+      val d0 = dataBytes(root)
+      val t0 = System.nanoTime()
+      val (n, labels) = VersionedTable.deleteKeys(spark, root, "user_id",
+        doomed.toDF("user_id"))
+      val wallS = (System.nanoTime() - t0) / 1e9
+      val bytes = dataBytes(root) - d0
+      require(n == doomed.size, s"erased $n of ${doomed.size}")
+      erased ++= doomed
+      // correctness witness inside the probe: the keys are gone, the
+      // rest intact
+      val remaining = VersionedTable.read(spark, root).count()
+      require(remaining == tableKeys - erased.size,
+        s"table holds $remaining rows, want ${tableKeys - erased.size}")
+      println(f"[erase-scale] rows=$tableKeys P=$p erased=$n " +
+        f"wall=$wallS%.2f s bytes=$bytes labels=${labels.size}")
+      rows += f"""{"table_rows":$tableKeys,"partitions":$p,""" +
+        f""""erased":$n,"wall_s":$wallS%.3f,"bytes_rewritten":$bytes,""" +
+        f""""partitions_rewritten":${labels.size}}"""
+    }
+    val json = s"""{"metric":"erasure_cost","unit":"per_delete",""" +
+      s""""erase_keys":$eraseKeys,"rows":[${rows.result().mkString(",")}]}"""
+    println(json)
+    Files.write(Paths.get(out), (json + "\n").getBytes("UTF-8"))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("erase")) {
+      val out = args.drop(1).headOption.getOrElse("SCALE_ERASE_r14.json")
+      val spark = Engine.session("graft-erase-scale")
+      eraseLeg(spark, out)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("snapshot")) {
       val out = args.drop(1).headOption.getOrElse("SCALE_SNAPSHOT_r14.json")
       val spark = Engine.session("graft-snapshot-scale")

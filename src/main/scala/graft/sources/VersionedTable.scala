@@ -917,9 +917,13 @@ object VersionedTable {
     * retained version committed at or before `tsMillis`, or None when
     * the table's oldest retained commit is already newer. Commit
     * stamps are monotonic per root (see writeManifest), so the answer
-    * is well-defined. */
+    * is well-defined. A manifest expired between the listing and its
+    * read is skipped, like every other retention-racing reader here. */
   def versionAsOf(root: String, tsMillis: Long): Option[Int] =
-    versions(root).filter(commitTime(root, _) <= tsMillis).lastOption
+    versions(root).filter { v =>
+      try commitTime(root, v) <= tsMillis
+      catch { case _: java.nio.file.NoSuchFileException => false }
+    }.lastOption
 
   /** The table exactly as of wall-clock `tsMillis` — [[readAt]] of
     * [[versionAsOf]]. */
@@ -1007,8 +1011,12 @@ object VersionedTable {
   private def tagsDir(root: String): Path = Paths.get(root, "_tags")
 
   private def tagFile(root: String, name: String): Path = {
-    require(name.matches("[A-Za-z0-9._-]{1,128}"),
-      s"tag name '$name' — use filename-safe [A-Za-z0-9._-], <=128 chars")
+    // no leading dot: tags() skips dotfiles (temp files live there),
+    // so a ".name" tag would be created "successfully" yet pin
+    // nothing — refuse it here instead (review r14)
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,127}"),
+      s"tag name '$name' — use filename-safe [A-Za-z0-9._-] starting " +
+        "with an alphanumeric, <=128 chars")
     tagsDir(root).resolve(s"$name.json")
   }
 
@@ -1029,7 +1037,14 @@ object VersionedTable {
     val target = if (v < 0) vs.last else v
     require(vs.contains(target),
       s"$root has no retained version $target to tag")
-    val id = tableId(root).getOrElse("")
+    // identity-less legacy history (manifests predating the tableid
+    // stamp) cannot be tagged: the NEXT commit mints an id, tags()
+    // would then see a mismatched incarnation and the pin would
+    // silently die on an ordinary commit (review r14) — commit once
+    // under current code first
+    val id = tableId(root).getOrElse(throw new IllegalStateException(
+      s"$root has no incarnation identity (pre-stamp history) — " +
+        "commit once to mint one, then tag"))
     Files.createDirectories(tagsDir(root))
     val tmp = tagsDir(root).resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, s"""{"version":$target,"tableid":"$id"}""")
@@ -1041,6 +1056,20 @@ object VersionedTable {
           "references; dropTag first to re-point the name")
     }
     Files.delete(tmp)
+    // tag-then-verify: an expire pass that read the tag set BEFORE
+    // this link may be condemning the target right now — expire's
+    // two-phase protocol (condemn → re-read tags → delete/restore)
+    // sees any tag linked before its re-read, and a target it already
+    // condemned has vanished from versions() by the time we re-check
+    // here, so one of the two sides always detects the race. On
+    // detection: clean up and fail LOUDLY rather than return a
+    // dangling pin (review r14).
+    if (!versions(root).contains(target)) {
+      Files.deleteIfExists(tagFile(root, name))
+      throw new IllegalStateException(
+        s"version $target expired while tagging — it was unpinned when " +
+          "retention selected it; re-commit or tag a retained version")
+    }
     target
   }
 
@@ -1136,7 +1165,11 @@ object VersionedTable {
             val (pm, ps) = resolved(root, toV, txt)
             writeManifest(root, next, "restore", Nil, None,
               parts = Some(pm), schemaDdl = schemaDdlOf(txt),
-              nParts = partCountAt(root, toV), tableId = id,
+              // from the text already in hand — no second multi-MB
+              // manifest read on the restore path (review r14)
+              nParts = "\"nparts\":(\\d+)".r.findFirstMatchIn(txt)
+                .map(_.group(1).toInt),
+              tableId = id,
               followSrc = follow, pStats = Some(ps), kinds = kinds)
           } else
             writeManifest(root, next, "restore", flatDirsOf(txt), None,
@@ -1192,7 +1225,7 @@ object VersionedTable {
       keys: DataFrame, tasksPerWrite: Int = 0, maxAttempts: Int = 5,
       meter: Option[graft.streaming.EgressMeter] = None,
       pipeline: String = "default"): (Long, Seq[String]) = {
-    import org.apache.spark.sql.functions.{col, regexp_extract}
+    import org.apache.spark.sql.functions.col
     require(keys.columns.contains(pk),
       s"keys frame must carry the key column '$pk'")
     var attempt = 0
@@ -1208,46 +1241,39 @@ object VersionedTable {
               "overwrite commit"))
         require(pm.nonEmpty, s"$root v$head is unpartitioned")
         val schema = manifestSchema(spark, root, head)
-        // hash with the table's OWN pk type (Spark's hash is
-        // type-sensitive), then prune to labels that exist
-        val typedPk = schema.flatMap(_.fields.find(_.name == pk))
-          .map(f => col(pk).cast(f.dataType)).getOrElse(col(pk))
-        val k = keys.select(typedPk.as(pk)).distinct()
+        // hash with the table's OWN pk type: Spark's hash is
+        // type-sensitive (hash(1) != hash(1L)), so a caller's Int
+        // keys against a BIGINT column would prune to the WRONG
+        // partitions and the erasure would silently delete nothing.
+        // Tables without a stored manifest schema (the fixed-schema
+        // targets) sample one partition dir's parquet footer — one
+        // footer read, not a table listing (review r14).
+        val pkType = schema.flatMap(_.fields.find(_.name == pk)
+          .map(_.dataType)).getOrElse {
+          val sample = Paths.get(root, pm.values.flatten.head).toString
+          spark.read.parquet(sample).schema.fields.find(_.name == pk)
+            .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+              s"$root has no column '$pk'"))
+        }
+        val k = keys.select(col(pk).cast(pkType).as(pk)).distinct()
           .withColumn(PidCol, keyPid(pk, p)).persist()
         try {
           val candidates = k.select(PidCol).distinct().collect()
             .map(_.getInt(0).toString).filter(pm.contains).sorted
           if (candidates.isEmpty) return (0L, Nil)
           val dirs = candidates.flatMap(pm(_))
-            .map(rel => Paths.get(root, rel).toString)
-          val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-          // partition recovered from the path (the stagePartitioned
-          // layout invariant), as compactPartitions does
-          val existing = reader.parquet(dirs: _*)
-            .withColumn(PidCol, regexp_extract(
-              col("_metadata.file_path"), "/pid=(\\d+)/", 1).cast("int"))
-            .persist()
+          val existing = readWithPid(spark, root, dirs, schema).persist()
           try {
             val doomed = existing.join(k.select(col(pk)), Seq(pk), "left_semi")
             val hit = doomed.select(PidCol).distinct().collect()
               .map(_.getInt(0)).toSet
             if (hit.isEmpty) return (0L, Nil)
             val deleted = doomed.count()
-            val rewrite = existing
+            val survivors = existing
               .filter(col(PidCol).isInCollection(hit.toSeq))
               .join(k.select(col(pk)), Seq(pk), "left_anti")
-            val staged = stagePartitioned(rewrite, root, PidCol, tasksPerWrite)
-            meter.foreach(_.add(pipeline, root, "table_copy",
-              stagedPartBytes(root, staged)))
-            val emptied = hit.map(_.toString) -- staged.keySet
-            // an erasure commit CHECKPOINTS the chain: retention can
-            // then drop every pre-delete manifest at the next expire
-            // instead of keeping them as delta ancestry — the erasure
-            // completes on the retention cadence, not the checkpoint
-            // interval's (Delta's checkpoint-then-clean shape)
-            commitPartitionsOnce(staged, root, head,
-              dropParts = emptied, nParts = Some(p),
-              schemaDdl = schema.map(_.toDDL), forceCheckpoint = true)
+            commitErasure(root, head, survivors, hit, Some(p),
+              schema.map(_.toDDL), tasksPerWrite, meter, pipeline)
             return (deleted, hit.toSeq.map(_.toString).sorted)
           } finally existing.unpersist()
         } finally k.unpersist()
@@ -1258,6 +1284,42 @@ object VersionedTable {
       }
     }
     (0L, Nil) // unreachable
+  }
+
+  /** Hit-partition reader shared by the erasure ops: the given
+    * relative dirs under the (optional) manifest schema, with the
+    * partition label recovered from the file path (the
+    * stagePartitioned layout invariant, as compactPartitions does). */
+  private def readWithPid(spark: SparkSession, root: String,
+      dirs: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val paths = dirs.map(rel => Paths.get(root, rel).toString)
+    schema.map(spark.read.schema(_)).getOrElse(spark.read)
+      .parquet(paths: _*)
+      .withColumn(PidCol, regexp_extract(
+        col("_metadata.file_path"), "/pid=(\\d+)/", 1).cast("int"))
+  }
+
+  /** Shared erasure tail (review r14 — one body so the metering,
+    * emptied-label, and checkpoint rules can never drift between the
+    * two delete ops): stage the surviving rows of the hit partitions,
+    * drop labels left empty, and publish as a CHECKPOINT commit —
+    * retention can then drop every pre-delete manifest at the next
+    * expire instead of keeping them as delta ancestry, so the erasure
+    * completes on the retention cadence, not the checkpoint
+    * interval's (Delta's checkpoint-then-clean shape). */
+  private def commitErasure(root: String, head: Int,
+      survivors: DataFrame, hit: Set[Int], nParts: Option[Int],
+      schemaDdl: Option[String], tasksPerWrite: Int,
+      meter: Option[graft.streaming.EgressMeter], pipeline: String): Unit = {
+    val staged = stagePartitioned(survivors, root, PidCol, tasksPerWrite)
+    meter.foreach(_.add(pipeline, root, "table_copy",
+      stagedPartBytes(root, staged)))
+    val emptied = hit.map(_.toString) -- staged.keySet
+    commitPartitionsOnce(staged, root, head, dropParts = emptied,
+      nParts = nParts, schemaDdl = schemaDdl, forceCheckpoint = true)
+    ()
   }
 
   /** PREDICATE DELETE (Delta's `DELETE WHERE cond`): remove every row
@@ -1273,7 +1335,7 @@ object VersionedTable {
       maxAttempts: Int = 5,
       meter: Option[graft.streaming.EgressMeter] = None,
       pipeline: String = "default"): (Long, Seq[String]) = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, not, regexp_extract}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     var attempt = 0
     while (true) {
       attempt += 1
@@ -1285,32 +1347,20 @@ object VersionedTable {
           s"$root v$head is unpartitioned — delete on flat tables by " +
             "overwrite commit")
         val schema = manifestSchema(spark, root, head)
-        val dirs = pm.values.flatten.toSeq.sorted
-          .map(rel => Paths.get(root, rel).toString)
-        val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-        val existing = reader.parquet(dirs: _*)
-          .withColumn(PidCol, regexp_extract(
-            col("_metadata.file_path"), "/pid=(\\d+)/", 1).cast("int"))
-          .persist()
+        val existing = readWithPid(spark, root,
+          pm.values.flatten.toSeq.sorted, schema).persist()
         try {
           val doomed = existing.filter(coalesce(cond, lit(false)))
           val hit = doomed.select(PidCol).distinct().collect()
             .map(_.getInt(0)).toSet
           if (hit.isEmpty) return (0L, Nil)
           val deleted = doomed.count()
-          val rewrite = existing
+          val survivors = existing
             .filter(col(PidCol).isInCollection(hit.toSeq))
             .filter(not(coalesce(cond, lit(false))))
-          val staged = stagePartitioned(rewrite, root, PidCol, tasksPerWrite)
-          meter.foreach(_.add(pipeline, root, "table_copy",
-            stagedPartBytes(root, staged)))
-          val emptied = hit.map(_.toString) -- staged.keySet
-          // checkpoint for the same retention-promptness reason as
-          // deleteKeys
-          commitPartitionsOnce(staged, root, head,
-            dropParts = emptied,
-            nParts = partCountAt(root, head),
-            schemaDdl = schema.map(_.toDDL), forceCheckpoint = true)
+          commitErasure(root, head, survivors, hit,
+            partCountAt(root, head), schema.map(_.toDDL), tasksPerWrite,
+            meter, pipeline)
           return (deleted, hit.toSeq.map(_.toString).sorted)
         } finally existing.unpersist()
       } catch {
@@ -1738,33 +1788,93 @@ object VersionedTable {
     * base is kept (segments are contiguous), and the first retained
     * version after any expiry gap is a chain ROOT (full manifest), so
     * [[vacuum]]'s incremental live walk needs no change. */
+  private def condemnFile(root: String, v: Int): Path =
+    versionsDir(root).resolve(f".condemn-v$v%08d.json")
+
+  /** Manifest text of `v`, live or mid-condemnation — what lets the
+    * pin walk resolve a tag whose chain this very pass condemned. */
+  private def versionTxt(root: String, v: Int): String = {
+    val f = versionFile(root, v)
+    val txt =
+      if (Files.exists(f)) Files.readString(f)
+      else Files.readString(condemnFile(root, v))
+    mverGuard(root, v, txt)
+  }
+
   def expire(root: String, keepLast: Int = 1): Seq[Int] = {
     require(keepLast >= 1, "must retain at least the current version")
-    val vs = versions(root)
-    val nominal = vs.dropRight(keepLast)
-    if (nominal.isEmpty) return Nil
     // the walk and the deletes race other retention actors (a manual
     // maintain beside a managed loop): a vanished manifest means the
     // racer is doing this same work — bow out with what's done, like
     // the commit-path raceGuards, instead of crashing the pass
     try {
+      // crash recovery: a pass that died between condemn and verdict
+      // left manifests renamed out of the listing — resurrect them
+      // first (they are re-condemned below if truly expired). Version
+      // numbers only grow, so the live name can never have been
+      // reused; a FileAlreadyExists means another recoverer won.
+      val vd = versionsDir(root)
+      if (Files.isDirectory(vd)) {
+        val ls = Files.list(vd)
+        val leftover =
+          try ls.iterator.asScala.filter(_.getFileName.toString
+            .matches("\\.condemn-v\\d{8}\\.json")).toSeq
+          finally ls.close()
+        leftover.foreach { p =>
+          val live = vd.resolve(p.getFileName.toString.stripPrefix(".condemn-"))
+          try { Files.move(p, live); () }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(p); ()
+            case _: java.nio.file.NoSuchFileException => ()
+          }
+        }
+      }
+      val vs = versions(root)
+      val nominal = vs.dropRight(keepLast)
+      if (nominal.isEmpty) return Nil
       def chainRoot(v: Int): Int = {
         var f = v
-        var txt = mverGuard(root, f, Files.readString(versionFile(root, f)))
+        var txt = versionTxt(root, f)
         while (baseOf(txt).isDefined) {
           f = baseOf(txt).get
-          txt = mverGuard(root, f, Files.readString(versionFile(root, f)))
+          txt = versionTxt(root, f)
         }
         f
       }
       val floor = chainRoot(vs(math.max(0, vs.size - keepLast)))
       // stale-incarnation tags pin nothing (tags() excludes them);
       // a tag of an already-expired version likewise
-      val pinned: Set[Int] = tags(root).values.toSet[Int]
+      val pinned0: Set[Int] = tags(root).values.toSet[Int]
         .filter(t => vs.contains(t))
         .flatMap(t => chainRoot(t) to t)
-      val drop = nominal.filter(v => v < floor && !pinned.contains(v))
-      drop.filter(v => Files.deleteIfExists(versionFile(root, v)))
+      val candidates = nominal.filter(v => v < floor && !pinned0.contains(v))
+      if (candidates.isEmpty) return Nil
+      // TWO-PHASE DROP (review r14, the tag/expire race): first
+      // CONDEMN — an atomic rename out of the versions() namespace —
+      // then re-read the tag set and only delete what is still
+      // unpinned, restoring the rest. Link and rename are both atomic,
+      // so a tag racing this pass either linked before the re-read
+      // (seen here — its chain is restored) or verifies after the
+      // condemn (its target is gone from the listing — tag() fails
+      // loudly and cleans up). No interleaving leaves a silent
+      // dangling pin.
+      val condemned = candidates.filter { v =>
+        try { Files.move(versionFile(root, v), condemnFile(root, v)); true }
+        catch { case _: java.nio.file.NoSuchFileException => false }
+      }
+      if (condemned.isEmpty) return Nil
+      val pinned: Set[Int] = tags(root).values.toSet[Int]
+        .flatMap(t => try { val r = chainRoot(t); (r to t).toSet }
+          catch { case _: java.nio.file.NoSuchFileException => Set.empty[Int] })
+      val (restore, drop) = condemned.partition(pinned.contains)
+      restore.foreach { v =>
+        try { Files.move(condemnFile(root, v), versionFile(root, v)); () }
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+      // delete ONLY the condemned name: if a concurrent recovery
+      // already resurrected the live name, resurrection wins
+      drop.filter(v => Files.deleteIfExists(condemnFile(root, v)))
     } catch {
       case _: java.nio.file.NoSuchFileException => Nil
     }
@@ -1836,6 +1946,31 @@ object VersionedTable {
           } else {
             running = None
             acc ++= flatDirsOf(txt)
+          }
+        }
+        // CONDEMNED manifests count as live (review r14): an expire's
+        // two-phase drop may restore one a racing tag pinned, and a
+        // vacuum running inside that window must not have reclaimed
+        // its data. Each condemned manifest's OWN parts suffice: its
+        // untouched labels resolve through ancestors that are either
+        // retained (walked above) or themselves condemned (their own
+        // parts added here), with chain roots carrying full maps —
+        // the union covers everything any of them references. Worst
+        // case this keeps true debris one pass longer.
+        val vd = versionsDir(root)
+        if (Files.isDirectory(vd)) {
+          val ls = Files.list(vd)
+          val condemned =
+            try ls.iterator.asScala.filter(_.getFileName.toString
+              .matches("\\.condemn-v\\d{8}\\.json")).toSeq
+            finally ls.close()
+          condemned.foreach { p =>
+            try {
+              val txt = Files.readString(p)
+              if (txt.contains("\"parts\":") || txt.contains("\"base\":"))
+                acc ++= partsOf(txt).values.flatten
+              else acc ++= flatDirsOf(txt)
+            } catch { case _: java.nio.file.NoSuchFileException => () }
           }
         }
         acc.result()

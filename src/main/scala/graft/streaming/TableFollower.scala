@@ -153,16 +153,41 @@ class TableFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
     * guard-skipped bootstrap would leave the replica serving the
     * interloper's rows while reporting success. The forced commit
     * still records the txn and still retries commit races. */
+  /** Memo for the derived-table output DDL, keyed by the SOURCE
+    * schema DDL it was computed from: the output schema can only
+    * change when the source schema does (the transform is a pure
+    * function of its input frame's shape), so a tick re-derives it
+    * only across an upstream widen (review r14 — the unmemoized form
+    * listed every live source dir per tick just to analyze a
+    * limit(0)). */
+  @volatile private var dstDdlMemo: Option[(Option[String], String)] = None
+
   /** The DESTINATION schema DDL riding each commit: the source's
     * manifest schema for plain replication (typed-NULL widen
     * semantics carry through verbatim); the transform's OUTPUT schema
-    * for derived tables — computed by analysis over an empty frame,
-    * no job runs. */
-  private def dstSchemaDdl(head: Int): Option[String] =
-    if (isIdentity)
-      VersionedTable.manifestSchema(spark, srcRoot, head).map(_.toDDL)
-    else Some(derived(
-      VersionedTable.readAt(spark, srcRoot, head).limit(0)).schema.toDDL)
+    * for derived tables. A schema-stamped source analyzes the
+    * transform over an in-memory empty frame — no file listing at
+    * all; an unstamped source (the fixed-schema targets, whose schema
+    * cannot drift by construction) pays one footer-sampled analysis
+    * and memoizes it. */
+  private def dstSchemaDdl(head: Int): Option[String] = {
+    val srcDdl = VersionedTable.manifestSchema(spark, srcRoot, head)
+      .map(_.toDDL)
+    if (isIdentity) return srcDdl
+    dstDdlMemo match {
+      case Some((key, out)) if key == srcDdl => Some(out)
+      case _ =>
+        val srcEmpty = srcDdl match {
+          case Some(d) => spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(d))
+          case None => VersionedTable.readAt(spark, srcRoot, head).limit(0)
+        }
+        val out = derived(srcEmpty).schema.toDDL
+        dstDdlMemo = Some((srcDdl, out))
+        Some(out)
+    }
+  }
 
   private def bootstrap(head: Int, p: Int, sid: String,
       schemaDdl: Option[String], force: Boolean = false): Unit = {

@@ -66,6 +66,15 @@ class DeleteSpec extends SparkSpec {
     assert(VersionedTable.deleteKeys(spark, root, "user_id",
       Seq(7L, 5000L).toDF("user_id")) == ((0L, Nil)))
     assert(VersionedTable.versions(root).size == vBefore)
+
+    // keys supplied in the WRONG type (Int vs the table's Long pk)
+    // still erase: the key set is cast to the table's own pk type
+    // before hashing, so pruning can't land on the wrong partitions
+    val (n2, _) = VersionedTable.deleteKeys(spark, root, "user_id",
+      Seq(10, 11).toDF("user_id"))
+    assert(n2 == 2, s"Int-typed keys against a Long pk erased $n2 rows")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("user_id").isin(10L, 11L)).count() == 0)
   }
 
   test("the feed emits true deletes; a replica converges; retention finishes the erasure") {

@@ -316,6 +316,56 @@ class SnapshotSpec extends SparkSpec {
     assert(VersionedTable.versions(root).contains(tagged))
   }
 
+  test("tag-name and identity guards refuse the silent-dead-pin shapes") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1).toDF("x"), root)
+    // a leading-dot name would be skipped by tags() (dotfiles are
+    // temp space) — created-but-pinning-nothing must be refused
+    intercept[IllegalArgumentException] {
+      VersionedTable.tag(root, ".release")
+    }
+    // identity-less legacy history: the NEXT commit mints an id and
+    // the pin would silently die — refuse at creation
+    val v1 = Paths.get(root, "_versions", f"v${1}%08d.json")
+    Files.writeString(v1, Files.readString(v1)
+      .replaceAll("\"tableid\":\"[0-9a-f-]+\",", ""))
+    VersionedTable.invalidateTxns(root)
+    val e = intercept[IllegalStateException] {
+      VersionedTable.tag(root, "legacy")
+    }
+    assert(e.getMessage.contains("no incarnation identity"))
+  }
+
+  test("expire's condemn protocol: crash recovery resurrects, vacuum keeps condemned dirs") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1, 2).toDF("x"), root)
+    VersionedTable.commit(Seq(3, 4).toDF("x"), root, overwrite = true)
+    VersionedTable.commit(Seq(5).toDF("x"), root, overwrite = true)
+
+    // simulate a pass that died between condemn and verdict
+    val live = Paths.get(root, "_versions", f"v${1}%08d.json")
+    val condemned = Paths.get(root, "_versions", f".condemn-v${1}%08d.json")
+    Files.move(live, condemned)
+    assert(VersionedTable.versions(root) == Seq(2, 3),
+      "a condemned manifest must leave the listing")
+
+    // a vacuum racing the condemned window must treat its dirs as
+    // live — the pass may restore them
+    val reclaimed = VersionedTable.vacuum(root, graceMillis = 0)
+    assert(reclaimed.isEmpty,
+      s"vacuum reclaimed a condemned version's dirs: $reclaimed")
+
+    // the next expire resurrects the leftover, then applies its own
+    // verdict (keepLast=3 retains everything here)
+    assert(VersionedTable.expire(root, keepLast = 3).isEmpty)
+    assert(VersionedTable.versions(root) == Seq(1, 2, 3))
+    assert(VersionedTable.readAt(spark, root, 1).as[Int].collect().sorted
+      === Array(1, 2))
+
+    // and a real expire still drops it once unpinned
+    assert(VersionedTable.expire(root, keepLast = 1) == Seq(1, 2))
+  }
+
   test("timestamp time travel resolves the newest commit at-or-before") {
     val root = freshRoot()
     VersionedTable.commit(Seq(1).toDF("x"), root)
