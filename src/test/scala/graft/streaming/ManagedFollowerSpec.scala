@@ -179,4 +179,52 @@ class ManagedFollowerSpec extends SparkSpec {
         .count() == 40, "maintenance changed table data")
     } finally mgr.stopAll()
   }
+
+  test("a registry row provisions a DERIVED view; crash reconverges it") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    val src = freshRoot("mf-dsrc"); val dst = freshRoot("mf-ddst")
+    val ckpt = freshRoot("mf-dckpt")
+    val upstream = new PartitionedTableCdcTarget(spark, src, P)
+    upstream.merge(0, (1L to 20L).map(k =>
+      ap(k, k, 1000 + k, if (k % 2 == 0) k.toDouble else -k.toDouble)).toDS())
+
+    // the deployment's transform catalog: the registry row names the
+    // derivation (rows are strings), the build closure resolves it —
+    // reconcileFollower needs no new surface for derived views
+    val catalog: Map[String, DataFrame => DataFrame] = Map(
+      "positives_scored" -> (df => df.filter(col("value") > 0)
+        .select(col("user_id"), (col("value") * 2).as("score"))))
+    val reg = new PipelineRegistry(
+      "jdbc:derby:memory:mfdreg;create=true", "pipes_mfd")
+    reg.upsert(PipelineSpec("mf_view", source = src,
+      target = s"$dst|positives_scored", checkpoint = ckpt, enabled = true))
+    def build(p: PipelineSpec) = {
+      val Array(root, name) = p.target.split('|')
+      new TableFollower(spark, p.source, root, "user_id", P, catalog(name))
+    }
+    def viewRows(): Map[Long, Double] =
+      VersionedTable.read(spark, dst).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("score")).toMap
+
+    val mgr1 = new PipelineManager(s)
+    try {
+      assert(reg.reconcileFollower(mgr1)(build).started == Seq("mf_view"))
+      awaitUntil()(VersionedTable.versions(dst).nonEmpty &&
+        VersionedTable.read(spark, dst).count() == 10)
+      assert(viewRows() == (2L to 20L by 2).map(k => k -> k * 2.0).toMap)
+
+      // crash; a filter-crossing update lands while down; a fresh
+      // manager reconciles from the row and the view reconverges
+      mgr1.get("mf_view").get.query.stop()
+      upstream.merge(1, Seq(ap(2, 100, 90000, -2.0),
+        ap(3, 101, 90001, 3.0)).toDS())
+      val mgr2 = new PipelineManager(s)
+      try {
+        assert(reg.reconcileFollower(mgr2)(build).started == Seq("mf_view"))
+        awaitUntil()(!viewRows().contains(2L) && viewRows().contains(3L))
+        assert(viewRows()(3L) == 6.0)
+      } finally mgr2.stopAll()
+    } finally mgr1.stopAll()
+  }
 }
