@@ -1286,6 +1286,76 @@ object VersionedTable {
     (0L, Nil) // unreachable
   }
 
+  /** PREDICATE UPDATE (Delta's `UPDATE ... WHERE cond`): rewrite the
+    * `set` columns of every row the condition holds TRUE for (null
+    * and false leave rows untouched, the SQL rule), reading the whole
+    * table once to find hit partitions but rewriting ONLY those —
+    * the same work bound as [[deleteWhere]]. `pk` is the table's
+    * key-hash layout column and is REFUSED as an update target: a
+    * key rewrite re-homes the row into a different partition, which
+    * is a delete + insert, not an in-place update (do it as one —
+    * [[deleteKeys]] + a keyed merge — or the row would sit in the
+    * wrong partition and silently stop being replaced by later
+    * merges). Rebase-on-race and checkpoint semantics as the delete
+    * ops. Returns (rows updated, rewritten partition labels). */
+  def updateWhere(spark: SparkSession, root: String, pk: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      tasksPerWrite: Int = 0, maxAttempts: Int = 5,
+      meter: Option[graft.streaming.EgressMeter] = None,
+      pipeline: String = "default"): (Long, Seq[String]) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "no columns to set")
+    require(!set.contains(pk),
+      s"updating the layout key '$pk' re-homes rows across partitions — " +
+        "that is a delete + insert (deleteKeys + a keyed merge), not an " +
+        "in-place update")
+    require(!set.contains(PidCol),
+      s"'$PidCol' is the reserved internal partition column")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val head = versions(root).lastOption.getOrElse(
+          throw new IllegalStateException(s"no committed version under $root"))
+        val pm = manifestParts(root, head)
+        require(pm.nonEmpty,
+          s"$root v$head is unpartitioned — update flat tables by " +
+            "overwrite commit")
+        val schema = manifestSchema(spark, root, head)
+        val existing = readWithPid(spark, root,
+          pm.values.flatten.toSeq.sorted, schema).persist()
+        try {
+          set.keys.foreach(c => require(existing.columns.contains(c),
+            s"$root has no column '$c'"))
+          val matched = coalesce(cond, lit(false))
+          val hit = existing.filter(matched).select(PidCol)
+            .distinct().collect().map(_.getInt(0)).toSet
+          if (hit.isEmpty) return (0L, Nil)
+          val updated = existing.filter(matched).count()
+          // ONE select so every set expression evaluates against the
+          // OLD row (the SQL UPDATE rule) — a fold of withColumn
+          // would let a later assignment read an earlier one's output
+          val rewritten = existing
+            .filter(col(PidCol).isInCollection(hit.toSeq))
+            .select(existing.columns.toSeq.map { c =>
+              set.get(c).map(e => when(matched, e).otherwise(col(c)).as(c))
+                .getOrElse(col(c))
+            }: _*)
+          commitErasure(root, head, rewritten, hit,
+            partCountAt(root, head), schema.map(_.toDDL), tasksPerWrite,
+            meter, pipeline)
+          return (updated, hit.toSeq.map(_.toString).sorted)
+        } finally existing.unpersist()
+      } catch {
+        case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e
+        case e: java.nio.file.NoSuchFileException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    (0L, Nil) // unreachable
+  }
+
   /** Hit-partition reader shared by the erasure ops: the given
     * relative dirs under the (optional) manifest schema, with the
     * partition label recovered from the file path (the

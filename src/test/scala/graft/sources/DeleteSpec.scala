@@ -141,4 +141,47 @@ class DeleteSpec extends SparkSpec {
       col("value") < -9999.0) == ((0L, Nil)))
     assert(VersionedTable.versions(root).size == vBefore)
   }
+
+  test("updateWhere rewrites matched rows in place; set sees the OLD row") {
+    val root = freshRoot("upd-src")
+    val target = new PartitionedTableCdcTarget(spark, root, P)
+    target.merge(0, (1L to 60L).map(k =>
+      ap(k, 1000 + k, 10000 + k, k.toDouble)).toDS())
+    val before = VersionedTable.parts(root)
+
+    // swap-style double assignment: value gets event_id+value,
+    // event_id gets value's OLD value — only correct if both
+    // expressions evaluate against the pre-update row
+    val (n, labels) = VersionedTable.updateWhere(spark, root, "user_id",
+      col("value") > 57.0,
+      Map("value" -> (col("event_id") + col("value")),
+        "event_id" -> col("value").cast("long")))
+    assert(n == 3, s"values 58..60 match, got $n")
+    val rows = VersionedTable.read(spark, root)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("event_id"), r.getAs[Double]("value")))).toMap
+    (58L to 60L).foreach { k =>
+      assert(rows(k) == ((k, 1000.0 + 2 * k)),
+        s"key $k: ${rows(k)} — a set expression read an updated column")
+    }
+    (1L to 57L).foreach(k => assert(rows(k) == ((1000 + k, k.toDouble))))
+
+    // unmatched partitions carried verbatim; no-match commits nothing
+    val after = VersionedTable.parts(root)
+    (before.keySet -- labels.toSet).foreach { k =>
+      assert(after(k) == before(k), s"partition $k rewrote needlessly")
+    }
+    val vBefore = VersionedTable.versions(root).size
+    assert(VersionedTable.updateWhere(spark, root, "user_id",
+      col("value") > 9999.0, Map("value" -> lit(0.0))) == ((0L, Nil)))
+    assert(VersionedTable.versions(root).size == vBefore)
+
+    // the layout key is refused as an update target
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, root, "user_id",
+        col("value") > 0.0, Map("user_id" -> lit(1L)))
+    }
+    assert(e.getMessage.contains("layout key"))
+  }
 }
