@@ -1264,17 +1264,20 @@ object VersionedTable {
           val dirs = candidates.flatMap(pm(_))
           val existing = readWithPid(spark, root, dirs, schema).persist()
           try {
-            val doomed = existing.join(k.select(col(pk)), Seq(pk), "left_semi")
-            val hit = doomed.select(PidCol).distinct().collect()
-              .map(_.getInt(0)).toSet
-            if (hit.isEmpty) return (0L, Nil)
-            val deleted = doomed.count()
+            // hit pids AND the doomed-row count from ONE aggregation
+            // over the semi-join (review r14)
+            val hitCounts = existing
+              .join(k.select(col(pk)), Seq(pk), "left_semi")
+              .groupBy(PidCol).count()
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            if (hitCounts.isEmpty) return (0L, Nil)
+            val hit = hitCounts.keySet
             val survivors = existing
               .filter(col(PidCol).isInCollection(hit.toSeq))
               .join(k.select(col(pk)), Seq(pk), "left_anti")
             commitErasure(root, head, survivors, hit, Some(p),
               schema.map(_.toDDL), tasksPerWrite, meter, pipeline)
-            return (deleted, hit.toSeq.map(_.toString).sorted)
+            return (hitCounts.values.sum, hit.toSeq.map(_.toString).sorted)
           } finally existing.unpersist()
         } finally k.unpersist()
       } catch {
@@ -1312,6 +1315,61 @@ object VersionedTable {
         "in-place update")
     require(!set.contains(PidCol),
       s"'$PidCol' is the reserved internal partition column")
+    withHeadScan(spark, root, maxAttempts, "update") {
+      (head, _, schema, existing) =>
+        // the layout-key guard above is only as good as the name the
+        // caller passed — a typo'd pk would disarm it and let the
+        // REAL key be rewritten (review r14)
+        require(existing.columns.contains(pk),
+          s"$root has no column '$pk' — the layout key must name a " +
+            "real column or the key-rewrite guard is vacuous")
+        set.keys.foreach(c => require(existing.columns.contains(c),
+          s"$root has no column '$c'"))
+        val matched = coalesce(cond, lit(false))
+        // hit pids AND the matched-row count from ONE aggregation —
+        // the pre-rewrite scans dominate this op's cost (review r14)
+        val hitCounts = existing.filter(matched).groupBy(PidCol).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        if (hitCounts.isEmpty) (0L, Nil)
+        else {
+          val hit = hitCounts.keySet
+          // ONE select so every set expression evaluates against the
+          // OLD row (the SQL UPDATE rule) — a fold of withColumn
+          // would let a later assignment read an earlier one's
+          // output. Each expression is CAST to its target column's
+          // existing type: when()'s branch coercion would otherwise
+          // widen the written parquet type away from the manifest
+          // schema and the vectorized reader would refuse the
+          // rewritten partitions (review r14 — Delta's UPDATE casts
+          // the same way).
+          val types = existing.schema.fields.map(f => f.name -> f.dataType)
+            .toMap
+          val rewritten = existing
+            .filter(col(PidCol).isInCollection(hit.toSeq))
+            .select(existing.columns.toSeq.map { c =>
+              set.get(c).map(e =>
+                when(matched, e.cast(types(c))).otherwise(col(c)).as(c))
+                .getOrElse(col(c))
+            }: _*)
+          commitErasure(root, head, rewritten, hit,
+            partCountAt(root, head), schema.map(_.toDDL), tasksPerWrite,
+            meter, pipeline)
+          (hitCounts.values.sum, hit.toSeq.map(_.toString).sorted)
+        }
+    }
+  }
+
+  /** Shared rebase-retry shell for the predicate DML ops (review r14
+    * — the third copy of this loop was drift waiting to happen):
+    * resolve the head, require a partitioned manifest, full-scan-read
+    * it with pid recovery, persist for the body's multiple passes,
+    * and rebase on the retention/commit races exactly as
+    * [[compactPartitions]] does. */
+  private def withHeadScan(spark: SparkSession, root: String,
+      maxAttempts: Int, what: String)(
+      body: (Int, Map[String, Seq[String]],
+        Option[org.apache.spark.sql.types.StructType], DataFrame)
+        => (Long, Seq[String])): (Long, Seq[String]) = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -1320,33 +1378,13 @@ object VersionedTable {
           throw new IllegalStateException(s"no committed version under $root"))
         val pm = manifestParts(root, head)
         require(pm.nonEmpty,
-          s"$root v$head is unpartitioned — update flat tables by " +
+          s"$root v$head is unpartitioned — $what flat tables by " +
             "overwrite commit")
         val schema = manifestSchema(spark, root, head)
         val existing = readWithPid(spark, root,
           pm.values.flatten.toSeq.sorted, schema).persist()
-        try {
-          set.keys.foreach(c => require(existing.columns.contains(c),
-            s"$root has no column '$c'"))
-          val matched = coalesce(cond, lit(false))
-          val hit = existing.filter(matched).select(PidCol)
-            .distinct().collect().map(_.getInt(0)).toSet
-          if (hit.isEmpty) return (0L, Nil)
-          val updated = existing.filter(matched).count()
-          // ONE select so every set expression evaluates against the
-          // OLD row (the SQL UPDATE rule) — a fold of withColumn
-          // would let a later assignment read an earlier one's output
-          val rewritten = existing
-            .filter(col(PidCol).isInCollection(hit.toSeq))
-            .select(existing.columns.toSeq.map { c =>
-              set.get(c).map(e => when(matched, e).otherwise(col(c)).as(c))
-                .getOrElse(col(c))
-            }: _*)
-          commitErasure(root, head, rewritten, hit,
-            partCountAt(root, head), schema.map(_.toDDL), tasksPerWrite,
-            meter, pipeline)
-          return (updated, hit.toSeq.map(_.toString).sorted)
-        } finally existing.unpersist()
+        try return body(head, pm, schema, existing)
+        finally existing.unpersist()
       } catch {
         case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e
         case e: java.nio.file.NoSuchFileException =>
@@ -1406,40 +1444,24 @@ object VersionedTable {
       meter: Option[graft.streaming.EgressMeter] = None,
       pipeline: String = "default"): (Long, Seq[String]) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      try {
-        val head = versions(root).lastOption.getOrElse(
-          throw new IllegalStateException(s"no committed version under $root"))
-        val pm = manifestParts(root, head)
-        require(pm.nonEmpty,
-          s"$root v$head is unpartitioned — delete on flat tables by " +
-            "overwrite commit")
-        val schema = manifestSchema(spark, root, head)
-        val existing = readWithPid(spark, root,
-          pm.values.flatten.toSeq.sorted, schema).persist()
-        try {
-          val doomed = existing.filter(coalesce(cond, lit(false)))
-          val hit = doomed.select(PidCol).distinct().collect()
-            .map(_.getInt(0)).toSet
-          if (hit.isEmpty) return (0L, Nil)
-          val deleted = doomed.count()
+    withHeadScan(spark, root, maxAttempts, "delete on") {
+      (head, _, schema, existing) =>
+        val matched = coalesce(cond, lit(false))
+        // hit pids AND the doomed-row count from ONE aggregation
+        val hitCounts = existing.filter(matched).groupBy(PidCol).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        if (hitCounts.isEmpty) (0L, Nil)
+        else {
+          val hit = hitCounts.keySet
           val survivors = existing
             .filter(col(PidCol).isInCollection(hit.toSeq))
-            .filter(not(coalesce(cond, lit(false))))
+            .filter(not(matched))
           commitErasure(root, head, survivors, hit,
             partCountAt(root, head), schema.map(_.toDDL), tasksPerWrite,
             meter, pipeline)
-          return (deleted, hit.toSeq.map(_.toString).sorted)
-        } finally existing.unpersist()
-      } catch {
-        case e: ConcurrentCommit => if (attempt >= maxAttempts) throw e
-        case e: java.nio.file.NoSuchFileException =>
-          if (attempt >= maxAttempts) throw e
-      }
+          (hitCounts.values.sum, hit.toSeq.map(_.toString).sorted)
+        }
     }
-    (0L, Nil) // unreachable
   }
 
   /** Compaction (the OPTIMIZE analog): rewrite the current snapshot's

@@ -151,11 +151,15 @@ class DeleteSpec extends SparkSpec {
 
     // swap-style double assignment: value gets event_id+value,
     // event_id gets value's OLD value — only correct if both
-    // expressions evaluate against the pre-update row
+    // expressions evaluate against the pre-update row. The event_id
+    // assignment is deliberately UNCAST (a DOUBLE expression into a
+    // BIGINT column): updateWhere must cast to the target column's
+    // type or the rewritten parquet drifts from the manifest schema
+    // and the partitions stop reading
     val (n, labels) = VersionedTable.updateWhere(spark, root, "user_id",
       col("value") > 57.0,
       Map("value" -> (col("event_id") + col("value")),
-        "event_id" -> col("value").cast("long")))
+        "event_id" -> col("value")))
     assert(n == 3, s"values 58..60 match, got $n")
     val rows = VersionedTable.read(spark, root)
       .select("user_id", "event_id", "value").collect()
@@ -177,11 +181,17 @@ class DeleteSpec extends SparkSpec {
       col("value") > 9999.0, Map("value" -> lit(0.0))) == ((0L, Nil)))
     assert(VersionedTable.versions(root).size == vBefore)
 
-    // the layout key is refused as an update target
+    // the layout key is refused as an update target, and a typo'd
+    // key name fails loudly instead of disarming that guard
     val e = intercept[IllegalArgumentException] {
       VersionedTable.updateWhere(spark, root, "user_id",
         col("value") > 0.0, Map("user_id" -> lit(1L)))
     }
     assert(e.getMessage.contains("layout key"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, root, "userid",
+        col("value") > 0.0, Map("user_id" -> lit(1L)))
+    }
+    assert(e2.getMessage.contains("no column 'userid'"))
   }
 }
