@@ -1017,9 +1017,6 @@ object EventOps extends Suite {
   private val aoMinEvents = 15
 
   private def evAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val tagged = Tables.events(spark, dir)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= aoMinEvents)
@@ -1032,7 +1029,7 @@ object EventOps extends Suite {
           |    struct(x AS a, y AS b)))))""".stripMargin)).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val singles = tagged.filter(col("b") === lit(""))
     tagged.filter(col("b") =!= lit(""))
       .select(col("a").as("type_a"), col("b").as("type_b"),
@@ -1156,9 +1153,6 @@ object EventOps extends Suite {
   // then histogram-sized everything; the pair join keys on
   // event_type — alphabet-bounded, never corpus-keyed.
   private def evEngagementGini(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     // both pair-join sides read the histogram: eager-checkpoint it so
     // the self-join reads histogram-sized rows, not the corpus twice
     val hist = Tables.events(spark, dir)
@@ -1166,7 +1160,7 @@ object EventOps extends Suite {
       .agg(count(lit(1)).as("v"))
       .groupBy(col("event_type"), col("v"))
       .agg(count(lit(1)).as("h"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val a = hist.select(col("event_type"), col("v").as("va"),
       col("h").as("ha"))
     val b = hist.select(col("event_type"), col("v").as("vb"),
@@ -1316,15 +1310,12 @@ object EventOps extends Suite {
   // the share numerators run in DECIMAL(38,0)/HUGEINT in both
   // engines (APPLIED r11 — int64 wrapped near ~4.6·10¹¹ events/type).
   private def evSeasonality(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val cells = Tables.events(spark, dir)
       .select(col("event_type"), hour(col("ts")).as("hod"),
         (dayofweek(col("ts")) - 1).as("dow"))
       .groupBy("event_type", "hod", "dow")
       .agg(count(lit(1)).as("c"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     // one marginal profile: peak slot (count desc, slot asc) + share
     // + entropy over the given dimension, all alphabet-sized
     def marginal(dim: String, peak: String, share: String,
@@ -1587,9 +1578,6 @@ object EventOps extends Suite {
 
   private def evAttributionMarkov(spark: SparkSession,
       dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_id"))
     val bySess = Window.partitionBy("user_id", "session_id")
@@ -1622,7 +1610,7 @@ object EventOps extends Suite {
           |  END)) AS tr""".stripMargin))
       .groupBy(col("tr.s").as("s"), col("tr.d").as("d"))
       .agg(count(lit(1)).as("cnt"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val channels = counts.select(col("s")).distinct()
       .filter(col("s") =!= "START")
     val trans = counts
@@ -1633,11 +1621,11 @@ object EventOps extends Suite {
           when(col("s") === col("variant"), lit("NULL")).otherwise(col("d")))
         .groupBy("variant", "s", "d").agg(sum(col("cnt")).as("cnt"))
         .select(col("variant"), col("s"), col("d"), col("cnt")))
-      .checkpoint()
+      .transform(Ckpt.stage)
     var v = trans.select(col("variant"), col("d").as("node")).distinct()
       .withColumn("v",
         when(col("node") === "CONV", lit(1000000L)).otherwise(lit(0L)))
-      .checkpoint()
+      .transform(Ckpt.stage)
     for (_ <- 1 to markovIters) {
       v = trans
         .join(v.select(col("variant"), col("node").as("d"), col("v")),
@@ -1646,7 +1634,7 @@ object EventOps extends Suite {
         .agg(expr("cast((2 * sum(cnt * v) + sum(cnt)) " +
           "div (2 * sum(cnt)) as bigint)").as("v"))
         .unionAll(v.filter(col("node").isin("CONV", "NULL")))
-        .checkpoint()
+        .transform(Ckpt.stage)
     }
     val conv = v.filter(col("node") === "START")
       .select(col("variant"), col("v"))
@@ -1767,9 +1755,6 @@ object EventOps extends Suite {
   // grows with the corpus.
   private def evAutocorrelation(spark: SparkSession,
       dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val d38 = DecimalType(38, 0)
     val byType = Window.partitionBy("event_type")
     val x = Tables.events(spark, dir)
@@ -1779,7 +1764,7 @@ object EventOps extends Suite {
       .withColumn("t", sum(col("c")).over(byType))
       .withColumn("x", col("h") * col("c") - col("t"))
       .select(col("event_type"), col("hr"), col("x"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     def lagSum(k: Int): DataFrame = x
       .join(x.select(col("event_type"),
           (col("hr") - expr(s"INTERVAL $k HOUR")).as("hr"),
@@ -1883,13 +1868,13 @@ object EventOps extends Suite {
     * values (φ_click = 1.5, φ_view = 0.5 on the 3-session example). */
   private[graft] def shapleyOf(ev: DataFrame): DataFrame = {
     val spark = ev.sparkSession
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_id"))
     val bySess = Window.partitionBy("user_id", "session_id")
       .orderBy(col("ts"), col("event_id"))
+    // staged once (r15): both the alphabet branch and the session
+    // masks consume `kept` — unstaged, the three session windows over
+    // the whole event corpus planned (and ran) under BOTH branches
     val kept = ev
       .withColumn("new_s",
         when(col("ts") <
@@ -1902,13 +1887,15 @@ object EventOps extends Suite {
         sum(when(col("event_type") === "purchase", 1L)).over(
           bySess.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .filter(col("pp") === 0)
+      .select("user_id", "session_id", "event_type")
+      .transform(Ckpt.stage)
     val alpha = kept.filter(col("event_type") =!= "purchase")
-      .select(col("event_type").as("ch")).distinct().checkpoint()
+      .select(col("event_type").as("ch")).distinct().transform(Ckpt.stage)
     val idx = alpha.as("a")
       .join(alpha.as("b"), col("b.ch") < col("a.ch"), "left")
       .groupBy(col("a.ch").as("ch"))
       .agg(count(col("b.ch")).as("idx"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val sessions = kept
       .join(broadcast(idx), col("event_type") === col("ch"), "left")
       .groupBy("user_id", "session_id")
@@ -1918,14 +1905,14 @@ object EventOps extends Suite {
           .as("conv"))
     val cbm = sessions.groupBy("smask")
       .agg(sum(col("conv")).as("nc"), count(lit(1)).as("ns"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val nDf = idx.agg(count(lit(1)).cast("int").as("n"))
     val masks = nDf.select(explode(
       sequence(lit(0L), expr("shiftleft(1L, n) - 1"))).as("s_mask"))
     val v = masks
       .join(cbm, expr("(smask & ~s_mask) = 0"), "left")
       .groupBy("s_mask").agg(coalesce(sum(col("nc")), lit(0L)).as("v"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val contrib = v
       .crossJoin(broadcast(idx))
       .filter(expr("(s_mask & shiftleft(1L, cast(idx as int))) = 0"))
@@ -1939,7 +1926,7 @@ object EventOps extends Suite {
       .groupBy("ch")
       .agg(sum(col("wnum") * (col("v_with") - col("v"))).as("num"),
         max(col("n")).as("n"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val touched = idx
       .join(cbm, expr("((smask >> cast(idx as int)) & 1) = 1"), "left")
       .groupBy("ch").agg(coalesce(sum(col("ns")), lit(0L)).as("n_sessions"))
@@ -2129,19 +2116,16 @@ object EventOps extends Suite {
   // replayed subtrees; now the producers pay theirs once and the
   // final plan is 3).
   private def evLifecycle(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val dayUsers = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .distinct()
-      .checkpoint()
+      .transform(Ckpt.stage)
     val w = Window.partitionBy("user_id").orderBy("day")
     val seq0 = dayUsers
       .withColumn("prev_day", lag(col("day"), 1).over(w))
       .withColumn("next_day", lead(col("day"), 1).over(w))
     val maxDay = dayUsers.agg(max(col("day")).as("max_day"))
-    val tagged = seq0.crossJoin(broadcast(maxDay)).checkpoint()
+    val tagged = seq0.crossJoin(broadcast(maxDay)).transform(Ckpt.stage)
     val daily = tagged.groupBy("day")
       .agg(count(lit(1)).as("active"),
         count(when(col("prev_day").isNull, lit(1))).as("new_users"),

@@ -344,8 +344,12 @@ object FeatureOps extends Suite {
   // the driver-side merge). Count ties break on (p1, p2) so the cut
   // is cross-engine deterministic.
   private def ftCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    // one okey exchange shared by the distinct and both self-join
+    // sides (hash(okey) clusters (okey, pk) — r15, guide §2.4)
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
+      .distinct()
     val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
     val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
     a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
@@ -461,24 +465,32 @@ object FeatureOps extends Suite {
   private val prUnit = 1000000000000L // pico-units: 1.0 rank mass
 
   private def ftItemPagerank(spark: SparkSession, dir: String): DataFrame = {
-    // every round ends in an eager RELIABLE checkpoint (the
+    // every round ends in an eager lineage-truncation stage (the
     // sim_kmeans / pipe_dup_clusters pattern): the unrolled 3-round
     // lineage would otherwise re-embed the edge-building subtree
-    // combinatorially (91 planned shuffles), and directory-backed
-    // files survive executor loss where a cache would not. Point
-    // setCheckpointDir at durable storage on a real cluster.
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    // combinatorially (91 planned shuffles). Ckpt.stage is a local
+    // checkpoint by default (one job, no file round-trip); jobs that
+    // must survive executor loss on a real cluster set
+    // spark.graft.checkpoint.reliable=true for the directory-backed
+    // form.
+    // ONE l_orderkey exchange feeds both the (okey, pk) distinct and
+    // both self-join sides (hash(okey) clusters (okey, pk), so the
+    // distinct agg and the join reuse it — r15, guide §2.4), and deg
+    // rides a src window on the edge frame instead of a groupBy +
+    // join-back (one src exchange instead of two): 10 planned
+    // exchanges → 5, edge build measured 2.7 s → 1.2 s warm at sf0.1.
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
+      .distinct()
     val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
       .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
         Seq("l_orderkey"))
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesD = edges.join(deg, Seq("src")).checkpoint()
+    val edgesD = edges
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .transform(Ckpt.stage)
     val n = edgesD.select(col("src").as("node")).distinct()
       .agg(count(lit(1)).as("n"))
     // r0 = 1/N, tp = 0.15/N, both half-up in pico-units. The
@@ -495,7 +507,7 @@ object FeatureOps extends Suite {
       .select(col("node"),
         expr(s"(2 * ${prUnit}L + n) div (2 * n)").as("r"),
         expr(s"(2 * ${prUnit / 100 * 15}L + n) div (2 * n)").as("tp"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val ranks = (1 to prIters).foldLeft(init) { (prev, _) =>
       edgesD
         .join(prev.select(col("node").as("src"), col("r"), col("tp")),
@@ -506,7 +518,7 @@ object FeatureOps extends Suite {
         .select(col("node"),
           (col("tp") + expr("(2 * 85 * s + 100) div 200")).as("r"),
           col("tp"))
-        .checkpoint()
+        .transform(Ckpt.stage)
     }
     ranks
       .join(edgesD.select(col("src").as("node"), col("deg")).distinct(),
@@ -792,9 +804,6 @@ object FeatureOps extends Suite {
   private val woeMinPurchases = 15
 
   private def ftWoeIv(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val byUser = Window.partitionBy("user_id")
       .orderBy(desc("cnt"), col("event_type"))
     val users = Tables.events(spark, dir)
@@ -835,7 +844,7 @@ object FeatureOps extends Suite {
       // the alphabet-sized cell report feeds BOTH the per-category
       // output and the TOTAL row — eager-checkpoint it so the fan-out
       // reads k rows instead of replaying the corpus lineage twice
-      .checkpoint()
+      .transform(Ckpt.stage)
     val perCat = scored.select(col("category"), col("g").as("n_good"),
       col("b").as("n_bad"),
       (col("woe_u").cast("double") / lit(1000000.0)).as("woe"),
@@ -913,9 +922,6 @@ object FeatureOps extends Suite {
   // basket's singles, and its pairs into one alphabet²-sized
   // checkpointed count frame; totals ride broadcast self-joins.
   private def ftAssocRules(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val tagged = Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
@@ -930,7 +936,7 @@ object FeatureOps extends Suite {
           |      struct(x AS a, y AS b))))))""".stripMargin)).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val singles = tagged.filter(col("a") =!= lit("#") && col("b") === lit(""))
     val baskets = tagged.filter(col("a") === lit("#"))
       .select(col("n").as("n_orders"))
@@ -1018,29 +1024,30 @@ object FeatureOps extends Suite {
   // cartesian anywhere; the wedge join shuffles on src and the
   // closure is a left-semi on the (v,w) pair key.
   private def ftGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    // one okey exchange shared by the distinct and both self-join
+    // sides (hash(okey) clusters (okey, pk) — r15, guide §2.4)
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .repartition(col("okey"))
       .distinct()
     val edges = items
       .join(items.select(col("okey"), col("pk").as("pk2")), Seq("okey"))
       .filter(col("pk") < col("pk2"))
       .select(col("pk").as("pa"), col("pk2").as("pb"))
       .distinct()
-      .checkpoint()
+      .transform(Ckpt.stage)
     val deg = edges.select(col("pa").as("node"))
       .unionAll(edges.select(col("pb").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val lower = struct(col("da"), col("pa")) < struct(col("db"), col("pb"))
+    // oriented feeds ONLY the adjacency agg now (see tri below), so it
+    // needs no staging of its own (r15)
     val oriented = edges
       .join(deg.select(col("node").as("pa"), col("d").as("da")), Seq("pa"))
       .join(deg.select(col("node").as("pb"), col("d").as("db")), Seq("pb"))
       .select(when(lower, col("pa")).otherwise(col("pb")).as("src"),
         when(lower, col("pb")).otherwise(col("pa")).as("dst"))
-      .checkpoint()
     // edge-iterator form: per oriented edge (u,v), triangles closing
     // above both endpoints = |N⁺(u) ∩ N⁺(v)| — the intersection runs
     // map-side over two ≤√(2m) adjacency arrays, so nothing
@@ -1048,9 +1055,12 @@ object FeatureOps extends Suite {
     // join shuffled 41M rows at sf0.1 and took 4× longer)
     val adj = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
-      .checkpoint()
-    val tri = oriented.select(col("src"), col("dst"))
-      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .transform(Ckpt.stage)
+    // exploding nbrs reconstructs every oriented edge WITH N⁺(u)
+    // already attached — the former oriented ⋈ adj(src) join (and its
+    // src exchange) was recomputing exactly that (r15, guide §2.4)
+    val tri = adj.select(col("src"), col("nbrs").as("nu"),
+        explode(col("nbrs")).as("dst"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
         Seq("dst"), "left")
       .select(when(col("nv").isNull, lit(0L))
@@ -1115,9 +1125,6 @@ object FeatureOps extends Suite {
   // count-of-prior triangle joins on the CONSTANT checkpointed cell
   // frame — no unpartitioned window anywhere.
   private def ftKaplanMeier(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val cells = ftTimeToEvent(spark, dir)
       .groupBy(col("tte_days").as("t"))
       .agg(
@@ -1125,7 +1132,7 @@ object FeatureOps extends Suite {
           .as("d"),
         coalesce(sum(when(col("event_observed") === 0, lit(1L))), lit(0L))
           .as("c"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val total = cells.agg(sum(col("d") + col("c")).as("total"))
     val risk = cells.crossJoin(broadcast(total))
       .join(broadcast(cells.select(col("t").as("bt"),
@@ -1133,7 +1140,7 @@ object FeatureOps extends Suite {
       .groupBy("t", "d", "c", "total")
       .agg(coalesce(sum(col("bdc")), lit(0L)).as("prior"))
       .withColumn("n_risk", col("total") - col("prior"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     risk
       .join(broadcast(risk.select(col("t").as("bt"),
         col("n_risk").as("bn"), col("d").as("bd"))), col("bt") <= col("t"))
@@ -1298,8 +1305,12 @@ object FeatureOps extends Suite {
   // Scale: one basket self-join + one (p1,p2) agg + two part-keyed
   // joins; global top-20 runs as TakeOrderedAndProject.
   private def ftGraphJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // one okey exchange shared by the distinct and both self-join
+    // sides (hash(okey) clusters (okey, pk) — r15, guide §2.4)
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
+      .distinct()
     val deg = li.groupBy("l_partkey").agg(count(lit(1)).as("d"))
     val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
     val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
@@ -1470,9 +1481,6 @@ object FeatureOps extends Suite {
   // across replays, now each producer pays once and the final plan
   // is 3).
   private def ftMutualInfo(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val byUser = Window.partitionBy("user_id")
       .orderBy(desc("cnt"), col("event_type"))
     val users = Tables.events(spark, dir)
@@ -1487,7 +1495,7 @@ object FeatureOps extends Suite {
         sum(col("cnt")).as("n_events"),
         sum(col("n_night")).as("night_events"),
         (sum(col("n_purch")) >= woeMinPurchases).as("good"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val totals = users.agg(count(lit(1)).as("u"),
       sum(col("n_events")).as("t"), sum(col("night_events")).as("tn"))
     val banded = users.crossJoin(broadcast(totals))
@@ -1512,7 +1520,7 @@ object FeatureOps extends Suite {
         col("fx.category").as("category"), col("good"))
     val cells = melted.groupBy("feature", "category", "good")
       .agg(count(lit(1)).as("n"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     // dense grid: every observed category × both labels
     val cats = cells.select("feature", "category").distinct()
     import spark.implicits._

@@ -132,7 +132,7 @@ object PipelineOps extends Suite {
   // curate_cc, split, funnel_report); run standalone each would pay
   // the whole loop again. An engine materializes the common
   // subcomputation ONCE — the labels frame is already backed by
-  // reliable checkpoint files that outlive the loop, so memoizing the
+  // materialized blocks that outlive the loop, so memoizing the
   // frame per (session, data dir) replays nothing and holds no row
   // data on the driver. Keyed by the exact dir string: different
   // datasets never share an entry.
@@ -165,20 +165,17 @@ object PipelineOps extends Suite {
     // singleton clusters once at the end. At 100 TB the dup-pair
     // graph is orders of magnitude smaller than the corpus, so the
     // loop never carries corpus-sized rows.
-    // each round truncates lineage with an eager RELIABLE checkpoint
-    // (directory-backed, survives executor loss — localCheckpoint's
-    // memory-only lineage would be unrecoverable on a real cluster).
+    // each round truncates lineage with an eager Ckpt.stage.
     // Without truncation the final plan unrolls every iteration's
     // joins (~100 exchanges after 3 rounds; the budget spec catches
-    // it). On a cluster, point setCheckpointDir at durable storage.
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    // it). On a cluster where the loop must survive executor loss,
+    // spark.graft.checkpoint.reliable=true restores the
+    // directory-backed checkpoint form.
     // checkpointed (not just derived): the final singleton anti-join
     // reads `touched` AFTER the edge cache is unpersisted — without
     // materialization it would replay the whole edge derivation
     val touched = undirected.select(col("u").as("doc_id")).distinct()
-      .checkpoint()
+      .transform(Ckpt.stage)
     var labels = touched.select(col("doc_id"), col("doc_id").as("lbl"))
     var converged = false
     while (!converged) {
@@ -192,7 +189,7 @@ object PipelineOps extends Suite {
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
           (col("nmin") < col("lbl")).as("changed"))
-        .checkpoint()
+        .transform(Ckpt.stage)
       converged = next.filter(col("changed")).limit(1).isEmpty
       labels = next.drop("changed")
     }

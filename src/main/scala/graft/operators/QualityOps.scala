@@ -517,9 +517,6 @@ object QualityOps extends Suite {
 
   private def dqBenford(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val exp = benfordMicro.toDF("digit", "benford_micro")
     val digits = Tables.orders(spark, dir)
       .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
@@ -529,7 +526,7 @@ object QualityOps extends Suite {
         "c div cast(power(10, length(cast(c as string)) - 1) as long)")
         .cast("int").as("digit"))
     val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val tot = counts.agg(sum(col("n")).as("t"))
     val scored = exp.join(counts, Seq("digit"), "left")
       .na.fill(0L, Seq("n"))
@@ -538,7 +535,7 @@ object QualityOps extends Suite {
         expr("(2 * n * 1000000 + t) div (2 * t)"))
       .withColumn("dev_micro",
         abs(col("share_micro") - col("benford_micro")))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val mad = scored.agg(
       expr("(2 * sum(dev_micro) + 9) div 18").as("mad_micro"))
     scored.crossJoin(broadcast(mad))

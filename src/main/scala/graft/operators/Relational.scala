@@ -1448,16 +1448,13 @@ object Relational extends Suite {
       struct(date_add(col("end_day"), 1).as("day"), lit(-1).as("delta"))))
       .as("e")).select("e.*")
     // calendar-sized after the delta agg; materialize once (eager
-    // reliable checkpoint) — the within-year window AND the
+    // Ckpt.stage) — the within-year window AND the
     // year-totals branch both consume it, and without the checkpoint
     // the whole fact-join subtree plans (and runs) under both
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val daily = deltas.groupBy("day")
       .agg(sum(col("delta")).cast("long").as("net"))
       .withColumn("yr", year(col("day")))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val wYear = Window.partitionBy("yr").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = daily.withColumn("cum_y", sum(col("net")).over(wYear))
@@ -1513,15 +1510,12 @@ object Relational extends Suite {
   // Scale: one distinct-point agg (map-side combined), banded
   // windows, a bands-sized triangle, one join back on the point key.
   private def qSkyline(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
     val pts = o.groupBy("o_totalprice", "o_orderdate")
       .agg(count(lit(1)).as("n"))
       .withColumn("bkt", floor(col("o_totalprice") / 50000).cast("long"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val wIn = Window.partitionBy("bkt")
       .orderBy(col("o_totalprice").asc, col("o_orderdate").desc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -383,7 +383,7 @@ object SimilarityOps extends Suite {
   /** (vec_id, sub, c_label, dist_sq): distance from every (vector,
     * subspace) to every label's sub-centroid, scaled by n²:
     * Σ((n·d−s)/n)² = Σ(n·d−s)²/n². Materialized ONCE per call via an
-    * eager reliable checkpoint: both the encode branch (codes) and
+    * eager Ckpt.stage: both the encode branch (codes) and
     * the query-side lookup table (dq) consume it — without the
     * checkpoint the whole distance subtree plans (and runs) under
     * both branches. Shared by sim_pq_topk and sim_ivfpq. */
@@ -402,7 +402,6 @@ object SimilarityOps extends Suite {
         col("x").cast("double").cast(DecimalType(12, 8)).as("d"))
     val sums = terms.groupBy(col("label").as("c_label"), col("i"))
       .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))
-    ensureCkptDir(spark)
     terms
       .join(broadcast(sums), Seq("i"))
       .withColumn("sq",
@@ -412,7 +411,7 @@ object SimilarityOps extends Suite {
       .groupBy(col("vec_id"), col("sub"), col("c_label"))
       .agg((sum(col("sq")).cast("double") /
         (max(col("n")) * max(col("n"))).cast("double")).as("dist_sq"))
-      .checkpoint()
+      .transform(Ckpt.stage)
   }
 
   private def simPqTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -526,17 +525,12 @@ object SimilarityOps extends Suite {
     .groupBy("cluster", "i")
     .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))
 
-  private def ensureCkptDir(spark: SparkSession): Unit =
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-
   /** Lloyd's training core: returns the final checkpointed assignment
     * frame (vec_id, dq, cluster, dist_sq). Shared by the stats query,
     * the WSS-descent spec, and the trained-IVF/IVFADC searches.
     * Like the dup-cluster labels, the trained assignment is an
     * engine-level common subcomputation (three §F queries consume
-    * it), already backed by reliable checkpoint files — so it
+    * it), already materialized by Ckpt.stage — so it
     * memoizes per (session, dataset, iters). The bench invalidates
     * before the PRODUCER (sim_kmeans pays and reports full training;
     * the searches time against the materialization, which is the
@@ -572,19 +566,17 @@ object SimilarityOps extends Suite {
       .select(col("vec_id"), expr("dec_quant(embedding)").as("dq"))
     // each round's centroids are ONE small row and each assignment is
     // consumed twice (update + next round / stats) — materialize both
-    // with an eager RELIABLE checkpoint so no round ever replays
+    // with an eager Ckpt.stage so no round ever replays
     // earlier rounds' lineage (pipe_dup_clusters' pattern: truncated
-    // lineage keeps the final plan flat for the shuffle-budget audit,
-    // and the directory-backed copy survives executor loss where a
-    // cache/localCheckpoint would not; point setCheckpointDir at
-    // durable storage on a real cluster)
-    ensureCkptDir(spark)
+    // lineage keeps the final plan flat for the shuffle-budget audit;
+    // spark.graft.checkpoint.reliable=true buys the directory-backed
+    // executor-loss-safe form on a real cluster)
     var cent = emb.filter(col("vec_id") < kmK)
       .select(col("vec_id").cast("long").as("cluster"), lit(1L).as("n"),
         col("dq").as("s_arr"))
       .agg(array_sort(collect_list(
         struct(col("cluster"), col("n"), col("s_arr")))).as("cs"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     var assign: DataFrame = null
     for (it <- 1 to iters) {
       assign = emb.crossJoin(broadcast(cent))
@@ -592,9 +584,9 @@ object SimilarityOps extends Suite {
         .select(col("vec_id"), col("dq"),
           col("b.cluster").as("cluster"),
           col("b.dist_sq").as("dist_sq"))
-        .checkpoint()
+        .transform(Ckpt.stage)
       if (it < iters)
-        cent = nestCentroids(centroidSums(assign)).checkpoint()
+        cent = nestCentroids(centroidSums(assign)).transform(Ckpt.stage)
     }
     assign
   }
@@ -673,7 +665,7 @@ object SimilarityOps extends Suite {
   // cosines end to end.
   private def simIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val assign = kmeansTrain(spark, dir, kmIters)
-    val trained = nestCentroids(centroidSums(assign)).checkpoint()
+    val trained = nestCentroids(centroidSums(assign)).transform(Ckpt.stage)
     val withNorm = assign.select(col("vec_id"), col("dq"), col("cluster"))
       .withColumn("norm", call_function("dec_dot", col("dq"), col("dq")))
     val probed = withNorm.filter(col("vec_id") < nQueries)
@@ -750,7 +742,7 @@ object SimilarityOps extends Suite {
   // encoder, then probes and ranks relationally.
   private def simIvfpq(spark: SparkSession, dir: String): DataFrame = {
     val assign = kmeansTrain(spark, dir, kmIters)
-    val trained = nestCentroids(centroidSums(assign)).checkpoint()
+    val trained = nestCentroids(centroidSums(assign)).transform(Ckpt.stage)
     val subDist = pqSubDist(spark, dir)
     val codes = subDist
       .groupBy(col("vec_id").as("cand_id"), col("sub"))
@@ -995,7 +987,7 @@ object SimilarityOps extends Suite {
   // training amortizes via kmeansTrain's memoized checkpoint.
   private def simSilhouette(spark: SparkSession, dir: String): DataFrame = {
     val assign = kmeansTrain(spark, dir, kmIters)
-    val trained = nestCentroids(centroidSums(assign)).checkpoint()
+    val trained = nestCentroids(centroidSums(assign)).transform(Ckpt.stage)
     val scored = assign.select(col("vec_id"), col("dq"),
         col("cluster").as("own_c"))
       .crossJoin(broadcast(trained))
@@ -1071,7 +1063,6 @@ object SimilarityOps extends Suite {
   private val mmrK = 8
 
   private def simMmr(spark: SparkSession, dir: String): DataFrame = {
-    ensureCkptDir(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantized(col("embedding")).as("v"))
       .withColumn("norm", dotQ(col("v"), col("v")))
@@ -1086,7 +1077,7 @@ object SimilarityOps extends Suite {
       .filter(col("rk") <= mmrPool)
       .select(col("q_id"), col("vec_id").as("cand_id"), col("v"),
         col("norm"), col("rel"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val psim = cand.select(col("q_id"), col("cand_id").as("a_id"),
         col("v").as("av"), col("norm").as("an"))
       .join(cand.select(col("q_id"), col("cand_id").as("b_id"),
@@ -1094,7 +1085,7 @@ object SimilarityOps extends Suite {
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("sim", cosineQ(col("av"), col("bv"), col("an"), col("bn")))
       .select(col("q_id"), col("a_id"), col("b_id"), col("sim"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val pool = cand.select(col("q_id"), col("cand_id"), col("rel"))
     var selected = pool
       .withColumn("rn", row_number().over(
@@ -1103,7 +1094,7 @@ object SimilarityOps extends Suite {
       .select(col("q_id"), col("cand_id"), col("rel"),
         lit(0.0).as("pen"), (lit(0.5) * col("rel")).as("mmr"),
         lit(1).as("rank"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     for (k <- 2 to mmrK) {
       val pen = psim
         .join(selected.select(col("q_id"), col("cand_id").as("b_id")),
@@ -1120,7 +1111,7 @@ object SimilarityOps extends Suite {
         .filter(col("rn") === 1)
         .select(col("q_id"), col("cand_id"), col("rel"), col("pen"),
           col("mmr"), lit(k).as("rank"))
-      selected = selected.union(pick).checkpoint()
+      selected = selected.union(pick).transform(Ckpt.stage)
     }
     selected.select(col("q_id"), col("rank"), col("cand_id"),
         round(col("rel"), 6).as("rel"),
@@ -1394,14 +1385,11 @@ object SimilarityOps extends Suite {
   private val pcaRounds = 6
 
   private def simPcaPower(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val d38 = DecimalType(38, 0)
     val terms = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         posexplode(quantized(col("embedding"))).as(Seq("d", "e")))
-      .checkpoint()
+      .transform(Ckpt.stage)
     var v = spark.range(64).select(col("id").cast("int").as("d"),
       lit(1000000L).as("v"))
     var mxPrev: DataFrame = null
@@ -1413,19 +1401,22 @@ object SimilarityOps extends Suite {
           """case when sc >= 0 then (2 * sc + 100000000L) div 200000000L
             | else -((2 * (-sc) + 100000000L) div 200000000L) end"""
             .stripMargin).as("s"))
+      // only `w` stages per round (r15): `mxCur` (1 row) and `v` (64
+      // rows) are constant-depth derivations over the staged w, so
+      // materializing them bought nothing but 2 extra jobs per round
+      // (19 staging jobs → 7 across the 6 rounds)
       val w = terms.join(s, Seq("vec_id"))
         .groupBy("d")
         .agg(sum(col("s").cast(d38) * col("e").cast(d38)).as("w"))
-        .checkpoint()
+        .transform(Ckpt.stage)
       mxPrev = mxCur
-      mxCur = w.agg(max(abs(col("w"))).as("mx")).checkpoint()
+      mxCur = w.agg(max(abs(col("w"))).as("mx"))
       v = w.crossJoin(broadcast(mxCur))
         .select(col("d"), expr(
           """cast(case when w >= 0
             |  then (2 * 1000000 * w + mx) div (2 * mx)
             |  else -((2 * 1000000 * (-w) + mx) div (2 * mx))
             |end as long)""".stripMargin).as("v"))
-        .checkpoint()
     }
     val growth = mxCur.crossJoin(broadcast(
         mxPrev.select(col("mx").as("mx_prev"))))

@@ -967,15 +967,12 @@ object TextOps extends Suite {
 
   private def bpeTrainCompute(
       spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val vocab0 = Tables.documents(spark, dir)
       .select(explode(toks).as("word"))
       .groupBy("word").agg(count(lit(1)).as("w"))
       .withColumn("s",
         concat(lit("<"), expr("array_join(split(word, ''), '><')"), lit(">")))
-      .checkpoint()
+      .transform(Ckpt.stage)
     def pairs(vocab: DataFrame): DataFrame = vocab
       .withColumn("a", split(expr("trim(BOTH '<>' FROM s)"), "><"))
       .select(col("w"),
@@ -1007,7 +1004,7 @@ object TextOps extends Suite {
             .join(broadcast(cand.as("y")), higher && shares, "left_anti")
             .select(lit(round.toLong).as("round"), col("p1"), col("p2"),
               col("cnt"))
-            .checkpoint()
+            .transform(Ckpt.stage)
           // symbol-disjoint merges commute (header proof), but both
           // engines fold in the same lexicographic (p1, p2) order
           // anyway so the contract doesn't rest on that argument
@@ -1019,7 +1016,7 @@ object TextOps extends Suite {
                 "concat('<', r.p1, '><', r.p2, '>'), " +
                 "concat('<', r.p1, r.p2, '>')))"))
             .select("word", "w", "s")
-            .checkpoint()
+            .transform(Ckpt.stage)
           (next, admitted :: acc)
       }
     (vocabN, merges.reverse)
@@ -1270,9 +1267,6 @@ object TextOps extends Suite {
     * features, checkpointed once per (session, dir). */
   private def qdFeatures(spark: SparkSession, dir: String): DataFrame =
     qdMemo.getOrElseUpdate((spark, dir), {
-      if (spark.sparkContext.getCheckpointDir.isEmpty)
-        spark.sparkContext.setCheckpointDir(
-          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
       val feat = Tables.documents(spark, dir)
         .select(col("doc_id"), toks.as("t"))
         .filter(size(col("t")) > 0)
@@ -1292,7 +1286,7 @@ object TextOps extends Suite {
       feat.crossJoin(broadcast(st))
         .select(col("doc_id"), col("y"),
           sc("x1", "mn1", "mx1").as("x1s"), sc("x2", "mn2", "mx2").as("x2s"))
-        .checkpoint()
+        .transform(Ckpt.stage)
     })
 
   private val qdMemo = scala.collection.concurrent.TrieMap
@@ -1390,7 +1384,7 @@ object TextOps extends Suite {
            |END) AS BIGINT) AS $wc""".stripMargin
       w = g.crossJoin(w)
         .selectExpr(u("gb", "wb"), u("g1", "w1"), u("g2", "w2"))
-        .checkpoint()
+        .transform(Ckpt.stage)
       rows += metricsRow(r, w)
     }
     rows.result().reduce(_ unionAll _).orderBy("round")
@@ -1562,7 +1556,7 @@ object TextOps extends Suite {
       .groupBy("pq")
       .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
       .withColumn("bkt", least(expr("pq div 400000000"), lit(9L)))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val wB = Window.partitionBy("bkt").orderBy("pq")
     val within = byScore.withColumn("nn_below_in",
       coalesce(sum(col("nn")).over(
@@ -1653,9 +1647,6 @@ object TextOps extends Suite {
   private val rakeK = 20
 
   private def txtKeyphrases(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val toksPos = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
@@ -1673,7 +1664,7 @@ object TextOps extends Suite {
         s => s.getField("tok"))).as("phrase"),
         count(lit(1)).as("len"))
       .filter(col("len") <= rakeMaxLen)
-      .checkpoint()
+      .transform(Ckpt.stage)
     val words = phrases.select(col("len"),
       explode(split(col("phrase"), " ")).as("w"))
     val wordStats = words.groupBy("w")
@@ -1768,16 +1759,13 @@ object TextOps extends Suite {
   private val zipfRanks = 1000
 
   private def txtZipf(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     val d38 = DecimalType(38, 0)
     val vocab = Tables.documents(spark, dir)
       .select(explode(Tok.toks).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
-      .checkpoint()
+      .transform(Ckpt.stage)
     val top = vocab.orderBy(col("freq").desc, col("tok").asc)
-      .limit(zipfRanks).checkpoint()
+      .limit(zipfRanks).transform(Ckpt.stage)
     val ranked = top
       .join(broadcast(top.select(col("tok").as("btok"),
           col("freq").as("bfreq"))),

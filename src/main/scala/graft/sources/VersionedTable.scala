@@ -371,6 +371,11 @@ object VersionedTable {
   private def jsonEsc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
+  /** Commit stamp carried by a manifest text (absent in pre-ts
+    * manifests). */
+  private def tsOf(txt: String): Option[Long] =
+    "\"ts\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+
   private def writeManifest(root: String, v: Int, op: String,
       dirs: Seq[String], txn: Option[Long],
       parts: Option[Map[String, Seq[String]]] = None,
@@ -383,7 +388,8 @@ object VersionedTable {
       base: Option[Int] = None,
       chain: Int = 0,
       drops: Set[String] = Set.empty,
-      kinds: Set[String] = Set.empty): Path = {
+      kinds: Set[String] = Set.empty,
+      prevTs: Option[Long] = None): Path = {
     val txnField = txn.fold("")(id => s""""txn":$id,""")
     // format version: readers refuse manifests newer than they speak
     // (Delta's minReaderVersion rule); 2 = delta chains + provenance
@@ -391,8 +397,13 @@ object VersionedTable {
     // commit wall-clock (epoch millis) — what timestamp time travel
     // resolves against. Monotonic non-decreasing per root: a commit at
     // v+1 only links after v's link, and v's manifest text (this
-    // stamp included) was written before v linked.
-    val tsField = s""""ts":${System.currentTimeMillis()},"""
+    // stamp included) was written before v linked — AND clamped to the
+    // previous manifest's stamp (Delta's in-commit-timestamp
+    // monotonicity rule, ADVICE r15): an NTP step-back or cross-host
+    // clock skew on a shared filesystem must not let versionAsOf
+    // resolve an older-numbered but later-stamped version.
+    val tsField =
+      s""""ts":${math.max(System.currentTimeMillis(), prevTs.getOrElse(0L))},"""
     // the incarnation's CUMULATIVE writer-kind set, carried forward
     // like tableid: retention can expire the manifest a foreign
     // writer committed, but the kinds it contributed ride every later
@@ -732,7 +743,8 @@ object VersionedTable {
       base = if (asDelta) Some(expected) else None,
       chain = if (asDelta) parentChain + 1 else 0,
       drops = if (asDelta) dropParts else Set.empty,
-      kinds = raceGuard(carryKinds(root, prevTxt)))
+      kinds = raceGuard(carryKinds(root, prevTxt)),
+      prevTs = prevTxt.flatMap(tsOf))
     try Files.createLink(versionFile(root, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.delete(tmp)
@@ -829,7 +841,8 @@ object VersionedTable {
     val tmp = writeManifest(root, next,
       if (overwrite) "overwrite" else "append", dirs, txn,
       tableId = Some(id), writerKind = writerKind,
-      kinds = raceGuard(carryKinds(root, prevTxt)))
+      kinds = raceGuard(carryKinds(root, prevTxt)),
+      prevTs = prevTxt.flatMap(tsOf))
     try Files.createLink(versionFile(root, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.delete(tmp)
@@ -950,20 +963,36 @@ object VersionedTable {
     val rows = versions(root).flatMap { v =>
       try {
         val f = versionFile(root, v)
-        val txt = mverGuard(root, v, Files.readString(f))
-        val ts = "\"ts\":(\\d+)".r.findFirstMatchIn(txt)
-          .map(_.group(1).toLong)
+        val raw = Files.readString(f)
+        val ts = tsOf(raw)
           .getOrElse(Files.getLastModifiedTime(f).toMillis)
-        Some(CommitInfo(v, new java.sql.Timestamp(ts),
-          "\"op\":\"([a-z_]+)\"".r.findFirstMatchIn(txt)
-            .map(_.group(1)).getOrElse(""),
-          stringFieldOf(txt, "wkind").getOrElse(KindUnstamped),
-          "\"txn\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong),
-          "\"nparts\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt),
-          if (txt.contains("\"parts\":")) partsOf(txt).size
-          else flatDirsOf(txt).size,
-          dropsOf(txt).size,
-          baseOf(txt).isDefined))
+        // ADVICE r15: one newer-format manifest must not blank the
+        // whole listing — history is the incident tool for exactly
+        // the mixed-version-writer situation mverGuard detects.
+        // Surface the refused version as a row instead of throwing
+        // (commitTime/versionAsOf already read such stamps fine).
+        val readable =
+          try { mverGuard(root, v, raw); true }
+          catch { case _: IllegalStateException => false }
+        if (!readable) {
+          val mv = "\"mver\":(\\d+)".r.findFirstMatchIn(raw)
+            .map(_.group(1)).getOrElse("?")
+          Some(CommitInfo(v, new java.sql.Timestamp(ts),
+            s"unreadable:mver=$mv", KindUnstamped, None, None, 0, 0,
+            is_delta = false))
+        } else {
+          val txt = raw
+          Some(CommitInfo(v, new java.sql.Timestamp(ts),
+            "\"op\":\"([a-z_]+)\"".r.findFirstMatchIn(txt)
+              .map(_.group(1)).getOrElse(""),
+            stringFieldOf(txt, "wkind").getOrElse(KindUnstamped),
+            "\"txn\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong),
+            "\"nparts\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt),
+            if (txt.contains("\"parts\":")) partsOf(txt).size
+            else flatDirsOf(txt).size,
+            dropsOf(txt).size,
+            baseOf(txt).isDefined))
+        }
       } catch { case _: java.nio.file.NoSuchFileException => None }
     }
     spark.createDataFrame(rows)
@@ -1170,10 +1199,12 @@ object VersionedTable {
               nParts = "\"nparts\":(\\d+)".r.findFirstMatchIn(txt)
                 .map(_.group(1).toInt),
               tableId = id,
-              followSrc = follow, pStats = Some(ps), kinds = kinds)
+              followSrc = follow, pStats = Some(ps), kinds = kinds,
+              prevTs = tsOf(headTxt))
           } else
             writeManifest(root, next, "restore", flatDirsOf(txt), None,
-              tableId = id, followSrc = follow, kinds = kinds)
+              tableId = id, followSrc = follow, kinds = kinds,
+              prevTs = tsOf(headTxt))
         try Files.createLink(versionFile(root, next), tmp)
         catch { case _: java.nio.file.FileAlreadyExistsException =>
           Files.delete(tmp)
@@ -2017,7 +2048,9 @@ object VersionedTable {
       try {
         val acc = Set.newBuilder[String]
         var running: Option[(Int, Map[String, Seq[String]])] = None
+        val walked = Set.newBuilder[Int]
         versions(root).foreach { v =>
+          walked += v
           val txt = mverGuard(root, v, Files.readString(versionFile(root, v)))
           if (txt.contains("\"parts\":") || txt.contains("\"base\":")) {
             (baseOf(txt), running) match {
@@ -2064,6 +2097,20 @@ object VersionedTable {
               else acc ++= flatDirsOf(txt)
             } catch { case _: java.nio.file.NoSuchFileException => () }
           }
+        }
+        // ADVICE r15 (condemn→restore race): a version condemned AFTER
+        // the versions() listing above and restored BEFORE the
+        // condemned listing appears in NEITHER walk — its dirs, being
+        // old, would vacuum as orphans while the tag still resolves.
+        // Re-list and resolve anything the first walk did not see; a
+        // manifest vanishing mid-read here falls through to the outer
+        // bow-out, same as the first walk.
+        val walkedSet = walked.result()
+        versions(root).filterNot(walkedSet.contains).foreach { v =>
+          val txt = mverGuard(root, v, Files.readString(versionFile(root, v)))
+          if (txt.contains("\"parts\":") || txt.contains("\"base\":"))
+            acc ++= resolved(root, v, txt)._1.values.flatten
+          else acc ++= flatDirsOf(txt)
         }
         acc.result()
       } catch {

@@ -386,4 +386,44 @@ class SnapshotSpec extends SparkSpec {
       VersionedTable.readAsOf(spark, root, t1 - 1)
     }
   }
+
+  test("commit stamps clamp to the previous manifest under clock step-back") {
+    // ADVICE r15: an NTP step-back (or cross-host skew on a shared
+    // filesystem) must not produce out-of-order ts stamps — simulate
+    // by hand-editing v1's stamp into the far future, then committing
+    // v2 with the (older) real clock. The clamp keeps versionAsOf
+    // resolving the NEWEST version at-or-before any instant.
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1).toDF("x"), root)
+    val f = Paths.get(root, "_versions", "v00000001.json")
+    val future = System.currentTimeMillis() + 3600L * 1000
+    Files.writeString(f, Files.readString(f)
+      .replaceAll("\"ts\":\\d+", s""""ts":$future"""))
+    VersionedTable.commit(Seq(2).toDF("x"), root)
+    val t1 = VersionedTable.commitTime(root, 1)
+    val t2 = VersionedTable.commitTime(root, 2)
+    assert(t1 === future)
+    assert(t2 >= t1, "v2's stamp must clamp to v1's skewed stamp")
+    assert(VersionedTable.versionAsOf(root, t2).contains(2))
+  }
+
+  test("history surfaces a newer-format manifest as a row, not a throw") {
+    // ADVICE r15: the DESCRIBE HISTORY analog must stay readable in
+    // exactly the mixed-version-writer incident mverGuard detects —
+    // forge a future-format manifest as the head and list.
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1).toDF("x"), root)
+    val v2 = Paths.get(root, "_versions", "v00000002.json")
+    Files.writeString(v2,
+      s"""{"version":2,"op":"append","mver":99,"ts":${System
+        .currentTimeMillis()},"wkind":"batch","kinds":"batch","dirs":[]}""")
+    val rows = VersionedTable.history(spark, root)
+      .select("version", "op").as[(Int, String)].collect().toMap
+    assert(rows(1) === "append")
+    assert(rows(2) === "unreadable:mver=99")
+    // the data readers still refuse the future format loudly
+    intercept[IllegalStateException] {
+      VersionedTable.readAt(spark, root, 2).collect()
+    }
+  }
 }
