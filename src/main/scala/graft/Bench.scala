@@ -124,6 +124,10 @@ object Bench {
       // against the materialized vocab, the reuse a real pipeline gets
       if (name == "txt_bpe_train")
         operators.TextOps.invalidateBpeMemo()
+      // the frozen distill model (r15) needs NO invalidation hook:
+      // txt_quality_distill computes (and reports) the full training
+      // loop directly — the memo only serves auc/calibration, which
+      // time against the frozen artifact (the km/pq/bpe contract)
       val fn = SparkEntry.queries(name)
       // sampled before the run, recorded only on SUCCESS — a failed
       // run drops its sample from `samples`, so recording its load

@@ -21,6 +21,12 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // staged frames (Ckpt.stage) free via the ContextCleaner, which
+      // only fires on JVM GC; the default 30min periodic-GC interval
+      // exceeds a whole bench run, so finished queries' DISK_ONLY
+      // blocks accumulated for the session (r15). 3min bounds the
+      // block-store footprint at any session length; scale-neutral.
+      .config("spark.cleaner.periodicGC.interval", "3min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")

@@ -1096,17 +1096,28 @@ object PipelineOps extends Suite {
           (a, b) => concat(a, lit(" "), b))).as("bigram"))
       .withColumn("bucket",
         conv(substring(md5(col("bigram")), 1, 2), 16, 10).cast("long"))
-    val stats = bg.groupBy("bucket").agg(
-      count(lit(1)).as("c_r"),
-      count(when(col("lang") === dsirTargetLang, lit(1))).as("c_t"))
+    // collapse to per-(doc, bucket) counts ONCE (r15): the tokenize +
+    // bigram explode used to plan (and run) under BOTH the bucket
+    // stats and the per-doc scores; the collapsed frame is ≤ 256 rows
+    // per doc at any corpus scale, and every downstream quantity is an
+    // exact integer function of it (Σ lr_u per bigram ≡ Σ n·lr_u per
+    // bucket), so both branches read the staged frame instead
+    val docBuckets = bg
+      .groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .transform(Ckpt.stage)
+    val stats = docBuckets.groupBy("bucket").agg(
+      sum(col("n")).as("c_r"),
+      coalesce(sum(when(col("lang") === dsirTargetLang, col("n"))), lit(0L))
+        .as("c_t"))
     val tot = stats.agg(
       sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
     val lr = stats.crossJoin(broadcast(tot)).select(col("bucket"),
       (Num.lnqU(col("c_t") + 1) - Num.lnqU(col("n_t") + dsirBuckets)
         - Num.lnqU(col("c_r") + 1) + Num.lnqU(col("n_r") + dsirBuckets)).as("lr_u"))
-    val scores = bg.join(broadcast(lr), Seq("bucket"))
+    val scores = docBuckets.join(broadcast(lr), Seq("bucket"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lr_u")).as("w"))
+      .agg(sum(col("n")).as("n_bigrams"), sum(col("n") * col("lr_u")).as("w"))
     Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
       .join(scores, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),

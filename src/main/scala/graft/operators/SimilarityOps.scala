@@ -394,12 +394,16 @@ object SimilarityOps extends Suite {
     pqMemo.getOrElseUpdate((spark, dir), pqSubDistCompute(spark, dir))
 
   private def pqSubDistCompute(spark: SparkSession, dir: String): DataFrame = {
+    // staged once (r15): the per-label sums AND the distance join both
+    // consume the exploded terms — unstaged, the posexplode subtree
+    // planned (and ran) under both
     val terms = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), col("label"),
         (col("i") / lit(pqSubspaces)).cast("int").as("sub"), col("i"),
         col("x").cast("double").cast(DecimalType(12, 8)).as("d"))
+      .transform(Ckpt.stage)
     val sums = terms.groupBy(col("label").as("c_label"), col("i"))
       .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))
     terms

@@ -497,7 +497,12 @@ class PlanAuditSpec extends SparkSpec {
       // benford reads its checkpointed 9-row frames (corpus agg runs
       // once in the producer); pca reads the checkpointed final
       // weight frame — the sort is the lone final-plan exchange
-      "dq_benford" -> 2, "sim_pca_power" -> 1,
+      "dq_benford" -> 2,
+      // r15 re-audit: only the loop-carried w stages per round now; mx
+      // (1 row) and v (64 rows) derive in the final plan, so it
+      // carries their aggregate/sort exchanges over 64-row staged-w
+      // scans — bounded by dim count at any corpus scale
+      "sim_pca_power" -> 4,
       // one user_id shuffle (shared sessionize+truncation windows) +
       // the session agg + the mask-sized tail reading checkpoints
       "ev_attribution_shapley" -> 4,
