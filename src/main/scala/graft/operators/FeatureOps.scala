@@ -483,11 +483,16 @@ object FeatureOps extends Suite {
       .select(col("l_orderkey"), col("l_partkey"))
       .repartition(col("l_orderkey"))
       .distinct()
+    // the pair distinct runs under hash(src) (a subset of its
+    // grouping keys), so the SAME exchange serves the deg window too
+    // — one src exchange instead of (src, dst) + src (r15)
     val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
       .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
         Seq("l_orderkey"))
       .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+      .select("src", "dst")
+      .repartition(col("src"))
+      .distinct()
     val edgesD = edges
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .transform(Ckpt.stage)
